@@ -1,0 +1,84 @@
+package graft.oracle
+
+/** Generators for the DuckDB oracle SQL (the driver runs these against the
+  * same parquet tables and hash-compares with the Spark results).
+  *
+  * The interesting piece is [[murmur2PartitionSql]]: the Kafka murmur2
+  * partitioner re-expressed as a single pure-SQL DuckDB expression (list
+  * lambdas + 64-bit masked arithmetic), so the oracle can reproduce the
+  * record-log partition mapping without any extension function. Validated
+  * against [[graft.core.Murmur2]] for 2000+ keys including the reference's
+  * own known-answer vector ("k2" → partition 3 of 10,
+  * `/root/reference/run-integration-tests:153-158`).
+  */
+object Duck {
+  private val M = "1540483477" // 0x5bd1e995
+  private val MASK = "4294967295" // 2^32-1
+  private val SEED = "2538058380" // 0x9747b28c unsigned
+
+  /** DuckDB SQL computing `Murmur2.partition(keyExpr, n)`.
+    *
+    * All arithmetic stays in BIGINT: the largest product is
+    * (2^32-1) * 0x5bd1e995 ≈ 6.6e18 < 2^63-1, then masked back to 32 bits.
+    * Stages are chained with single-element `list_transform` lambdas to
+    * name intermediates inside one expression.
+    */
+  def murmur2PartitionSql(keyExpr: String, n: Int): String = {
+    val K = keyExpr
+    val len = s"length($K)::BIGINT"
+    val bytes =
+      s"list_transform(range(1, $len + 1), __i -> ascii(substr($K, __i::INT, 1))::BIGINT)"
+    // one 4-byte little-endian chunk, mixed: k = ((k*M)&MASK); k ^= k>>>24; k = ((k*M)&MASK)
+    val kRaw =
+      s"((__b[4*__c+1] + (__b[4*__c+2]<<8) + (__b[4*__c+3]<<16) + (__b[4*__c+4]<<24)) * $M) & $MASK"
+    val kMixed = s"((xor($kRaw, ($kRaw)>>24)) * $M) & $MASK"
+    // fold chunks into h, seeded with SEED^len (list_prepend supplies the seed;
+    // list_reduce of a 1-element list returns it untouched when there are no chunks)
+    val loop =
+      s"list_reduce(list_prepend(xor($SEED, $len), range(0, ($len)//4)), " +
+        s"(__h, __c) -> xor((__h * $M) & $MASK, $kMixed))"
+    // tail bytes (fall-through of the reference switch)
+    val base = s"(($len)//4*4)"
+    val tail =
+      s"CASE ($len)%4 " +
+        s"WHEN 0 THEN __h1 " +
+        s"WHEN 1 THEN (xor(__h1, __b[$base+1]) * $M) & $MASK " +
+        s"WHEN 2 THEN (xor(xor(__h1, __b[$base+2]<<8), __b[$base+1]) * $M) & $MASK " +
+        s"ELSE (xor(xor(xor(__h1, __b[$base+3]<<16), __b[$base+2]<<8), __b[$base+1]) * $M) & $MASK END"
+    val fin = s"(xor(__h2, __h2>>13) * $M) & $MASK"
+    s"list_transform([$bytes], __b -> " +
+      s"list_transform([$loop], __h1 -> " +
+      s"list_transform([$tail], __h2 -> " +
+      s"list_transform([$fin], __h3 -> " +
+      s"((xor(__h3, __h3>>15) & 2147483647) % $n)::INTEGER)[1])[1])[1])[1]"
+  }
+
+  /** CTE body reproducing [[graft.log.RecordLog.topic]] for one topic.
+    * Emits two CTEs: `<alias>0` (pre-window) and `<alias>`. */
+  private def topicCte(name: String, alias: String): String = {
+    val src = name match {
+      case "events" => "events"
+      case "clicks" => "(SELECT * FROM events WHERE event_type = 'click')"
+      case other => throw new IllegalArgumentException(other)
+    }
+    s"""${alias}0 AS (
+       |  SELECT ts, event_id, CAST(user_id AS VARCHAR) AS "key", props AS "value",
+       |         ${murmur2PartitionSql("CAST(user_id AS VARCHAR)", graft.log.RecordLog.NumPartitions)} AS part
+       |  FROM $src),
+       |$alias AS (
+       |  SELECT '$name' AS topic, part AS "partition",
+       |         CAST(row_number() OVER (PARTITION BY part ORDER BY ts, event_id) - 1 AS BIGINT) AS "offset",
+       |         epoch_ms(ts) AS "timestamp", "key", "value"
+       |  FROM ${alias}0)""".stripMargin
+  }
+
+  /** `WITH recs AS (...)` prefix for oracle queries over the events log. */
+  def recsWith: String = s"WITH ${topicCte("events", "recs")}"
+
+  /** WITH prefix exposing both `recs` (events) and `recs_clicks`. */
+  def recsMultiWith: String =
+    s"WITH ${topicCte("events", "recs")}, ${topicCte("clicks", "recs_clicks")}"
+
+  /** Canonical output ordering used by every log-record query. */
+  val recOrder = """ORDER BY topic, "partition", "offset""""
+}
