@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Murmur2
@@ -13,11 +14,22 @@ import graft.core.Murmur2
   * expression (not a Scala UDF) so it participates in whole-stage codegen:
   * the generated code calls the static hasher directly on the UTF8String
   * bytes with no Row boxing or String conversion.
+  *
+  * Input typing is checked explicitly (`ExpectsInputTypes`/`AbstractDataType`
+  * are private[sql] in Spark 4); callers cast through
+  * [[GraftFunctions.kafkaPartition]].
   */
 case class KafkaPartitionExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, INT), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "kafka_partition"
 

@@ -1,0 +1,115 @@
+package graft.log
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Murmur2, QueryOptions}
+
+/** Declarative build of the reference's whole search pipeline
+  * (`/root/reference/src/kbrowse/search.clj:124-201`) as one Catalyst
+  * logical plan over a record log:
+  *
+  *   scan (S1/S2) → partition pruning (A1/A2) → offset window (A3/A4, S5)
+  *   → timestamp window (L5) → regex filters (P2/P3) → projection (P1)
+  *   ∪ progress sampler (P6)
+  *
+  * Everything is a stock `Column` expression, so Catalyst pushes the
+  * prunable predicates (partition, offset, timestamp) into the parquet
+  * scan; on a Kafka-backed source they become `assign` /
+  * `startingOffsets` options computed at plan time (SURVEY.md §4).
+  *
+  * Scale notes:
+  *  - partition/offset/timestamp pruning happens before any regex work, so
+  *    at 100 TB the expensive `RLike` only ever sees the pruned slice;
+  *  - the offset-boundary probe (S5) is a tiny per-partition aggregate,
+  *    broadcast back — no shuffle of the big side;
+  *  - no collect, no driver loop: the plan is a single DAG.
+  */
+object LogQuery {
+
+  /** kbrowse regexes are `re-matches` = full-string match
+    * (`search.clj:74-81`); Spark `RLike` is find-semantics, so anchor.
+    */
+  def anchored(pattern: String): String = "^(?:" + pattern + ")$"
+
+  /** Resolve the pruned, windowed, record stream (pre-regex) — the stream
+    * the reference's consumer loop actually "consumes" after assign+seek.
+    */
+  def consumed(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
+    val recs = RecordLog.topics(spark, sfDir, opts.topics)
+
+    // A1 explicit / A2 murmur2-default partition pruning (`search.clj:139-148`).
+    val pruned = opts.partitions match {
+      case Some(ps) => recs.filter(col("partition").isin(ps: _*))
+      case None if opts.defaultPartition =>
+        // key-regex is treated as a *literal* key here, like the reference
+        // feeding it to DefaultPartitioner (`kafka.clj:59-70`).
+        val p = Murmur2.partition(opts.keyRegex.get, RecordLog.NumPartitions)
+        recs.filter(col("partition") === lit(p))
+      case None => recs
+    }
+
+    // A3 relative-offset seek (`kafka.clj:111-123`): n >= 0 → earliest + n,
+    // n < 0 → latest + n, where latest is the end position (max offset + 1),
+    // matching KafkaConsumer.seekToEnd + position semantics.
+    val windowed = opts.relativeOffset match {
+      case Some(n) =>
+        val bounds = recs.groupBy("topic", "partition").agg(
+          min("offset").as("__earliest"),
+          (max("offset") + 1).as("__latest"))
+        val start = if (n >= 0) col("__earliest") + n else col("__latest") + n
+        pruned
+          .join(broadcast(bounds), Seq("topic", "partition"))
+          .filter(col("offset") >= start)
+          .drop("__earliest", "__latest")
+      case None => pruned
+    }
+
+    // L5 resurrected timestamp window: [start, stop) on the record's
+    // epoch-millis timestamp.
+    windowed
+      .where(opts.startTimestamp.map(t => col("timestamp") >= lit(t)).getOrElse(lit(true)))
+      .where(opts.stopTimestamp.map(t => col("timestamp") < lit(t)).getOrElse(lit(true)))
+  }
+
+  /** Matching records only (the reference's `:type :result` rows),
+    * projected through the 6-field record model (`search.clj:34-42`).
+    */
+  def results(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
+    val scanned = consumed(spark, sfDir, opts)
+    scanned
+      .where(opts.keyRegex.map(r => col("key").rlike(anchored(r))).getOrElse(lit(true)))
+      .where(opts.valRegex.map(r => col("value").rlike(anchored(r))).getOrElse(lit(true)))
+      .select(lit("result").as("type"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"),
+        col("key"), col("value"))
+  }
+
+  /** Full output stream: results ∪ progress heartbeats. Progress rows (P6,
+    * `search.clj:95-101`) sample the *consumed* stream — every record with
+    * `offset % printOffset == 0` regardless of regex match — typed
+    * `:offset`, like the reference emitting them before the regex check
+    * (`search.clj:176`).
+    */
+  def stream(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
+    val res = results(spark, sfDir, opts)
+    opts.printOffset match {
+      case Some(n) =>
+        val progress = consumed(spark, sfDir, opts)
+          .filter(col("offset") % lit(n) === 0)
+          .select(lit("offset").as("type"),
+            col("topic"), col("partition"), col("offset"), col("timestamp"),
+            col("key"), col("value"))
+        res.unionByName(progress)
+      case None => res
+    }
+  }
+
+  /** Canonical deterministic output order (the reference's output order is
+    * poll interleaving — nondeterministic; the oracle contract fixes it,
+    * SURVEY.md §7.4).
+    */
+  def canonical(df: DataFrame): DataFrame =
+    df.orderBy("type", "topic", "partition", "offset")
+}
