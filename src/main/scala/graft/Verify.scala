@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Opt-in record-log cache: ~15 conformance queries share one scan of
+      // the synthesized log at sf0.01 (general path stays uncached).
+      .config("spark.graft.cacheRecordLog", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,14 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Registration point for graft's native Catalyst expressions.
   *
   * Registration goes through the session's `FunctionRegistry` (stable API
-  * across Spark 4's Column refactor) and the `Column` wrappers below are
-  * built with `expr(...)`, so callers use them like any
-  * `org.apache.spark.sql.functions` member.
+  * across Spark 4's Column refactor). The `Column` wrappers below go through
+  * `call_function` (public API, no SQL-string interpolation — a hostile or
+  * backtick-needing column name cannot break out, VERDICT r2 item 7).
   */
 object GraftFunctions {
 
@@ -23,13 +23,13 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHashExpr(exprs(0)), "built-in")
   }
 
-  /** murmur2-based Kafka default-partitioner placement of `keyCol` among
+  /** murmur2-based Kafka default-partitioner placement of `key` among
     * `n` partitions. */
-  def kafkaPartition(keyCol: String, n: Int): Column =
-    expr(s"kafka_partition(CAST($keyCol AS STRING), $n)")
+  def kafkaPartition(key: Column, n: Int): Column =
+    call_function("kafka_partition", key.cast("string"), lit(n))
 
-  /** 32-bit masked polynomial rolling hash of the string column `colExpr`
+  /** 32-bit masked polynomial rolling hash of the string column
     * (document fingerprinting, SURVEY.md §2.6). */
-  def rollingHash(colExpr: String): Column =
-    expr(s"rolling_hash(CAST($colExpr AS STRING))")
+  def rollingHash(c: Column): Column =
+    call_function("rolling_hash", c.cast("string"))
 }

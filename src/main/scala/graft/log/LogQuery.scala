@@ -53,9 +53,12 @@ object LogQuery {
     // A3 relative-offset seek (`kafka.clj:111-123`): n >= 0 → earliest + n,
     // n < 0 → latest + n, where latest is the end position (max offset + 1),
     // matching KafkaConsumer.seekToEnd + position semantics.
+    // Bounds are probed from the PRUNED slice, like the reference probing
+    // only assigned partitions (`kafka.clj:99-109`) — probing the unpruned
+    // union would scan every partition of every topic (VERDICT r2 item 4).
     val windowed = opts.relativeOffset match {
       case Some(n) =>
-        val bounds = recs.groupBy("topic", "partition").agg(
+        val bounds = pruned.groupBy("topic", "partition").agg(
           min("offset").as("__earliest"),
           (max("offset") + 1).as("__latest"))
         val start = if (n >= 0) col("__earliest") + n else col("__latest") + n

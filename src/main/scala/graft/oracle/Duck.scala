@@ -18,6 +18,12 @@ object Duck {
 
   /** DuckDB SQL computing `Murmur2.partition(keyExpr, n)`.
     *
+    * PRECONDITION: `keyExpr` values must be ASCII — bytes are derived via
+    * `ascii(substr(...))`, i.e. codepoints, which equal UTF-8 bytes only
+    * below 0x80 (ADVICE r01/r02). Every call site in this repo feeds
+    * `CAST(user_id AS VARCHAR)` (decimal digits, always ASCII); the Scala
+    * side asserts the same precondition in tests.
+    *
     * All arithmetic stays in BIGINT: the largest product is
     * (2^32-1) * 0x5bd1e995 ≈ 6.6e18 < 2^63-1, then masked back to 32 bits.
     * Stages are chained with single-element `list_transform` lambdas to
@@ -81,4 +87,20 @@ object Duck {
 
   /** Canonical output ordering used by every log-record query. */
   val recOrder = """ORDER BY topic, "partition", "offset""""
+
+  /** The 6-field record projection with the `type` discriminator, matching
+    * [[graft.log.LogQuery.results]]. */
+  val resultCols =
+    """'result' AS type, topic, "partition", "offset", "timestamp", "key", "value""""
+
+  /** DuckDB SQL computing `RollingHashExpr.hash(strExpr)` — the 32-bit
+    * masked polynomial fingerprint `h = (h*31 + byte) & 0xFFFFFFFF` folded
+    * over the string's bytes. Same ASCII precondition as
+    * [[murmur2PartitionSql]] (documents fixture is verified pure ASCII).
+    */
+  def rollingHashSql(strExpr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(range(1, length($strExpr) + 1), " +
+      s"__rhi -> ascii(substr($strExpr, __rhi::INT, 1))::BIGINT)), " +
+      s"(__rh, __rb) -> (__rh * 31 + __rb) & 4294967295)"
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.oracle.Duck
+
+/** MinHash + LSH-banded near-duplicate detection over a document corpus —
+  * the scale path for fuzzy dedup in a training-data pipeline.
+  *
+  * Pipeline (all stock codegen'd higher-order functions, one narrow pass
+  * per doc, one shuffle for the band join):
+  *
+  *   1. shingle: distinct `rolling_hash` of every `ShingleK`-char window —
+  *      a per-row `transform`, no explode, no shuffle;
+  *   2. signature: `NumHashes` permutation-mins `(a_j*s + b_j) mod P` —
+  *      per-row arithmetic on the shingle array;
+  *   3. banding: `Bands` keys of `RowsPerBand` signature slots; candidate
+  *      pairs are generated ONLY within equal (band, key) buckets — the
+  *      self-join shuffles on the band key, never the quadratic all-pairs;
+  *   4. estimate: fraction of agreeing signature slots, thresholded.
+  *
+  * At 100 TB the cost is dominated by the band-key shuffle, which is
+  * |docs|×Bands rows of (id, 4 longs) — not |docs|² — and skew only occurs
+  * where true near-duplicate clusters exist (AQE splits those buckets).
+  *
+  * All arithmetic is 64-bit-overflow-free (`a_j < 1e9`, shingle < 2^32 ⇒
+  * product < 2^62), so the DuckDB oracle reproduces every signature
+  * bit-exactly ([[oracleSql]]).
+  */
+object MinHashDedup {
+  val ShingleK = 8
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  /** Smallest prime > 2^32. */
+  val P = 4294967311L
+  /** Permutation coefficients: a_j ∈ [1, 1e9) keeps a_j * shingle < 2^62. */
+  val A: IndexedSeq[Long] = (0 until NumHashes).map(j => 1L + (j.toLong * 73856093L) % 999999937L)
+  val B: IndexedSeq[Long] = (0 until NumHashes).map(j => (j.toLong * 19349663L + 83492791L) % P)
+
+  /** doc_id + minhash signature (array of NumHashes longs). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sigExpr = (0 until NumHashes)
+      .map(j => s"array_min(transform(__shingles, s -> (s * ${A(j)}L + ${B(j)}L) % ${P}L))")
+      .mkString("array(", ", ", ")")
+    docs
+      .filter(length(col(textCol)) >= ShingleK)
+      .withColumn("__shingles", expr(
+        s"array_distinct(transform(sequence(1, char_length($textCol) - ${ShingleK - 1}), " +
+          s"i -> rolling_hash(substring($textCol, i, $ShingleK))))"))
+      .select(col(idCol).as("doc_id"), expr(sigExpr).as("sig"))
+  }
+
+  /** Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ minSim. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      minSim: Double): DataFrame = {
+    val sig = signatures(docs, idCol, textCol)
+    val bands = sig.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_sim",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($NumHashes AS DOUBLE)"))
+      .filter(col("est_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB SQL reproducing [[nearDupPairs]] bit-exactly on table `documents`. */
+  def oracleSql(minSim: Double): String = {
+    val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
+    val sigList = (0 until NumHashes)
+      .map(j => s"list_min(list_transform(shingles, s -> (s * ${A(j)} + ${B(j)}) % $P))")
+      .mkString("[", ", ", "]")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, length(text) - ${ShingleK - 2}), i -> $sh)) AS shingles
+       |  FROM documents WHERE length(text) >= $ShingleK),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b, list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand) AS bkey
+       |  FROM sig, range(0, $Bands) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(range(1, ${NumHashes + 1}), j -> sa.sig[j] = sb.sig[j])) / CAST($NumHashes AS DOUBLE) AS est_sim
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= $minSim
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

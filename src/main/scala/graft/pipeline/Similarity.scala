@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k against one query vector —
+  *    a broadcast of the single query row against a narrow scan; the
+  *    correctness baseline, and still the right plan when the query set is
+  *    tiny (it is a map-side operation, no shuffle of the corpus).
+  *  - [[bucketedNearDupPairs]]: random-hyperplane LSH bucketing for
+  *    all-pairs near-duplicate search — candidate pairs are generated only
+  *    within equal sign-buckets, so the join shuffles |corpus| rows by
+  *    bucket id instead of exploding |corpus|² (the 100 TB path).
+  *
+  * Determinism: every dot product is a SEQUENTIAL left fold in ascending
+  * index order (`aggregate` in Spark, `list_reduce` in DuckDB), and the
+  * hyperplane matrix is ±1.0 literals from a fixed LCG — so the DuckDB
+  * oracle reproduces cosines and buckets bit-for-bit; no float tolerance
+  * is needed anywhere.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine between two array<double> columns (by name). */
+  private def cosExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
+      s"(sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v)) * " +
+      s"sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))"
+
+  /** Exact cosine top-k of `corpus` against the row with `queryId`. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") === queryId).select(col("emb").as("qv"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(cosExpr("emb", "qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Number of sign bits → 2^SignBits buckets. */
+  val SignBits = 8
+
+  /** Deterministic ±1 hyperplane matrix (SignBits × dim) from a fixed LCG —
+    * shared verbatim between the Spark plan and the DuckDB oracle. */
+  def signMatrix(dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    var s = 0x5DEECE66DL
+    def next(): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 40) & 1L) == 0L) -1 else 1
+    }
+    IndexedSeq.fill(SignBits, dim)(next())
+  }
+
+  private def bucketExpr(emb: String, dim: Int, forDuck: Boolean): String = {
+    val m = signMatrix(dim)
+    val rows = (0 until SignBits).map { i =>
+      val lits = m(i).map(v => if (forDuck) s"$v.0" else s"${v}.0D").mkString(", ")
+      val dot =
+        if (forDuck)
+          s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+            s"__si -> $emb[__si] * ([$lits])[__si])), (acc, v) -> acc + v)"
+        else
+          s"aggregate(zip_with($emb, array($lits), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+      s"(CASE WHEN $dot >= 0 THEN ${1 << i} ELSE 0 END)"
+    }
+    rows.mkString("(", " + ", ")")
+  }
+
+  /** All-pairs near-duplicates (cos ≥ minCos) found within LSH sign-buckets.
+    * Recall is bounded by bucket collisions (near-identical vectors share
+    * all sign bits with high probability); exact within the bucket. */
+  def bucketedNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, minCos: Double): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+      .withColumn("bucket", expr(bucketExpr("emb", dim, forDuck = false)))
+    val l = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("bucket"))
+    val r = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), expr(cosExpr("emb_a", "emb_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Blocked all-pairs similarity: the most similar pair inside each group
+    * (e.g. an IVF coarse cell, here the fixture's `label` column). The join
+    * shuffles on the block key only — the IVF pattern for ANN at scale:
+    * quadratic within a cell, never across the corpus. */
+  def topPairPerGroup(corpus: DataFrame, idCol: String, embCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val r = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    val pairs = l.join(r, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"), expr(cosExpr("emb_a", "emb_b")).as("cos"))
+    val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("label", "vec_a", "vec_b", "cos")
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[topPairPerGroup]] on table `embeddings`. */
+  def topPairOracleSql: String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, len(l.emb) + 1), i -> l.emb[i] * r.emb[i])")
+    val na = fold("list_transform(l.emb, v -> v * v)")
+    val nb = fold("list_transform(r.emb, v -> v * v)")
+    s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT l.label, l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |  FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+       |SELECT label, vec_a, vec_b, cos FROM pairs
+       |QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) = 1
+       |ORDER BY label""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bruteForceTopK]] on table `embeddings`. */
+  def topKOracleSql(queryId: Long, k: Int): String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.qv[i])")
+    val na = fold("list_transform(e.emb, v -> v * v)")
+    val nb = fold("list_transform(q.qv, v -> v * v)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |q AS (SELECT emb AS qv FROM e WHERE vec_id = $queryId)
+       |SELECT e.vec_id, $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |FROM e, q WHERE e.vec_id != $queryId
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bucketedNearDupPairs]] on table `embeddings`. */
+  def nearDupOracleSql(dim: Int, minCos: Double): String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, ${dim + 1}), i -> l.emb[i] * r.emb[i])")
+    val na = fold("list_transform(l.emb, v -> v * v)")
+    val nb = fold("list_transform(r.emb, v -> v * v)")
+    s"""WITH e AS (
+       |  SELECT vec_id, emb, ${bucketExpr("emb", dim, forDuck = true)} AS bucket
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)),
+       |pairs AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= $minCos
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Murmur2, QueryOptions, Tables}
+import graft.log.{LogQuery, RecordLog}
+import graft.ops.AsofJoin
+import graft.oracle.Duck
+
+/** The canonical conformance queries Q1–Q18 (FIXTURES.md §C): every
+  * reference operator (SURVEY.md §2) exercised end-to-end over the parquet
+  * record-log stand-in, each paired with DuckDB oracle SQL the driver
+  * hash-compares at sf0.01.
+  *
+  * Output discipline (driver contract):
+  *  - every column aliased identically in Spark and SQL;
+  *  - deterministic total ordering in both;
+  *  - no raw DOUBLE aggregation — sums go through DECIMAL (exact, order-
+  *    independent) and are cast back to DOUBLE (exact-to-nearest, identical
+  *    in both engines), so parallel aggregation order can never flip a bit;
+  *  - timestamps surface as epoch-millis BIGINT, never raw TIMESTAMP.
+  */
+object Conformance {
+
+  private def base(topics: Seq[String] = Seq("events")) =
+    QueryOptions(bootstrapServers = "sandbox:9092", topics = topics)
+
+  private def rec(spark: SparkSession, sf: String, opts: QueryOptions): DataFrame =
+    LogQuery.canonical(LogQuery.results(spark, sf, opts))
+
+  /** Q11 window bounds: [2024-01-05, 2024-01-15) UTC in epoch millis —
+    * inside the events fixture's ts range at every scale factor. */
+  private val T0 = 1704412800000L
+  private val T1 = 1705276800000L
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 S1 bounded scan: full events log through the 6-field projection.
+    "q01_scan" -> ((s, sf) => rec(s, sf, base())),
+
+    // Q2 S2 multi-topic union (events + the click-slice topic).
+    "q02_multi_topic" -> ((s, sf) => rec(s, sf, base(Seq("events", "clicks")))),
+
+    // Q3 S5 offset-range probe: per-partition earliest/latest snapshot.
+    "q03_offset_bounds" -> ((s, sf) =>
+      RecordLog.events(s, sf)
+        .groupBy("topic", "partition")
+        .agg(min("offset").as("earliest"), (max("offset") + 1).as("latest"))
+        .orderBy("topic", "partition")),
+
+    // Q4 P2 key regex, full-match anchored (`re-matches` parity).
+    "q04_key_regex" -> ((s, sf) => rec(s, sf, base().copy(keyRegex = Some("1[0-3]")))),
+
+    // Q5 P3 conjunctive key+value regex.
+    "q05_key_val_regex" -> ((s, sf) => rec(s, sf,
+      base().copy(keyRegex = Some("1.*"), valRegex = Some(".*\"k\": 8.*")))),
+
+    // Q6 P5 try-parse-JSON → variant; extraction of props.k.
+    "q06_json_variant" -> ((s, sf) =>
+      RecordLog.events(s, sf).select(
+          col("topic"), col("partition"), col("offset"), col("key"),
+          expr("variant_get(try_parse_json(value), '$.k', 'bigint')").as("k_num"),
+          expr("variant_get(try_parse_json(value), '$.k', 'string')").as("k_str"))
+        .orderBy("topic", "partition", "offset")),
+
+    // Q7 P6 progress sampler: results ∪ offset-heartbeat rows.
+    // Heartbeats sample the pruned+windowed stream (documented divergence
+    // from the reference, which samples pre-window — VERDICT r2 item 9;
+    // with no window configured, as here, the two agree).
+    "q07_progress" -> ((s, sf) =>
+      LogQuery.canonical(LogQuery.stream(s, sf, base().copy(printOffset = Some(100L))))),
+
+    // Q8 A1 explicit partition pruning.
+    "q08_partitions" -> ((s, sf) => rec(s, sf, base().copy(partitions = Some(Seq(3, 5))))),
+
+    // Q9 A2 murmur2 default-partition pruning (key-regex as literal key).
+    "q09_default_partition" -> ((s, sf) => rec(s, sf,
+      base().copy(defaultPartition = true, keyRegex = Some("13")))),
+
+    // Q10 A3 relative-offset seek, positive (earliest+1) and negative (latest-5).
+    "q10_rel_offset_pos" -> ((s, sf) => rec(s, sf, base().copy(relativeOffset = Some(1L)))),
+    "q10_rel_offset_neg" -> ((s, sf) => rec(s, sf, base().copy(relativeOffset = Some(-5L)))),
+
+    // Q11 L5 resurrected timestamp window [T0, T1).
+    "q11_ts_window" -> ((s, sf) => rec(s, sf,
+      base().copy(startTimestamp = Some(T0), stopTimestamp = Some(T1)))),
+
+    // Q12 join: orders ⋈ customer, revenue by market segment.
+    "q12_join" -> ((s, sf) =>
+      Tables.load(s, sf, "orders")
+        .join(Tables.load(s, sf, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // Q13 aggregation: count / exact distinct / decimal-exact sum.
+    "q13_agg" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy("event_type")),
+
+    // Q14 window functions: row_number + lag per user over event time.
+    "q14_window_fn" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, sf, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          row_number().over(w).cast("long").as("rn"),
+          lag("value", 1).over(w).as("prev_value"))
+        .orderBy("event_id")
+    }),
+
+    // Q15 top-k: top-10 lineitem rows by discounted revenue.
+    "q15_topk" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)),
+
+    // Q16 scalar/date/string functions, TPC-H-Q1-style.
+    "q16_scalar" -> ((s, sf) => {
+      val qty = sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+      Tables.load(s, sf, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          qty.as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(22, 6))).cast("double").as("sum_disc"),
+          (qty / count(lit(1))).as("avg_qty"))
+        .withColumn("flag_status", concat_ws("/", col("l_returnflag"), col("l_linestatus")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q17 tumbling 10-minute window agg (batch plan of the streaming query;
+    // StreamingLog runs the same plan under Trigger.AvailableNow).
+    "q17_tumbling" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(unix_millis(col("window.start")).as("bucket_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_ms", "event_type")),
+
+    // Q18 as-of join: latest order (by o_orderdate) at or before each event,
+    // per user — single-shuffle union-window plan, not a range-join explosion.
+    "q18_asof_join" -> ((s, sf) => {
+      val probe = Tables.load(s, sf, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val build = Tables.load(s, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+      AsofJoin.asof(probe, build, key = "user_id", probeTime = "ts",
+          buildTime = "o_orderdate", tieBreak = "o_orderkey",
+          attach = Seq("o_orderkey", "o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          unix_millis(col("o_orderdate")).as("order_date_ms"))
+        .orderBy("event_id")
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val R = Duck.recsWith
+  private val RC = Duck.resultCols
+  private val ORD = Duck.recOrder
+
+  def oracle: Map[String, String] = Map(
+    "q01_scan" -> s"""$R SELECT $RC FROM recs $ORD""",
+
+    "q02_multi_topic" ->
+      s"""${Duck.recsMultiWith}
+         |SELECT $RC FROM (SELECT * FROM recs UNION ALL SELECT * FROM recs_clicks) $ORD""".stripMargin,
+
+    "q03_offset_bounds" ->
+      s"""$R SELECT topic, "partition", min("offset") AS earliest, max("offset") + 1 AS latest
+         |FROM recs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_key_regex" ->
+      s"""$R SELECT $RC FROM recs WHERE regexp_full_match("key", '1[0-3]') $ORD""",
+
+    "q05_key_val_regex" ->
+      s"""$R SELECT $RC FROM recs
+         |WHERE regexp_full_match("key", '1.*') AND regexp_full_match("value", '.*"k": 8.*') $ORD""".stripMargin,
+
+    "q06_json_variant" ->
+      s"""$R SELECT topic, "partition", "offset", "key",
+         |  json_extract_string("value", '$$.k')::BIGINT AS k_num,
+         |  json_extract_string("value", '$$.k') AS k_str
+         |FROM recs $ORD""".stripMargin,
+
+    "q07_progress" ->
+      s"""$R SELECT $RC FROM recs
+         |UNION ALL
+         |SELECT 'offset' AS type, topic, "partition", "offset", "timestamp", "key", "value"
+         |FROM recs WHERE "offset" % 100 = 0
+         |ORDER BY type, topic, "partition", "offset"""".stripMargin,
+
+    "q08_partitions" ->
+      s"""$R SELECT $RC FROM recs WHERE "partition" IN (3, 5) $ORD""",
+
+    "q09_default_partition" ->
+      s"""$R SELECT $RC FROM recs
+         |WHERE "partition" = ${Murmur2.partition("13", RecordLog.NumPartitions)}
+         |  AND regexp_full_match("key", '13') $ORD""".stripMargin,
+
+    "q10_rel_offset_pos" ->
+      s"""$R, bounds AS (
+         |  SELECT topic, "partition", min("offset") AS e, max("offset") + 1 AS l
+         |  FROM recs GROUP BY 1, 2)
+         |SELECT $RC FROM recs JOIN bounds USING (topic, "partition")
+         |WHERE "offset" >= e + 1 $ORD""".stripMargin,
+
+    "q10_rel_offset_neg" ->
+      s"""$R, bounds AS (
+         |  SELECT topic, "partition", min("offset") AS e, max("offset") + 1 AS l
+         |  FROM recs GROUP BY 1, 2)
+         |SELECT $RC FROM recs JOIN bounds USING (topic, "partition")
+         |WHERE "offset" >= l - 5 $ORD""".stripMargin,
+
+    "q11_ts_window" ->
+      s"""$R SELECT $RC FROM recs WHERE "timestamp" >= $T0 AND "timestamp" < $T1 $ORD""",
+
+    "q12_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_agg" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_window_fn" ->
+      """SELECT event_id, user_id, "value",
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  lag("value") OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q15_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q16_scalar" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  l_returnflag || '/' || l_linestatus AS flag_status
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q17_tumbling" ->
+      """SELECT (epoch_ms(ts) // 600000) * 600000 AS bucket_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_asof_join" ->
+      """SELECT e.event_id, e.user_id, b.o_orderkey, epoch_ms(b.o_orderdate) AS order_date_ms
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2) b
+        |ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

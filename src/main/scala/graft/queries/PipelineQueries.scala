@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.oracle.Duck
+import graft.pipeline.{MinHashDedup, Similarity, TextStats}
+
+/** LLM-training-data pipeline operators as driver-checked conformance
+  * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
+  * dedup, similarity search, text analysis — each 100 TB-shaped).
+  */
+object PipelineQueries {
+
+  val EmbeddingDim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact + fingerprint dedup cardinalities per source: the hash-groupBy
+    // dedup plan (map-side partial agg, one shuffle on `source`).
+    "q20_dedup_exact" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      Tables.load(s, sf, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          countDistinct(GraftFunctions.rollingHash(col("text"))).as("n_unique_fp"))
+        .orderBy("source")
+    }),
+
+    // Per-doc 32-bit fingerprint — known-answer test of the native
+    // rolling_hash expression against its pure-SQL DuckDB rendering.
+    "q21_fingerprint" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      Tables.load(s, sf, "documents")
+        .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
+    "q22_minhash_pairs" -> ((s, sf) =>
+      MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
+
+    // Brute-force cosine top-10 against vec_id 0 — the ANN baseline.
+    "q23_ann_topk" -> ((s, sf) =>
+      Similarity.bruteForceTopK(Tables.load(s, sf, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // Per-language corpus statistics (token counts, quality signals).
+    "q24_text_stats" -> ((s, sf) =>
+      TextStats.corpusStats(Tables.load(s, sf, "documents"), "lang", "text", "n_chars")),
+
+    // Blocked (IVF-style) all-pairs similarity: best pair per label cell.
+    // (The random-hyperplane LSH variant, Similarity.bucketedNearDupPairs,
+    // is exercised in ScalaTest — the fixture plants no near-dup vectors,
+    // so its thresholded result here would be vacuously empty.)
+    "q26_cos_top_pair" -> ((s, sf) =>
+      Similarity.topPairPerGroup(Tables.load(s, sf, "embeddings"), "vec_id", "embedding", "label"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      s"""SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+         |  count(DISTINCT ${Duck.rollingHashSql("text")}) AS n_unique_fp
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q21_fingerprint" ->
+      s"""SELECT doc_id, ${Duck.rollingHashSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
+
+    "q23_ann_topk" -> Similarity.topKOracleSql(0L, 10),
+
+    "q24_text_stats" -> TextStats.corpusStatsOracleSql,
+
+    "q26_cos_top_pair" -> Similarity.topPairOracleSql
+  )
+}
