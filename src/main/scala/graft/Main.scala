@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.QueryOptions
+import graft.log.LogQuery
+import graft.render.JsonArrayRender
+import graft.server.HttpService
+
+/** The reference's dual entrypoint (`/root/reference/src/kbrowse/core.clj:164-182`):
+  * `cli` runs one search and prints the JSON array to stdout; `server`
+  * starts the HTTP API.
+  *
+  * Sandbox binding: `--bootstrap-servers` carries the fixture directory
+  * (the cluster address of the parquet-backed record log), e.g.
+  *
+  *   runMain graft.Main cli --bootstrap-servers /root/testdata/sf0.001
+  *     --topics events --key-regex 13
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main (cli|server) [--opts ...]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.head match {
+      case "cli" =>
+        val opts = QueryOptions.parse(args.toSeq.tail)
+        val df = LogQuery.canonical(LogQuery.stream(spark, opts.bootstrapServers, opts))
+        JsonArrayRender.render(df, print)
+        println()
+        spark.stop()
+      case "server" =>
+        val port = sys.env.getOrElse("KBROWSE_PORT", "4000").toInt
+        val svc = new HttpService(spark, port).start()
+        println(s"\ngraft ready...\nhttp://localhost:${svc.boundPort}")
+        Thread.currentThread().join()
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode: $other (cli|server)")
+    }
+  }
+}

@@ -21,7 +21,13 @@ object GraftFunctions {
       "kafka_partition", exprs => KafkaPartitionExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHashExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "msgpack_decode", exprs => MsgpackDecodeExpr(exprs(0)), "built-in")
   }
+
+  /** Decode a msgpack binary column to its string rendering. */
+  def msgpackDecode(c: Column): Column =
+    call_function("msgpack_decode", c)
 
   /** murmur2-based Kafka default-partitioner placement of `key` among
     * `n` partitions. */

@@ -36,9 +36,13 @@ object LogQuery {
   /** Resolve the pruned, windowed, record stream (pre-regex) — the stream
     * the reference's consumer loop actually "consumes" after assign+seek.
     */
-  def consumed(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
-    val recs = RecordLog.topics(spark, sfDir, opts.topics)
+  def consumed(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame =
+    consumedFrom(RecordLog.topics(spark, sfDir, opts.topics), opts)
 
+  /** Same pipeline over an arbitrary record DataFrame (schema: topic,
+    * partition, offset, timestamp, key, value) — the binding point for
+    * in-memory fixtures and future real-Kafka sources. */
+  def consumedFrom(recs: DataFrame, opts: QueryOptions): DataFrame = {
     // A1 explicit / A2 murmur2-default partition pruning (`search.clj:139-148`).
     val pruned = opts.partitions match {
       case Some(ps) => recs.filter(col("partition").isin(ps: _*))
@@ -79,8 +83,11 @@ object LogQuery {
   /** Matching records only (the reference's `:type :result` rows),
     * projected through the 6-field record model (`search.clj:34-42`).
     */
-  def results(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
-    val scanned = consumed(spark, sfDir, opts)
+  def results(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame =
+    resultsFrom(consumed(spark, sfDir, opts), opts)
+
+  /** Regex filters + result projection over a pre-consumed stream. */
+  def resultsFrom(scanned: DataFrame, opts: QueryOptions): DataFrame = {
     scanned
       .where(opts.keyRegex.map(r => col("key").rlike(anchored(r))).getOrElse(lit(true)))
       .where(opts.valRegex.map(r => col("value").rlike(anchored(r))).getOrElse(lit(true)))
@@ -95,11 +102,15 @@ object LogQuery {
     * `:offset`, like the reference emitting them before the regex check
     * (`search.clj:176`).
     */
-  def stream(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
-    val res = results(spark, sfDir, opts)
+  def stream(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame =
+    streamFrom(consumed(spark, sfDir, opts), opts)
+
+  /** results ∪ progress over a pre-consumed stream. */
+  def streamFrom(scanned: DataFrame, opts: QueryOptions): DataFrame = {
+    val res = resultsFrom(scanned, opts)
     opts.printOffset match {
       case Some(n) =>
-        val progress = consumed(spark, sfDir, opts)
+        val progress = scanned
           .filter(col("offset") % lit(n) === 0)
           .select(lit("offset").as("type"),
             col("topic"), col("partition"), col("offset"), col("timestamp"),

@@ -63,14 +63,23 @@ object RecordLog {
       case "clicks" => ev0.filter(col("event_type") === "click")
       case other => throw new IllegalArgumentException(s"unknown topic: $other")
     }
-    val w = Window.partitionBy(col("partition")).orderBy(col("ts"), col("event_id"))
-    ev.select(
+    val keyed = ev.select(
         col("ts"),
         col("event_id"),
         col("user_id").cast("string").as("key"),
         col("props").as("value"))
       .withColumn("partition", GraftFunctions.kafkaPartition(col("key"), NumPartitions))
-      .withColumn("offset", (row_number().over(w) - 1).cast("long"))
+    val withOffset =
+      if (spark.conf.getOption("spark.graft.offsets").contains("scalable"))
+        // Range-partitioned two-pass rank: parallelism follows data size,
+        // not the 10 synthetic partitions (see ScalableRank).
+        graft.ops.ScalableRank.addRank(keyed, "partition", Seq("ts", "event_id"),
+          "offset", spark.sessionState.conf.numShufflePartitions)
+      else {
+        val w = Window.partitionBy(col("partition")).orderBy(col("ts"), col("event_id"))
+        keyed.withColumn("offset", (row_number().over(w) - 1).cast("long"))
+      }
+    withOffset
       .select(
         lit(name).as("topic"),
         col("partition"),

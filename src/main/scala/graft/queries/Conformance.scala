@@ -142,15 +142,10 @@ object Conformance {
     }),
 
     // Q17 tumbling 10-minute window agg (batch plan of the streaming query;
-    // StreamingLog runs the same plan under Trigger.AvailableNow).
+    // StreamingLog.tumblingReplay runs the SAME tumblingAgg plan under
+    // Trigger.AvailableNow and the test asserts agreement).
     "q17_tumbling" -> ((s, sf) =>
-      Tables.load(s, sf, "events")
-        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-        .select(unix_millis(col("window.start")).as("bucket_ms"),
-          col("event_type"), col("n"), col("sum_value"))
-        .orderBy("bucket_ms", "event_type")),
+      tumblingAgg(Tables.load(s, sf, "events")).orderBy("bucket_ms", "event_type")),
 
     // Q18 as-of join: latest order (by o_orderdate) at or before each event,
     // per user — single-shuffle union-window plan, not a range-join explosion.
@@ -168,6 +163,16 @@ object Conformance {
         .orderBy("event_id")
     })
   )
+
+  /** Q17's tumbling aggregation, shared verbatim between the batch query
+    * and the Structured Streaming replay (same plan, two execution modes). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("n"), col("sum_value"))
 
   // ----------------------------------------------------------------- oracle
 

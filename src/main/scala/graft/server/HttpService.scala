@@ -1,0 +1,138 @@
+package graft.server
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Murmur2, QueryOptions}
+import graft.log.{LogQuery, RecordLog}
+import graft.render.JsonArrayRender
+
+/** The reference's HTTP API (C3–C5), on the JDK's built-in server (no new
+  * dependencies): `/health`, `/search` (chunked streaming JSON array),
+  * `/cached` (result-cache replay), `/default-partition`, `/server-configs`,
+  * `/` + `/favicon.ico` (console placeholders) —
+  * `/root/reference/src/kbrowse/core.clj:145-162`.
+  *
+  * Error contract (C4): argument errors → 400 `{"error": msg}` before the
+  * response commits (`core.clj:106-110`); mid-stream errors can only be
+  * logged, the 200 header is already on the wire — same trade-off as the
+  * reference.
+  *
+  * Sandbox binding: `bootstrap-servers` carries the fixture directory (the
+  * "cluster address" of the parquet-backed log).
+  */
+final class HttpService(spark: SparkSession, port: Int) {
+
+  val cache = new ResultCache()
+  val topicsCache = new TopicsCache(Seq("/root/testdata/sf0.001")).start()
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def reply(ex: HttpExchange, status: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def queryArgs(ex: HttpExchange): Map[String, String] = {
+    val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val decoded = java.net.URLDecoder.decode(qs, "UTF-8")
+    decoded.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+  }
+
+  private def searchHandler(ex: HttpExchange): Unit = {
+    val args = try queryArgs(ex) catch { case e: Exception =>
+      return reply(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
+    val opts = try QueryOptions.fromMap(args) catch { case e: IllegalArgumentException =>
+      return reply(ex, 400,
+        s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(e.getMessage)}}""")
+    }
+    // 200 + chunked from here; stream the canonical result set.
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L) // length 0 → chunked transfer encoding
+    val os: OutputStream = ex.getResponseBody
+    val buffer = new java.lang.StringBuilder()
+    var oversize = false
+    val out: String => Unit = s => {
+      os.write(s.getBytes(StandardCharsets.UTF_8)); os.flush()
+      if (!oversize) {
+        buffer.append(s)
+        if (buffer.length > 4 * 1024 * 1024) oversize = true
+      }
+    }
+    try {
+      val df = LogQuery.canonical(LogQuery.stream(spark, opts.bootstrapServers, opts))
+      JsonArrayRender.render(df, out)
+      if (!oversize) cache.put(cache.key(args), buffer.toString)
+    } catch {
+      case _: java.io.IOException => () // client went away (C4/L4)
+      case e: Exception => // response already committed: log-only, like the reference
+        System.err.println(s"[graft-http] mid-stream failure: ${e.getMessage}")
+    } finally os.close()
+  }
+
+  private def route(path: String)(h: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try h(ex)
+      catch { case e: Exception =>
+        try reply(ex, 500, s"""{"error":"${e.getMessage}"}""") catch { case _: Exception => () }
+      })
+
+  route("/health")(ex => reply(ex, 200, "OK", "text/plain"))
+  route("/favicon.ico")(ex => reply(ex, 200, "OK", "text/plain"))
+  route("/search")(searchHandler)
+  route("/cached") { ex =>
+    val body = cache.get(cache.key(queryArgs(ex))).getOrElse("")
+    reply(ex, 200, body)
+  }
+  route("/default-partition") { ex =>
+    queryArgs(ex).get("key") match {
+      case Some(key) =>
+        reply(ex, 200, Murmur2.partition(key, RecordLog.NumPartitions).toString, "text/plain")
+      case None => reply(ex, 400, """{"error":"key required"}""")
+    }
+  }
+  route("/server-configs") { ex =>
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val clusters = mapper.createArrayNode()
+    topicsCache.all.keys.toSeq.sorted.foreach(clusters.add)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("bootstrap-servers", clusters)
+    val topics = mapper.createObjectNode()
+    topicsCache.all.toSeq.sortBy(_._1).foreach { case (c, ts) =>
+      val arr = mapper.createArrayNode(); ts.toSeq.sorted.foreach(arr.add)
+      topics.set[com.fasterxml.jackson.databind.JsonNode](c, arr)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("bootstrap-topics", topics)
+    val desers = mapper.createArrayNode()
+    desers.add(QueryOptions.StringDeser); desers.add(QueryOptions.MsgpackDeser)
+    // avro is hidden when no schema registry is configured, like the
+    // reference (`core.clj:131-136`); offline there never is one.
+    root.set[com.fasterxml.jackson.databind.JsonNode]("key-deserializers", desers)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("value-deserializers", desers)
+    root.putNull("schema-registry-urls")
+    reply(ex, 200, mapper.writeValueAsString(root))
+  }
+  route("/") { ex =>
+    reply(ex, 200, "<html><body>graft console placeholder</body></html>", "text/html")
+  }
+
+  def start(): this.type = { server.setExecutor(null); server.start(); this }
+  def stop(): Unit = { server.stop(0); topicsCache.stop() }
+  def boundPort: Int = server.getAddress.getPort
+}

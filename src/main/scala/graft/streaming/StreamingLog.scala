@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{QueryOptions, Tables}
+import graft.log.LogQuery
+
+/** Follow mode (L2) — the reference's `--follow` tail
+  * (`/root/reference/src/kbrowse/cli.clj:52`, `search.clj:103-122` ignores
+  * stop-offsets and loops forever) — bound to Structured Streaming.
+  *
+  * On a Kafka-backed cluster this is `readStream.format("kafka")` and the
+  * record fields arrive from the source. The offline binding streams the
+  * events parquet through the same projection/filter pipeline:
+  *  - `Trigger.AvailableNow` = "catch up with the snapshot, then stop" —
+  *    the bounded-replay mode the tests assert batch/stream agreement on;
+  *  - `Trigger.ProcessingTime` = true tailing for a growing directory.
+  *
+  * Offsets: the batch stand-in synthesizes per-partition offsets with a
+  * global window — impossible incrementally (an unbounded shuffle-sort).
+  * A real log source delivers offsets; the file stand-in uses `event_id`
+  * as the monotone offset surrogate, documented here.
+  */
+object StreamingLog {
+
+  /** The streaming record projection with regex filters applied. */
+  def follow(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    // Schema must be supplied explicitly (streaming sources cannot infer);
+    // ts arrives as the nanos long (nanosAsLong is already set by the
+    // batch load above) and goes through the same µs conversion.
+    val raw = eventsStream(spark, sfDir, schema)
+    val recs = raw.select(
+      lit("events").as("topic"),
+      graft.functions.GraftFunctions.kafkaPartition(col("user_id").cast("string"),
+        graft.log.RecordLog.NumPartitions).as("partition"),
+      col("event_id").as("offset"), // monotone surrogate (see scaladoc)
+      unix_millis(col("ts")).as("timestamp"),
+      col("user_id").cast("string").as("key"),
+      col("props").as("value"))
+    recs
+      .where(opts.keyRegex.map(r => col("key").rlike(LogQuery.anchored(r))).getOrElse(lit(true)))
+      .where(opts.valRegex.map(r => col("value").rlike(LogQuery.anchored(r))).getOrElse(lit(true)))
+  }
+
+  /** Run a streaming DataFrame to completion under Trigger.AvailableNow
+    * into a memory sink and return the result table. */
+  def replayAvailableNow(df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Q17's tumbling aggregation as a bounded streaming replay — asserts
+    * the batch plan and the incremental plan agree (FIXTURES.md §C Q17). */
+  def tumblingReplay(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val agg = graft.queries.Conformance.tumblingAgg(eventsStream(spark, sfDir, schema))
+    replayAvailableNow(agg, name, outputMode = "complete")
+  }
+
+  /** File-stream source over the events fixture. The file source requires
+    * a DIRECTORY to watch (new files appearing there are the "appended
+    * log"), so the single fixture file is exposed through a symlinked
+    * stream directory; `ts` arrives as the nanos long and goes through the
+    * same µs conversion as the batch load. */
+  private def eventsStream(spark: SparkSession, sfDir: String,
+      batchSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get("/tmp", s"graft-stream-${Integer.toHexString(sfDir.hashCode)}")
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        batchSchema.fields.map(f => if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhash finds a planted near-duplicate and not the unrelated doc") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 4
+    val nearDup = base.replace("lazy", "idle") // one token changed
+    val unrelated = "completely different content about spark catalyst optimizer internals " * 4
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("identical texts give identical signatures (est_sim = 1.0)") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val docs = Seq((10L, t), (20L, t)).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("est_sim") == 1.0)
+  }
+
+  test("LSH-bucketed cosine near-dup finds planted duplicate vectors") {
+    val dim = 8
+    val v = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val almost = v.clone(); almost(0) = v(0) * 1.0001f
+    val other = Array.tabulate(dim)(i => (if (i % 2 == 0) -1f else 1f) * (dim - i))
+    val df = Seq((1L, v.toSeq), (2L, almost.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.bucketedNearDupPairs(df, "vec_id", "embedding", dim, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks an exact duplicate first with cos ≈ 1") {
+    val dim = 8
+    val q = Array.tabulate(dim)(i => (i + 1).toFloat)
+    val vecs = Seq(
+      (0L, q.toSeq),
+      (1L, q.map(_ * 2f).toSeq), // same direction → cos 1
+      (2L, Array.tabulate(dim)(i => (dim - i).toFloat).toSeq),
+      (3L, Array.tabulate(dim)(i => (if (i == 0) 1f else 0f)).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", queryId = 0L, k = 2).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+    assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val df = Seq(
+      "the cat and the dog sat in the garden and it is warm",
+      "der hund und die katze das ist nicht ein problem mit",
+      "el perro y la casa de que los gatos una vez por dia",
+      "le chat et les chiens dans une maison est grande des arbres",
+      "xyzzy plugh 12345").toDF("text")
+    val out = df.select(TextStats.langId(col("text")).as("lang")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("token and subword counters") {
+    val df = Seq("hello, world! this is  spark").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("t"),
+      TextStats.punctCount(col("text")).as("p"),
+      TextStats.subwordCount(col("text")).as("s")).head()
+    assert(r.getAs[Int]("t") == 5)
+    assert(r.getAs[Int]("p") == 2)
+    assert(r.getAs[Int]("s") >= 7) // 4-char chunks + symbols
+  }
+}

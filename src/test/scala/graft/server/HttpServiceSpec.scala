@@ -1,0 +1,77 @@
+package graft.server
+
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Murmur2
+
+/** C3–C5 route contract over the JDK server binding. */
+class HttpServiceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val svc = new HttpService(spark, port = 0).start()
+  private val mapper = new ObjectMapper()
+
+  private def get(path: String): (Int, String) = {
+    val url = new URI(s"http://localhost:${svc.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (stream == null) "" else Source.fromInputStream(stream).mkString
+    (status, body)
+  }
+
+  private val searchQs =
+    s"bootstrap-servers=${TestSpark.Sf}&topics=events&key-regex=13"
+
+  test("/health") {
+    assert(get("/health") == (200, "OK"))
+  }
+
+  test("/search streams a pioneer-led JSON array of matching records") {
+    val (status, body) = get(s"/search?$searchQs")
+    assert(status == 200)
+    val arr = mapper.readTree(body)
+    assert(arr.isArray && arr.size() > 1)
+    assert(arr.get(0).get("type").asText() == "pioneer")
+    assert(arr.get(1).get("key").asLong() == 13L) // "13" try-parsed to number
+  }
+
+  test("/search with bad args → 400 error contract (C4)") {
+    val (status, body) = get("/search?topics=events")
+    assert(status == 400)
+    assert(mapper.readTree(body).get("error").asText().contains("bootstrap-servers"))
+  }
+
+  test("/cached replays the completed search result byte-for-byte (S7)") {
+    val (_, direct) = get(s"/search?$searchQs")
+    val (status, cached) = get(s"/cached?$searchQs")
+    assert(status == 200)
+    assert(cached == direct)
+  }
+
+  test("/cached misses return an empty body") {
+    val (status, body) = get("/cached?bootstrap-servers=zzz&topics=nope")
+    assert(status == 200)
+    assert(body.isEmpty)
+  }
+
+  test("/default-partition computes the murmur2 placement") {
+    val (status, body) = get("/default-partition?topic=events&key=13")
+    assert(status == 200)
+    assert(body == Murmur2.partition("13", 10).toString)
+  }
+
+  test("/server-configs lists clusters, topics and deserializers (C5)") {
+    val (status, body) = get("/server-configs")
+    assert(status == 200)
+    val cfg = mapper.readTree(body)
+    assert(cfg.get("bootstrap-servers").isArray)
+    assert(cfg.get("key-deserializers").size() == 2)
+    assert(cfg.get("schema-registry-urls").isNull) // avro hidden offline
+  }
+}
