@@ -40,34 +40,52 @@ object MinHashDedup {
   val A: IndexedSeq[Long] = (0 until NumHashes).map(j => 1L + (j.toLong * 73856093L) % 999999937L)
   val B: IndexedSeq[Long] = (0 until NumHashes).map(j => (j.toLong * 19349663L + 83492791L) % P)
 
-  /** doc_id + minhash signature (array of NumHashes longs). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** doc_id + distinct shingle-hash set (array of longs). */
+  def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sigExpr = (0 until NumHashes)
-      .map(j => s"array_min(transform(__shingles, s -> (s * ${A(j)}L + ${B(j)}L) % ${P}L))")
-      .mkString("array(", ", ", ")")
     docs
       .filter(length(col(textCol)) >= ShingleK)
-      .withColumn("__shingles", expr(
+      .select(col(idCol).as("doc_id"), expr(
         s"array_distinct(transform(sequence(1, char_length($textCol) - ${ShingleK - 1}), " +
-          s"i -> rolling_hash(substring($textCol, i, $ShingleK))))"))
-      .select(col(idCol).as("doc_id"), expr(sigExpr).as("sig"))
+          s"i -> rolling_hash(substring($textCol, i, $ShingleK))))").as("shingles"))
   }
 
-  /** Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ minSim. */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      minSim: Double): DataFrame = {
-    val sig = signatures(docs, idCol, textCol)
+  /** doc_id + minhash signature (array of NumHashes longs). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signaturesFromShingles(shingled(docs, idCol, textCol))
+
+  /** Signature step alone, over a (doc_id, shingles) table. */
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val sigExpr = (0 until NumHashes)
+      .map(j => s"array_min(transform(shingles, s -> (s * ${A(j)}L + ${B(j)}L) % ${P}L))")
+      .mkString("array(", ", ", ")")
+    sh.select(col("doc_id"), expr(sigExpr).as("sig"))
+  }
+
+  /** Banded candidate pairs (doc_a < doc_b) from a signature table: the
+    * LSH blocking step — pairs come only from equal (band, key) buckets. */
+  def candidatePairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    val cand = bands.as("l").join(bands.as("r"),
+    bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    cand
+  }
+
+  /** Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ minSim.
+    * The signature table is cached for the query's lifetime: it is the
+    * REDUCED representation (16 longs/doc, ~200 bytes) feeding three plan
+    * branches (two join sides + banding) — caching it avoids re-shingling
+    * the corpus per branch, and at 100 TB of raw text the signatures are
+    * still only ~GBs. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      minSim: Double): DataFrame = {
+    val sig = signatures(docs, idCol, textCol).cache()
+    candidatePairs(sig)
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_sim",
@@ -77,8 +95,27 @@ object MinHashDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB SQL reproducing [[nearDupPairs]] bit-exactly on table `documents`. */
-  def oracleSql(minSim: Double): String = {
+  /** LSH-blocked TRUE n-gram Jaccard: banded candidates verified against
+    * the exact shingle sets (the verify stage of a production dedup
+    * pipeline — estimate blocks, exact similarity decides). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJac: Double): DataFrame = {
+    val sh = shingled(docs, idCol, textCol).cache()
+    val cand = candidatePairs(signaturesFromShingles(sh))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      .withColumn("jaccard",
+        expr("inter / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
+      .filter(col("jaccard") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared DuckDB CTE prefix: shingles → signatures → bands → candidates. */
+  private def ctePrefixSql: String = {
     val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
     val sigList = (0 until NumHashes)
       .map(j => s"list_min(list_transform(shingles, s -> (s * ${A(j)} + ${B(j)}) % $P))")
@@ -93,7 +130,12 @@ object MinHashDedup {
        |  FROM sig, range(0, $Bands) t(b)),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** DuckDB SQL reproducing [[nearDupPairs]] bit-exactly on table `documents`. */
+  def oracleSql(minSim: Double): String =
+    s"""$ctePrefixSql,
        |est AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_filter(range(1, ${NumHashes + 1}), j -> sa.sig[j] = sb.sig[j])) / CAST($NumHashes AS DOUBLE) AS est_sim
@@ -102,5 +144,18 @@ object MinHashDedup {
        |  JOIN sig sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= $minSim
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** DuckDB SQL reproducing [[jaccardPairs]] on table `documents`. */
+  def jaccardOracleSql(minJac: Double): String =
+    s"""$ctePrefixSql,
+       |ex AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, inter / CAST(na + nb - inter AS DOUBLE) AS jaccard
+       |FROM ex WHERE inter / CAST(na + nb - inter AS DOUBLE) >= $minJac
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -75,8 +75,10 @@ object Similarity {
     * all sign bits with high probability); exact within the bucket. */
   def bucketedNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       dim: Int, minCos: Double): DataFrame = {
+    // Cached: the bucket projection (8 fold-dots per row) feeds both sides.
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
       .withColumn("bucket", expr(bucketExpr("emb", dim, forDuck = false)))
+      .cache()
     val l = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("bucket"))
     val r = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
@@ -92,8 +94,9 @@ object Similarity {
   def topPairPerGroup(corpus: DataFrame, idCol: String, embCol: String,
       groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Cached: both join sides read the same casted projection.
     val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
-      col(embCol).cast("array<double>").as("emb"))
+      col(embCol).cast("array<double>").as("emb")).cache()
     val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
     val r = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     val pairs = l.join(r, Seq("label")).filter(col("vec_a") < col("vec_b"))

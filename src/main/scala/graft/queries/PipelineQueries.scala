@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{MinHashDedup, Similarity, TextStats}
+import graft.pipeline.{MinHashDedup, SimHash, Similarity, TextStats}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -47,6 +47,14 @@ object PipelineQueries {
       Similarity.bruteForceTopK(Tables.load(s, sf, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // SimHash signatures: the bitwise near-dup fingerprint family.
+    "q25_simhash" -> ((s, sf) =>
+      SimHash.signatures(Tables.load(s, sf, "documents"), "doc_id", "text")),
+
+    // LSH-blocked TRUE n-gram Jaccard: banded candidates, exact verify.
+    "q27_jaccard_pairs" -> ((s, sf) =>
+      MinHashDedup.jaccardPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.4)),
+
     // Per-language corpus statistics (token counts, quality signals).
     "q24_text_stats" -> ((s, sf) =>
       TextStats.corpusStats(Tables.load(s, sf, "documents"), "lang", "text", "n_chars")),
@@ -70,6 +78,10 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
+
+    "q25_simhash" -> SimHash.oracleSql,
+
+    "q27_jaccard_pairs" -> MinHashDedup.jaccardOracleSql(0.4),
 
     "q23_ann_topk" -> Similarity.topKOracleSql(0L, 10),
 
