@@ -23,7 +23,13 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHashExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "msgpack_decode", exprs => MsgpackDecodeExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "built-in")
   }
+
+  /** Single-pass MinHash signature of a text column. */
+  def minhashSig(c: Column): Column =
+    call_function("minhash_sig", c.cast("string"))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

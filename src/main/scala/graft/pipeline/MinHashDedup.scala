@@ -30,15 +30,15 @@ import graft.oracle.Duck
   * bit-exactly ([[oracleSql]]).
   */
 object MinHashDedup {
-  val ShingleK = 8
-  val NumHashes = 16
+  // Parameters live with the native expression; the oracle renders the
+  // same constants.
+  val ShingleK: Int = graft.functions.MinHashSigExpr.ShingleK
+  val NumHashes: Int = graft.functions.MinHashSigExpr.NumHashes
   val Bands = 4
   val RowsPerBand = 4
-  /** Smallest prime > 2^32. */
-  val P = 4294967311L
-  /** Permutation coefficients: a_j ∈ [1, 1e9) keeps a_j * shingle < 2^62. */
-  val A: IndexedSeq[Long] = (0 until NumHashes).map(j => 1L + (j.toLong * 73856093L) % 999999937L)
-  val B: IndexedSeq[Long] = (0 until NumHashes).map(j => (j.toLong * 19349663L + 83492791L) % P)
+  val P: Long = graft.functions.MinHashSigExpr.P
+  val A: IndexedSeq[Long] = graft.functions.MinHashSigExpr.A.toIndexedSeq
+  val B: IndexedSeq[Long] = graft.functions.MinHashSigExpr.B.toIndexedSeq
 
   /** doc_id + distinct shingle-hash set (array of longs). */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -50,16 +50,16 @@ object MinHashDedup {
           s"i -> rolling_hash(substring($textCol, i, $ShingleK))))").as("shingles"))
   }
 
-  /** doc_id + minhash signature (array of NumHashes longs). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    signaturesFromShingles(shingled(docs, idCol, textCol))
-
-  /** Signature step alone, over a (doc_id, shingles) table. */
-  def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val sigExpr = (0 until NumHashes)
-      .map(j => s"array_min(transform(shingles, s -> (s * ${A(j)}L + ${B(j)}L) % ${P}L))")
-      .mkString("array(", ", ", ")")
-    sh.select(col("doc_id"), expr(sigExpr).as("sig"))
+  /** doc_id + minhash signature (array of NumHashes longs), via the
+    * single-pass native expression ([[graft.functions.MinHashSigExpr]]);
+    * numerically identical to mapping `(s*a_j + b_j) % P` over the
+    * distinct shingle set and taking minima. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(length(col(textCol)) >= ShingleK)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.minhashSig(col(textCol)).as("sig"))
   }
 
   /** Banded candidate pairs (doc_a < doc_b) from a signature table: the
@@ -97,11 +97,23 @@ object MinHashDedup {
 
   /** LSH-blocked TRUE n-gram Jaccard: banded candidates verified against
     * the exact shingle sets (the verify stage of a production dedup
-    * pipeline — estimate blocks, exact similarity decides). */
+    * pipeline — estimate blocks, exact similarity decides).
+    *
+    * Only CANDIDATE documents are shingled (left-semi pushdown): at 100 TB
+    * the full corpus flows through the cheap single-pass signature, and
+    * the expensive exact shingle materialization touches just the few
+    * docs that banded into a shared bucket. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJac: Double): DataFrame = {
-    val sh = shingled(docs, idCol, textCol).cache()
-    val cand = candidatePairs(signaturesFromShingles(sh))
+    val cand = candidatePairs(signatures(docs, idCol, textCol)).cache()
+    // Materialization barrier: the candidate set feeds five downstream plan
+    // branches (pair join + two semi-join sides × two shingle joins); left
+    // lazy, concurrent stages would race the cache and recompute the whole
+    // banding pipeline per branch.
+    cand.count()
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val sh = shingled(docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol).cache()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

@@ -19,16 +19,18 @@ import graft.oracle.Duck
 object SimHash {
   val Bits = 32
 
-  /** SimHash of a text column (requires GraftFunctions.register). */
+  /** SimHash of a text column (requires GraftFunctions.register).
+    * The token-hash array is bound ONCE per row through a lambda variable
+    * (`transform(array(...), hs -> ...)[0]`) — inlining it would re-run
+    * the regex tokenization + hashing 64× per row (2 uses × 32 bits). */
   def simhash(textCol: String): Column = expr(
-    s"""aggregate(
-       |  sequence(0, ${Bits - 1}), 0L,
-       |  (acc, i) -> acc + IF(
-       |    2 * size(filter(transform(regexp_extract_all($textCol, '\\\\S+', 0),
-       |                              t -> rolling_hash(t)),
-       |                    h -> (shiftright(h, i) % 2) = 1))
-       |      >= size(regexp_extract_all($textCol, '\\\\S+', 0)),
-       |    shiftleft(1L, i), 0L))""".stripMargin)
+    s"""transform(
+       |  array(transform(regexp_extract_all($textCol, '\\\\S+', 0), t -> rolling_hash(t))),
+       |  hs -> aggregate(
+       |    sequence(0, ${Bits - 1}), 0L,
+       |    (acc, i) -> acc + IF(
+       |      2 * size(filter(hs, h -> (shiftright(h, i) % 2) = 1)) >= size(hs),
+       |      shiftleft(1L, i), 0L)))[0]""".stripMargin)
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =

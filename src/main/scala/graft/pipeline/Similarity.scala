@@ -94,13 +94,22 @@ object Similarity {
   def topPairPerGroup(corpus: DataFrame, idCol: String, embCol: String,
       groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Cached: both join sides read the same casted projection.
+    // Cached, with the vector NORM precomputed per vector: recomputing it
+    // per PAIR would run |pairs| extra 64-element folds per side. The
+    // value is bit-identical (same sequential fold), so the oracle is
+    // unaffected.
     val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
-      col(embCol).cast("array<double>").as("emb")).cache()
-    val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-    val r = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
+      .cache()
+    val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val r = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
     val pairs = l.join(r, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"), expr(cosExpr("emb_a", "emb_b")).as("cos"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)" +
+          " / (nrm_a * nrm_b)").as("cos"))
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("label", "vec_a", "vec_b", "cos")
@@ -112,13 +121,13 @@ object Similarity {
     def fold(items: String): String =
       s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
     val dot = fold(s"list_transform(range(1, len(l.emb) + 1), i -> l.emb[i] * r.emb[i])")
-    val na = fold("list_transform(l.emb, v -> v * v)")
-    val nb = fold("list_transform(r.emb, v -> v * v)")
-    s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-       |  FROM embeddings),
+    val nrm = fold("list_transform(emb, v -> v * v)")
+    s"""WITH e AS (SELECT label, vec_id, emb, sqrt($nrm) AS nrm
+       |  FROM (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |        FROM embeddings)),
        |pairs AS (
        |  SELECT l.label, l.vec_id AS vec_a, r.vec_id AS vec_b,
-       |    $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |    $dot / (l.nrm * r.nrm) AS cos
        |  FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
        |SELECT label, vec_a, vec_b, cos FROM pairs
        |QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) = 1

@@ -59,6 +59,26 @@ object PipelineQueries {
     "q24_text_stats" -> ((s, sf) =>
       TextStats.corpusStats(Tables.load(s, sf, "documents"), "lang", "text", "n_chars")),
 
+    // Multimodal feature extraction: documents' bytes stand in for opaque
+    // media content (no media libs in the sandbox — decode is a
+    // deterministic stub, the Dataset plumbing is real). The projected
+    // scalar features (byte count, whole-content fingerprint) ARE
+    // SQL-expressible, so even the mapPartitions path gets a full oracle;
+    // embedding/frame outputs are exact-tested in MultimodalSpec.
+    "q28_multimodal" -> ((s, sf) => {
+      import graft.pipeline.Multimodal
+      import s.implicits._
+      val assets = Tables.load(s, sf, "documents")
+        .select(col("doc_id").as("asset_id"),
+          expr("element_at(array('image','audio','video'), cast(doc_id % 3 + 1 AS INT))").as("modality"),
+          col("text").cast("binary").as("content"),
+          lit(64).as("width"), lit(48).as("height"), lit(16000).as("sample_rate"))
+        .as[Multimodal.MediaAsset]
+      Multimodal.extract(assets).toDF()
+        .select(col("asset_id"), col("modality"), col("n_bytes"), col("fingerprint"))
+        .orderBy("asset_id")
+    }),
+
     // Blocked (IVF-style) all-pairs similarity: best pair per label cell.
     // (The random-hyperplane LSH variant, Similarity.bucketedNearDupPairs,
     // is exercised in ScalaTest — the fixture plants no near-dup vectors,
@@ -87,6 +107,13 @@ object PipelineQueries {
 
     "q24_text_stats" -> TextStats.corpusStatsOracleSql,
 
-    "q26_cos_top_pair" -> Similarity.topPairOracleSql
+    "q26_cos_top_pair" -> Similarity.topPairOracleSql,
+
+    "q28_multimodal" ->
+      s"""SELECT doc_id AS asset_id,
+         |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${Duck.rollingHashSql("text")} AS fingerprint
+         |FROM documents ORDER BY asset_id""".stripMargin
   )
 }

@@ -20,6 +20,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("native minhash_sig ≡ the composed HOF formulation on fixture docs") {
+    import org.apache.spark.sql.functions.expr
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .limit(100)
+    val K = MinHashDedup.ShingleK
+    val hofSig = (0 until MinHashDedup.NumHashes)
+      .map(j => s"array_min(transform(sh, s -> (s * ${MinHashDedup.A(j)}L + ${MinHashDedup.B(j)}L) % ${MinHashDedup.P}L))")
+      .mkString("array(", ", ", ")")
+    val both = docs
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(1, char_length(text) - ${K - 1}), " +
+          s"i -> rolling_hash(substring(text, i, $K))))"))
+      .selectExpr("doc_id", s"$hofSig AS hof", "minhash_sig(text) AS native")
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    assert(both.length == 100)
+  }
+
   test("identical texts give identical signatures (est_sim = 1.0)") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 3
     val docs = Seq((10L, t), (20L, t)).toDF("doc_id", "text")

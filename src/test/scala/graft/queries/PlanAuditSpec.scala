@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan shape audit: the properties that keep these plans alive
+  * at 100× the data are asserted, not assumed (builder brief: ".explain
+  * the plan and iterate until it's the plan you'd want"). */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+
+  test("q16: the shipdate filter is pushed into the parquet scan") {
+    val p = plan("q16_scalar")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q12: the small dimension side is broadcast, not shuffled") {
+    assert(plan("q12_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q15: top-k runs as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18: as-of join is a single keyed window — no nested-loop explosion") {
+    val p = plan("q18_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22: LSH banding never degenerates into a cartesian pair join") {
+    val p = plan("q22_minhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q13: scan reads only the columns the aggregate needs") {
+    val p = plan("q13_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("user_id") && readSchema.contains("event_type"))
+    assert(!readSchema.contains("props"), readSchema) // untouched column pruned
+  }
+}
