@@ -89,6 +89,18 @@ object Conformance {
     "q11_ts_window" -> ((s, sf) => rec(s, sf,
       base().copy(startTimestamp = Some(T0), stopTimestamp = Some(T1)))),
 
+    // Q19 set operations (SURVEY §2.6): INTERSECT / EXCEPT with their
+    // SQL distinct-set semantics (union is exercised by Q2). Customers
+    // with/without event activity — non-empty both ways at every SF.
+    "q19_intersect" -> ((s, sf) =>
+      Tables.load(s, sf, "customer").select(col("c_custkey").as("id"))
+        .intersect(Tables.load(s, sf, "events").select(col("user_id").as("id")))
+        .orderBy("id")),
+    "q19_except" -> ((s, sf) =>
+      Tables.load(s, sf, "customer").select(col("c_custkey").as("id"))
+        .except(Tables.load(s, sf, "events").select(col("user_id").as("id")))
+        .orderBy("id")),
+
     // Q12 join: orders ⋈ customer, revenue by market segment.
     "q12_join" -> ((s, sf) =>
       Tables.load(s, sf, "orders")
@@ -235,6 +247,18 @@ object Conformance {
 
     "q11_ts_window" ->
       s"""$R SELECT $RC FROM recs WHERE "timestamp" >= $T0 AND "timestamp" < $T1 $ORD""",
+
+    "q19_intersect" ->
+      """SELECT c_custkey AS id FROM customer
+        |INTERSECT
+        |SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
+
+    "q19_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT
+        |SELECT user_id AS id FROM events
+        |ORDER BY id""".stripMargin,
 
     "q12_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
