@@ -25,6 +25,8 @@ object GraftFunctions {
       "msgpack_decode", exprs => MsgpackDecodeExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Single-pass MinHash signature of a text column. */

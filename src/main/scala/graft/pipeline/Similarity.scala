@@ -23,15 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine between two array<double> columns (by name). */
+  /** Sequential-fold cosine between two array<double> columns (by name).
+    * `vec_dot` is the native no-allocation form of the zip_with fold —
+    * same order, same bits (see [[graft.functions.VecDotExpr]]). */
   private def cosExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / " +
-      s"(sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v)) * " +
-      s"sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))"
+    s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))"
 
   /** Exact cosine top-k of `corpus` against the row with `queryId`. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
     val q = e.filter(col("vec_id") === queryId).select(col("emb").as("qv"))
     e.filter(col("vec_id") =!= queryId)
@@ -64,7 +65,7 @@ object Similarity {
           s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
             s"__si -> $emb[__si] * ([$lits])[__si])), (acc, v) -> acc + v)"
         else
-          s"aggregate(zip_with($emb, array($lits), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+          s"vec_dot($emb, array($lits))"
       s"(CASE WHEN $dot >= 0 THEN ${1 << i} ELSE 0 END)"
     }
     rows.mkString("(", " + ", ")")
@@ -75,6 +76,7 @@ object Similarity {
     * all sign bits with high probability); exact within the bucket. */
   def bucketedNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       dim: Int, minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Cached: the bucket projection (8 fold-dots per row) feeds both sides.
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
       .withColumn("bucket", expr(bucketExpr("emb", dim, forDuck = false)))
@@ -94,13 +96,14 @@ object Similarity {
   def topPairPerGroup(corpus: DataFrame, idCol: String, embCol: String,
       groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Cached, with the vector NORM precomputed per vector: recomputing it
     // per PAIR would run |pairs| extra 64-element folds per side. The
     // value is bit-identical (same sequential fold), so the oracle is
     // unaffected.
     val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
         col(embCol).cast("array<double>").as("emb"))
-      .withColumn("nrm", expr("sqrt(aggregate(emb, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
       .cache()
     val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
@@ -108,8 +111,7 @@ object Similarity {
       col("nrm").as("nrm_b"))
     val pairs = l.join(r, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)" +
-          " / (nrm_a * nrm_b)").as("cos"))
+        expr("vec_dot(emb_a, emb_b) / (nrm_a * nrm_b)").as("cos"))
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("label", "vec_a", "vec_b", "cos")
