@@ -159,6 +159,35 @@ object Conformance {
     "q17_tumbling" -> ((s, sf) =>
       tumblingAgg(Tables.load(s, sf, "events")).orderBy("bucket_ms", "event_type")),
 
+    // Q31 JSON-field math: variant extraction feeding an aggregate
+    // (the props column is semi-structured; the engine treats it as data).
+    "q31_json_math" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .select(col("event_type"),
+          expr("variant_get(try_parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), max("k").as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_big"))
+        .orderBy("event_type")),
+
+    // Q29 stateful sessionization (batch form; the mapGroupsWithState
+    // streaming form is asserted equal in SessionizeSpec).
+    "q29_sessionize" -> ((s, sf) =>
+      graft.streaming.Sessionize.batch(Tables.load(s, sf, "events"))),
+
+    // Q30 ROLLUP: hierarchical aggregates with grouping indicators.
+    "q30_rollup" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          grouping("l_returnflag").cast("int").as("g_flag"),
+          grouping("l_linestatus").cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
     // Q18 as-of join: latest order (by o_orderdate) at or before each event,
     // per user — single-shuffle union-window plan, not a range-join explosion.
     "q18_asof_join" -> ((s, sf) => {
@@ -296,6 +325,26 @@ object Conformance {
         |  count(*) AS n,
         |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q31_json_math" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+        |  count(CASE WHEN k > 50 THEN 1 END) AS n_big
+        |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q29_sessionize" -> graft.streaming.Sessionize.batchOracleSql,
+
+    "q30_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q18_asof_join" ->
       """SELECT e.event_id, e.user_id, b.o_orderkey, epoch_ms(b.o_orderdate) AS order_date_ms

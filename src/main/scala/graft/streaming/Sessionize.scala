@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Sessionization — the canonical stateful operator a log-analytics engine
+  * needs (SURVEY §2.6 "stateful ops"): group a user's events into sessions
+  * separated by ≥ `GapMs` of inactivity.
+  *
+  * Two implementations of the SAME semantics:
+  *  - [[batch]]: lag + running sum of session-break flags over a keyed
+  *    window — one shuffle, SQL-expressible, DuckDB-oracle-checked (q29);
+  *  - [[streamingCounts]]: `mapGroupsWithState` keeping per-user running
+  *    state across micro-batches — the Structured Streaming form, asserted
+  *    against the batch result under Trigger.AvailableNow.
+  */
+object Sessionize {
+  val GapMs: Long = 30 * 60 * 1000
+
+  /** Batch sessionization: (user_id, sess_no) summary rows. */
+  def batch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > GapMs, 1).otherwise(0))
+      .withColumn("sess_no",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_no")
+      .agg(min(unix_millis(col("ts"))).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy("user_id", "sess_no")
+  }
+
+  /** DuckDB oracle for [[batch]] on table `events`. */
+  val batchOracleSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id, "value",
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |y AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |    OR epoch_ms(ts) - epoch_ms(prev_ts) > $GapMs THEN 1 ELSE 0 END AS new_sess
+       |  FROM x),
+       |z AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+       |  FROM y)
+       |SELECT user_id, sess_no, min(epoch_ms(ts)) AS session_start_ms,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM z GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin
+
+  /** Per-user running state carried across micro-batches. */
+  case class UserState(nEvents: Long, nSessions: Long, lastTsMs: Long)
+  case class UserCounts(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Streaming per-user session/event counts via mapGroupsWithState.
+    * Events within one micro-batch group are sorted by event time before
+    * folding, so AvailableNow replay is deterministic. */
+  def streamingCounts(events: Dataset[(Long, Long)]): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserCounts](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          it.toSeq.sortBy(_._2).foreach { case (_, tsMs) =>
+            val newSession = s.nEvents == 0L || tsMs - s.lastTsMs > GapMs
+            s = UserState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), tsMs)
+          }
+          state.update(s)
+          UserCounts(user, s.nEvents, s.nSessions)
+      }
+  }
+
+  /** Run [[streamingCounts]] over the events fixture under AvailableNow;
+    * returns the FINAL per-user counts (last update per key). */
+  def replayCounts(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    import spark.implicits._
+    val schema = graft.core.Tables.load(spark, sfDir, "events").schema
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => if (f.name == "ts")
+          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .parquet(StreamingLog.streamDir(sfDir))
+      .select(col("user_id").as[Long], expr("ts div 1000000").as[Long]) // ns → ms
+    val counted = streamingCounts(raw.as[(Long, Long)])
+    val q = counted.toDF().writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode emits one row per key per micro-batch; the final state is
+    // the last emission. With AvailableNow over one directory this is one
+    // batch, but keep the reduction general.
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"), col("s.n_sessions").as("n_sessions"))
+  }
+}

@@ -74,19 +74,26 @@ object StreamingLog {
     * log"), so the single fixture file is exposed through a symlinked
     * stream directory; `ts` arrives as the nanos long and goes through the
     * same µs conversion as the batch load. */
-  private def eventsStream(spark: SparkSession, sfDir: String,
-      batchSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+  /** The watched stream directory for a fixture dir (file source requires
+    * a directory; the single fixture file is symlinked in). */
+  def streamDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get("/tmp", s"graft-stream-${Integer.toHexString(sfDir.hashCode)}")
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    dir.toString
+  }
+
+  private def eventsStream(spark: SparkSession, sfDir: String,
+      batchSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = streamDir(sfDir)
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(
         batchSchema.fields.map(f => if (f.name == "ts")
           f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .parquet(dir.toString)
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }
