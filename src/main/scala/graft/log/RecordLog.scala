@@ -63,12 +63,21 @@ object RecordLog {
       case "clicks" => ev0.filter(col("event_type") === "click")
       case other => throw new IllegalArgumentException(s"unknown topic: $other")
     }
+    // The partition attribute carries metadata declaring it as the murmur2
+    // placement of `key` — the license for KeyPartitionPruneRule to turn a
+    // literal key predicate into partition pruning on ANY query over this
+    // log (SURVEY.md §4).
+    val partMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.plans.KeyPartitionPruneRule.PartitionOfKey, "key")
+      .putLong(graft.plans.KeyPartitionPruneRule.NumPartitionsKey, NumPartitions.toLong)
+      .build()
     val keyed = ev.select(
         col("ts"),
         col("event_id"),
         col("user_id").cast("string").as("key"),
         col("props").as("value"))
-      .withColumn("partition", GraftFunctions.kafkaPartition(col("key"), NumPartitions))
+      .withColumn("partition",
+        GraftFunctions.kafkaPartition(col("key"), NumPartitions).as("partition", partMeta))
     val withOffset =
       if (spark.conf.getOption("spark.graft.offsets").contains("scalable"))
         // Range-partitioned two-pass rank: parallelism follows data size,
