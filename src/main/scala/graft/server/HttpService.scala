@@ -76,7 +76,13 @@ final class HttpService(spark: SparkSession, port: Int) {
       }
     }
     try {
-      val df = LogQuery.canonical(LogQuery.stream(spark, opts.bootstrapServers, opts))
+      // No GLOBAL sort: the reference streams results in (nondeterministic)
+      // poll order, and a full driver-side orderBy of the result set would
+      // be the wrong plan at scale. Within-partition ordering keeps chunks
+      // locally coherent; toLocalIterator then streams one partition at a
+      // time. (The CLI keeps canonical total order for reproducible output.)
+      val df = LogQuery.stream(spark, opts.bootstrapServers, opts)
+        .sortWithinPartitions("type", "topic", "partition", "offset")
       JsonArrayRender.render(df, out)
       if (!oversize) cache.put(cache.key(args), buffer.toString)
     } catch {
