@@ -28,6 +28,17 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.head match {
+      case "cli" if args.contains("--help") =>
+        // The reference prints the option summary on --help (`core.clj:170-172`).
+        println("""usage: cli --bootstrap-servers DIR --topics T1,T2 [options]
+          |  --key-regex R --val-regex R      full-match filters
+          |  --partitions 3,5                 explicit partition pruning
+          |  --default-partition              murmur2(key-regex) pruning
+          |  --relative-offset N              seek earliest+N (N<0: latest+N)
+          |  --start-timestamp MS --stop-timestamp MS
+          |  --print-offset N --follow
+          |  --key-deserializer C --value-deserializer C --schema-registry-url U""".stripMargin)
+        spark.stop()
       case "cli" =>
         val opts = QueryOptions.parse(args.toSeq.tail)
         val df = LogQuery.canonical(LogQuery.stream(spark, opts.bootstrapServers, opts))
@@ -35,8 +46,8 @@ object Main {
         println()
         spark.stop()
       case "server" =>
-        val port = sys.env.getOrElse("KBROWSE_PORT", "4000").toInt
-        val svc = new HttpService(spark, port).start()
+        val config = graft.core.Config.load()
+        val svc = new HttpService(spark, config.port, config).start()
         println(s"\ngraft ready...\nhttp://localhost:${svc.boundPort}")
         Thread.currentThread().join()
       case other =>

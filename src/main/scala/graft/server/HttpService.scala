@@ -26,10 +26,16 @@ import graft.render.JsonArrayRender
   * Sandbox binding: `bootstrap-servers` carries the fixture directory (the
   * "cluster address" of the parquet-backed log).
   */
-final class HttpService(spark: SparkSession, port: Int) {
+final class HttpService(spark: SparkSession, port: Int,
+    config: graft.core.Config = graft.core.Config.load()) {
 
-  val cache = new ResultCache()
-  val topicsCache = new TopicsCache(Seq("/root/testdata/sf0.001")).start()
+  val cache = new ResultCache(
+    maxItems = config.cacheMaxItems,
+    ttlMillis = config.cacheTtlMinutes * 60L * 1000,
+    itemSizeLimit = config.cacheItemSizeLimit)
+  val topicsCache = new TopicsCache(
+    config.kafkaBootstrapServers.values.toSeq.distinct,
+    refreshSeconds = config.kafkaTopicsCacheSleepSeconds).start()
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -83,7 +89,10 @@ final class HttpService(spark: SparkSession, port: Int) {
       // time. (The CLI keeps canonical total order for reproducible output.)
       val df = LogQuery.stream(spark, opts.bootstrapServers, opts)
         .sortWithinPartitions("type", "topic", "partition", "offset")
-      JsonArrayRender.render(df, out)
+      // L3: every query runs under the configured wall-clock kill switch.
+      graft.ops.Deadline.withDeadline(spark, config.stopConsumersAfterNSeconds) {
+        JsonArrayRender.render(df, out)
+      }
       if (!oversize) cache.put(cache.key(args), buffer.toString)
     } catch {
       case _: java.io.IOException => () // client went away (C4/L4)
