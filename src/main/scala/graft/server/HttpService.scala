@@ -147,7 +147,12 @@ final class HttpService(spark: SparkSession, port: Int,
     reply(ex, 200, "<html><body>graft console placeholder</body></html>", "text/html")
   }
 
-  def start(): this.type = { server.setExecutor(null); server.start(); this }
+  def start(): this.type = {
+    // Thread-per-query like the reference (`core.clj:98-105`); Spark jobs
+    // from concurrent requests interleave via the scheduler.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start(); this
+  }
   def stop(): Unit = { server.stop(0); topicsCache.stop() }
   def boundPort: Int = server.getAddress.getPort
 }
