@@ -21,6 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `min` over the distinct set, so skipping `array_distinct` is exact.)
   *
   * ~20× less work per row than the HOF pipeline; same DuckDB oracle.
+  *
+  * PRECONDITION: shingles here are BYTE windows; the HOF formulation (and
+  * the DuckDB oracle) window over CHARACTERS. The two agree exactly on
+  * ASCII text — which the documents fixture is, verified — and the
+  * equivalence test pins it; route non-ASCII corpora through the HOF form
+  * or normalize first.
   */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
 

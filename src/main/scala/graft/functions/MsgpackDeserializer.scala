@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MsgpackDeserializer {
 
+  /** A decoded msgpack map: ordered entries, distinguishable from an
+    * array even when empty. */
+  final case class MsgMap(entries: Seq[(Any, Any)])
+
   /** Decode one msgpack value: Long | Double | String | Boolean | null |
-    * Seq[Any] | Seq[(Any, Any)] (map as ordered pairs). */
+    * Seq[Any] | MsgMap. */
   def decode(data: Array[Byte]): Any = new Decoder(data).read()
 
   /** The string rendering regexes run against: scalars render bare
@@ -45,9 +49,8 @@ object MsgpackDeserializer {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    case m: Seq[_] if m.nonEmpty && m.head.isInstanceOf[(_, _)] =>
-      m.asInstanceOf[Seq[(Any, Any)]]
-        .map { case (k, x) => json(k.toString) + ": " + json(x) }
+    case MsgMap(entries) =>
+      entries.map { case (k, x) => json(k.toString) + ": " + json(x) }
         .mkString("{", ", ", "}")
     case xs: Seq[_] => xs.map(json).mkString("[", ", ", "]")
     case other => other.toString
@@ -75,7 +78,7 @@ object MsgpackDeserializer {
     }
 
     private def arr(n: Int): Seq[Any] = Seq.fill(n)(read())
-    private def map(n: Int): Seq[(Any, Any)] = Seq.fill(n)((read(), read()))
+    private def map(n: Int): MsgMap = MsgMap(Seq.fill(n)((read(), read())))
 
     def read(): Any = {
       val b = d(i) & 0xff; i += 1

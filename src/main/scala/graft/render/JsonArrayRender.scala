@@ -30,7 +30,8 @@ object JsonArrayRender {
     * valid JSON value (object, array, number, bool, null) replaces the
     * string; anything unparseable keeps the original. */
   private def tryParse(text: String): Option[com.fasterxml.jackson.databind.JsonNode] =
-    try Some(mapper.readTree(text)) catch { case _: Exception => None }
+    try Option(mapper.readTree(text)).filter(!_.isMissingNode) // readTree("") is Missing, not an error
+    catch { case _: Exception => None }
 
   /** Render one record's compact JSON (a `df.toJSON` row) as the pretty,
     * comma-prefixed chunk the reference emits. */

@@ -29,8 +29,13 @@ class MsgpackSpec extends AnyFunSuite {
   test("fixmap renders as JSON") {
     // {"k": 118} = 0x81 0xa1 'k' 0x76
     val bytes = Array(0x81.toByte, 0xa1.toByte, 'k'.toByte, 0x76.toByte)
-    assert(decode(bytes) == Seq(("k", 118L)))
+    assert(decode(bytes) == MsgpackDeserializer.MsgMap(Seq(("k", 118L))))
     assert(renderBytes(bytes) == """{"k": 118}""")
+  }
+
+  test("empty containers keep their kind: {} is not []") {
+    assert(renderBytes(Array(0x80.toByte)) == "{}")
+    assert(renderBytes(Array(0x90.toByte)) == "[]")
   }
 
   test("fixarray, nil, bool") {
