@@ -26,7 +26,11 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val t = (System.nanoTime() - t0) / 1e9
+      // Query isolation: drop any DataFrames the query cached so later
+      // queries aren't taxed by accumulated executor-heap pressure.
+      spark.catalog.clearCache()
+      (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>

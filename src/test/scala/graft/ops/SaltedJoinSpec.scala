@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SaltedJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join ≡ plain join on skewed data (multiplicity preserved)") {
+    // 90% of left rows share one hot key.
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k950", "A"), ("k999", "B"), ("miss", "X"))
+      .toDF("k", "tag")
+    val plain = left.join(right, "k")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val salted = SaltedJoin.join(left, right, "k", salts = 8)
+      .select("k", "v", "tag")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(salted == plain)
+    assert(plain.length == 902) // 900 hot + 2 singleton matches
+  }
+
+  test("the join key includes the salt (the skew actually spreads)") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", "x")).toDF("k", "tag")
+    val plan = SaltedJoin.join(left, right, "k", 4).queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+}
