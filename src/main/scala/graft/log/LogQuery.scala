@@ -126,4 +126,17 @@ object LogQuery {
     */
   def canonical(df: DataFrame): DataFrame =
     df.orderBy("type", "topic", "partition", "offset")
+
+  /** P6's Spark-native sibling (SURVEY §2.2): zero-cost scan metrics via
+    * `observe` — rows consumed and the high-water offset, collected
+    * map-side during the SAME pass, no second scan and no extra rows in
+    * the output (complements the heartbeat rows, which reproduce the
+    * reference's visible format). Read the metrics off the returned
+    * Observation after an action completes.
+    */
+  def observed(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, count(lit(1)).as("rows_consumed"),
+      max(col("offset")).as("max_offset")), obs)
+  }
 }

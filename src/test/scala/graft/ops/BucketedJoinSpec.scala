@@ -14,6 +14,19 @@ class BucketedJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("same-bucketed tables join with zero shuffle exchanges") {
+    // The in-memory catalog dies with the session, but the warehouse dirs
+    // survive runs — clear both.
+    for (t <- Seq("orders_bucketed", "customer_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     Tables.load(spark, TestSpark.Sf, "orders")
       .write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
