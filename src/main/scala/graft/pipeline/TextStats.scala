@@ -41,21 +41,33 @@ object TextStats {
       |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) / count(*) AS tokens_per_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Stopword profiles for the language-ID heuristic. */
+  /** Stopword profiles for the language-ID heuristic (word 1-grams). */
   val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
     "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
     "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans"))
 
-  /** Heuristic language ID: argmax of stopword hit-counts; ties resolve to
-    * the lexicographically larger code (deterministic). Returns a 2-letter
-    * code or "und" when no profile matches at all. */
+  /** Characteristic character trigrams per language (the n-gram half of
+    * the heuristic — catches text where function words are rare). */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "tio"),
+    "de" -> Seq("sch", "ein", "ich", "der", "che"),
+    "es" -> Seq("que", "los", "ent", "ción", "ado"),
+    "fr" -> Seq("les", "ent", "une", "eur", "aux"))
+
+  /** Heuristic language ID: argmax of (3×stopword hits + trigram hits);
+    * ties resolve to the lexicographically larger code (deterministic).
+    * Returns a 2-letter code or "und" when nothing matches at all. */
   def langId(text: Column): Column = {
     val lowered = lower(text)
+    val tri = TrigramProfiles.toMap
     val scored = StopwordProfiles.map { case (code, words) =>
-      val pat = words.mkString("\\b(", "|", ")\\b")
-      struct(regexp_count(lowered, lit(pat)).as("s"), lit(code).as("l"))
+      val wordPat = words.mkString("\\b(", "|", ")\\b")
+      val triPat = tri(code).mkString("(", "|", ")")
+      val score = regexp_count(lowered, lit(wordPat)) * lit(3) +
+        regexp_count(lowered, lit(triPat))
+      struct(score.as("s"), lit(code).as("l"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
