@@ -66,6 +66,20 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(body == Murmur2.partition("13", 10).toString)
   }
 
+  test("concurrent searches run in parallel request threads") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = Seq("13", "7", "1[0-2]").map { re =>
+      Future(get(s"/search?bootstrap-servers=${TestSpark.Sf}&topics=events&key-regex=$re"))
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.foreach { case (status, body) =>
+      assert(status == 200)
+      assert(mapper.readTree(body).get(0).get("type").asText() == "pioneer")
+    }
+  }
+
   test("/server-configs lists clusters, topics and deserializers (C5)") {
     val (status, body) = get("/server-configs")
     assert(status == 200)
