@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** Sessionization — the canonical stateful operator a log-analytics engine
@@ -75,6 +75,57 @@ object Sessionize {
           }
           state.update(s)
           UserCounts(user, s.nEvents, s.nSessions)
+      }
+  }
+
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** Closed-session EMITTER: `flatMapGroupsWithState` in Append mode with
+    * an EVENT-TIME timeout — the production shape of streaming
+    * sessionization. A session closes either when a later event arrives
+    * past the gap (emitted immediately) or when the watermark passes
+    * `last event + gap` with no new data (emitted by timeout), so state
+    * size stays bounded by the number of OPEN sessions.
+    *
+    * Input df needs columns `user_id` (long), `ts` (timestamp — a
+    * watermark is applied here), and emits one row per closed session.
+    */
+  def closedSessions(df: DataFrame, watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import df.sparkSession.implicits._
+    val typed = df
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startMs, s.lastMs, s.n))
+          } else {
+            val times = it.map(_._2.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastMs <= GapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.startMs, s.lastMs, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 

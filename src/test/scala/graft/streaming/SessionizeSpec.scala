@@ -28,6 +28,43 @@ class SessionizeSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits closed sessions by gap AND by timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = Sessionize.GapMs
+    val h = 7200L * 1000
+
+    val input = MemoryStream[(Long, Long)] // (user_id, epoch ms)
+    val sessions = Sessionize.closedSessions(
+      input.toDF().toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .select("user_id", "ts"))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("closed_sessions_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two events in one session.
+      input.addData((1L, h), (1L, h + 60000))
+      q.processAllAvailable()
+      // user 1 again, far past the gap → closes session 1 by DATA arrival.
+      input.addData((1L, h + gap * 4))
+      q.processAllAvailable()
+      // user 2 far in the future pushes the watermark past user 1's open
+      // session + gap → session 2 closes by TIMEOUT.
+      input.addData((2L, h + gap * 40))
+      q.processAllAvailable()
+      input.addData((2L, h + gap * 41)) // one more batch so timeouts fire
+      q.processAllAvailable()
+
+      val out = spark.table("closed_sessions_test")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(out.contains((1L, h, 2L)), out) // closed by gap
+      assert(out.contains((1L, h + gap * 4, 1L)), out) // closed by timeout
+    } finally q.stop()
+  }
+
   test("gap semantics: a gap greater than GapMs opens a new session") {
     import spark.implicits._
     val gap = Sessionize.GapMs
