@@ -144,7 +144,7 @@ object Sessionize {
     val counted = streamingCounts(raw.as[(Long, Long)])
     val q = counted.toDF().writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // Update mode emits one row per key per micro-batch; the final state is
