@@ -39,10 +39,32 @@ object LogQuery {
   def consumed(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame =
     consumedFrom(RecordLog.topics(spark, sfDir, opts.topics), opts)
 
+  /** The deserializer plug point (SURVEY §1.2): when the source delivers
+    * BINARY key/value (a real Kafka source does), the configured
+    * deserializer produces the string rendering the regexes run against —
+    * string cast or msgpack decode (`kafka.clj:34-38`, scenarios 7–8 of
+    * the reference harness). String-typed sources pass through. */
+  private def deserialize(recs: DataFrame, opts: QueryOptions): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    def de(name: String, deser: String) = recs.schema(name).dataType match {
+      case BinaryType if deser == QueryOptions.MsgpackDeser =>
+        graft.functions.GraftFunctions.msgpackDecode(col(name))
+      case BinaryType => col(name).cast("string")
+      case _ => col(name)
+    }
+    if (recs.schema.exists(_.dataType == org.apache.spark.sql.types.BinaryType)) {
+      graft.functions.GraftFunctions.register(recs.sparkSession)
+      recs.withColumn("key", de("key", opts.keyDeserializer))
+        .withColumn("value", de("value", opts.valueDeserializer))
+    } else recs
+  }
+
   /** Same pipeline over an arbitrary record DataFrame (schema: topic,
-    * partition, offset, timestamp, key, value) — the binding point for
-    * in-memory fixtures and future real-Kafka sources. */
-  def consumedFrom(recs: DataFrame, opts: QueryOptions): DataFrame = {
+    * partition, offset, timestamp, key, value — key/value may be BINARY,
+    * see [[deserialize]]) — the binding point for in-memory fixtures and
+    * future real-Kafka sources. */
+  def consumedFrom(recs0: DataFrame, opts: QueryOptions): DataFrame = {
+    val recs = deserialize(recs0, opts)
     // A1 explicit / A2 murmur2-default partition pruning (`search.clj:139-148`).
     val pruned = opts.partitions match {
       case Some(ps) => recs.filter(col("partition").isin(ps: _*))

@@ -68,6 +68,10 @@ final class HttpService(spark: SparkSession, port: Int,
         s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
           .writeValueAsString(e.getMessage)}}""")
     }
+    if (opts.follow)
+      // Follow over HTTP needs an unbounded streaming sink; the sandbox
+      // binding exposes follow through StreamingLog (CLI/API), not here.
+      return reply(ex, 400, """{"error":"--follow is not supported over the HTTP binding"}""")
     // 200 + chunked from here; stream the canonical result set.
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0L) // length 0 → chunked transfer encoding

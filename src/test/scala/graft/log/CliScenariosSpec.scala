@@ -85,7 +85,9 @@ class CliScenariosSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("partition") == p0))
   }
 
-  // Scenarios 7–8: msgpack. The raw bytes of "k"/"v" decode to fixints
+  // Scenarios 7–8: msgpack. The source delivers RAW BINARY key/value (as
+  // a real Kafka source would); the --key/value-deserializer options drive
+  // the decode inside the pipeline. Bytes of "k"/"v" decode to fixints
   // 107/118, and the regex runs on the string rendering.
   private lazy val msgTopic = {
     GraftFunctions.register(spark)
@@ -94,18 +96,19 @@ class CliScenariosSpec extends AnyFunSuite {
       StructField("partition", IntegerType),
       StructField("offset", LongType),
       StructField("timestamp", LongType),
-      StructField("key_bytes", BinaryType),
-      StructField("value_bytes", BinaryType)))
+      StructField("key", BinaryType),
+      StructField("value", BinaryType)))
     val rows = (0L until 3L).map(i =>
       Row("topic-msg", 0, i, 1000L + i, "k".getBytes, "v".getBytes))
     spark.createDataFrame(java.util.List.of(rows: _*), schema)
-      .withColumn("key", GraftFunctions.msgpackDecode(org.apache.spark.sql.functions.col("key_bytes")))
-      .withColumn("value", GraftFunctions.msgpackDecode(org.apache.spark.sql.functions.col("value_bytes")))
-      .select("topic", "partition", "offset", "timestamp", "key", "value")
   }
 
+  private val msgDeser = Seq(
+    "key-deserializer" -> QueryOptions.MsgpackDeser,
+    "value-deserializer" -> QueryOptions.MsgpackDeser)
+
   test("scenario 7: msgpack round-trip — key 107, value 118") {
-    val o = opts()
+    val o = opts(msgDeser: _*)
     val rows = LogQuery.canonical(
       LogQuery.resultsFrom(LogQuery.consumedFrom(msgTopic, o), o)).collect()
     assert(rows.length == 3)
@@ -113,8 +116,14 @@ class CliScenariosSpec extends AnyFunSuite {
   }
 
   test("scenario 8: msgpack + --key-regex 107 matches all records") {
-    val o = opts("key-regex" -> "107")
+    val o = opts(msgDeser :+ ("key-regex" -> "107"): _*)
     val rows = LogQuery.resultsFrom(LogQuery.consumedFrom(msgTopic, o), o).collect()
     assert(rows.length == 3)
+  }
+
+  test("string deserializer on binary columns casts UTF-8 bytes") {
+    val o = opts() // default StringDeserializer both sides
+    val rows = LogQuery.resultsFrom(LogQuery.consumedFrom(msgTopic, o), o).collect()
+    assert(rows.forall(r => r.getAs[String]("key") == "k" && r.getAs[String]("value") == "v"))
   }
 }

@@ -41,6 +41,12 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(arr.get(1).get("key").asLong() == 13L) // "13" try-parsed to number
   }
 
+  test("/search with --follow → explicit 400 (streaming lives in the API binding)") {
+    val (status, body) = get(s"/search?$searchQs&follow")
+    assert(status == 400)
+    assert(body.contains("follow"))
+  }
+
   test("/search with bad args → 400 error contract (C4)") {
     val (status, body) = get("/search?topics=events")
     assert(status == 400)
