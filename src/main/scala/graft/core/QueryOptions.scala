@@ -31,6 +31,9 @@ final case class QueryOptions(
 object QueryOptions {
   val StringDeser = "org.apache.kafka.common.serialization.StringDeserializer"
   val MsgpackDeser = "graft.functions.MsgpackDeserializer"
+  /** The reference's registry-backed Avro deserializer (`kafka.clj:38`);
+    * offline binding parses only the wire envelope (ConfluentWire). */
+  val AvroDeser = "io.confluent.kafka.serializers.KafkaAvroDeserializer"
 
   /** Parse `--key value` style CLI args (the reference's tools.cli surface,
     * `cli.clj:21-53`); boolean flags take no value. Unknown options throw,

@@ -49,6 +49,10 @@ object LogQuery {
     def de(name: String, deser: String) = recs.schema(name).dataType match {
       case BinaryType if deser == QueryOptions.MsgpackDeser =>
         graft.functions.GraftFunctions.msgpackDecode(col(name))
+      case BinaryType if deser == QueryOptions.AvroDeser =>
+        throw new UnsupportedOperationException(
+          "Avro deserialization needs a schema registry (none offline); " +
+            "ConfluentWire.parse handles the wire envelope")
       case BinaryType => col(name).cast("string")
       case _ => col(name)
     }
