@@ -24,7 +24,14 @@ object Deadline {
 
   /** Run `body` with a hard wall-clock deadline; on expiry the job group
     * is cancelled and the running action throws SparkException. */
-  def withDeadline[T](spark: SparkSession, seconds: Int = DefaultSeconds)(body: => T): T = {
+  def withDeadline[T](spark: SparkSession, seconds: Int = DefaultSeconds)(body: => T): T =
+    withDeadlineGroup(spark, seconds)(_ => body)
+
+  /** Like [[withDeadline]], but hands the body its job-group id so other
+    * cancellation sources (a disconnected client — L4) can kill the same
+    * group via [[cancel]]. */
+  def withDeadlineGroup[T](spark: SparkSession, seconds: Int = DefaultSeconds)(
+      body: String => T): T = {
     val group = s"graft-deadline-${ids.incrementAndGet()}"
     val sc = spark.sparkContext
     sc.setJobGroup(group, s"graft query, ${seconds}s deadline", interruptOnCancel = true)
@@ -36,7 +43,7 @@ object Deadline {
     }, group)
     timer.setDaemon(true)
     timer.start()
-    try body
+    try body(group)
     finally {
       timer.interrupt()
       sc.clearJobGroup()

@@ -93,13 +93,21 @@ final class HttpService(spark: SparkSession, port: Int,
       // time. (The CLI keeps canonical total order for reproducible output.)
       val df = LogQuery.stream(spark, opts.bootstrapServers, opts)
         .sortWithinPartitions("type", "topic", "partition", "offset")
-      // L3: every query runs under the configured wall-clock kill switch.
-      graft.ops.Deadline.withDeadline(spark, config.stopConsumersAfterNSeconds) {
-        JsonArrayRender.render(df, out)
+      // L3: every query runs under the configured wall-clock kill switch;
+      // L4: a client disconnect cancels the same job group instead of
+      // letting the scan run to completion (the reference's known
+      // inefficiency, `core.clj:85-87`).
+      graft.ops.Deadline.withDeadlineGroup(spark, config.stopConsumersAfterNSeconds) { group =>
+        try JsonArrayRender.render(df, out)
+        catch { case e: java.io.IOException =>
+          graft.ops.Deadline.cancel(spark, group); throw e
+        }
       }
       if (!oversize) cache.put(cache.key(args), buffer.toString)
     } catch {
       case _: java.io.IOException => () // client went away (C4/L4)
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("cancelled") => ()
       case e: Exception => // response already committed: log-only, like the reference
         System.err.println(s"[graft-http] mid-stream failure: ${e.getMessage}")
     } finally os.close()

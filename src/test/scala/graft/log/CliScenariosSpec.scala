@@ -75,6 +75,13 @@ class CliScenariosSpec extends AnyFunSuite {
     assert(run(opts("partitions" -> "3")).map(_.getAs[String]("value")) == Seq("v2"))
   }
 
+  test("pruning + relative offset compose: bounds come from the pruned slice") {
+    // Only k0's partition is assigned; relative offset 1 seeks earliest+1
+    // WITHIN that partition → exactly v1 (k2's partition never probed).
+    val rows = run(opts("partitions" -> p0.toString, "relative-offset" -> "1"))
+    assert(rows.map(_.getAs[String]("value")) == Seq("v1"))
+  }
+
   test("full-match anchoring: regex k does NOT match key k0 (re-matches parity)") {
     assert(run(opts("key-regex" -> "k")).isEmpty)
   }
