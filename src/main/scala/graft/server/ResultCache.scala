@@ -20,7 +20,7 @@ final class ResultCache(
 
   private val map = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
-      size() > maxItems
+      this.size() > maxItems
   }
 
   /** Canonical cache key: sorted `k=v` list. */
