@@ -23,6 +23,29 @@ final class ParquetLogSource(sfDir: String) extends RecordSource {
     RecordLog.topics(spark, sfDir, topics)
 }
 
+/** JSON-lines binding: any directory of JSONL files with the record
+  * schema is a topic (one file-set per topic name). Demonstrates that the
+  * seam is format-agnostic — the whole LogQuery pipeline runs unchanged
+  * over parquet, JSON, in-memory, or (with the connector) Kafka. */
+final class JsonLogSource(dir: String) extends RecordSource {
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("topic", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("partition", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+
+  override def records(spark: SparkSession, topics: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // Explicit schema: JSON inference would both cost a pass and guess
+    // value types (the `value` column must STAY a string for the
+    // try-parse-JSON record semantic to apply downstream).
+    spark.read.schema(schema).json(dir)
+      .filter(col("topic").isin(topics: _*))
+  }
+}
+
 /** The real-Kafka binding. The sandbox ships no `spark-sql-kafka`
   * connector jar and no broker, so this is interface-only: it documents
   * the exact option mapping and fails fast when invoked.

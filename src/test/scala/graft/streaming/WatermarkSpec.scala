@@ -14,6 +14,29 @@ import graft.TestSpark
 class WatermarkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("streaming dedup within watermark drops replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (event_id, epoch ms)
+    val deduped = input.toDF().toDF("event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val h = 3600L * 1000
+      input.addData((1L, h), (2L, h + 1000), (1L, h + 2000)) // in-batch dup
+      q.processAllAvailable()
+      input.addData((2L, h + 3000), (3L, h + 4000)) // cross-batch dup
+      q.processAllAvailable()
+      input.addData((9L, h + 7200000)) // advance watermark, flush state
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_test").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 9L))
+    } finally q.stop()
+  }
+
   test("late rows beyond the watermark are dropped; closed windows are final") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
