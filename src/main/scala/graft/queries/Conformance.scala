@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{Murmur2, QueryOptions, Tables}
-import graft.log.{LogQuery, RecordLog}
+import graft.log.{LogQuery, LogStore, RecordLog}
 import graft.ops.AsofJoin
 import graft.oracle.Duck
 
@@ -76,6 +76,18 @@ object Conformance {
 
     // Q8 A1 explicit partition pruning.
     "q08_partitions" -> ((s, sf) => rec(s, sf, base().copy(partitions = Some(Seq(3, 5))))),
+
+    // Q8b: the same pruned scan answered from the ARCHIVED topic layout
+    // (LogStore) — directory-level partition pruning instead of a
+    // post-scan filter; results must be layout-independent.
+    "q08b_archive_partitions" -> ((s, sf) => {
+      val store = s"/tmp/graft-archive-${Integer.toHexString(sf.hashCode)}"
+      val marker = new java.io.File(s"$store/events/_SUCCESS")
+      if (!marker.exists()) LogStore.materialize(s, sf, store, Seq("events"))
+      val o = base().copy(partitions = Some(Seq(3, 5)))
+      LogQuery.canonical(LogQuery.resultsFrom(
+        LogQuery.consumedFrom(LogStore.topic(s, store, "events"), o), o))
+    }),
 
     // Q9 A2 murmur2 default-partition pruning (key-regex as literal key).
     "q09_default_partition" -> ((s, sf) => rec(s, sf,
@@ -253,6 +265,9 @@ object Conformance {
          |ORDER BY type, topic, "partition", "offset"""".stripMargin,
 
     "q08_partitions" ->
+      s"""$R SELECT $RC FROM recs WHERE "partition" IN (3, 5) $ORD""",
+
+    "q08b_archive_partitions" ->
       s"""$R SELECT $RC FROM recs WHERE "partition" IN (3, 5) $ORD""",
 
     "q09_default_partition" ->
