@@ -75,6 +75,17 @@ object QueryOptions {
     "partitions", "print-offset", "check-crcs", "relative-offset",
     "start-timestamp", "stop-timestamp", "follow", "help")
 
+  /** Numeric option parse with the 400-contract error type (a bare
+    * NumberFormatException would surface as a 500 through the HTTP layer,
+    * breaking the C4 error channel). */
+  private def num(m: Map[String, String], key: String): Option[Long] =
+    m.get(key).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"--$key expects an integer, got '$v'")
+      }
+    }
+
   def fromMap(m: Map[String, String]): QueryOptions = {
     val unknown = m.keySet -- known
     if (unknown.nonEmpty)
@@ -87,14 +98,19 @@ object QueryOptions {
       keyDeserializer = m.getOrElse("key-deserializer", StringDeser),
       valueDeserializer = m.getOrElse("value-deserializer", StringDeser),
       schemaRegistryUrl = m.get("schema-registry-url"),
-      partitions = m.get("partitions").map(_.split(",").toSeq.map(_.trim.toInt)),
+      partitions = m.get("partitions").map(_.split(",").toSeq.map { p =>
+        try p.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--partitions expects integers, got '$p'")
+        }
+      }),
       defaultPartition = m.contains("default-partition"),
       keyRegex = m.get("key-regex"),
       valRegex = m.get("val-regex"),
-      relativeOffset = m.get("relative-offset").map(_.toLong),
-      startTimestamp = m.get("start-timestamp").map(_.toLong),
-      stopTimestamp = m.get("stop-timestamp").map(_.toLong),
-      printOffset = m.get("print-offset").map(_.toLong),
+      relativeOffset = num(m, "relative-offset"),
+      startTimestamp = num(m, "start-timestamp"),
+      stopTimestamp = num(m, "stop-timestamp"),
+      printOffset = num(m, "print-offset"),
       checkCrcs = m.get("check-crcs").forall(_.toBoolean),
       follow = m.contains("follow"))
     validate(opts)

@@ -42,6 +42,15 @@ class QueryOptionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryOptions.fromMap(base + ("frobnicate" -> "1")))
   }
 
+  test("malformed numeric options surface as argument errors (the 400 channel)") {
+    val e1 = intercept[IllegalArgumentException](
+      QueryOptions.fromMap(base + ("relative-offset" -> "abc")))
+    assert(e1.getMessage.contains("relative-offset"))
+    val e2 = intercept[IllegalArgumentException](
+      QueryOptions.fromMap(base + ("partitions" -> "3,x")))
+    assert(e2.getMessage.contains("partitions"))
+  }
+
   test("CLI args parse: flags take no value, pairs do") {
     val o = QueryOptions.parse(Seq("--bootstrap-servers", "b", "--topics", "a,b",
       "--key-regex", "k.*", "--follow"))

@@ -53,6 +53,25 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(mapper.readTree(body).get("error").asText().contains("bootstrap-servers"))
   }
 
+  test("malformed numeric arg → 400 before the stream commits") {
+    val (status, body) = get(
+      s"/search?bootstrap-servers=${TestSpark.Sf}&topics=events&relative-offset=abc")
+    assert(status == 400)
+    assert(mapper.readTree(body).get("error").asText().contains("relative-offset"))
+  }
+
+  test("invalid regex fails MID-STREAM: 200 committed, stream truncated (C4)") {
+    // Same trade-off as the reference: the regex compiles inside the
+    // already-committed streaming response, so the error can only truncate
+    // the stream, not change the status (`core.clj:106-110` applies only
+    // to argument errors).
+    val (status, body) = get(
+      s"/search?bootstrap-servers=${TestSpark.Sf}&topics=events&key-regex=%5B")
+    assert(status == 200)
+    assert(body.startsWith("[" + """{"type":"pioneer"}"""))
+    intercept[Exception](mapper.readTree(body)) // truncated JSON
+  }
+
   test("/cached replays the completed search result byte-for-byte (S7)") {
     val (_, direct) = get(s"/search?$searchQs")
     val (status, cached) = get(s"/cached?$searchQs")
