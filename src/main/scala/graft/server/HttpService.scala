@@ -72,6 +72,19 @@ final class HttpService(spark: SparkSession, port: Int,
       // Follow over HTTP needs an unbounded streaming sink; the sandbox
       // binding exposes follow through StreamingLog (CLI/API), not here.
       return reply(ex, 400, """{"error":"--follow is not supported over the HTTP binding"}""")
+    // Build + analyze the plan BEFORE committing the response: build-time
+    // argument errors (e.g. an unknown topic) still reach the 400 channel;
+    // only runtime failures are left to the mid-stream trade-off.
+    val df = try {
+      val d = LogQuery.stream(spark, opts.bootstrapServers, opts)
+        .sortWithinPartitions("type", "topic", "partition", "offset")
+      d.schema // force analysis
+      d
+    } catch { case e: IllegalArgumentException =>
+      return reply(ex, 400,
+        s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(e.getMessage)}}""")
+    }
     // 200 + chunked from here; stream the canonical result set.
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0L) // length 0 → chunked transfer encoding
@@ -91,8 +104,6 @@ final class HttpService(spark: SparkSession, port: Int,
       // be the wrong plan at scale. Within-partition ordering keeps chunks
       // locally coherent; toLocalIterator then streams one partition at a
       // time. (The CLI keeps canonical total order for reproducible output.)
-      val df = LogQuery.stream(spark, opts.bootstrapServers, opts)
-        .sortWithinPartitions("type", "topic", "partition", "offset")
       // L3: every query runs under the configured wall-clock kill switch;
       // L4: a client disconnect cancels the same job group instead of
       // letting the scan run to completion (the reference's known

@@ -53,6 +53,13 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(mapper.readTree(body).get("error").asText().contains("bootstrap-servers"))
   }
 
+  test("unknown topic → 400 (plan analyzes before the response commits)") {
+    val (status, body) = get(
+      s"/search?bootstrap-servers=${TestSpark.Sf}&topics=nonexistent")
+    assert(status == 400)
+    assert(mapper.readTree(body).get("error").asText().contains("unknown topic"))
+  }
+
   test("malformed numeric arg → 400 before the stream commits") {
     val (status, body) = get(
       s"/search?bootstrap-servers=${TestSpark.Sf}&topics=events&relative-offset=abc")
