@@ -25,6 +25,20 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(windowed.nonEmpty)
   }
 
+  test("many-group equivalence: lineitem line ranks ≡ window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.load(spark, TestSpark.Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    val windowed = li.withColumn("r", row_number().over(w).cast("long") - 1)
+      .collect().map(_.mkString("|")).toSet
+    val scalable = ScalableRank.addRank(li, "l_orderkey", Seq("l_linenumber"), "r", 8)
+      .collect().map(_.mkString("|")).toSet
+    assert(scalable == windowed) // ~1500 groups through range partitions
+    assert(windowed.nonEmpty)
+  }
+
   test("rank is contiguous from 0 within each group") {
     import spark.implicits._
     val df = Seq(("g1", 5), ("g1", 3), ("g2", 9), ("g1", 7), ("g2", 1))
