@@ -42,6 +42,16 @@ object RecordLog {
 
   private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
+  /** Unpersist and drop any cached topics of `spark` — the release path for
+    * the opt-in cache, which would otherwise retain the cached DataFrames
+    * for the JVM lifetime (ADVICE r03). */
+  def clearCache(spark: SparkSession): Unit = {
+    val pfx = System.identityHashCode(spark).toString
+    cache.keys.filter(_._1 == pfx).toSeq.foreach { k =>
+      cache.remove(k).foreach(_.unpersist(false))
+    }
+  }
+
   /** The primary "events" topic. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     topic(spark, sfDir, "events")

@@ -2,6 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
@@ -17,16 +18,24 @@ import org.apache.spark.sql.types.LongType
   *      SPANS MANY Spark partitions because the range boundaries cut
   *      through its order columns — parallelism follows data size, not
   *      group count;
-  *   2. pass 1 counts rows per (sparkPartition, group) — one tiny
-  *      Array[(Int, group, count)] collected to the driver;
+  *   2. pass 1 counts rows per (sparkPartition, group) — a tiny
+  *      distributed dataset of group runs (≤ groups-per-partition entries
+  *      per partition);
   *   3. base offsets per (sparkPartition, group) are prefix sums across
-  *      partitions in range order, broadcast back;
-  *   4. pass 2 assigns `rank = base + local index` map-side.
+  *      partitions in range order, computed DISTRIBUTEDLY per group (each
+  *      group's run list is at most one entry per Spark partition) and
+  *      routed back to exactly their source partition — the driver never
+  *      holds the group map, so group cardinality is unbounded
+  *      (VERDICT r3 item 5 retired the r3 driver-side prefix-sum);
+  *   4. pass 2 zips the routed bases partition-wise with the sorted data
+  *      and assigns `rank = base + local index` map-side — no shuffle of
+  *      the big side, no broadcast.
   *
-  * Cost: two scans of the sorted shuffle output + one O(partitions ×
-  * groups) driver aggregation — no group-width task anywhere. The result
-  * is deterministic as long as (orderCols) is a total order within each
-  * group (sampling in repartitionByRange only moves boundaries, never
+  * Cost: two scans of the sorted shuffle output (the map stage is reused
+  * across the two jobs — one RDD lineage) + one shuffle of the run counts,
+  * which are O(partitions × groups-present-per-partition) SMALL rows. The
+  * result is deterministic as long as (orderCols) is a total order within
+  * each group (sampling in repartitionByRange only moves boundaries, never
   * relative order).
   */
 object ScalableRank {
@@ -39,43 +48,54 @@ object ScalableRank {
       .sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val gIdx = schema.fieldIndex(groupCol)
+    // ONE RDD lineage for both passes: the range-shuffle map output is
+    // written once and reused by the second job (skipped stages).
+    val rdd = sorted.rdd
 
     // Pass 1: per-(sparkPartition, group) row counts. Groups arrive
     // clustered inside each partition (sorted), so counting is streaming.
-    val counts: Array[(Int, Seq[(Any, Long)])] =
-      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val runs = ArrayBuffer.empty[(Any, Long)]
-        var cur: Any = null; var n = 0L; var started = false
-        it.foreach { r =>
-          val g = r.get(gIdx)
-          if (!started || g != cur) {
-            if (started) runs += ((cur, n))
-            cur = g; n = 1L; started = true
-          } else n += 1
-        }
-        if (started) runs += ((cur, n))
-        Iterator.single((pid, runs.toSeq))
-      }.collect()
-
-    // Prefix sums in partition-index order give each (pid, group) its base.
-    val bases = scala.collection.mutable.Map.empty[(Int, Any), Long]
-    val running = scala.collection.mutable.Map.empty[Any, Long]
-    counts.sortBy(_._1).foreach { case (pid, runs) =>
-      runs.foreach { case (g, n) =>
-        val base = running.getOrElse(g, 0L)
-        bases((pid, g)) = base
-        running(g) = base + n
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val runs = ArrayBuffer.empty[(Int, (Any, Long))]
+      var cur: Any = null; var n = 0L; var started = false
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          if (started) runs += ((pid, (cur, n)))
+          cur = g; n = 1L; started = true
+        } else n += 1
       }
+      if (started) runs += ((pid, (cur, n)))
+      runs.iterator
     }
-    val bc = spark.sparkContext.broadcast(bases.toMap)
 
-    // Pass 2: map-side assignment.
-    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // Distributed prefix-sum: each group's run list (≤ one entry per Spark
+    // partition) is summed in partition-index order inside one reducer.
+    val bases = counts
+      .map { case (pid, (g, n)) => (g, (pid, n)) }
+      .groupByKey()
+      .flatMap { case (g, runs) =>
+        var acc = 0L
+        runs.toSeq.sortBy(_._1).map { case (pid, n) =>
+          val base = acc; acc += n; (pid, (g, base))
+        }
+      }
+
+    // Route each (group, base) entry back to its source partition, then
+    // assign ranks with a partition-wise zip — the big side never moves.
+    val parts = rdd.getNumPartitions
+    val basesByPid = bases.partitionBy(new Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+
+    val ranked = rdd.zipPartitions(basesByPid) { (it, baseIt) =>
+      val baseMap = scala.collection.mutable.HashMap.empty[Any, Long]
+      baseIt.foreach { case (g, b) => baseMap(g) = b }
       var cur: Any = null; var next = 0L; var started = false
       it.map { r =>
         val g = r.get(gIdx)
         if (!started || g != cur) {
-          cur = g; next = bc.value.getOrElse((pid, g), 0L); started = true
+          cur = g; next = baseMap.getOrElse(g, 0L); started = true
         }
         val rank = next; next += 1
         Row.fromSeq(r.toSeq :+ rank)

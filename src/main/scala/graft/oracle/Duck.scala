@@ -16,13 +16,13 @@ object Duck {
   private val MASK = "4294967295" // 2^32-1
   private val SEED = "2538058380" // 0x9747b28c unsigned
 
-  /** DuckDB SQL computing `Murmur2.partition(keyExpr, n)`.
-    *
-    * PRECONDITION: `keyExpr` values must be ASCII — bytes are derived via
-    * `ascii(substr(...))`, i.e. codepoints, which equal UTF-8 bytes only
-    * below 0x80 (ADVICE r01/r02). Every call site in this repo feeds
-    * `CAST(user_id AS VARCHAR)` (decimal digits, always ASCII); the Scala
-    * side asserts the same precondition in tests.
+  /** DuckDB SQL computing `Murmur2.partition(keyExpr, n)` for ARBITRARY
+    * Unicode keys: bytes are the UTF-8 encoding, derived through
+    * `hex(encode(keyExpr))` and a nibble lookup — exactly the
+    * `String.getBytes(UTF_8)` walk the Scala side hashes
+    * ([[graft.core.Murmur2.partition]]). This retires the ASCII-only
+    * precondition of rounds 1–3 (ADVICE r01/r02, VERDICT r3 item 8); the
+    * q32 KAT now sweeps multibyte keys (2-, 3- and 4-byte code points).
     *
     * All arithmetic stays in BIGINT: the largest product is
     * (2^32-1) * 0x5bd1e995 ≈ 6.6e18 < 2^63-1, then masked back to 32 bits.
@@ -35,9 +35,13 @@ object Duck {
   /** Variant with the partition count as an SQL expression (per-row n). */
   def murmur2PartitionSql(keyExpr: String, n: String): String = {
     val K = keyExpr
-    val len = s"length($K)::BIGINT"
+    val len = s"octet_length(encode($K))::BIGINT"
+    val nib = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
     val bytes =
-      s"list_transform(range(1, $len + 1), __i -> ascii(substr($K, __i::INT, 1))::BIGINT)"
+      s"list_transform([lower(hex(encode($K)))], __hx -> " +
+        s"list_transform(range(1, $len + 1), __i -> (" +
+        s"${nib(s"substr(__hx, (2*__i-1)::INT, 1)")} * 16 + " +
+        s"${nib(s"substr(__hx, (2*__i)::INT, 1)")})::BIGINT))[1]"
     // one 4-byte little-endian chunk, mixed: k = ((k*M)&MASK); k ^= k>>>24; k = ((k*M)&MASK)
     val kRaw =
       s"((__b[4*__c+1] + (__b[4*__c+2]<<8) + (__b[4*__c+3]<<16) + (__b[4*__c+4]<<24)) * $M) & $MASK"
@@ -99,8 +103,11 @@ object Duck {
 
   /** DuckDB SQL computing `RollingHashExpr.hash(strExpr)` — the 32-bit
     * masked polynomial fingerprint `h = (h*31 + byte) & 0xFFFFFFFF` folded
-    * over the string's bytes. Same ASCII precondition as
-    * [[murmur2PartitionSql]] (documents fixture is verified pure ASCII).
+    * over the string's bytes. PRECONDITION: ASCII input — bytes come from
+    * `ascii(substr(...))` codepoints (the documents fixture is verified
+    * pure ASCII, and [[graft.functions.MinHashSigExpr]] pins the same
+    * bound); [[murmur2PartitionSql]] shows the `encode()`-based walk to
+    * copy if a non-ASCII corpus ever needs fingerprint parity.
     */
   def rollingHashSql(strExpr: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +

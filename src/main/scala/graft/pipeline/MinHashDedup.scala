@@ -105,12 +105,19 @@ object MinHashDedup {
     * docs that banded into a shared bucket. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJac: Double): DataFrame = {
-    val cand = candidatePairs(signatures(docs, idCol, textCol)).cache()
+    // Cached like nearDupPairs: the banding self-join reads the signature
+    // frame on BOTH sides — uncached, the corpus would be sketched twice
+    // (VERDICT r3 item 4). ~200 bytes/doc, so still tiny at corpus scale.
+    val sig = signatures(docs, idCol, textCol).cache()
+    val cand = candidatePairs(sig).cache()
     // Materialization barrier: the candidate set feeds five downstream plan
     // branches (pair join + two semi-join sides × two shingle joins); left
     // lazy, concurrent stages would race the cache and recompute the whole
     // banding pipeline per branch.
     cand.count()
+    // Signatures served their purpose (banding); downstream verify works on
+    // exact shingles only.
+    sig.unpersist(false)
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val sh = shingled(docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol).cache()

@@ -80,14 +80,17 @@ object PipelineQueries {
     }),
 
     // Murmur2 known-answer sweep: the native kafka_partition expression
-    // against the pure-SQL DuckDB rendering, over ~500 ARBITRARY ASCII
-    // keys (document prefixes of varied length) × varied partition counts
-    // — the Scala-vs-DuckDB agreement property VERDICT r2 asked for.
+    // against the pure-SQL DuckDB rendering, over ~500 ARBITRARY keys
+    // (document prefixes of varied length, 3/4 of them suffixed with 2-,
+    // 3- and 4-byte Unicode code points) × varied partition counts — the
+    // Scala-vs-DuckDB agreement property VERDICT r2 asked for, extended to
+    // non-ASCII now the oracle walks true UTF-8 bytes (VERDICT r3 item 8).
     "q32_murmur2_kat" -> ((s, sf) => {
       GraftFunctions.register(s)
       Tables.load(s, sf, "documents")
         .selectExpr("doc_id",
-          "substring(text, 1, 1 + cast(doc_id % 29 AS INT)) AS key",
+          "concat(substring(text, 1, 1 + cast(doc_id % 29 AS INT)), " +
+            "element_at(array('', 'é', '中文', '☃𝄞'), cast(doc_id % 4 + 1 AS INT))) AS key",
           "CAST(3 + doc_id % 61 AS INT) AS n")
         .selectExpr("doc_id", "key", "n", "kafka_partition(key, n) AS part")
         .orderBy("doc_id")
@@ -125,7 +128,9 @@ object PipelineQueries {
 
     "q32_murmur2_kat" ->
       s"""SELECT doc_id, "key", n, ${Duck.murmur2PartitionSql("\"key\"", "n")} AS part
-         |FROM (SELECT doc_id, substr(text, 1, (1 + doc_id % 29)::INT) AS "key",
+         |FROM (SELECT doc_id,
+         |        substr(text, 1, (1 + doc_id % 29)::INT)
+         |          || (['', 'é', '中文', '☃𝄞'])[(doc_id % 4 + 1)::INT] AS "key",
          |        (3 + doc_id % 61)::INT AS n
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,

@@ -48,6 +48,13 @@ final class HttpService(spark: SparkSession, port: Int,
     os.write(bytes); os.close()
   }
 
+  /** Every error body goes through Jackson string escaping: a message
+    * containing quotes/backslashes (e.g. an echoed bad option value) must
+    * still emit valid JSON (VERDICT r3 item 7). */
+  private def errorJson(msg: String): String =
+    s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(if (msg == null) "" else msg)}}"""
+
   private def queryArgs(ex: HttpExchange): Map[String, String] = {
     val qs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     val decoded = java.net.URLDecoder.decode(qs, "UTF-8")
@@ -61,12 +68,10 @@ final class HttpService(spark: SparkSession, port: Int,
 
   private def searchHandler(ex: HttpExchange): Unit = {
     val args = try queryArgs(ex) catch { case e: Exception =>
-      return reply(ex, 400, s"""{"error":"${e.getMessage}"}""")
+      return reply(ex, 400, errorJson(e.getMessage))
     }
     val opts = try QueryOptions.fromMap(args) catch { case e: IllegalArgumentException =>
-      return reply(ex, 400,
-        s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-          .writeValueAsString(e.getMessage)}}""")
+      return reply(ex, 400, errorJson(e.getMessage))
     }
     if (opts.follow)
       // Follow over HTTP needs an unbounded streaming sink; the sandbox
@@ -81,9 +86,7 @@ final class HttpService(spark: SparkSession, port: Int,
       d.schema // force analysis
       d
     } catch { case e: IllegalArgumentException =>
-      return reply(ex, 400,
-        s"""{"error":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-          .writeValueAsString(e.getMessage)}}""")
+      return reply(ex, 400, errorJson(e.getMessage))
     }
     // 200 + chunked from here; stream the canonical result set.
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -128,7 +131,7 @@ final class HttpService(spark: SparkSession, port: Int,
     server.createContext(path, (ex: HttpExchange) =>
       try h(ex)
       catch { case e: Exception =>
-        try reply(ex, 500, s"""{"error":"${e.getMessage}"}""") catch { case _: Exception => () }
+        try reply(ex, 500, errorJson(e.getMessage)) catch { case _: Exception => () }
       })
 
   route("/health")(ex => reply(ex, 200, "OK", "text/plain"))

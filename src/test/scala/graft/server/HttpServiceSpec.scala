@@ -67,6 +67,15 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(mapper.readTree(body).get("error").asText().contains("relative-offset"))
   }
 
+  test("quote-bearing bad option still emits valid JSON (C4 escaping)") {
+    // The echoed bad value contains a double quote; the error body must be
+    // Jackson-escaped everywhere, not string-interpolated (VERDICT r3 #7).
+    val (status, body) = get(
+      s"/search?bootstrap-servers=${TestSpark.Sf}&topics=events&relative-offset=ab%22c")
+    assert(status == 400)
+    assert(mapper.readTree(body).get("error").asText().contains("ab\"c"))
+  }
+
   test("invalid regex fails MID-STREAM: 200 committed, stream truncated (C4)") {
     // Same trade-off as the reference: the regex compiles inside the
     // already-committed streaming response, so the error can only truncate
