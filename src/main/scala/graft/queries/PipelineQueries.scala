@@ -97,11 +97,24 @@ object PipelineQueries {
     }),
 
     // Blocked (IVF-style) all-pairs similarity: best pair per label cell.
-    // (The random-hyperplane LSH variant, Similarity.bucketedNearDupPairs,
-    // is exercised in ScalaTest — the fixture plants no near-dup vectors,
-    // so its thresholded result here would be vacuously empty.)
     "q26_cos_top_pair" -> ((s, sf) =>
-      Similarity.topPairPerGroup(Tables.load(s, sf, "embeddings"), "vec_id", "embedding", "label"))
+      Similarity.topPairPerGroup(Tables.load(s, sf, "embeddings"), "vec_id", "embedding", "label")),
+
+    // Banded sign-LSH near-dup pairs over a corpus with PLANTED duplicates:
+    // every 97th vector gets a scaled copy (vec_id + 10^6, emb × 1.5 —
+    // identical hyperplane signs, cosine 1), so the thresholded result is
+    // non-vacuous and the whole band→bucket→verify pipeline is
+    // driver-checked (VERDICT r3 item 3). The derivation is deterministic
+    // double arithmetic, reproduced verbatim in the oracle.
+    "q33_sign_lsh_pairs" -> ((s, sf) => {
+      val base = Tables.load(s, sf, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val copies = base.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(emb, x -> x * CAST(1.5 AS DOUBLE))").as("emb"))
+      Similarity.bucketedNearDupPairs(base.unionAll(copies), "vec_id", "emb",
+        EmbeddingDim, minCos = 0.999)
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -125,6 +138,13 @@ object PipelineQueries {
     "q24_text_stats" -> TextStats.corpusStatsOracleSql,
 
     "q26_cos_top_pair" -> Similarity.topPairOracleSql,
+
+    "q33_sign_lsh_pairs" -> Similarity.nearDupOracleSql(EmbeddingDim, 0.999,
+      corpusSql = """(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * (1.5)::DOUBLE)
+        FROM embeddings WHERE vec_id % 97 = 0)"""),
 
     "q32_murmur2_kat" ->
       s"""SELECT doc_id, "key", n, ${Duck.murmur2PartitionSql("\"key\"", "n")} AS part

@@ -38,6 +38,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q33: sign-LSH pair generation stays bucket-blocked — no cartesian") {
+    val p = plan("q33_sign_lsh_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
