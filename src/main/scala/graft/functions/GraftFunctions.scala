@@ -29,6 +29,20 @@ object GraftFunctions {
       "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
   }
 
+  /** Avro decode needs the registry's schemas captured in the expression
+    * builder, so it registers per-(session, registry) rather than in
+    * [[register]]; `createOrReplaceTempFunction` makes the last registry
+    * win, matching one-registry-per-query semantics (the reference passes
+    * exactly one `schema.registry.url` per search, `search.clj:132-135`). */
+  def registerAvro(spark: SparkSession, schemasJson: Map[Int, String]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avro_decode", exprs => AvroDecodeExpr(exprs(0), schemasJson), "built-in")
+
+  /** Decode a Confluent-wire Avro binary column to its string rendering
+    * (requires a prior [[registerAvro]] for this session). */
+  def avroDecode(c: Column): Column =
+    call_function("avro_decode", c)
+
   /** Single-pass MinHash signature of a text column. */
   def minhashSig(c: Column): Column =
     call_function("minhash_sig", c.cast("string"))

@@ -50,9 +50,15 @@ object LogQuery {
       case BinaryType if deser == QueryOptions.MsgpackDeser =>
         graft.functions.GraftFunctions.msgpackDecode(col(name))
       case BinaryType if deser == QueryOptions.AvroDeser =>
-        throw new UnsupportedOperationException(
-          "Avro deserialization needs a schema registry (none offline); " +
-            "ConfluentWire.parse handles the wire envelope")
+        // The reference wires `schema.registry.url` through to
+        // KafkaAvroDeserializer (`search.clj:132-135`); here the registry
+        // is the file-based stand-in and decode is the real thing
+        // (wire envelope → GenericDatumReader → JSON rendering).
+        val url = opts.schemaRegistryUrl.getOrElse(throw new IllegalArgumentException(
+          "Avro deserialization requires --schema-registry-url"))
+        graft.functions.GraftFunctions.registerAvro(recs.sparkSession,
+          graft.functions.AvroDeserializer.loadRegistry(url))
+        graft.functions.GraftFunctions.avroDecode(col(name))
       case BinaryType => col(name).cast("string")
       case _ => col(name)
     }

@@ -214,8 +214,49 @@ object Conformance {
         .select(col("event_id"), col("user_id"), col("o_orderkey"),
           unix_millis(col("o_orderdate")).as("order_date_ms"))
         .orderBy("event_id")
+    }),
+
+    // Q34 Avro round-trip KAT (the reference's third deserializer,
+    // `kafka.clj:38`): events rows are Avro-encoded into the Confluent
+    // wire format executor-side (mapPartitions — one encoder per batch,
+    // the Multimodal library-call shape), then flow through the FULL
+    // LogQuery pipeline with the file-registry stand-in: envelope parse →
+    // GenericDatumReader decode → JSON rendering → anchored regex on the
+    // rendering. The oracle predicts the rendering symbolically from the
+    // raw columns, so encode+decode must be the exact identity.
+    "q34_avro_roundtrip" -> ((s, sf) => {
+      import s.implicits._
+      val regDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/tmp/graft-avro-registry-kat"))
+      java.nio.file.Files.write(regDir.resolve("7.avsc"),
+        AvroEventSchema.getBytes("UTF-8"))
+      val schemaJson = AvroEventSchema
+      val recs = Tables.load(s, sf, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .filter(col("event_id") < 500)
+        .as[(Long, Long, String)]
+        .mapPartitions { it =>
+          val enc = new graft.functions.AvroDeserializer.WireEncoder(schemaJson, 7)
+          it.map { case (id, uid, et) =>
+            (id, uid.toString, enc.encode(enc.record("user_id" -> uid, "event_type" -> et)))
+          }
+        }
+        .toDF("offset", "key_str", "value")
+        .select(lit("events").as("topic"), lit(0).as("partition"), col("offset"),
+          lit(0L).as("timestamp"), col("key_str").cast("binary").as("key"), col("value"))
+      val o = base().copy(valueDeserializer = QueryOptions.AvroDeser,
+        schemaRegistryUrl = Some(s"file:$regDir"),
+        valRegex = Some(""".*"event_type": "(click|purchase)".*"""))
+      LogQuery.canonical(LogQuery.resultsFrom(LogQuery.consumedFrom(recs, o), o))
+        .select(col("offset").as("event_id"), col("key"), col("value"))
     })
   )
+
+  /** The Avro writer schema for Q34 (also the file-registry payload). */
+  val AvroEventSchema: String =
+    """{"type": "record", "name": "Event", "fields": [
+      |  {"name": "user_id", "type": "long"},
+      |  {"name": "event_type", "type": "string"}]}""".stripMargin
 
   /** Q17's tumbling aggregation, shared verbatim between the batch query
     * and the Structured Streaming replay (same plan, two execution modes). */
@@ -367,6 +408,14 @@ object Conformance {
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2) b
         |ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // The symbolic rendering a correct Avro encode→decode must reproduce.
+    "q34_avro_roundtrip" ->
+      """SELECT event_id, user_id::VARCHAR AS "key",
+        |  '{"user_id": ' || user_id || ', "event_type": "' || event_type || '"}' AS "value"
+        |FROM events
+        |WHERE event_id < 500 AND event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -162,11 +162,16 @@ final class HttpService(spark: SparkSession, port: Int,
     root.set[com.fasterxml.jackson.databind.JsonNode]("bootstrap-topics", topics)
     val desers = mapper.createArrayNode()
     desers.add(QueryOptions.StringDeser); desers.add(QueryOptions.MsgpackDeser)
-    // avro is hidden when no schema registry is configured, like the
-    // reference (`core.clj:131-136`); offline there never is one.
+    // avro is offered only when a schema registry is configured, like the
+    // reference (`core.clj:131-136`) — here the file-based stand-in.
+    if (config.kafkaSchemaRegistryUrls.nonEmpty) desers.add(QueryOptions.AvroDeser)
     root.set[com.fasterxml.jackson.databind.JsonNode]("key-deserializers", desers)
     root.set[com.fasterxml.jackson.databind.JsonNode]("value-deserializers", desers)
-    root.putNull("schema-registry-urls")
+    if (config.kafkaSchemaRegistryUrls.nonEmpty) {
+      val regs = mapper.createObjectNode()
+      config.kafkaSchemaRegistryUrls.toSeq.sortBy(_._1).foreach { case (k, v) => regs.put(k, v) }
+      root.set[com.fasterxml.jackson.databind.JsonNode]("schema-registry-urls", regs)
+    } else root.putNull("schema-registry-urls")
     reply(ex, 200, mapper.writeValueAsString(root))
   }
   route("/") { ex =>
