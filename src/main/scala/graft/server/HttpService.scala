@@ -73,10 +73,7 @@ final class HttpService(spark: SparkSession, port: Int,
     val opts = try QueryOptions.fromMap(args) catch { case e: IllegalArgumentException =>
       return reply(ex, 400, errorJson(e.getMessage))
     }
-    if (opts.follow)
-      // Follow over HTTP needs an unbounded streaming sink; the sandbox
-      // binding exposes follow through StreamingLog (CLI/API), not here.
-      return reply(ex, 400, """{"error":"--follow is not supported over the HTTP binding"}""")
+    if (opts.follow) return followHandler(ex, opts)
     // Build + analyze the plan BEFORE committing the response: build-time
     // argument errors (e.g. an unknown topic) still reach the 400 channel;
     // only runtime failures are left to the mid-stream trade-off.
@@ -124,6 +121,69 @@ final class HttpService(spark: SparkSession, port: Int,
           if e.getMessage != null && e.getMessage.contains("cancelled") => ()
       case e: Exception => // response already committed: log-only, like the reference
         System.err.println(s"[graft-http] mid-stream failure: ${e.getMessage}")
+    } finally os.close()
+  }
+
+  /** `--follow` over HTTP: the reference streams the unbounded tail
+    * through the same chunked JSON-array response as a bounded search
+    * (`search.clj:103-122`, `core.clj:98-105`). Spark binding: a
+    * Structured Streaming query whose `foreachBatch` writes each
+    * micro-batch through the same [[JsonArrayRender]] record chunks. The
+    * array never closes on its own; termination is
+    *  - L3: the wall-clock kill switch (`stop-consumers-after-n-seconds`)
+    *    expiring the `awaitTermination` wait, after which the array is
+    *    closed cleanly — the reference's forgotten-consumer guard; or
+    *  - L4: the client disconnecting — the broken pipe fails the batch
+    *    writer, which kills the streaming query (the reference lets the
+    *    consumer run on, a known inefficiency, `core.clj:85-87`).
+    * Follow responses are never cached (unbounded, and the snapshot they
+    * start from is already stale by the time a replay would run).
+    */
+  private def followHandler(ex: HttpExchange, opts: QueryOptions): Unit = {
+    val df = try {
+      val d = graft.streaming.StreamingLog.follow(spark, opts.bootstrapServers, opts)
+      d.schema // force analysis pre-commit, like the bounded path
+      d
+    } catch { case e: IllegalArgumentException =>
+      return reply(ex, 400, errorJson(e.getMessage))
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L) // chunked
+    val os: OutputStream = ex.getResponseBody
+    val out: String => Unit = s => { os.write(s.getBytes(StandardCharsets.UTF_8)); os.flush() }
+    try {
+      out("[")
+      out(JsonArrayRender.Pioneer)
+      val q = df.writeStream
+        .queryName(s"graft-follow-${HttpService.followIds.incrementAndGet()}")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // foreachBatch runs driver-side on the stream thread — the only
+          // writer to `os` until the query is stopped below.
+          val it = batch.sortWithinPartitions("type", "topic", "partition", "offset")
+            .toJSON.toLocalIterator()
+          while (it.hasNext) out(JsonArrayRender.renderRecord(it.next()))
+        }
+        .start()
+      try {
+        // L3: false = deadline expired with the tail still alive — the
+        // kill switch, not an error. True = the query died (L4 broken
+        // pipe or a runtime failure); exceptions surface via the catch.
+        q.awaitTermination(config.stopConsumersAfterNSeconds * 1000L)
+      } finally {
+        try q.stop() catch { case _: Exception => () }
+      }
+      out("]")
+    } catch {
+      case e: Exception =>
+        // A broken pipe arrives bare (the close-bracket write) or wrapped
+        // in the StreamingQueryException that killed the batch writer —
+        // both mean the client went away (L4), not a server fault.
+        val clientGone = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(10).exists(_.isInstanceOf[java.io.IOException])
+        if (!clientGone)
+          System.err.println(s"[graft-http] follow stream failure: ${e.getMessage}")
     } finally os.close()
   }
 
@@ -186,4 +246,10 @@ final class HttpService(spark: SparkSession, port: Int,
   }
   def stop(): Unit = { server.stop(0); topicsCache.stop() }
   def boundPort: Int = server.getAddress.getPort
+}
+
+object HttpService {
+  /** Session-unique names for active follow queries (queryName must be
+    * unique across concurrently active streaming queries). */
+  private val followIds = new java.util.concurrent.atomic.AtomicInteger()
 }

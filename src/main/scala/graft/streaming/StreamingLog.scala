@@ -25,8 +25,19 @@ import graft.log.LogQuery
   */
 object StreamingLog {
 
-  /** The streaming record projection with regex filters applied. */
+  /** The streaming record pipeline: the SAME LogQuery column pipeline as
+    * batch — partition pruning (A1/A2), timestamp window (L5), regex
+    * filters (P2/P3), result envelope ∪ progress heartbeats (P6) are all
+    * pure column ops, so they apply unchanged to the unbounded stream.
+    * The one batch-only piece is the relative-offset seek (its bounds
+    * probe is an aggregation+join, unsupported on a stream): a real Kafka
+    * source seeks at subscription time (`startingOffsets`); the file
+    * stand-in can't, so it is rejected on the 400-contract channel.
+    */
   def follow(spark: SparkSession, sfDir: String, opts: QueryOptions): DataFrame = {
+    if (opts.relativeOffset.nonEmpty)
+      throw new IllegalArgumentException(
+        "--relative-offset needs a seekable source; not supported in follow mode here")
     graft.functions.GraftFunctions.register(spark)
     val schema = Tables.load(spark, sfDir, "events").schema
     // Schema must be supplied explicitly (streaming sources cannot infer);
@@ -41,9 +52,7 @@ object StreamingLog {
       unix_millis(col("ts")).as("timestamp"),
       col("user_id").cast("string").as("key"),
       col("props").as("value"))
-    recs
-      .where(opts.keyRegex.map(r => col("key").rlike(LogQuery.anchored(r))).getOrElse(lit(true)))
-      .where(opts.valRegex.map(r => col("value").rlike(LogQuery.anchored(r))).getOrElse(lit(true)))
+    LogQuery.streamFrom(LogQuery.consumedFrom(recs, opts), opts)
   }
 
   /** Run a streaming DataFrame to completion under Trigger.AvailableNow

@@ -41,10 +41,72 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(arr.get(1).get("key").asLong() == 13L) // "13" try-parsed to number
   }
 
-  test("/search with --follow → explicit 400 (streaming lives in the API binding)") {
-    val (status, body) = get(s"/search?$searchQs&follow")
-    assert(status == 400)
-    assert(body.contains("follow"))
+  test("/search with --follow streams the tail; the L3 kill switch closes the array") {
+    // A short wall-clock deadline stands in for the reference's
+    // stop-consumers-after-n-seconds guard (`search.clj:118-122`): the
+    // snapshot streams out as chunks, then the deadline expires and the
+    // JSON array is closed cleanly.
+    val fsvc = new HttpService(spark, port = 0,
+      graft.core.Config.Defaults.copy(stopConsumersAfterNSeconds = 5)).start()
+    try {
+      val t0 = System.nanoTime()
+      val url = new URI(s"http://localhost:${fsvc.boundPort}/search?$searchQs&follow").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(120000)
+      assert(conn.getResponseCode == 200)
+      val body = Source.fromInputStream(conn.getInputStream).mkString
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(elapsedSec >= 4.5) // held open until the kill switch, not a bounded scan
+      val arr = mapper.readTree(body) // parses ⇒ the deadline closed the array
+      assert(arr.isArray && arr.size() > 1)
+      assert(arr.get(0).get("type").asText() == "pioneer")
+      (1 until arr.size()).foreach { i =>
+        assert(arr.get(i).get("key").asLong() == 13L)
+        assert(arr.get(i).get("type").asText() == "result")
+      }
+    } finally fsvc.stop()
+  }
+
+  test("follow: client disconnect kills the streaming query on next write (L4)") {
+    // Own fixture dir → own watched stream dir, so appending a file here
+    // cannot disturb other suites' streaming counts.
+    val fixture = java.nio.file.Files.createTempDirectory("graft-follow-l4")
+    java.nio.file.Files.createSymbolicLink(fixture.resolve("events.parquet"),
+      java.nio.file.Paths.get(TestSpark.Sf, "events.parquet"))
+    val fsvc = new HttpService(spark, port = 0,
+      graft.core.Config.Defaults.copy(stopConsumersAfterNSeconds = 600)).start()
+    try {
+      val url = new URI(
+        s"http://localhost:${fsvc.boundPort}/search?bootstrap-servers=$fixture&topics=events&follow").toURL
+      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setReadTimeout(120000)
+      assert(conn.getResponseCode == 200)
+      val is = conn.getInputStream
+      is.read(new Array[Byte](64)) // ensure the stream is flowing…
+      is.close(); conn.disconnect() // …then walk away
+      // Append a batch to the watched dir so a write is guaranteed after
+      // the disconnect: the broken pipe must fail the query (not let it
+      // run to the 600 s deadline).
+      val streamDir = graft.streaming.StreamingLog.streamDir(fixture.toString)
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft-follow-append").toString
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(
+          "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"${TestSpark.Sf}/events.parquet").limit(100)
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).iterator()
+      val dst = java.nio.file.Paths.get(streamDir, "appended.parquet")
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) java.nio.file.Files.copy(p, dst)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        spark.streams.active.exists(q => Option(q.name).exists(_.startsWith("graft-follow"))))
+        Thread.sleep(250)
+      assert(!spark.streams.active.exists(q =>
+        Option(q.name).exists(_.startsWith("graft-follow"))))
+    } finally fsvc.stop()
   }
 
   test("/search with bad args → 400 error contract (C4)") {
