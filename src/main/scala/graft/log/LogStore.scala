@@ -32,6 +32,7 @@ object LogStore {
     * push to parquet. */
   def topic(spark: SparkSession, storeDir: String, name: String): DataFrame =
     spark.read.parquet(s"$storeDir/$name")
-      .select(col("topic"), col("partition").cast("int").as("partition"),
+      .select(col("topic"),
+        col("partition").cast("int").as("partition", RecordLog.partitionMeta),
         col("offset"), col("timestamp"), col("key"), col("value"))
 }

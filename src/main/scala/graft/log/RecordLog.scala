@@ -40,6 +40,17 @@ import graft.functions.GraftFunctions
 object RecordLog {
   val NumPartitions = 10
 
+  /** Column metadata declaring `partition` as the murmur2 placement of
+    * `key` — the license for KeyPartitionPruneRule to turn a literal key
+    * predicate into partition pruning on ANY query over this log
+    * (SURVEY.md §4). Attached by both the live synthesis and the archived
+    * layout so the rule fires regardless of where the log is read from. */
+  val partitionMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.plans.KeyPartitionPruneRule.PartitionOfKey, "key")
+      .putLong(graft.plans.KeyPartitionPruneRule.NumPartitionsKey, NumPartitions.toLong)
+      .build()
+
   private val cache = TrieMap.empty[(String, String, String), DataFrame]
 
   /** Unpersist and drop any cached topics of `spark` — the release path for
@@ -58,9 +69,21 @@ object RecordLog {
 
   /** A topic of the record-log family: "events" is the full table;
     * "clicks" is the click-only slice published as its own topic (used by
-    * the multi-topic union conformance query, FIXTURES.md §C Q2). */
+    * the multi-topic union conformance query, FIXTURES.md §C Q2).
+    *
+    * `spark.graft.recordSource=archive` (with `spark.graft.archiveDir`)
+    * answers topic reads from the [[LogStore]] archived layout instead of
+    * re-synthesizing offsets from the raw table — the production lake
+    * shape, where partition/offset/timestamp predicates prune directories
+    * and row groups instead of filtering a computed column (layout
+    * equivalence is oracle-checked by q08b). */
   def topic(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (spark.conf.getOption("spark.graft.cacheRecordLog").contains("true"))
+    if (spark.conf.getOption("spark.graft.recordSource").contains("archive")) {
+      val dir = spark.conf.getOption("spark.graft.archiveDir").getOrElse(
+        throw new IllegalArgumentException(
+          "spark.graft.recordSource=archive requires spark.graft.archiveDir"))
+      LogStore.topic(spark, dir, name)
+    } else if (spark.conf.getOption("spark.graft.cacheRecordLog").contains("true"))
       cache.getOrElseUpdate((System.identityHashCode(spark).toString, sfDir, name),
         build(spark, sfDir, name).cache())
     else build(spark, sfDir, name)
@@ -73,21 +96,13 @@ object RecordLog {
       case "clicks" => ev0.filter(col("event_type") === "click")
       case other => throw new IllegalArgumentException(s"unknown topic: $other")
     }
-    // The partition attribute carries metadata declaring it as the murmur2
-    // placement of `key` — the license for KeyPartitionPruneRule to turn a
-    // literal key predicate into partition pruning on ANY query over this
-    // log (SURVEY.md §4).
-    val partMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString(graft.plans.KeyPartitionPruneRule.PartitionOfKey, "key")
-      .putLong(graft.plans.KeyPartitionPruneRule.NumPartitionsKey, NumPartitions.toLong)
-      .build()
     val keyed = ev.select(
         col("ts"),
         col("event_id"),
         col("user_id").cast("string").as("key"),
         col("props").as("value"))
       .withColumn("partition",
-        GraftFunctions.kafkaPartition(col("key"), NumPartitions).as("partition", partMeta))
+        GraftFunctions.kafkaPartition(col("key"), NumPartitions).as("partition", partitionMeta))
     val withOffset =
       if (spark.conf.getOption("spark.graft.offsets").contains("scalable"))
         // Range-partitioned two-pass rank: parallelism follows data size,

@@ -26,6 +26,25 @@ class LogStoreSpec extends AnyFunSuite {
     assert(live.nonEmpty)
   }
 
+  test("spark.graft.recordSource=archive redirects RecordLog.topic to the store") {
+    val live = LogQuery.canonical(LogQuery.results(spark, TestSpark.Sf, opts))
+      .collect().map(_.mkString("|")).toSeq
+    spark.conf.set("spark.graft.recordSource", "archive")
+    spark.conf.set("spark.graft.archiveDir", store)
+    try {
+      val viaConf = LogQuery.canonical(LogQuery.results(spark, TestSpark.Sf, opts))
+        .collect().map(_.mkString("|")).toSeq
+      assert(viaConf == live)
+      // And it really is the archive scan: directory-level pruning applies.
+      val plan = LogQuery.results(spark, TestSpark.Sf, opts)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+    } finally {
+      spark.conf.unset("spark.graft.recordSource")
+      spark.conf.unset("spark.graft.archiveDir")
+    }
+  }
+
   test("partition predicates prune DIRECTORIES on the archive scan") {
     val df = LogQuery.consumedFrom(LogStore.topic(spark, store, "events"), opts)
     val plan = df.queryExecution.executedPlan.toString
