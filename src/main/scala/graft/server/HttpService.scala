@@ -235,7 +235,7 @@ final class HttpService(spark: SparkSession, port: Int,
     reply(ex, 200, mapper.writeValueAsString(root))
   }
   route("/") { ex =>
-    reply(ex, 200, "<html><body>graft console placeholder</body></html>", "text/html")
+    reply(ex, 200, graft.console.ConsolePage.Html, "text/html")
   }
 
   def start(): this.type = {
