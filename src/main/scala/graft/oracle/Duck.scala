@@ -81,7 +81,11 @@ object Duck {
        |  FROM $src),
        |$alias AS (
        |  SELECT '$name' AS topic, part AS "partition",
-       |         CAST(row_number() OVER (PARTITION BY part ORDER BY ts, event_id) - 1 AS BIGINT) AS "offset",
+       |         -- ts::TIMESTAMP truncates TIMESTAMP_NS to the same µs
+       |         -- precision Spark sorts at (timestamp_micros(ns div 1000)),
+       |         -- so the offset tie-break can never diverge on sub-µs
+       |         -- fixture timestamps (ADVICE r03).
+       |         CAST(row_number() OVER (PARTITION BY part ORDER BY ts::TIMESTAMP, event_id) - 1 AS BIGINT) AS "offset",
        |         epoch_ms(ts) AS "timestamp", "key", "value"
        |  FROM ${alias}0)""".stripMargin
   }
