@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val Flagships = Seq(
     "q01_scan", "q04_key_regex", "q12_join", "q15_topk", "q16_scalar",
-    "q18_asof_join", "q22_minhash_pairs", "q23_ann_topk", "q29_sessionize")
+    "q18_asof_join", "q22_minhash_pairs", "q23_ann_topk", "q29_sessionize",
+    "q33_sign_lsh_pairs", "q34_avro_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -17,14 +18,25 @@ object Plans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Flagships.foreach { name =>
-      println(s"\n===================== $name =====================")
+    def dump(name: String, suffix: String = ""): Unit = {
+      println(s"\n===================== $name$suffix =====================")
       println(SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
+    Flagships.foreach(dump(_))
+    // The archived layout the bench runs record queries on: partition
+    // predicates become PartitionFilters (directory pruning) instead of a
+    // post-scan Filter over a computed column.
+    val archiveDir = s"/tmp/graft-plans-archive-${Integer.toHexString(sfDir.hashCode)}"
+    if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
+      graft.log.LogStore.materialize(spark, sfDir, archiveDir)
+    spark.conf.set("spark.graft.recordSource", "archive")
+    spark.conf.set("spark.graft.archiveDir", archiveDir)
+    Seq("q01_scan", "q08_partitions").foreach(dump(_, " [archive layout]"))
     spark.stop()
   }
 }
