@@ -34,6 +34,24 @@ object Bench {
     if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
       graft.log.LogStore.materialize(spark, sfDir, archiveDir)
     spark.conf.set("spark.graft.recordSource", "archive")
+    // Steady-state measurement: run every query once at the smallest SF
+    // (untimed) so JIT + whole-stage-codegen compilation of each query's
+    // operator chain is not charged to the timed pass. BENCH_r03 recorded
+    // q27 at 17.7s where steady state is ~3.5s — exactly this artifact
+    // (adjudicated as a JIT/GC outlier in VERDICT r3). Warm-up errors are
+    // ignored; the timed pass still reports them.
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
+      val warmArchive = s"/tmp/graft-bench-archive-${Integer.toHexString(warmSf.hashCode)}"
+      if (!new java.io.File(s"$warmArchive/clicks/_SUCCESS").exists())
+        graft.log.LogStore.materialize(spark, warmSf, warmArchive)
+      spark.conf.set("spark.graft.archiveDir", warmArchive)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
     spark.conf.set("spark.graft.archiveDir", archiveDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

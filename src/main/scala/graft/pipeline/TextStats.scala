@@ -77,4 +77,68 @@ object TextStats {
     * symbols, a cheap proxy for tokenizer load estimation. */
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
+
+  // ---- DuckDB oracle mirrors of langId -------------------------------
+  // Generated from the SAME profile tables as the Column form above, so
+  // the Spark expression and the oracle SQL cannot drift apart.
+
+  /** Per-language score expression (DuckDB SQL) over column `text`,
+    * mirroring the `3×stopwords + trigrams` score in [[langId]]. */
+  private def langScoreSql(code: String): String = {
+    val wordPat = StopwordProfiles.toMap.apply(code).mkString("\\b(", "|", ")\\b")
+    val triPat = TrigramProfiles.toMap.apply(code).mkString("(", "|", ")")
+    s"3 * len(regexp_extract_all(lower(text), '$wordPat')) + " +
+      s"len(regexp_extract_all(lower(text), '$triPat'))"
+  }
+
+  /** `SELECT`-list fragments `<score> AS s_<code>`, one per language. */
+  def langScoreSqlFragments: Seq[String] =
+    StopwordProfiles.map { case (code, _) => s"${langScoreSql(code)} AS s_$code" }
+
+  /** Argmax CASE over the `s_<code>` score columns. Codes are tested in
+    * DESCENDING lexicographic order with `>=` comparisons, which realizes
+    * exactly [[langId]]'s tie-break (ties go to the larger code — the
+    * struct-max semantics of `array_max(struct(score, code))`). */
+  def langIdCaseSql: String = {
+    val codes = StopwordProfiles.map(_._1)
+    val desc = codes.sorted.reverse
+    val whens = desc.init.zipWithIndex.map { case (c, i) =>
+      val rest = desc.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$c >= s_$r").mkString(" AND ")} THEN '$c'"
+    }
+    s"CASE WHEN greatest(${codes.map("s_" + _).mkString(", ")}) = 0 THEN 'und' " +
+      whens.mkString(" ") + s" ELSE '${desc.last}' END"
+  }
+
+  /** Full DuckDB oracle for per-doc [[langId]] over table `documents`. */
+  def langIdOracleSql: String =
+    s"""SELECT doc_id, $langIdCaseSql AS lang_id
+       |FROM (SELECT doc_id, ${langScoreSqlFragments.mkString(", ")} FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for the end-to-end curation pipeline: quality filter →
+    * detected-language filter → exact dedup (min doc_id per identical
+    * text) → per-language corpus totals. Mirrors the q36 DataFrame chain
+    * stage for stage. */
+  def curationOracleSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |    ${langScoreSqlFragments.mkString(", ")}
+       |  FROM documents),
+       |labeled AS (
+       |  SELECT doc_id, text, n_tokens, n_punct, $langIdCaseSql AS lang_id
+       |  FROM scored),
+       |kept AS (
+       |  SELECT * FROM labeled
+       |  WHERE n_tokens >= 5 AND n_punct * 2 <= n_tokens AND lang_id <> 'und'),
+       |dedup AS (
+       |  SELECT min(doc_id) AS doc_id, min(lang_id) AS lang_id,
+       |         min(n_tokens) AS n_tokens
+       |  FROM kept GROUP BY text)
+       |SELECT lang_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM dedup GROUP BY lang_id ORDER BY lang_id""".stripMargin
 }

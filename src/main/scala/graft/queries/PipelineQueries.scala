@@ -96,6 +96,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-doc heuristic language ID (3×stopwords + trigrams, argmax with
+    // ties to the larger code) — KAT against the SQL rendering generated
+    // from the same profile tables, so expression and oracle cannot drift.
+    "q35_langid" -> ((s, sf) =>
+      Tables.load(s, sf, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")),
+
+    // End-to-end curation: quality filter (token count, punctuation
+    // density) → detected-language filter → exact dedup (min doc_id per
+    // identical text) → per-language corpus totals. The canonical
+    // training-data flow; every stage is a shuffle-once hash agg or a
+    // narrow scan, so the chain is the 100 TB shape (two shuffles total:
+    // dedup on text, stats on lang).
+    "q36_curation" -> ((s, sf) => {
+      val scored = Tables.load(s, sf, "documents").select(
+        col("doc_id"), col("text"),
+        TextStats.langId(col("text")).as("lang_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.punctCount(col("text")).cast("long").as("n_punct"))
+      val kept = scored.filter(col("n_tokens") >= 5 &&
+        col("n_punct") * 2 <= col("n_tokens") && col("lang_id") =!= "und")
+      val dedup = kept.groupBy("text").agg(
+        min("doc_id").as("doc_id"), min("lang_id").as("lang_id"),
+        min("n_tokens").as("n_tokens"))
+      dedup.groupBy("lang_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"))
+        .orderBy("lang_id")
+    }),
+
     // Blocked (IVF-style) all-pairs similarity: best pair per label cell.
     "q26_cos_top_pair" -> ((s, sf) =>
       Similarity.topPairPerGroup(Tables.load(s, sf, "embeddings"), "vec_id", "embedding", "label")),
@@ -136,6 +168,10 @@ object PipelineQueries {
     "q23_ann_topk" -> Similarity.topKOracleSql(0L, 10),
 
     "q24_text_stats" -> TextStats.corpusStatsOracleSql,
+
+    "q35_langid" -> TextStats.langIdOracleSql,
+
+    "q36_curation" -> TextStats.curationOracleSql,
 
     "q26_cos_top_pair" -> Similarity.topPairOracleSql,
 
