@@ -31,24 +31,31 @@ object Bench {
     // oracle-checked (q08b) and the archive is built from the same
     // synthesis the live path uses.
     val archiveDir = s"/tmp/graft-bench-archive-${Integer.toHexString(sfDir.hashCode)}"
+    // Both archives must be materialized while the record source is still
+    // the live parquet layout: materialize itself reads via RecordLog.topic,
+    // which with recordSource=archive would demand the (not yet existing)
+    // archive it is trying to build (ADVICE r4, broke BENCH_r04).
     if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
       graft.log.LogStore.materialize(spark, sfDir, archiveDir)
+    val warmSf = "/root/testdata/sf0.001"
+    val warmDistinct = new java.io.File(warmSf).isDirectory &&
+      new java.io.File(warmSf).getCanonicalPath != new java.io.File(sfDir).getCanonicalPath
+    val warmArchive = s"/tmp/graft-bench-archive-${Integer.toHexString(warmSf.hashCode)}"
+    if (warmDistinct && !new java.io.File(s"$warmArchive/clicks/_SUCCESS").exists())
+      graft.log.LogStore.materialize(spark, warmSf, warmArchive)
     spark.conf.set("spark.graft.recordSource", "archive")
     // Steady-state measurement: run every query once at the smallest SF
     // (untimed) so JIT + whole-stage-codegen compilation of each query's
     // operator chain is not charged to the timed pass. BENCH_r03 recorded
     // q27 at 17.7s where steady state is ~3.5s — exactly this artifact
     // (adjudicated as a JIT/GC outlier in VERDICT r3). Warm-up errors are
-    // ignored; the timed pass still reports them.
-    val warmSf = "/root/testdata/sf0.001"
-    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
-      val warmArchive = s"/tmp/graft-bench-archive-${Integer.toHexString(warmSf.hashCode)}"
-      if (!new java.io.File(s"$warmArchive/clicks/_SUCCESS").exists())
-        graft.log.LogStore.materialize(spark, warmSf, warmArchive)
+    // ignored (NonFatal only — a fatal JVM error must not leak into the
+    // timed pass); the timed pass still reports per-query errors.
+    if (warmDistinct) {
       spark.conf.set("spark.graft.archiveDir", warmArchive)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
     }

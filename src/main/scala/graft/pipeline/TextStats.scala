@@ -87,8 +87,11 @@ object TextStats {
   private def langScoreSql(code: String): String = {
     val wordPat = StopwordProfiles.toMap.apply(code).mkString("\\b(", "|", ")\\b")
     val triPat = TrigramProfiles.toMap.apply(code).mkString("(", "|", ")")
-    s"3 * len(regexp_extract_all(lower(text), '$wordPat')) + " +
-      s"len(regexp_extract_all(lower(text), '$triPat'))"
+    // coalesce: NULL text must score 0 so the argmax CASE lands in the
+    // `greatest(...) = 0 → 'und'` branch — mirroring Spark, where the NULL
+    // score fails `best.s > 0` and langId yields 'und' (ADVICE r4).
+    s"coalesce(3 * len(regexp_extract_all(lower(text), '$wordPat')) + " +
+      s"len(regexp_extract_all(lower(text), '$triPat')), 0)"
   }
 
   /** `SELECT`-list fragments `<score> AS s_<code>`, one per language. */
