@@ -58,7 +58,15 @@ object TextStats {
 
   /** Heuristic language ID: argmax of (3×stopword hits + trigram hits);
     * ties resolve to the lexicographically larger code (deterministic).
-    * Returns a 2-letter code or "und" when nothing matches at all. */
+    * Returns a 2-letter code or "und" when nothing matches at all.
+    *
+    * The all-zero → "und" fallback is encoded as a sentinel element
+    * `struct(0, "und")` in the argmax array rather than a CASE: "und"
+    * sorts above every real code, so the sentinel wins exactly when no
+    * real score is positive (any hit scores ≥ 1 > 0), and when a NULL
+    * text NULLs every real score (null struct fields sort first). A
+    * CASE WHEN would duplicate the whole 8-regexp argmax subtree into
+    * both the condition and the branch — 2× the regex work per row. */
   def langId(text: Column): Column = {
     val lowered = lower(text)
     val tri = TrigramProfiles.toMap
@@ -69,8 +77,8 @@ object TextStats {
         regexp_count(lowered, lit(triPat))
       struct(score.as("s"), lit(code).as("l"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+    val sentinel = struct(lit(0).as("s"), lit("und").as("l"))
+    array_max(array(sentinel +: scored: _*)).getField("l")
   }
 
   /** BPE-ish subword count: alphanumeric runs + standalone non-space

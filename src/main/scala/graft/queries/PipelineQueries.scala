@@ -110,20 +110,26 @@ object PipelineQueries {
     // training-data flow; every stage is a shuffle-once hash agg or a
     // narrow scan, so the chain is the 100 TB shape (two shuffles total:
     // dedup on text, stats on lang).
+    //
+    // Expression placement is deliberate: a project-then-filter chain
+    // would have Catalyst substitute the 8-regexp langId into the pushed
+    // filter AND keep it in the projection — 2× the regex work per row.
+    // Instead the gate runs straight off the scan (one eval per row,
+    // rows drop BEFORE the dedup shuffle, which carries only
+    // (text, doc_id)), and scores are recomputed once per UNIQUE text as
+    // grouping/aggregate expressions of the final per-language rollup —
+    // valid because every score is a pure function of `text`, so
+    // filtering and scoring commute with the text-group dedup.
     "q36_curation" -> ((s, sf) => {
-      val scored = Tables.load(s, sf, "documents").select(
-        col("doc_id"), col("text"),
-        TextStats.langId(col("text")).as("lang_id"),
-        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextStats.punctCount(col("text")).cast("long").as("n_punct"))
-      val kept = scored.filter(col("n_tokens") >= 5 &&
-        col("n_punct") * 2 <= col("n_tokens") && col("lang_id") =!= "und")
-      val dedup = kept.groupBy("text").agg(
-        min("doc_id").as("doc_id"), min("lang_id").as("lang_id"),
-        min("n_tokens").as("n_tokens"))
-      dedup.groupBy("lang_id").agg(
+      val nTokens = TextStats.tokenCount(col("text")).cast("long")
+      val kept = Tables.load(s, sf, "documents").filter(
+        nTokens >= 5 &&
+          TextStats.punctCount(col("text")).cast("long") * 2 <= nTokens &&
+          TextStats.langId(col("text")) =!= "und")
+      val dedup = kept.groupBy("text").agg(min("doc_id").as("doc_id"))
+      dedup.groupBy(TextStats.langId(col("text")).as("lang_id")).agg(
         count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("total_tokens"),
+        sum(nTokens).as("total_tokens"),
         min("doc_id").as("first_doc"))
         .orderBy("lang_id")
     }),
