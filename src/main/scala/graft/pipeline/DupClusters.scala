@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: connected components over a near-dup
+  * pair list — the step a production dedup pipeline runs AFTER pair
+  * generation (exact, MinHash, SimHash or embedding pairs all produce
+  * edges), so "A≈B, B≈C" collapses to one cluster {A,B,C} and a single
+  * canonical document survives per cluster.
+  */
+object DupClusters {
+
+  /** Connected components of the undirected graph given by `(srcCol,
+    * dstCol)` pairs. Returns one row per distinct vertex appearing in a
+    * pair, labeled with the minimum vertex id reachable from it
+    * (`id`, `cluster`).
+    *
+    * Each round combines the two classic moves, after which labels are
+    * the component minimum in **O(log diameter)** rounds:
+    *
+    *   - min-label propagation (the Pregel formulation GraphX uses):
+    *     every vertex adopts the minimum label among itself and its
+    *     neighbors — one edge-join shuffle + one agg shuffle;
+    *   - pointer jumping (path halving, as in HashToMin / two-phase CC,
+    *     Rastogi et al., ICDE'13): every vertex then adopts its label's
+    *     OWN label. Labels always name real vertices, so this chases the
+    *     chain `v → label(v) → label²(v)`, doubling the distance covered
+    *     per round — a 2^20-diameter path converges inside the default
+    *     bound, where propagation alone is O(diameter).
+    *
+    * Near-duplicate graphs are unions of dense, tiny-diameter clusters
+    * (LSH band buckets yield near-cliques), so real corpora settle in a
+    * handful of rounds regardless.
+    *
+    * Scale notes: the label table is `localCheckpoint`ed each round to
+    * truncate the growing lineage (iterative Spark's classic
+    * planning/OOM trap); checkpoints are label-table-sized (two longs per
+    * vertex), kept for the logarithmically few rounds and evicted LRU
+    * under memory pressure. The convergence probe is a metadata-sized
+    * count of changed labels, never a data collect. The edge list is
+    * persisted once and reused by every round's join. If `maxIters`
+    * rounds do not converge the result would be silently wrong, so that
+    * raises instead.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = und.join(labels, und("b") === labels("id"))
+        .select(und("a").as("id"), col("label"))
+      // Checkpointed BEFORE the jump self-join: truncates the lineage and
+      // gives the self-join a materialized plan (a union-derived frame
+      // joined with itself trips Catalyst's constraint rewrite).
+      val prop = labels.select(col("id"), col("label")).union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // Pointer jump: label ← min(label, label(label)). Left join: a
+      // label is always a vertex id, but the left side keeps the row if
+      // the lookup misses mid-computation.
+      val jump = prop.select(col("id").as("p_id"), col("label").as("p_label"))
+      val next = prop.join(jump, col("label") === col("p_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
+      // Labels only ever decrease, so "any label strictly smaller than
+      // before" is exactly "something changed this round".
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist(false)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters (the graph diameter exceeds 2^maxIters)")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** DuckDB oracle: clusters over [[MinHashDedup.nearDupPairs]] edges on
+    * table `documents`, computed by a recursive reachability CTE + min
+    * aggregate (fine at oracle scale; quadratic in cluster size). */
+  def clustersOracleSql(minSim: Double): String = {
+    val prefix = MinHashDedup.ctePrefixSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$prefix,
+       |${MinHashDedup.estCteSql},
+       |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_sim >= $minSim),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.a, rr.r FROM e JOIN reach rr ON e.b = rr.id)
+       |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+  }
+}

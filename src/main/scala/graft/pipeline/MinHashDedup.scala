@@ -133,8 +133,10 @@ object MinHashDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Shared DuckDB CTE prefix: shingles → signatures → bands → candidates. */
-  private def ctePrefixSql: String = {
+  /** Shared DuckDB CTE prefix: shingles → signatures → bands → candidates.
+    * `private[pipeline]` so [[DupClusters]] can build its cluster oracle on
+    * the same pair derivation. */
+  private[pipeline] def ctePrefixSql: String = {
     val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
     val sigList = (0 until NumHashes)
       .map(j => s"list_min(list_transform(shingles, s -> (s * ${A(j)} + ${B(j)}) % $P))")
@@ -152,15 +154,19 @@ object MinHashDedup {
        |  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
   }
 
-  /** DuckDB SQL reproducing [[nearDupPairs]] bit-exactly on table `documents`. */
-  def oracleSql(minSim: Double): String =
-    s"""$ctePrefixSql,
-       |est AS (
+  /** DuckDB CTE estimating per-candidate signature agreement (est_sim). */
+  private[pipeline] def estCteSql: String =
+    s"""est AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_filter(range(1, ${NumHashes + 1}), j -> sa.sig[j] = sb.sig[j])) / CAST($NumHashes AS DOUBLE) AS est_sim
        |  FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.doc_a
-       |  JOIN sig sb ON sb.doc_id = c.doc_b)
+       |  JOIN sig sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** DuckDB SQL reproducing [[nearDupPairs]] bit-exactly on table `documents`. */
+  def oracleSql(minSim: Double): String =
+    s"""$ctePrefixSql,
+       |$estCteSql
        |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= $minSim
        |ORDER BY doc_a, doc_b""".stripMargin
 

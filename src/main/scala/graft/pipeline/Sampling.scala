@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling: the `n` documents per stratum with
+  * the smallest `md5(doc_id)` — a stable pseudo-random draw that is
+  * reproducible across runs, cluster sizes and engines (the hash IS the
+  * random order, so there is no RNG state to seed or synchronize).
+  *
+  * Scale shape: a plain `row_number() over (partition by stratum order by
+  * md5)` caps parallelism at the stratum count (a handful of languages
+  * over 100 TB = a skew wall). Instead, phase 1 prunes map-side with a
+  * bounded heap — each input partition forwards at most `n` rows per
+  * stratum it contains, so the shuffle moves ≤ n×P candidate rows per
+  * stratum, never the corpus — and phase 2 ranks the tiny survivor set
+  * with the exact window. The union of per-partition top-n supersets the
+  * global top-n, so the result is exact.
+  */
+object Sampling {
+
+  /** (stratum, doc_id, rn) with rn = 1..n per stratum in md5 order. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String, n: Int)
+      : DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val spark = df.sparkSession
+    val keyed = df.select(col(strataCol).as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      md5(col(idCol).cast("string")).as("pick"))
+    val schema = keyed.schema
+
+    // Phase 1: per-partition top-n per stratum. Memory is bounded by
+    // n × (strata present in the partition); ordering is (pick, doc_id),
+    // doc_id breaking md5 ties deterministically.
+    val pruned = keyed.rdd.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[(String, Long)]]
+      it.foreach { r =>
+        val heap = heaps.getOrElseUpdate(r.get(0),
+          mutable.PriorityQueue.empty[(String, Long)]) // max-heap: evicts largest
+        heap.enqueue((r.getString(2), r.getLong(1)))
+        if (heap.size > n) heap.dequeue()
+      }
+      heaps.iterator.flatMap { case (stratum, heap) =>
+        heap.iterator.map { case (pick, id) =>
+          org.apache.spark.sql.Row(stratum, id, pick)
+        }
+      }
+    }
+
+    // Phase 2: exact rank over the ≤ n×P survivors per stratum.
+    val w = Window.partitionBy("stratum").orderBy(col("pick"), col("doc_id"))
+    spark.createDataFrame(pruned, schema)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("stratum"), col("doc_id"), col("rn"))
+      .orderBy("stratum", "doc_id")
+  }
+
+  /** DuckDB oracle for [[stratified]] over table `documents`, strata =
+    * `lang` (the window form — correct, just not the scale shape). */
+  def oracleSql(n: Int): String =
+    s"""SELECT lang AS stratum, doc_id, rn FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $n ORDER BY stratum, doc_id""".stripMargin
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{MinHashDedup, SimHash, Similarity, TextStats}
+import graft.pipeline.{DupClusters, MinHashDedup, Sampling, ShardPack, SimHash, Similarity, TextStats}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -152,7 +152,32 @@ object PipelineQueries {
           expr("transform(emb, x -> x * CAST(1.5 AS DOUBLE))").as("emb"))
       Similarity.bucketedNearDupPairs(base.unionAll(copies), "vec_id", "emb",
         EmbeddingDim, minCos = 0.999)
-    })
+    }),
+
+    // Duplicate-cluster resolution: connected components over the q22
+    // near-dup pair graph (min-label propagation; O(diameter) rounds,
+    // one edge-join shuffle per round). Pairs → clusters is the step
+    // that lets a pipeline keep ONE canonical doc per duplicate group.
+    "q37_dup_clusters" -> ((s, sf) => {
+      val pairs = MinHashDedup.nearDupPairs(
+        Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)
+      DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget shard packing: greedy sequential fill into ~4096-token
+    // training shards via the scalable two-pass prefix sum (never a
+    // single-partition window).
+    "q38_shard_pack" -> ((s, sf) =>
+      ShardPack.assign(Tables.load(s, sf, "documents"), "doc_id",
+        TextStats.tokenCount(col("text")), budget = 4096L)
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sample: 20 docs per language by md5 order,
+    // map-side top-n pruning before the (tiny) ranking window.
+    "q39_stratified_sample" -> ((s, sf) =>
+      Sampling.stratified(Tables.load(s, sf, "documents"), "lang", "doc_id", 20))
   )
 
   def oracle: Map[String, String] = Map(
@@ -202,6 +227,12 @@ object PipelineQueries {
          |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality,
          |  CAST(length(text) AS BIGINT) AS n_bytes,
          |  ${Duck.rollingHashSql("text")} AS fingerprint
-         |FROM documents ORDER BY asset_id""".stripMargin
+         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q37_dup_clusters" -> DupClusters.clustersOracleSql(0.5),
+
+    "q38_shard_pack" -> ShardPack.oracleSql(4096L),
+
+    "q39_stratified_sample" -> Sampling.oracleSql(20)
   )
 }

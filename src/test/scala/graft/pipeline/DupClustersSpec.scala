@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Connected components must agree with a reference union-find on every
+  * graph shape that stresses the propagation: chains (diameter), merged
+  * components, isolated pairs. */
+class DupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 20): Map[Long, Long] =
+    DupClusters.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference union-find over the same pairs. */
+  private def expected(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root labels are minimal: union always keeps the smaller root
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two components, one formed by a chain") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = cc(pairs)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain converges in O(log diameter) rounds (pointer jumping)") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    // propagation alone would need 30 rounds; jumping gets there in ≤ 8
+    assert(cc(chain, maxIters = 8) == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
+  test("exceeding the round bound raises instead of returning wrong labels") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](cc(chain, maxIters = 2))
+  }
+
+  test("random graph ≡ union-find") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(pairs) == expected(pairs))
+  }
+
+  test("fixture near-dup pairs resolve to clusters labeled by their min doc") {
+    val pairs = MinHashDedup.nearDupPairs(
+      Tables.load(spark, TestSpark.Sf, "documents"), "doc_id", "text", 0.5)
+    val clusters = DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty)
+    // every cluster label is a member of its own cluster and the minimum
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    byCluster.foreach { case (label, members) =>
+      assert(members.contains(label) && label == members.min)
+    }
+  }
+}
