@@ -89,10 +89,27 @@ object DupClusters {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
-  /** DuckDB oracle: clusters over [[MinHashDedup.nearDupPairs]] edges on
-    * table `documents`, computed by a recursive reachability CTE + min
-    * aggregate (fine at oracle scale; quadratic in cluster size). */
-  def clustersOracleSql(minSim: Double): String = {
+  /** The deduplicated corpus: drop every clustered document except its
+    * cluster's minimum id; documents in no near-dup pair survive
+    * untouched. One CC run + one left-anti join. The `dupMembers` side's
+    * size is a runtime quantity (the dup rate), so no static broadcast
+    * hint: AQE converts the anti-join to broadcast when members are
+    * small (the common case — corpus unshuffled) and keeps a shuffle
+    * join when dedup bites hard — exactly the adaptive behavior wanted
+    * at 100 TB. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val dupMembers = connectedComponents(pairs, srcCol, dstCol)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(dupMembers, Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB CTE chain ending in `cc(id, cluster)`: clusters over
+    * [[MinHashDedup.nearDupPairs]] edges on table `documents`, computed
+    * by a recursive reachability CTE + min aggregate (fine at oracle
+    * scale; quadratic in cluster size). */
+  private def ccCtesSql(minSim: Double): String = {
     val prefix = MinHashDedup.ctePrefixSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$prefix,
        |${MinHashDedup.estCteSql},
@@ -102,8 +119,19 @@ object DupClusters {
        |reach(id, r) AS (
        |  SELECT a, a FROM e
        |  UNION
-       |  SELECT e.a, rr.r FROM e JOIN reach rr ON e.b = rr.id)
-       |SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
-       |ORDER BY doc_id""".stripMargin
+       |  SELECT e.a, rr.r FROM e JOIN reach rr ON e.b = rr.id),
+       |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
   }
+
+  /** DuckDB oracle for [[connectedComponents]] over near-dup pairs. */
+  def clustersOracleSql(minSim: Double): String =
+    s"""${ccCtesSql(minSim)}
+       |SELECT id AS doc_id, cluster FROM cc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[canonicalize]] on table `documents`. */
+  def canonicalOracleSql(minSim: Double): String =
+    s"""${ccCtesSql(minSim)}
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -177,7 +177,18 @@ object PipelineQueries {
     // Deterministic stratified sample: 20 docs per language by md5 order,
     // map-side top-n pruning before the (tiny) ranking window.
     "q39_stratified_sample" -> ((s, sf) =>
-      Sampling.stratified(Tables.load(s, sf, "documents"), "lang", "doc_id", 20))
+      Sampling.stratified(Tables.load(s, sf, "documents"), "lang", "doc_id", 20)),
+
+    // The deduplicated corpus: clusters' minimum doc survives, other
+    // members drop via a broadcast anti-join — the end product of the
+    // pair→cluster→canonicalize dedup chain.
+    "q40_canonical_corpus" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      DupClusters.canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -233,6 +244,8 @@ object PipelineQueries {
 
     "q38_shard_pack" -> ShardPack.oracleSql(4096L),
 
-    "q39_stratified_sample" -> Sampling.oracleSql(20)
+    "q39_stratified_sample" -> Sampling.oracleSql(20),
+
+    "q40_canonical_corpus" -> DupClusters.canonicalOracleSql(0.5)
   )
 }

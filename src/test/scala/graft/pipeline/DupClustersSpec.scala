@@ -56,6 +56,21 @@ class DupClustersSpec extends AnyFunSuite {
     assert(cc(pairs) == expected(pairs))
   }
 
+  test("canonicalize keeps exactly one doc per cluster plus all singletons") {
+    val docs = (1L to 10L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val kept = DupClusters.canonicalize(docs, "doc_id", pairs, "a", "b")
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+    // the cluster-member side is runtime-small → AQE's FINAL plan must
+    // have converted the anti-join to broadcast (statically it is SMJ:
+    // the CC output has no size stats)
+    val physical = kept.queryExecution.executedPlan.toString
+    assert(physical.contains("isFinalPlan=true"), physical.take(300))
+    assert(physical.contains("BroadcastHashJoin") && physical.contains("LeftAnti"),
+      physical.take(2000))
+  }
+
   test("fixture near-dup pairs resolve to clusters labeled by their min doc") {
     val pairs = MinHashDedup.nearDupPairs(
       Tables.load(spark, TestSpark.Sf, "documents"), "doc_id", "text", 0.5)
