@@ -120,6 +120,79 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Exact cosine top-k for a BATCH of query vectors in ONE corpus pass —
+    * the retrieval shape of a real pipeline (embed a request batch, fetch
+    * neighbors for all of them), where per-query scans would multiply the
+    * corpus IO by |queries|.
+    *
+    * Plan: the query rows broadcast (a handful of vectors); every corpus
+    * partition scores all queries map-side (`vec_dot`, norms precomputed
+    * per side — bit-identical to the per-pair inline form); a bounded
+    * heap per (partition, query) prunes to ≤ k rows before ANY shuffle,
+    * so the ranking window sees ≤ k×P rows per query, never the corpus.
+    * Same two-phase top-k shape as [[graft.pipeline.Sampling]]. */
+  def batchTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
+    val scored = e
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
+    val schema = scored.schema
+
+    // Worst kept row surfaces first: lowest cos, then LARGEST vec_id
+    // (ties prefer the smaller id, so the larger one is evicted first).
+    val worstFirst: Ordering[(Double, Long)] =
+      Ordering.by { case (c, id) => (-c, id) }
+    val pruned = scored.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { r =>
+        val heap = heaps.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        heap.enqueue((r.getDouble(2), r.getLong(1)))
+        if (heap.size > k) heap.dequeue()
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (cos, id) =>
+          org.apache.spark.sql.Row(qid, id, cos)
+        }
+      }
+    }
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    spark.createDataFrame(pruned, schema)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "vec_id")
+  }
+
+  /** DuckDB oracle for [[batchTopK]] on table `embeddings`. */
+  def batchTopKOracleSql(queryIds: Seq[Long], k: Int): String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.qv[i])")
+    val na = fold("list_transform(e.emb, v -> v * v)")
+    val nb = fold("list_transform(q.qv, v -> v * v)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qv FROM e
+       |      WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |s AS (SELECT q.qid, e.vec_id, $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM s)
+       |WHERE rn <= $k ORDER BY qid, vec_id""".stripMargin
+  }
+
   /** Blocked all-pairs similarity: the most similar pair inside each group
     * (e.g. an IVF coarse cell, here the fixture's `label` column). The join
     * shuffles on the block key only — the IVF pattern for ANN at scale:

@@ -179,6 +179,13 @@ object PipelineQueries {
     "q39_stratified_sample" -> ((s, sf) =>
       Sampling.stratified(Tables.load(s, sf, "documents"), "lang", "doc_id", 20)),
 
+    // Batch ANN: exact cosine top-10 for FIVE query vectors in one corpus
+    // pass — broadcast queries, map-side scoring, per-(partition, query)
+    // bounded heaps before the (tiny) ranking window.
+    "q41_ann_batch" -> ((s, sf) =>
+      Similarity.batchTopK(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -246,6 +253,8 @@ object PipelineQueries {
 
     "q39_stratified_sample" -> Sampling.oracleSql(20),
 
-    "q40_canonical_corpus" -> DupClusters.canonicalOracleSql(0.5)
+    "q40_canonical_corpus" -> DupClusters.canonicalOracleSql(0.5),
+
+    "q41_ann_batch" -> Similarity.batchTopKOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 10)
   )
 }

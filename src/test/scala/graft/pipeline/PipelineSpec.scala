@@ -75,6 +75,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(top.head.getAs[Double]("cos") - 1.0) < 1e-12)
   }
 
+  test("batch top-k ≡ per-query brute force, across repartitions") {
+    val emb = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    def brute(qid: Long): Seq[(Long, Long, Double)] =
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+    val expect = qids.flatMap(brute).sortBy(t => (t._1, t._2))
+    for (p <- Seq(1, 7)) {
+      val got = Similarity.batchTopK(emb.repartition(p), "vec_id", "embedding", qids, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect, s"repartition=$p")
+    }
+  }
+
   test("langId picks the dominant stopword profile") {
     val df = Seq(
       "the cat and the dog sat in the garden and it is warm",
