@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share a word
+  * n-gram with any document of a held-out evaluation set — the overlap
+  * check (GPT-3 §C-style, 13-gram there, parameterized here) that keeps
+  * eval benchmarks out of the training corpus.
+  *
+  * Scale shape: an eval benchmark is MBs while the corpus is 100 TB, so
+  * the distinct eval n-gram set BROADCASTS, the corpus-side n-grams are
+  * generated map-side (explode of a codegen'd `transform`) and probe the
+  * broadcast hash table without ever shuffling raw text; the only
+  * shuffle is the final per-doc overlap count, which carries just
+  * `(doc_id, gram)` for matching grams — at a sane n (≥ 4), a tiny
+  * fraction of the corpus. A per-doc `dropDuplicates` before the count
+  * is deliberately NOT inserted: `countDistinct` already dedups inside
+  * the aggregate, one shuffle instead of two.
+  */
+object Decontam {
+
+  /** Word n-grams of `text`: whitespace tokens lowercased, windows of
+    * `n` joined by single spaces. Empty array when the text has fewer
+    * than `n` tokens (the `when` guard matters: `sequence(1, 0)` would
+    * count DOWN, not produce an empty sequence). */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    val t = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, n_overlap) for every NON-eval document sharing at least one
+    * word `n`-gram with the eval slice (`evalPred` over the doc columns
+    * selects the held-out set). Docs with zero overlap are absent — the
+    * contamination report, not a corpus rewrite. */
+  def overlapReport(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
+        explode(wordGrams(col(textCol), n)).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[overlapReport]] over table `documents`:
+    * `evalPredSql` must be the SQL rendering of the SAME predicate passed
+    * as `evalPred` (kept adjacent at the registration site). */
+  def oracleSql(evalPredSql: String, n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
+       |         ($evalPredSql) AS is_eval
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_eval,
+       |    unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |      i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |  FROM toks),
+       |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval)
+       |SELECT doc_id, count(DISTINCT gram) AS n_overlap
+       |FROM grams JOIN eval_grams USING (gram)
+       |WHERE NOT is_eval
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

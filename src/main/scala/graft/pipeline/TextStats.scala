@@ -86,6 +86,54 @@ object TextStats {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
 
+  /** Gopher-style per-document quality flags: token-count bounds, mean
+    * token length bounds, and a stopword-presence check, conjoined into
+    * the keep decision. Pure narrow-scan arithmetic over one codegen'd
+    * tokenization — zero shuffles, the 100 TB shape for row-local
+    * filters. Both mean-length operands are exact BIGINT sums cast to
+    * double, so the ratio (and its bound comparisons) is bit-identical
+    * across engines. */
+  def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 80,
+      minMeanLen: Double = 3.8, maxMeanLen: Double = 5.0): DataFrame = {
+    val t = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val nTokens = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = sumLen.cast("double") / nullif(nTokens, lit(0L)).cast("double")
+    val okCount = nTokens >= minTokens && nTokens <= maxTokens
+    val okMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val hasStop = regexp_count(lower(col(textCol)),
+      lit("\\b(the|and|of|to|in|is)\\b")) > 0
+    docs.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"),
+        meanLen.as("mean_tok_len"), okCount.as("ok_count"),
+        okMeanLen.as("ok_mean_len"), hasStop.as("has_stopword"),
+        (okCount && okMeanLen && hasStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[qualityFlags]] over table `documents`. */
+  def qualityFlagsOracleSql(minTokens: Int = 20, maxTokens: Int = 80,
+      minMeanLen: Double = 3.8, maxMeanLen: Double = 5.0): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+       |      (a, b) -> a + b) AS DOUBLE)
+       |      / CAST(nullif(len(t), 0) AS DOUBLE) AS mean_tok_len
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, n_tokens, mean_tok_len,
+       |    n_tokens >= $minTokens AND n_tokens <= $maxTokens AS ok_count,
+       |    mean_tok_len >= CAST($minMeanLen AS DOUBLE)
+       |      AND mean_tok_len <= CAST($maxMeanLen AS DOUBLE) AS ok_mean_len,
+       |    len(regexp_extract_all(lower(text),
+       |      '\\b(the|and|of|to|in|is)\\b')) > 0 AS has_stopword
+       |  FROM m)
+       |SELECT doc_id, n_tokens, mean_tok_len, ok_count, ok_mean_len,
+       |  has_stopword, ok_count AND ok_mean_len AND has_stopword AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // ---- DuckDB oracle mirrors of langId -------------------------------
   // Generated from the SAME profile tables as the Column form above, so
   // the Spark expression and the oracle SQL cannot drift apart.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{DupClusters, MinHashDedup, Sampling, ShardPack, SimHash, Similarity, TextStats}
+import graft.pipeline.{Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -186,6 +186,30 @@ object PipelineQueries {
       Similarity.batchTopK(Tables.load(s, sf, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // Benchmark decontamination: training docs sharing a word 4-gram with
+    // the held-out slice (doc_id % 97 = 0 stands in for an eval set) —
+    // broadcast eval grams, map-side probe, one agg shuffle.
+    "q42_decontam" -> ((s, sf) =>
+      Decontam.overlapReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", evalPred = col("doc_id") % 97 === 0, n = 4)),
+
+    // Passage-level boilerplate removal: 8-token chunks occurring in ≥ 2
+    // distinct docs drop; docs rebuild from surviving chunks in order.
+    "q43_passage_dedup" -> ((s, sf) =>
+      Passages.dedupPassages(Tables.load(s, sf, "documents"), "doc_id",
+        "text", chunkTokens = 8, maxDocs = 2)),
+
+    // Gopher-style quality flags: token-count bounds, mean-token-length
+    // bounds, stopword presence → keep decision. Narrow scan, no shuffle.
+    "q44_quality_flags" -> ((s, sf) =>
+      TextStats.qualityFlags(Tables.load(s, sf, "documents"), "doc_id", "text")),
+
+    // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
+    // position are pure functions of (epoch, doc_id) — md5 is the draw.
+    "q45_epoch_shuffle" -> ((s, sf) =>
+      EpochShuffle.assign(Tables.load(s, sf, "documents"), "doc_id",
+        epoch = 3, numShards = 16)),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -255,6 +279,14 @@ object PipelineQueries {
 
     "q40_canonical_corpus" -> DupClusters.canonicalOracleSql(0.5),
 
-    "q41_ann_batch" -> Similarity.batchTopKOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 10)
+    "q41_ann_batch" -> Similarity.batchTopKOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 10),
+
+    "q42_decontam" -> Decontam.oracleSql("doc_id % 97 = 0", n = 4),
+
+    "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
+
+    "q44_quality_flags" -> TextStats.qualityFlagsOracleSql(),
+
+    "q45_epoch_shuffle" -> EpochShuffle.oracleSql(epoch = 3, numShards = 16)
   )
 }
