@@ -60,16 +60,27 @@ object Bench {
       spark.catalog.clearCache()
     }
     spark.conf.set("spark.graft.archiveDir", archiveDir)
+    // Min-of-2 timed passes per query (VERDICT r5): BENCH_r05 recorded a
+    // contended machine as a uniform 3-10× inflation over a band of
+    // queries; a transient CPU spike cannot tax BOTH passes, so the min
+    // is the steady-state figure. A pass that errors contributes no time;
+    // a query reports an error only when both passes fail.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      val t = (System.nanoTime() - t0) / 1e9
-      // Query isolation: drop any DataFrames the query cached so later
-      // queries aren't taxed by accumulated executor-heap pressure.
-      spark.catalog.clearCache()
-      (name, t, err)
+      val passes = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Query isolation: drop any DataFrames the query cached so later
+        // queries (and the second pass) aren't taxed by accumulated
+        // executor-heap pressure — each pass re-executes the full plan.
+        spark.catalog.clearCache()
+        (t, err)
+      }
+      val ok = passes.collect { case (t, None) => t }
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, passes.map(_._1).min, passes.last._2)
     }
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>

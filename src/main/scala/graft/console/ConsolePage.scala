@@ -23,6 +23,10 @@ label { display: inline-block; min-width: 11em; }
 #error { color: #b00; display: none; }
 #loading { display: none; }
 pre { background: #f4f4f4; padding: 0.5em; overflow-x: auto; }
+.help { margin-left: 0.4em; }
+#dialog-bg { display: none; position: fixed; inset: 0; background: rgba(0,0,0,0.4); }
+#dialog-fg { position: fixed; top: 30%; left: 50%; transform: translate(-50%, -30%);
+  background: #fff; padding: 1.5em; max-width: 30em; }
 </style>
 </head>
 <body>
@@ -32,15 +36,21 @@ pre { background: #f4f4f4; padding: 0.5em; overflow-x: auto; }
   <div class="row"><label>topic</label><select id="topic"></select></div>
   <div class="row"><label>key regex</label><input id="key" size="40">
     <button type="button" id="default-partition-lookup">Lookup</button>
-    <span id="default-partition-result"></span></div>
-  <div class="row"><label>value regex</label><input id="val-regex" size="40"></div>
-  <div class="row"><label>relative offset</label><input id="relative-offset" size="12"></div>
-  <div class="row"><label>partitions (csv)</label><input id="partitions" size="12"></div>
+    <span id="default-partition-result"></span>
+    <button type="button" class="help" id="help-key">?</button></div>
+  <div class="row"><label>value regex</label><input id="val-regex" size="40">
+    <button type="button" class="help" id="help-value">?</button></div>
+  <div class="row"><label>relative offset</label><input id="relative-offset" size="12">
+    <button type="button" class="help" id="help-offset">?</button></div>
+  <div class="row"><label>partitions (csv)</label><input id="partitions" size="12">
+    <button type="button" class="help" id="help-partition-csv">?</button></div>
   <div class="row"><label>key deserializer</label><select id="key-deserializer"></select></div>
   <div class="row"><label>value deserializer</label><select id="value-deserializer"></select></div>
   <div class="row"><label>schema registry</label><select id="schema-registry-url"></select></div>
   <div class="row"><label>follow</label><input type="checkbox" id="follow">
-    <label>default partition</label><input type="checkbox" id="default-partition"></div>
+    <button type="button" class="help" id="help-follow">?</button>
+    <label>default partition</label><input type="checkbox" id="default-partition">
+    <button type="button" class="help" id="help-partition">?</button></div>
   <div class="row">
     <button type="button" id="submit">Search</button>
     <button type="button" id="cancel">Cancel</button>
@@ -49,7 +59,9 @@ pre { background: #f4f4f4; padding: 0.5em; overflow-x: auto; }
 </form>
 <div id="error"></div>
 <div id="loading">searching&hellip; partition=<span id="loading-partition"></span>
-  offset=<span id="loading-offset"></span> results=<span id="loading-num-results"></span></div>
+  offset=<span id="loading-offset"></span> timestamp=<span id="loading-timestamp"></span>
+  results=<span id="loading-num-results"></span></div>
+<div id="dialog-bg"><div id="dialog-fg"><span id="dialog-text"></span></div></div>
 <pre id="curl-out" style="display:none"></pre>
 <div id="results"></div>
 <script>
@@ -140,6 +152,7 @@ pre { background: #f4f4f4; padding: 0.5em; overflow-x: auto; }
       }
       el('loading-partition').innerHTML = o.partition;
       el('loading-offset').innerHTML = o.offset;
+      el('loading-timestamp').innerHTML = o.timestamp;
       el('loading-num-results').innerHTML = numResults;
     } catch (e) { /* incomplete object: wait for more data */ }
   }
@@ -235,6 +248,27 @@ pre { background: #f4f4f4; padding: 0.5em; overflow-x: auto; }
           searchPath('search') + '\'';
       };
       el('default-partition-lookup').onclick = defaultPartitionLookup;
+      var helpText = {
+        'help-key': 'Full-match regex over the record key (anchored: "k1" ' +
+          'matches only the exact key k1; use .*k1.* to contain-match).',
+        'help-value': 'Contain-match over the string rendering of the value ' +
+          '(wrapped in .* ... .* before submit).',
+        'help-offset': 'Signed offset relative to the partition end (negative, ' +
+          'e.g. -1000) or beginning (positive). Empty scans from the start.',
+        'help-follow': 'Keep the search open and stream new records as they ' +
+          'arrive (unbounded tail); cancel to stop.',
+        'help-partition': 'Search only the partition the key hashes to ' +
+          '(murmur2, like the default Kafka producer partitioner).',
+        'help-partition-csv': 'Comma-separated explicit partition list, e.g. ' +
+          '0,3,7. Empty searches all partitions.'
+      };
+      Object.keys(helpText).forEach(function(id) {
+        el(id).onclick = function() {
+          el('dialog-text').innerText = helpText[id];
+          el('dialog-bg').style.display = 'block';
+        };
+      });
+      el('dialog-bg').onclick = function() { el('dialog-bg').style.display = 'none'; };
     });
   };
 })();

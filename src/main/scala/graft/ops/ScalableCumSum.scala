@@ -25,13 +25,24 @@ import org.apache.spark.sql.types.LongType
   *      never moves again.
   *
   * The result is the exclusive prefix sum: each row gets the total of all
-  * STRICTLY PRECEDING rows in (orderCols) order. Deterministic whenever
-  * orderCols is a total order. `valueCol` must be a non-null LONG.
+  * STRICTLY PRECEDING rows in (orderCols) order. `valueCol` must be a
+  * non-null LONG.
+  *
+  * CALLER CONTRACT — `orderCols` must be a TOTAL order (no two rows equal
+  * on all of them; end with a unique key such as ShardPack's `doc_id`).
+  * With duplicate keys the result is run-NONDETERMINISTIC: pass 2
+  * re-sorts the shuffle output independently of pass 1, and tied rows may
+  * land in either relative order between the passes, swapping their
+  * prefix values (ADVICE r5). Uniqueness is a data property a transform
+  * cannot check without an extra aggregate, so it is a documented
+  * contract, not a runtime assert — [[graft.pipeline.ShardPack]] (the
+  * only production caller) satisfies it by ordering on the unique doc id.
   */
 object ScalableCumSum {
 
   def addCumSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
       outCol: String, numPartitions: Int): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must name a total order (unique tiebreaker last)")
     val spark = df.sparkSession
     val sortCols = orderCols.map(col)
     val sorted = df.repartitionByRange(numPartitions, sortCols: _*)

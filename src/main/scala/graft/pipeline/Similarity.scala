@@ -120,6 +120,45 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Planted near-dup perturbation (the q33 fixture's second family):
+    * element-wise ×33/32 at even 1-based positions, ×31/32 at odd — both
+    * factors exactly representable doubles, so Spark and DuckDB round
+    * identically and no tolerance is needed. Cosine against the source
+    * vector is bounded below by 1/sqrt(1+eps²) ≈ 0.999512 (eps = 1/32),
+    * always above the 0.999 q33 threshold, while the ±eps zig-zag nudges
+    * near-zero hyperplane dots across 0 — flipping a few sign BITS per
+    * vector, so candidate recovery genuinely relies on the band-OR (a
+    * pair only needs ONE fully-agreeing band), not on signature identity
+    * (VERDICT r5 item 6). */
+  def perturbExprSql(emb: String, dim: Int, forDuck: Boolean): String =
+    if (forDuck)
+      s"list_transform(range(1, ${dim + 1}), __pi -> $emb[__pi] * " +
+        s"(CASE WHEN __pi % 2 = 0 THEN 1.03125::DOUBLE ELSE 0.96875::DOUBLE END))"
+    else
+      s"transform(sequence(1, $dim), __pi -> element_at($emb, __pi) * " +
+        s"(CASE WHEN __pi % 2 = 0 THEN CAST(1.03125 AS DOUBLE) ELSE CAST(0.96875 AS DOUBLE) END))"
+
+  /** The same perturbation on a plain Scala array (test mirror). */
+  def perturb(emb: Array[Double]): Array[Double] =
+    Array.tabulate(emb.length)(j =>
+      emb(j) * (if ((j + 1) % 2 == 0) 1.03125 else 0.96875))
+
+  /** Band buckets of one vector (test mirror of the banded plan): the
+    * band's sign bits packed into a long, dots folded in ascending index
+    * order exactly as `vec_dot` does. */
+  def bandBuckets(emb: Array[Double], dim: Int, bands: Int = SignBands,
+      bits: Int = BitsPerBand): IndexedSeq[Long] = {
+    val m = signMatrix(dim, bands * bits)
+    (0 until bands).map { b =>
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += emb(j) * m(b * bits + i)(j); j += 1 }
+        if (dot >= 0) acc + (1L << i) else acc
+      }
+    }
+  }
+
   /** Exact cosine top-k for a BATCH of query vectors in ONE corpus pass —
     * the retrieval shape of a real pipeline (embed a request batch, fetch
     * neighbors for all of them), where per-query scans would multiply the

@@ -68,6 +68,12 @@ object TextStats {
     * CASE WHEN would duplicate the whole 8-regexp argmax subtree into
     * both the condition and the branch — 2× the regex work per row. */
   def langId(text: Column): Column = {
+    // The sentinel trick is only sound while every real code sorts BELOW
+    // "und": a zero-score tie must let struct(0, "und") win the array_max.
+    // Adding a profile such as "zh" or "vi" would silently shadow "und"
+    // for no-match text — fail fast instead (ADVICE r5).
+    require((StopwordProfiles.map(_._1) ++ TrigramProfiles.map(_._1)).forall(_ < "und"),
+      "langId sentinel invariant: every profile code must sort below \"und\"")
     val lowered = lower(text)
     val tri = TrigramProfiles.toMap
     val scored = StopwordProfiles.map { case (code, words) =>
@@ -97,7 +103,11 @@ object TextStats {
       minTokens: Int = 20, maxTokens: Int = 80,
       minMeanLen: Double = 3.8, maxMeanLen: Double = 5.0): DataFrame = {
     val t = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val nTokens = size(t).cast("long")
+    // NULL text must yield NULL n_tokens (and NULL-propagated flags), as
+    // DuckDB's len(NULL) does — Spark's size() would return -1 under the
+    // legacy conf and silently drift every downstream flag (ADVICE r5).
+    val nTokens = when(col(textCol).isNull, lit(null).cast("long"))
+      .otherwise(size(t).cast("long"))
     val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
     val meanLen = sumLen.cast("double") / nullif(nTokens, lit(0L)).cast("double")
     val okCount = nTokens >= minTokens && nTokens <= maxTokens

@@ -31,10 +31,16 @@ object PipelineQueries {
 
     // Per-doc 32-bit fingerprint — known-answer test of the native
     // rolling_hash expression against its pure-SQL DuckDB rendering.
+    // `fp_mb` hashes the text suffixed with 2-, 3- and 4-byte code points
+    // (the q32 derived-column pattern): the oracle walks true UTF-8 bytes
+    // via encode(), so multibyte parity is driver-checked, not assumed
+    // (VERDICT r5 item 4 — the last ASCII-only oracle precondition).
     "q21_fingerprint" -> ((s, sf) => {
       GraftFunctions.register(s)
       Tables.load(s, sf, "documents")
-        .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("fp"))
+        .selectExpr("doc_id", "text",
+          "concat(text, element_at(array('', 'é', '中文', '☃𝄞'), cast(doc_id % 4 + 1 AS INT))) AS t_mb")
+        .selectExpr("doc_id", "rolling_hash(text) AS fp", "rolling_hash(t_mb) AS fp_mb")
         .orderBy("doc_id")
     }),
 
@@ -138,20 +144,26 @@ object PipelineQueries {
     "q26_cos_top_pair" -> ((s, sf) =>
       Similarity.topPairPerGroup(Tables.load(s, sf, "embeddings"), "vec_id", "embedding", "label")),
 
-    // Banded sign-LSH near-dup pairs over a corpus with PLANTED duplicates:
-    // every 97th vector gets a scaled copy (vec_id + 10^6, emb × 1.5 —
-    // identical hyperplane signs, cosine 1), so the thresholded result is
-    // non-vacuous and the whole band→bucket→verify pipeline is
-    // driver-checked (VERDICT r3 item 3). The derivation is deterministic
-    // double arithmetic, reproduced verbatim in the oracle.
+    // Banded sign-LSH near-dup pairs over a corpus with TWO planted
+    // families: every 97th vector gets an exact scaled copy (vec_id +
+    // 10^6, emb × 1.5 — identical hyperplane signs, cosine 1; VERDICT r3
+    // item 3), and every 43rd a PERTURBED copy (vec_id + 2×10^6,
+    // element-wise ×31/32 / ×33/32 — cosine ≈ 0.9995 with a few sign
+    // bits flipped, so recovery rides the band-OR, not signature
+    // identity; VERDICT r5 item 6, flip asserted in PipelineSpec). Both
+    // derivations are deterministic double arithmetic, reproduced
+    // verbatim in the oracle.
     "q33_sign_lsh_pairs" -> ((s, sf) => {
       val base = Tables.load(s, sf, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       val copies = base.filter(col("vec_id") % 97 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           expr("transform(emb, x -> x * CAST(1.5 AS DOUBLE))").as("emb"))
-      Similarity.bucketedNearDupPairs(base.unionAll(copies), "vec_id", "emb",
-        EmbeddingDim, minCos = 0.999)
+      val perturbed = base.filter(col("vec_id") % 43 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          expr(Similarity.perturbExprSql("emb", EmbeddingDim, forDuck = false)).as("emb"))
+      Similarity.bucketedNearDupPairs(base.unionAll(copies).unionAll(perturbed),
+        "vec_id", "emb", EmbeddingDim, minCos = 0.999)
     }),
 
     // Duplicate-cluster resolution: connected components over the q22
@@ -229,8 +241,12 @@ object PipelineQueries {
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q21_fingerprint" ->
-      s"""SELECT doc_id, ${Duck.rollingHashSql("text")} AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${Duck.rollingHashSql("text")} AS fp,
+         |  ${Duck.rollingHashSql("t_mb")} AS fp_mb
+         |FROM (SELECT doc_id, text,
+         |        text || (['', 'é', '中文', '☃𝄞'])[(doc_id % 4 + 1)::INT] AS t_mb
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
 
@@ -249,11 +265,15 @@ object PipelineQueries {
     "q26_cos_top_pair" -> Similarity.topPairOracleSql,
 
     "q33_sign_lsh_pairs" -> Similarity.nearDupOracleSql(EmbeddingDim, 0.999,
-      corpusSql = """(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      corpusSql = s"""(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
         FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * (1.5)::DOUBLE)
-        FROM embeddings WHERE vec_id % 97 = 0)"""),
+        FROM embeddings WHERE vec_id % 97 = 0
+        UNION ALL
+        SELECT vec_id + 2000000,
+          ${Similarity.perturbExprSql("list_transform(embedding, x -> x::DOUBLE)", EmbeddingDim, forDuck = true)}
+        FROM embeddings WHERE vec_id % 43 = 0)"""),
 
     "q32_murmur2_kat" ->
       s"""SELECT doc_id, "key", n, ${Duck.murmur2PartitionSql("\"key\"", "n")} AS part

@@ -122,17 +122,46 @@ class ConsoleSpec extends AnyFunSuite {
     assert(arr.get(0).get("type").asText() == "pioneer")
   }
 
-  test("GET / serves the console with the reference's element ids") {
+  test("GET / serves the console with the reference's full element-id inventory") {
     val url = new URI(s"http://localhost:${svc.boundPort}/").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     assert(conn.getResponseCode == 200)
     assert(conn.getContentType.startsWith("text/html"))
     val html = scala.io.Source.fromInputStream(conn.getInputStream)("UTF-8").mkString
-    Seq("bootstrap-servers", "topic", "key", "val-regex", "relative-offset",
-      "follow", "default-partition", "key-deserializer", "value-deserializer",
-      "schema-registry-url", "partitions", "submit", "cancel", "results",
-      "default-partition-lookup").foreach { id =>
+    // The reference's puppeteer checkIDs inventory, verbatim
+    // (/root/reference/test-console.js:65-96): main UI, help buttons,
+    // loading dialog, modal dialog — plus the ids our own JS drives.
+    val mainUi = Seq("key", "val-regex", "bootstrap-servers",
+      "schema-registry-url", "topic", "default-partition", "relative-offset",
+      "follow", "key-deserializer", "value-deserializer", "partitions")
+    val helpButtons = Seq("help-partition", "help-key", "help-value",
+      "help-offset", "help-follow", "help-partition-csv")
+    val loadingDialog = Seq("loading-partition", "loading-offset",
+      "loading-timestamp", "loading-num-results")
+    val modalDialog = Seq("dialog-bg", "dialog-fg", "dialog-text")
+    val ours = Seq("submit", "cancel", "results", "default-partition-lookup")
+    (mainUi ++ helpButtons ++ loadingDialog ++ modalDialog ++ ours).foreach { id =>
       assert(html.contains(s"""id="$id""""), s"missing element id $id")
+    }
+  }
+
+  test("search-some/none: a matching key yields results, a non-matching one only the pioneer") {
+    // test-console.js:99-114 headlessly: the console submits searchPath(state);
+    // #results stays empty exactly when the body carries no result objects.
+    def bodyFor(key: String): String = {
+      val path = ConsoleState.searchPath(
+        ConsoleState(bootstrapServers = TestSpark.Sf, topic = "events", key = key))
+      val conn = new URI(s"http://localhost:${svc.boundPort}$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      scala.io.Source.fromInputStream(conn.getInputStream).mkString
+    }
+    val some = mapper.readTree(bodyFor("1.*"))
+    assert((0 until some.size()).exists(i => some.get(i).get("type").asText() == "result"))
+    val none = mapper.readTree(bodyFor("noresults"))
+    // pioneer plus trailing offset/progress markers at most — zero results
+    (0 until none.size()).foreach { i =>
+      assert(none.get(i).get("type").asText() != "result", none.toString.take(200))
     }
   }
 }

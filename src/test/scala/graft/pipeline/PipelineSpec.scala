@@ -61,6 +61,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("q33 perturbed family: recovered pairs include one found via a NON-first band") {
+    val got = graft.SparkEntry.queries("q33_sign_lsh_pairs")(spark, graft.TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perturbedPairs = got.filter { case (a, b, _) => b == a + 2000000L }
+    assert(perturbedPairs.nonEmpty, got.mkString(", "))
+    // cos strictly below 1 but above the 1/sqrt(1+eps²) bound: the
+    // perturbation is real, not an identical copy in disguise.
+    perturbedPairs.foreach { case (_, _, c) => assert(c < 1.0 && c >= 0.9995, c) }
+
+    // Recompute band buckets with the test mirror (same fold order as
+    // vec_dot) and assert at least one recovered pair DISAGREES on band 0
+    // while agreeing on a later band — the band-OR recall path, which an
+    // identical-signature plant could never exercise (VERDICT r5 item 6).
+    val base = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val viaLaterBand = perturbedPairs.filter { case (a, _, _) =>
+      val sa = Similarity.bandBuckets(base(a), base(a).length)
+      val sb = Similarity.bandBuckets(Similarity.perturb(base(a)), base(a).length)
+      sa.head != sb.head && sa.tail.zip(sb.tail).exists { case (x, y) => x == y }
+    }
+    assert(viaLaterBand.nonEmpty,
+      s"no perturbed pair flipped a band-0 bit yet matched a later band: $perturbedPairs")
+  }
+
   test("brute-force top-k ranks an exact duplicate first with cos ≈ 1") {
     val dim = 8
     val q = Array.tabulate(dim)(i => (i + 1).toFloat)

@@ -32,8 +32,11 @@ class TrainingPrepSpec extends AnyFunSuite {
     val got = Decontam.overlapReport(docs, "doc_id", "text",
         col("doc_id") === 0, n = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // shared distinct grams: "a b c d", "b c d a", "c d a b", "d a b c"
-    assert(got == Seq((1L, 4L)))
+    // Train grams: {a b c d, b c d x, c d x a, d x a b, x a b c}; eval grams:
+    // {a b c d, b c d a, c d a b, d a b c}. The eval rotations never occur in
+    // the train doc, so the intersection is exactly {"a b c d"} → 1 (and the
+    // repeat of that gram in the train doc still counts once).
+    assert(got == Seq((1L, 1L)))
   }
 
   test("passage dedup drops corpus-frequent chunks, keeps order, drops empty docs") {

@@ -43,6 +43,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q43: passage anti-join broadcasts via AQE with no static hint") {
+    val df = SparkEntry.queries("q43_passage_dedup")(spark, TestSpark.Sf)
+    // No forced broadcast() in the logical plan (VERDICT r5 item 2): at
+    // 100 TB the over-threshold chunk set is unbounded, so the choice must
+    // be AQE's, made from the built side's actual runtime size.
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      df.queryExecution.analyzed.toString)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q42: decontam tokenizes the corpus once — eval branch scans only eval rows") {
+    val df = SparkEntry.queries("q42_decontam")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Both branches scan `documents`, but each with its predicate pushed:
+    // the eval side reads only eval rows, the train side only the rest —
+    // no branch scans (and re-tokenizes) the full corpus.
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
