@@ -27,6 +27,14 @@ object GraftFunctions {
       "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_grams",
+      exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_chunks",
+      exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = true),
+      "built-in")
   }
 
   /** Avro decode needs the registry's schemas captured in the expression
@@ -60,4 +68,14 @@ object GraftFunctions {
     * (document fingerprinting, SURVEY.md §2.6). */
   def rollingHash(c: Column): Column =
     call_function("rolling_hash", c.cast("string"))
+
+  /** Sliding word n-grams of the lowercased whitespace tokens (full
+    * windows only), space-joined. */
+  def wordGrams(c: Column, n: Int): Column =
+    call_function("word_grams", c.cast("string"), lit(n))
+
+  /** Fixed-size token chunks (stride n, short tail kept) of the
+    * lowercased whitespace tokens, space-joined. */
+  def tokenChunks(c: Column, n: Int): Column =
+    call_function("token_chunks", c.cast("string"), lit(n))
 }

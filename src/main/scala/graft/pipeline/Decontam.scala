@@ -21,11 +21,21 @@ import org.apache.spark.sql.functions._
 object Decontam {
 
   /** Word n-grams of `text`: whitespace tokens lowercased, windows of
-    * `n` joined by single spaces. Empty array when the text has fewer
-    * than `n` tokens (the `when` guard matters: `sequence(1, 0)` would
-    * count DOWN, not produce an empty sequence). */
+    * `n` joined by single spaces; empty array when the text has fewer
+    * than `n` tokens. Native single-pass expression
+    * ([[graft.functions.WordGramsExpr]] — the HOF formulation allocated
+    * per-window arrays and dominated the q42 bench); requires a prior
+    * [[graft.functions.GraftFunctions.register]] on the session. */
   def wordGrams(text: Column, n: Int): Column = {
     require(n > 0, s"n-gram size must be positive: $n")
+    graft.functions.GraftFunctions.wordGrams(text, n)
+  }
+
+  /** The composed-built-ins formulation [[wordGrams]] replaced — kept as
+    * the equivalence-test mirror (WordGramsSpec asserts native ≡ HOF on
+    * fixture text; the `when` guard matters: `sequence(1, 0)` would count
+    * DOWN, not produce an empty sequence). */
+  private[graft] def hofWordGrams(text: Column, n: Int): Column = {
     val t = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
@@ -55,6 +65,7 @@ object Decontam {
     * worse accident (ADVICE r5). */
   def overlapReport(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val evalGrams = docs.filter(evalPred)
       .select(explode(wordGrams(col(textCol), n)).as("gram"))
       .distinct()

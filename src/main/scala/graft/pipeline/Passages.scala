@@ -27,8 +27,14 @@ object Passages {
 
   /** Chunks of `chunkTokens` lowercased whitespace tokens, space-joined;
     * the last chunk may be shorter. `(pos, chunk)` via posexplode keeps
-    * the rebuild order without carrying the source text. */
-  private def chunkArray(text: Column, chunkTokens: Int): Column = {
+    * the rebuild order without carrying the source text. Native
+    * single-pass expression ([[graft.functions.WordGramsExpr]], chunked
+    * mode); the replaced HOF formulation survives as [[hofChunkArray]]
+    * for the WordGramsSpec equivalence gate. */
+  private def chunkArray(text: Column, chunkTokens: Int): Column =
+    graft.functions.GraftFunctions.tokenChunks(text, chunkTokens)
+
+  private[graft] def hofChunkArray(text: Column, chunkTokens: Int): Column = {
     val t = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
     val nChunks = floor((size(t) + (chunkTokens - 1)) / chunkTokens).cast("int")
     when(size(t) > 0,
@@ -43,6 +49,7 @@ object Passages {
       chunkTokens: Int, maxDocs: Int): DataFrame = {
     require(chunkTokens > 0 && maxDocs > 1,
       s"need chunkTokens > 0 and maxDocs > 1: $chunkTokens, $maxDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val chunks = docs.select(col(idCol).as("doc_id"),
       posexplode(chunkArray(col(textCol), chunkTokens)).as(Seq("pos", "chunk")))
     val boilerplate = chunks.groupBy("chunk")
