@@ -28,6 +28,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "shingle_set", exprs => ShingleSetExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -54,6 +56,11 @@ object GraftFunctions {
   /** Single-pass MinHash signature of a text column. */
   def minhashSig(c: Column): Column =
     call_function("minhash_sig", c.cast("string"))
+
+  /** Single-pass distinct shingle-hash set of a text column (the exact
+    * sets the MinHash signature sketches). */
+  def shingleSet(c: Column): Column =
+    call_function("shingle_set", c.cast("string"))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

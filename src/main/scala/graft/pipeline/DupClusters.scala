@@ -48,9 +48,23 @@ object DupClusters {
       maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
-    val und = edges
+    val undWide = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the edge list's partitioning to the GRAPH, not to the upstream
+    // corpus shuffle: pair graphs are orders of magnitude smaller than the
+    // corpus that produced them (the union above even doubles the upstream
+    // partition count), and every round scans the edges twice — inherited
+    // near-empty partitions multiply per-round task overhead by the width
+    // of a shuffle sized for raw text. ~1M edges (≈16 MB) per partition;
+    // a billion-edge graph still gets its full upstream width (coalesce
+    // only narrows), so the 100 TB path is unchanged.
+    val nEdges = undWide.count()
+    val parts = math.max(1L, math.min(undWide.rdd.getNumPartitions.toLong,
+      (nEdges + 999999L) / 1000000L)).toInt
+    // coalesce is narrow: each round re-reads the cached wide blocks
+    // through it, no second materialization needed.
+    val und = undWide.coalesce(parts)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -58,12 +72,27 @@ object DupClusters {
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbors = und.join(labels, und("b") === labels("id"))
-        .select(und("a").as("id"), col("label"))
+        .select(und("a").as("id"), col("label"), lit(false).as("self"))
+      // The convergence probe rides the checkpoint job as an observe()
+      // metric instead of a separate join+count action: `prev` (each
+      // vertex's own incoming label) is carried through the aggregate, so
+      // "did propagation change anything" costs zero extra jobs per
+      // round. Propagation-stability ⟹ every adjacent pair agrees ⟹
+      // labels are component-uniform (= the component minimum, since the
+      // minimum vertex keeps its own id), so testing prop rather than
+      // post-jump labels decides convergence soundly — the jump only
+      // accelerates, it cannot change a prop-stable labeling.
+      val obs = org.apache.spark.sql.Observation()
       // Checkpointed BEFORE the jump self-join: truncates the lineage and
       // gives the self-join a materialized plan (a union-derived frame
       // joined with itself trips Catalyst's constraint rewrite).
-      val prop = labels.select(col("id"), col("label")).union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+      val prop = labels
+        .select(col("id"), col("label"), lit(true).as("self"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(
+          min("label").as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
+        .observe(obs, count(when(col("label") < col("prev"), 1)).as("changed"))
         .localCheckpoint()
       // Pointer jump: label ← min(label, label(label)). Left join: a
       // label is always a vertex id, but the left side keeps the row if
@@ -72,17 +101,11 @@ object DupClusters {
       val next = prop.join(jump, col("label") === col("p_id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
-      // Labels only ever decrease, so "any label strictly smaller than
-      // before" is exactly "something changed this round".
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev"))
-        .count()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
-    und.unpersist(false)
+    undWide.unpersist(false)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds; " +
         "raise maxIters (the graph diameter exceeds 2^maxIters)")

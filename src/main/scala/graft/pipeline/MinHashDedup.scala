@@ -40,8 +40,21 @@ object MinHashDedup {
   val A: IndexedSeq[Long] = graft.functions.MinHashSigExpr.A.toIndexedSeq
   val B: IndexedSeq[Long] = graft.functions.MinHashSigExpr.B.toIndexedSeq
 
-  /** doc_id + distinct shingle-hash set (array of longs). */
+  /** doc_id + distinct shingle-hash set (array of longs), via the
+    * single-pass native expression ([[graft.functions.ShingleSetExpr]];
+    * the HOF formulation it replaced survives as [[hofShingled]] for the
+    * equivalence gate). */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(length(col(textCol)) >= ShingleK)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.shingleSet(col(textCol)).as("shingles"))
+  }
+
+  /** The composed-built-ins formulation [[shingled]] replaced (char
+    * windows — PipelineSpec pins native ≡ HOF on the ASCII fixture). */
+  private[graft] def hofShingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col(textCol)) >= ShingleK)
@@ -124,8 +137,11 @@ object MinHashDedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("inter",
-        expr("size(filter(sh_a, x -> array_contains(sh_b, x)))"))
+      // Hash-based set intersection, O(|a|+|b|) per pair — the lambda
+      // formulation (filter + array_contains) is O(|a|·|b|) and dominated
+      // the verify stage. Counts are identical: both shingle arrays are
+      // already distinct, so |filter(a, x ∈ b)| = |a ∩ b|.
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
       .withColumn("jaccard",
         expr("inter / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
       .filter(col("jaccard") >= minJac)

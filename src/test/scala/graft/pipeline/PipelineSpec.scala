@@ -41,6 +41,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(both.length == 100)
   }
 
+  test("native shingle_set ≡ the composed HOF formulation on fixture docs") {
+    val docs = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .limit(100)
+    val native = MinHashDedup.shingled(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = MinHashDedup.hofShingled(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.size == 100 && native == hof) // order included (first occurrence)
+  }
+
   test("identical texts give identical signatures (est_sim = 1.0)") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 3
     val docs = Seq((10L, t), (20L, t)).toDF("doc_id", "text")
