@@ -30,6 +30,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "shingle_set", exprs => ShingleSetExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "lang_scores", exprs => LangScoresExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash", exprs => SimHashExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -61,6 +65,14 @@ object GraftFunctions {
     * sets the MinHash signature sketches). */
   def shingleSet(c: Column): Column =
     call_function("shingle_set", c.cast("string"))
+
+  /** All language-ID scores (TextStats profile order) in one text pass. */
+  def langScores(c: Column): Column =
+    call_function("lang_scores", c.cast("string"))
+
+  /** 32-bit SimHash signature of a text column in one pass. */
+  def simhash(c: Column): Column =
+    call_function("simhash", c.cast("string"))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

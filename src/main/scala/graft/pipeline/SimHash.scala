@@ -19,11 +19,17 @@ import graft.oracle.Duck
 object SimHash {
   val Bits = 32
 
-  /** SimHash of a text column (requires GraftFunctions.register).
-    * The token-hash array is bound ONCE per row through a lambda variable
+  /** SimHash of a text column (requires GraftFunctions.register), via the
+    * single-pass native expression ([[graft.functions.SimHashExpr]]; the
+    * HOF formulation it replaced survives as [[hofSimhash]] for the
+    * SimHashSpec equivalence gate). */
+  def simhash(textCol: String): Column = GraftFunctions.simhash(col(textCol))
+
+  /** The composed-built-ins formulation [[simhash]] replaced. The
+    * token-hash array is bound ONCE per row through a lambda variable
     * (`transform(array(...), hs -> ...)[0]`) — inlining it would re-run
     * the regex tokenization + hashing 64× per row (2 uses × 32 bits). */
-  def simhash(textCol: String): Column = expr(
+  private[graft] def hofSimhash(textCol: String): Column = expr(
     s"""transform(
        |  array(transform(regexp_extract_all($textCol, '\\\\S+', 0), t -> rolling_hash(t))),
        |  hs -> aggregate(

@@ -60,13 +60,19 @@ object TextStats {
     * ties resolve to the lexicographically larger code (deterministic).
     * Returns a 2-letter code or "und" when nothing matches at all.
     *
+    * Scores come from ONE native text pass
+    * ([[graft.functions.LangScoresExpr]] — the previous formulation ran
+    * 8 `regexp_count` scans per row and was a bench hotspot; the regexp
+    * form survives as [[hofLangId]] for the equivalence gate). Requires
+    * a prior [[graft.functions.GraftFunctions.register]] on the session.
+    *
     * The all-zero → "und" fallback is encoded as a sentinel element
     * `struct(0, "und")` in the argmax array rather than a CASE: "und"
     * sorts above every real code, so the sentinel wins exactly when no
     * real score is positive (any hit scores ≥ 1 > 0), and when a NULL
-    * text NULLs every real score (null struct fields sort first). A
-    * CASE WHEN would duplicate the whole 8-regexp argmax subtree into
-    * both the condition and the branch — 2× the regex work per row. */
+    * text NULLs every real score (null struct fields sort first). The
+    * repeated `scores[i]` references collapse to one evaluation under
+    * whole-stage codegen's subexpression elimination. */
   def langId(text: Column): Column = {
     // The sentinel trick is only sound while every real code sorts BELOW
     // "und": a zero-score tie must let struct(0, "und") win the array_max.
@@ -74,17 +80,25 @@ object TextStats {
     // for no-match text — fail fast instead (ADVICE r5).
     require((StopwordProfiles.map(_._1) ++ TrigramProfiles.map(_._1)).forall(_ < "und"),
       "langId sentinel invariant: every profile code must sort below \"und\"")
-    val lowered = lower(text)
-    val tri = TrigramProfiles.toMap
-    val scored = StopwordProfiles.map { case (code, words) =>
-      val wordPat = words.mkString("\\b(", "|", ")\\b")
-      val triPat = tri(code).mkString("(", "|", ")")
-      val score = regexp_count(lowered, lit(wordPat)) * lit(3) +
-        regexp_count(lowered, lit(triPat))
-      struct(score.as("s"), lit(code).as("l"))
+    val scores = graft.functions.GraftFunctions.langScores(text)
+    val scored = StopwordProfiles.zipWithIndex.map { case ((code, _), i) =>
+      struct(scores.getItem(i).as("s"), lit(code).as("l"))
     }
     val sentinel = struct(lit(0).as("s"), lit("und").as("l"))
     array_max(array(sentinel +: scored: _*)).getField("l")
+  }
+
+  /** The 8-regexp formulation [[langId]] replaced — LangScoresSpec pins
+    * native scores ≡ these regexp counts on fixture + adversarial text. */
+  private[graft] def hofLangScores(text: Column): Seq[Column] = {
+    val lowered = lower(text)
+    val tri = TrigramProfiles.toMap
+    StopwordProfiles.map { case (code, words) =>
+      val wordPat = words.mkString("\\b(", "|", ")\\b")
+      val triPat = tri(code).mkString("(", "|", ")")
+      regexp_count(lowered, lit(wordPat)) * lit(3) +
+        regexp_count(lowered, lit(triPat))
+    }
   }
 
   /** BPE-ish subword count: alphanumeric runs + standalone non-space

@@ -105,10 +105,12 @@ object PipelineQueries {
     // Per-doc heuristic language ID (3×stopwords + trigrams, argmax with
     // ties to the larger code) — KAT against the SQL rendering generated
     // from the same profile tables, so expression and oracle cannot drift.
-    "q35_langid" -> ((s, sf) =>
+    "q35_langid" -> ((s, sf) => {
+      GraftFunctions.register(s)
       Tables.load(s, sf, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_id"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // End-to-end curation: quality filter (token count, punctuation
     // density) → detected-language filter → exact dedup (min doc_id per
@@ -127,6 +129,7 @@ object PipelineQueries {
     // valid because every score is a pure function of `text`, so
     // filtering and scoring commute with the text-group dedup.
     "q36_curation" -> ((s, sf) => {
+      GraftFunctions.register(s)
       val nTokens = TextStats.tokenCount(col("text")).cast("long")
       val kept = Tables.load(s, sf, "documents").filter(
         nTokens >= 5 &&

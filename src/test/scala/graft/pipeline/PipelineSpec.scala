@@ -125,6 +125,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("langId picks the dominant stopword profile") {
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       "the cat and the dog sat in the garden and it is warm",
       "der hund und die katze das ist nicht ein problem mit",

@@ -31,6 +31,19 @@ class SimHashSpec extends AnyFunSuite {
     assert(h.intValue() == java.lang.Long.bitCount(3L ^ 5L))
   }
 
+  test("native simhash ≡ the composed HOF formulation on fixture docs + edges") {
+    graft.functions.GraftFunctions.register(spark)
+    val fixture = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("text")).limit(200)
+    val edges = Seq("", " \t\n ", "one", "a b  c\td", "Ünïcode tökens ☃ here").toDF("text")
+    Seq(fixture, edges).foreach { df =>
+      val rows = df.select(col("text"), SimHash.simhash("text").as("n"),
+        SimHash.hofSimhash("text").as("h")).collect()
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"text=${r.getString(0)}"))
+      assert(rows.nonEmpty)
+    }
+  }
+
   test("jaccardPairs verifies banded candidates with exact n-gram overlap") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 4
     val nearDup = base.replace("lazy", "idle")
