@@ -34,6 +34,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash", exprs => SimHashExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "token_stats", exprs => TokenStatsExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -73,6 +75,10 @@ object GraftFunctions {
   /** 32-bit SimHash signature of a text column in one pass. */
   def simhash(c: Column): Column =
     call_function("simhash", c.cast("string"))
+
+  /** `[n_tokens, sum_token_chars]` of a text column in one pass. */
+  def tokenStats(c: Column): Column =
+    call_function("token_stats", c.cast("string"))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

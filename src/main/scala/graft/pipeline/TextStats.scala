@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace-delimited token count (`\S+` runs). */
-  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+  /** Whitespace-delimited token count (`\S+` runs), as BIGINT — one
+    * native pass ([[graft.functions.TokenStatsExpr]]; the regexp form
+    * survives as [[hofTokenCount]] for the equivalence gate). Requires a
+    * prior [[graft.functions.GraftFunctions.register]] on the session. */
+  def tokenCount(text: Column): Column =
+    graft.functions.GraftFunctions.tokenStats(text).getItem(0)
+
+  /** The regexp formulation [[tokenCount]] replaced (INT-typed, as
+    * `regexp_count` returns). */
+  private[graft] def hofTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+"))
 
   /** Quality signals: punctuation density and mean token length. */
   def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
@@ -19,7 +28,8 @@ object TextStats {
   /** Per-language corpus statistics over a documents table.
     * Exact sums (ints) + double ratios derived from them — oracle-safe. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
-      nCharsCol: String): DataFrame =
+      nCharsCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.groupBy(langCol)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -30,6 +40,7 @@ object TextStats {
       .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
       .withColumn("tokens_per_doc", col("total_tokens").cast("double") / col("n_docs"))
       .orderBy(langCol)
+  }
 
   /** DuckDB oracle for [[corpusStats]] on table `documents`. */
   val corpusStatsOracleSql: String =
@@ -116,13 +127,14 @@ object TextStats {
   def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 80,
       minMeanLen: Double = 3.8, maxMeanLen: Double = 5.0): DataFrame = {
-    val t = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    // NULL text must yield NULL n_tokens (and NULL-propagated flags), as
-    // DuckDB's len(NULL) does — Spark's size() would return -1 under the
-    // legacy conf and silently drift every downstream flag (ADVICE r5).
-    val nTokens = when(col(textCol).isNull, lit(null).cast("long"))
-      .otherwise(size(t).cast("long"))
-    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // One native pass for count + total length (TokenStatsExpr). NULL
+    // text naturally yields NULL stats → NULL-propagated flags, matching
+    // DuckDB's len(NULL) (the drift class ADVICE r5 flagged with the old
+    // size()-based form, whose legacy -1 needed an explicit guard).
+    val ts = graft.functions.GraftFunctions.tokenStats(col(textCol))
+    val nTokens = ts.getItem(0)
+    val sumLen = ts.getItem(1)
     val meanLen = sumLen.cast("double") / nullif(nTokens, lit(0L)).cast("double")
     val okCount = nTokens >= minTokens && nTokens <= maxTokens
     val okMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen

@@ -184,10 +184,12 @@ object PipelineQueries {
     // Token-budget shard packing: greedy sequential fill into ~4096-token
     // training shards via the scalable two-pass prefix sum (never a
     // single-partition window).
-    "q38_shard_pack" -> ((s, sf) =>
+    "q38_shard_pack" -> ((s, sf) => {
+      GraftFunctions.register(s)
       ShardPack.assign(Tables.load(s, sf, "documents"), "doc_id",
         TextStats.tokenCount(col("text")), budget = 4096L)
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Deterministic stratified sample: 20 docs per language by md5 order,
     // map-side top-n pruning before the (tiny) ranking window.

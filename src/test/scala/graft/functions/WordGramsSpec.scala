@@ -19,11 +19,21 @@ class WordGramsSpec extends AnyFunSuite {
       GraftFunctions.wordGrams(col("text"), 4).as("ng"),
       graft.pipeline.Decontam.hofWordGrams(col("text"), 4).as("hg"),
       GraftFunctions.tokenChunks(col("text"), 8).as("nc"),
-      graft.pipeline.Passages.hofChunkArray(col("text"), 8).as("hc"))
+      graft.pipeline.Passages.hofChunkArray(col("text"), 8).as("hc"),
+      GraftFunctions.tokenStats(col("text")).as("ts"),
+      graft.pipeline.TextStats.hofTokenCount(col("text")).cast("long").as("tc"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.regexp_extract_all(
+          col("text"), org.apache.spark.sql.functions.lit("\\S+"),
+          org.apache.spark.sql.functions.lit(0)),
+        org.apache.spark.sql.functions.lit(0L),
+        (acc, x) => acc + org.apache.spark.sql.functions.length(x)).as("tl"))
       .collect()
     both.foreach { r =>
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"grams: ${r.getString(0)}")
       assert(r.getSeq[String](3) == r.getSeq[String](4), s"chunks: ${r.getString(0)}")
+      assert(r.getSeq[Long](5) == Seq(r.getLong(6), r.getLong(7)),
+        s"token stats: ${r.getString(0)}")
     }
     assert(both.nonEmpty)
   }
