@@ -65,11 +65,14 @@ object DupClusters {
     // coalesce is narrow: each round re-reads the cached wide blocks
     // through it, no second materialization needed.
     val und = undWide.coalesce(parts)
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 computed directly from the edges: with labels₀(v) = v, the
+    // first propagation is labels₁(v) = min(v, min over neighbors) — one
+    // aggregate, no separate identity-label table to materialize first.
+    var labels = und.groupBy(col("a").as("id"))
+      .agg(least(min(col("a")), min(col("b"))).as("label"))
       .localCheckpoint()
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIters) {
       val viaNeighbors = und.join(labels, und("b") === labels("id"))
         .select(und("a").as("id"), col("label"), lit(false).as("self"))
