@@ -76,16 +76,48 @@ object MinHashDedup {
   }
 
   /** Banded candidate pairs (doc_a < doc_b) from a signature table: the
-    * LSH blocking step — pairs come only from equal (band, key) buckets. */
+    * LSH blocking step — pairs come only from equal (band, key) buckets.
+    *
+    * Each pair is emitted from its FIRST agreeing band only: the join
+    * carries the full signature and requires every earlier band to
+    * DISAGREE, so the output is unique by construction and the
+    * deduplicating shuffle of the raw pair stream disappears. That
+    * stream is where duplication explodes: members of a true near-dup
+    * cluster agree on ALL bands, so the naive join emits every cluster
+    * pair `Bands` times — the 64×-corpus probe (SCALING.md) measured
+    * 46M raw rows distinct-shuffled down to 11.6M; the first-band rule
+    * emits the 11.6M directly. Cost: `NumHashes` longs ride the small
+    * banding shuffle instead of `RowsPerBand`. */
   def candidatePairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+    val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    // For the joined band b: no earlier band b' may agree. Scalar
+    // element comparisons (an allocation-free codegen'd post-condition
+    // of the equi-join) — slice()-based array comparisons here allocate
+    // per candidate row and measured 3× slower at the 64× probe scale.
+    val firstBandOnly = expr(
+      (1 until Bands).foldLeft("CASE l.band WHEN 0 THEN true") { (acc, b) =>
+        val diffs = (0 until b).map { p =>
+          (1 to RowsPerBand).map(j =>
+            s"l.sig[${p * RowsPerBand + j - 1}] != r.sig[${p * RowsPerBand + j - 1}]")
+            .mkString("(", " OR ", ")")
+        }.mkString(" AND ")
+        s"$acc WHEN $b THEN ($diffs)"
+      } + " END")
     bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") && firstBandOnly)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      // Rows are already unique, so this distinct's map-side partial agg
+      // passes them through — it exists as a STATS BARRIER, not a dedup:
+      // without an aggregate here, Catalyst's selectivity estimate for
+      // the CASE condition makes the pair set look tiny, and downstream
+      // joins then BROADCAST the whole banding subtree — rebuilding it
+      // once per consumer (measured 3× at the 64× probe: 79s vs 26s).
+      // An aggregate node resets the estimate to sane, the join stays a
+      // shuffle join, and the exchange carries 11.6M rows once.
       .distinct()
   }
 

@@ -103,14 +103,27 @@ object Similarity {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
       .cache()
     val bucketArray = bandBucketExprs("emb", dim, bands, bitsPerBand, forDuck = false)
-      .zipWithIndex.map { case (x, b) => s"struct($b AS band, $x AS bucket)" }
       .mkString("array(", ", ", ")")
-    val banded = e.select(col("vec_id"), explode(expr(bucketArray)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Each pair emits from its FIRST agreeing band only (the carried
+    // bucket array lets the join require every earlier band to
+    // disagree) — unique by construction, so no deduplicating shuffle
+    // of the raw pair stream; see MinHashDedup.candidatePairs.
+    val banded = e.select(col("vec_id"), expr(bucketArray).as("bks"))
+      .select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val firstBandOnly = expr(
+      (1 until bands).foldLeft("CASE l.band WHEN 0 THEN true") { (acc, b) =>
+        val diffs = (0 until b)
+          .map(p => s"l.bks[$p] != r.bks[$p]").mkString(" AND ")
+        s"$acc WHEN $b THEN ($diffs)"
+      } + " END")
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.vec_id") < col("r.vec_id"))
+          col("l.vec_id") < col("r.vec_id") && firstBandOnly)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      // Already unique — kept as a STATS BARRIER so the embedding joins
+      // below never broadcast-rebuild the banding subtree (see
+      // MinHashDedup.candidatePairs for the measured failure mode).
       .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
