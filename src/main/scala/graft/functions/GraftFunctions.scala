@@ -36,6 +36,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "token_stats", exprs => TokenStatsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")

@@ -3,20 +3,24 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `shingle_set(text) → array<bigint>`: the DISTINCT `ShingleK`-gram
+/** `shingle_set(text) → array<int>`: the DISTINCT `ShingleK`-gram
   * rolling-hash set of a document in one native pass — the exact-verify
   * companion of [[MinHashSigExpr]] (same window walk, collecting the
-  * distinct hashes in first-occurrence order instead of permutation
-  * minima).
+  * distinct hashes instead of permutation minima). Hashes are 32-bit
+  * values, stored as INT (the bijective wrap of the 0..2^32-1 range —
+  * halves every downstream shuffle and join payload) and SORTED, so
+  * set intersections run as allocation-free merges
+  * ([[SortedIntersectCountExpr]]).
   *
   * Replaces `array_distinct(transform(sequence(...), i -> rolling_hash(
   * substring(text, i, K))))`, which allocates a K-char UTF8String per
-  * window and an O(n²)-ish distinct pass. Numerically identical output
-  * (order included: first occurrence, as `array_distinct` keeps).
+  * window and an O(n²)-ish distinct pass. Same SET of hashes (the
+  * equivalence test compares set-wise through the wrap).
   *
   * PRECONDITION (inherited from [[MinHashSigExpr]], pinned by the same
   * equivalence test): windows are BYTE windows; the HOF form and the
@@ -31,7 +35,7 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires STRING, got ${child.dataType.simpleString}")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "shingle_set"
 
@@ -62,16 +66,23 @@ object ShingleSetExpr {
   def compute(bytes: Array[Byte]): ArrayData = {
     val n = bytes.length
     if (n < ShingleK) return null
-    val seen = new java.util.HashSet[java.lang.Long](1 << 11)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](n - ShingleK + 1)
+    val raw = new Array[Int](n - ShingleK + 1)
     var h = 0L
     var i = 0
     while (i < ShingleK) { h = (h * 31 + (bytes(i) & 0xff)) & Mask; i += 1 }
     var start = 0
     while (true) {
-      if (seen.add(h)) out += h
+      raw(start) = h.toInt // bijective 32-bit wrap
       if (start + ShingleK >= n) {
-        return new GenericArrayData(out.toArray)
+        java.util.Arrays.sort(raw)
+        // in-place dedup of the sorted run
+        var w = 0
+        var r = 1
+        while (r < raw.length) {
+          if (raw(r) != raw(w)) { w += 1; raw(w) = raw(r) }
+          r += 1
+        }
+        return UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, w + 1))
       }
       h = ((h - ((bytes(start) & 0xffL) * TopPow) & Mask) * 31 + (bytes(start + ShingleK) & 0xff)) & Mask
       start += 1

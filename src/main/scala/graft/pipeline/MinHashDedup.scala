@@ -40,10 +40,11 @@ object MinHashDedup {
   val A: IndexedSeq[Long] = graft.functions.MinHashSigExpr.A.toIndexedSeq
   val B: IndexedSeq[Long] = graft.functions.MinHashSigExpr.B.toIndexedSeq
 
-  /** doc_id + distinct shingle-hash set (array of longs), via the
-    * single-pass native expression ([[graft.functions.ShingleSetExpr]];
-    * the HOF formulation it replaced survives as [[hofShingled]] for the
-    * equivalence gate). */
+  /** doc_id + distinct shingle-hash set (SORTED array of ints — the
+    * bijective 32-bit wrap of the rolling hashes, halving the join
+    * payload), via the single-pass native expression
+    * ([[graft.functions.ShingleSetExpr]]; the HOF long-array formulation
+    * it replaced survives as [[hofShingled]] for the equivalence gate). */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs
@@ -169,11 +170,12 @@ object MinHashDedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      // Hash-based set intersection, O(|a|+|b|) per pair — the lambda
-      // formulation (filter + array_contains) is O(|a|·|b|) and dominated
-      // the verify stage. Counts are identical: both shingle arrays are
-      // already distinct, so |filter(a, x ∈ b)| = |a ∩ b|.
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      // Sorted-merge set intersection, allocation-free O(|a|+|b|) per
+      // pair (shingle sets are sorted by construction) — array_intersect
+      // hashes and materializes the intersection per row, and the lambda
+      // formulation before it was O(|a|·|b|). Counts are identical on
+      // distinct sets.
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard",
         expr("inter / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
       .filter(col("jaccard") >= minJac)
