@@ -39,6 +39,12 @@ object GraftFunctions {
       "sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sig_agree_count",
+      exprs => SigAgreeCountExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sig_band_mask",
+      exprs => SigBandMaskExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")

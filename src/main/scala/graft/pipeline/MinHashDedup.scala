@@ -34,8 +34,8 @@ object MinHashDedup {
   // same constants.
   val ShingleK: Int = graft.functions.MinHashSigExpr.ShingleK
   val NumHashes: Int = graft.functions.MinHashSigExpr.NumHashes
-  val Bands = 4
-  val RowsPerBand = 4
+  val Bands: Int = graft.functions.SigCompare.Bands
+  val RowsPerBand: Int = graft.functions.SigCompare.RowsPerBand
   val P: Long = graft.functions.MinHashSigExpr.P
   val A: IndexedSeq[Long] = graft.functions.MinHashSigExpr.A.toIndexedSeq
   val B: IndexedSeq[Long] = graft.functions.MinHashSigExpr.B.toIndexedSeq
@@ -76,8 +76,9 @@ object MinHashDedup {
         GraftFunctions.minhashSig(col(textCol)).as("sig"))
   }
 
-  /** Banded candidate pairs (doc_a < doc_b) from a signature table: the
-    * LSH blocking step — pairs come only from equal (band, key) buckets.
+  /** Banded candidate pairs (doc_a < doc_b, est_sim) from a signature
+    * table: the LSH blocking step — pairs come only from equal
+    * (band, key) buckets.
     *
     * Each pair is emitted from its FIRST agreeing band only: the join
     * carries the full signature and requires every earlier band to
@@ -88,29 +89,35 @@ object MinHashDedup {
     * pair `Bands` times — the 64×-corpus probe (SCALING.md) measured
     * 46M raw rows distinct-shuffled down to 11.6M; the first-band rule
     * emits the 11.6M directly. Cost: `NumHashes` longs ride the small
-    * banding shuffle instead of `RowsPerBand`. */
+    * banding shuffle instead of `RowsPerBand`.
+    *
+    * `est_sim` (fraction of agreeing signature slots) is computed HERE,
+    * in the join's output projection, as 16 scalar equality terms: both
+    * full signatures are already in hand for the first-band condition,
+    * so estimating costs no allocation and no extra operator — where
+    * joining the signature table back onto the pair stream (the previous
+    * shape) shuffled two 128-byte signature payloads per 11.6M-row join,
+    * twice. */
   def candidatePairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("bd"))
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
-    // For the joined band b: no earlier band b' may agree. Scalar
-    // element comparisons (an allocation-free codegen'd post-condition
-    // of the equi-join) — slice()-based array comparisons here allocate
-    // per candidate row and measured 3× slower at the 64× probe scale.
-    val firstBandOnly = expr(
-      (1 until Bands).foldLeft("CASE l.band WHEN 0 THEN true") { (acc, b) =>
-        val diffs = (0 until b).map { p =>
-          (1 to RowsPerBand).map(j =>
-            s"l.sig[${p * RowsPerBand + j - 1}] != r.sig[${p * RowsPerBand + j - 1}]")
-            .mkString("(", " OR ", ")")
-        }.mkString(" AND ")
-        s"$acc WHEN $b THEN ($diffs)"
-      } + " END")
+    // For the joined band b: no earlier band b' may agree — one mask
+    // test over the native sig_band_mask call. Both comparison
+    // primitives are SINGLE STATIC CALLS by design: inlining the slot
+    // comparisons as raw Catalyst expressions (the previous shape) grew
+    // the band join's whole-stage-generated consume method past the
+    // JVM's huge-method JIT limit, and the matched-row loop ran
+    // interpreted — ~25× slower at the 64× probe (see SigCompareExpr).
+    val firstBandOnly =
+      expr("(sig_band_mask(l.sig, r.sig) & (shiftleft(1, l.band) - 1)) = 0")
     bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id") && firstBandOnly)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr(s"sig_agree_count(l.sig, r.sig) / CAST($NumHashes AS DOUBLE)")
+          .as("est_sim"))
       // Rows are already unique, so this distinct's map-side partial agg
       // passes them through — it exists as a STATS BARRIER, not a dedup:
       // without an aggregate here, Catalyst's selectivity estimate for
@@ -124,20 +131,16 @@ object MinHashDedup {
 
   /** Near-duplicate pairs (doc_a < doc_b) with estimated Jaccard ≥ minSim.
     * The signature table is cached for the query's lifetime: it is the
-    * REDUCED representation (16 longs/doc, ~200 bytes) feeding three plan
-    * branches (two join sides + banding) — caching it avoids re-shingling
-    * the corpus per branch, and at 100 TB of raw text the signatures are
-    * still only ~GBs. */
+    * REDUCED representation (16 longs/doc, ~200 bytes) feeding both sides
+    * of the banding self-join — caching it avoids re-shingling the corpus
+    * per branch, and at 100 TB of raw text the signatures are still only
+    * ~GBs. est_sim rides out of the band join itself (see
+    * [[candidatePairs]]), so no further joins touch the pair stream. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       minSim: Double): DataFrame = {
     val sig = signatures(docs, idCol, textCol).cache()
     candidatePairs(sig)
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_sim",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($NumHashes AS DOUBLE)"))
       .filter(col("est_sim") >= minSim)
-      .select(col("doc_a"), col("doc_b"), col("est_sim"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -155,7 +158,9 @@ object MinHashDedup {
     // frame on BOTH sides — uncached, the corpus would be sketched twice
     // (VERDICT r3 item 4). ~200 bytes/doc, so still tiny at corpus scale.
     val sig = signatures(docs, idCol, textCol).cache()
-    val cand = candidatePairs(sig).cache()
+    // est_sim is free at the band join but dead weight here: the verify
+    // stage decides on TRUE Jaccard, so only the pair ids are kept.
+    val cand = candidatePairs(sig).select("doc_a", "doc_b").cache()
     // Materialization barrier: the candidate set feeds five downstream plan
     // branches (pair join + two semi-join sides × two shingle joins); left
     // lazy, concurrent stages would race the cache and recompute the whole

@@ -59,6 +59,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native sig_agree_count / sig_band_mask ≡ composed formulations") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .limit(60)
+    val sig = MinHashDedup.signatures(docs, "doc_id", "text")
+    // All pairs over a small slice: agreeing AND disagreeing signatures.
+    val b = MinHashDedup.Bands
+    val r = MinHashDedup.RowsPerBand
+    val bandAgreeTerms = (0 until b).map { p =>
+      val slots = (0 until r)
+        .map(j => s"a.sig[${p * r + j}] = b.sig[${p * r + j}]")
+        .mkString("(", " AND ", ")")
+      s"(CASE WHEN $slots THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val rows = sig.as("a").crossJoin(sig.as("b"))
+      .selectExpr(
+        "sig_agree_count(a.sig, b.sig) AS native_cnt",
+        "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)) AS hof_cnt",
+        "sig_band_mask(a.sig, b.sig) AS native_mask",
+        s"$bandAgreeTerms AS hof_mask")
+      .collect()
+    assert(rows.length == 3600)
+    rows.foreach { row =>
+      assert(row.getInt(0) == row.getInt(1), "agree count mismatch")
+      assert(row.getInt(2) == row.getInt(3), "band mask mismatch")
+    }
+    assert(rows.exists(_.getInt(2) == (1 << b) - 1)) // self-pairs all-agree
+    assert(rows.exists(_.getInt(2) == 0))            // unrelated docs none
+  }
+
   test("identical texts give identical signatures (est_sim = 1.0)") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 3
     val docs = Seq((10L, t), (20L, t)).toDF("doc_id", "text")
