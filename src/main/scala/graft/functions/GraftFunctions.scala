@@ -45,6 +45,8 @@ object GraftFunctions {
       "sig_band_mask",
       exprs => SigBandMaskExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_set_count", WordSetCountExpr.fromExprs _, "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -85,9 +87,14 @@ object GraftFunctions {
   def simhash(c: Column): Column =
     call_function("simhash", c.cast("string"))
 
-  /** `[n_tokens, sum_token_chars]` of a text column in one pass. */
+  /** `[n_tokens, sum_token_chars, n_punct]` of a text column in one pass. */
   def tokenStats(c: Column): Column =
     call_function("token_stats", c.cast("string"))
+
+  /** Count of lowered word runs equal to a word of the comma-separated
+    * literal set — native `regexp_count(lower(c), '\b(w1|...|wn)\b')`. */
+  def wordSetCount(c: Column, wordsCsv: String): Column =
+    call_function("word_set_count", c.cast("string"), lit(wordsCsv))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

@@ -56,20 +56,22 @@ object LangScoresExpr {
 
   val NumLangs: Int = StopwordProfiles.size
 
-  /** word → bitmask of profile indices claiming it as a stopword. */
-  private val stopwordMask: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    StopwordProfiles.zipWithIndex.foreach { case ((_, words), i) =>
-      words.foreach { w =>
-        m.merge(w, Integer.valueOf(1 << i), (a, b) => Integer.valueOf(a | b))
-      }
-    }
-    m
-  }
-  private val maxStopwordLen = StopwordProfiles.flatMap(_._2).map(_.length).max
+  /** Stopword lookup with ZERO allocation per word run — the shared
+    * packed-long open-addressed table ([[PackedWordTable]]); mask bit i
+    * marks profile i. The previous HashMap<String,_> form allocated a
+    * String per word run — ~300 allocations per document on the hot
+    * scan path. */
+  private val stopwordTable = new PackedWordTable(
+    StopwordProfiles.zipWithIndex.flatMap { case ((_, ws), i) =>
+      ws.map(w => (w, 1 << i))
+    })
 
-  /** Per-language trigram patterns as UTF-8 byte arrays. */
-  private val trigrams: Array[Array[Array[Byte]]] = {
+  /** Trigram patterns dispatched by FIRST byte: `triByFirst(b)` holds the
+    * (language, pattern) list whose pattern starts with byte `b`, null
+    * for the ~240 bytes that start no pattern — so the per-position cost
+    * of the scan is one array load instead of trying every language's
+    * every pattern (the previous shape: ~20 compares per byte). */
+  private val triByFirst: Array[Array[(Int, Array[Byte])]] = {
     val t = TrigramProfiles.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
     // The cursor scan is order-blind; that is only sound when no two
     // alternatives of one profile can match at the same position.
@@ -78,7 +80,17 @@ object LangScoresExpr {
         require(a(0) != b(0) || a(1) != b(1),
           "trigram profiles must not share a 2-byte prefix within a language")
     }
-    t
+    val byFirst = new Array[Array[(Int, Array[Byte])]](256)
+    val all = for {
+      (pats, lang) <- t.zipWithIndex.toSeq
+      pat <- pats
+    } yield (lang, pat)
+    all.groupBy(_._2(0) & 0xff).foreach { case (b, ps) =>
+      // Keep language order: ties at one position across languages must
+      // credit every language, in the same order the flat loop did.
+      byFirst(b) = ps.sortBy(_._1).toArray
+    }
+    byFirst
   }
 
   private def isWord(b: Byte): Boolean =
@@ -89,47 +101,45 @@ object LangScoresExpr {
     val bytes = s.toLowerCase.getBytes
     val n = bytes.length
     val scores = new Array[Int](NumLangs)
-    // Stopwords: maximal word-char runs, hash-checked when short enough.
+    // Stopwords: maximal word-char runs, packed-long-probed when short
+    // enough.
     var i = 0
     while (i < n) {
       if (isWord(bytes(i))) {
         val st = i
         while (i < n && isWord(bytes(i))) i += 1
-        val len = i - st
-        if (len <= maxStopwordLen) {
-          val mask = stopwordMask.get(new String(bytes, st, len, java.nio.charset.StandardCharsets.US_ASCII))
-          if (mask != null) {
+        if (i - st <= stopwordTable.maxLen) {
+          val mask = stopwordTable.lookup(bytes, st, i)
+          if (mask != 0) {
             var l = 0
             while (l < NumLangs) {
-              if ((mask.intValue() & (1 << l)) != 0) scores(l) += 3
+              if ((mask & (1 << l)) != 0) scores(l) += 3
               l += 1
             }
           }
         }
       } else i += 1
     }
-    // Trigrams: per-language greedy non-overlapping cursor.
+    // Trigrams: per-language greedy non-overlapping cursor, first-byte
+    // dispatched.
     val nextOk = new Array[Int](NumLangs)
     i = 0
     while (i < n) {
-      var l = 0
-      while (l < NumLangs) {
-        if (i >= nextOk(l)) {
-          val pats = trigrams(l)
-          var p = 0
-          var matched = 0
-          while (matched == 0 && p < pats.length) {
-            val pat = pats(p)
+      val pats = triByFirst(bytes(i) & 0xff)
+      if (pats != null) {
+        var p = 0
+        while (p < pats.length) {
+          val lang = pats(p)._1
+          if (i >= nextOk(lang)) {
+            val pat = pats(p)._2
             if (i + pat.length <= n) {
-              var k = 0
+              var k = 1
               while (k < pat.length && bytes(i + k) == pat(k)) k += 1
-              if (k == pat.length) matched = pat.length
+              if (k == pat.length) { scores(lang) += 1; nextOk(lang) = i + pat.length }
             }
-            p += 1
           }
-          if (matched > 0) { scores(l) += 1; nextOk(l) = i + matched }
+          p += 1
         }
-        l += 1
       }
       i += 1
     }

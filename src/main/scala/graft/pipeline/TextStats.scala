@@ -22,8 +22,17 @@ object TextStats {
   private[graft] def hofTokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+"))
 
-  /** Quality signals: punctuation density and mean token length. */
-  def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
+  /** `[.,!?;:]` punctuation count, as BIGINT — rides the same native
+    * token_stats byte walk as [[tokenCount]] (one pass yields both, and
+    * codegen subexpression elimination collapses the repeated call when
+    * they appear together; the regexp form survives as
+    * [[hofPunctCount]] for the equivalence gate). */
+  def punctCount(text: Column): Column =
+    graft.functions.GraftFunctions.tokenStats(text).getItem(2)
+
+  /** The regexp formulation [[punctCount]] replaced (INT-typed). */
+  private[graft] def hofPunctCount(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]"))
 
   /** Per-language corpus statistics over a documents table.
     * Exact sums (ints) + double ratios derived from them — oracle-safe. */
@@ -138,8 +147,10 @@ object TextStats {
     val meanLen = sumLen.cast("double") / nullif(nTokens, lit(0L)).cast("double")
     val okCount = nTokens >= minTokens && nTokens <= maxTokens
     val okMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
-    val hasStop = regexp_count(lower(col(textCol)),
-      lit("\\b(the|and|of|to|in|is)\\b")) > 0
+    // Native byte walk for the stopword-presence check (the regexp form
+    // it replaces is the oracle's rendering; WordGramsSpec pins parity).
+    val hasStop = graft.functions.GraftFunctions
+      .wordSetCount(col(textCol), "the,and,of,to,in,is") > 0
     docs.select(col(idCol).as("doc_id"), nTokens.as("n_tokens"),
         meanLen.as("mean_tok_len"), okCount.as("ok_count"),
         okMeanLen.as("ok_mean_len"), hasStop.as("has_stopword"),
@@ -213,8 +224,10 @@ object TextStats {
 
   /** DuckDB oracle for the end-to-end curation pipeline: quality filter →
     * detected-language filter → exact dedup (min doc_id per identical
-    * text) → per-language corpus totals. Mirrors the q36 DataFrame chain
-    * stage for stage. */
+    * text, keyed on md5(text) exactly as the Spark chain keys its
+    * shuffle — both engines' md5 hash the same UTF-8 bytes) →
+    * per-language corpus totals. Mirrors the q36 DataFrame chain stage
+    * for stage. */
   def curationOracleSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, text,
@@ -231,7 +244,7 @@ object TextStats {
        |dedup AS (
        |  SELECT min(doc_id) AS doc_id, min(lang_id) AS lang_id,
        |         min(n_tokens) AS n_tokens
-       |  FROM kept GROUP BY text)
+       |  FROM kept GROUP BY md5(text))
        |SELECT lang_id, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |  min(doc_id) AS first_doc

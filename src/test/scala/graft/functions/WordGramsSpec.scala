@@ -27,13 +27,19 @@ class WordGramsSpec extends AnyFunSuite {
           col("text"), org.apache.spark.sql.functions.lit("\\S+"),
           org.apache.spark.sql.functions.lit(0)),
         org.apache.spark.sql.functions.lit(0L),
-        (acc, x) => acc + org.apache.spark.sql.functions.length(x)).as("tl"))
+        (acc, x) => acc + org.apache.spark.sql.functions.length(x)).as("tl"),
+      graft.pipeline.TextStats.hofPunctCount(col("text")).cast("long").as("pc"),
+      GraftFunctions.wordSetCount(col("text"), "the,and,of,to,in,is").as("wsc"),
+      org.apache.spark.sql.functions.regexp_count(
+        org.apache.spark.sql.functions.lower(col("text")),
+        org.apache.spark.sql.functions.lit("\\b(the|and|of|to|in|is)\\b")).as("wsr"))
       .collect()
     both.foreach { r =>
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"grams: ${r.getString(0)}")
       assert(r.getSeq[String](3) == r.getSeq[String](4), s"chunks: ${r.getString(0)}")
-      assert(r.getSeq[Long](5) == Seq(r.getLong(6), r.getLong(7)),
+      assert(r.getSeq[Long](5) == Seq(r.getLong(6), r.getLong(7), r.getLong(8)),
         s"token stats: ${r.getString(0)}")
+      assert(r.getInt(9) == r.getInt(10), s"word set count: ${r.getString(0)}")
     }
     assert(both.nonEmpty)
   }
@@ -50,6 +56,8 @@ class WordGramsSpec extends AnyFunSuite {
       "a\tb\ncd\fe\rf g h i",                // every \s separator
       "  doubled   spaces   between   tokens  x",  // non-single separators
       "Émile über 中文 ☃𝄞 mixé CASE Folding TEXT words here", // multibyte + case
+      "Wait... really?! Yes; no: maybe, ok.",      // dense punctuation
+      ".,!?;: ... ::;;!!",                         // punctuation-only tokens
       ("tok " * 100).trim                          // long uniform run
     ).toDF("text"))
   }

@@ -182,7 +182,7 @@ class PipelineSpec extends AnyFunSuite {
       TextStats.punctCount(col("text")).as("p"),
       TextStats.subwordCount(col("text")).as("s")).head()
     assert(r.getAs[Long]("t") == 5L)
-    assert(r.getAs[Int]("p") == 2)
+    assert(r.getAs[Long]("p") == 2L) // BIGINT since punct joined token_stats
     assert(r.getAs[Int]("s") >= 7) // 4-char chunks + symbols
   }
 }
