@@ -47,6 +47,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "word_set_count", WordSetCountExpr.fromExprs _, "built-in")
     reg.createOrReplaceTempFunction(
+      "word_gram_hashes",
+      exprs => WordGramHashesExpr(exprs(0), WordGramsExpr.litInt(exprs(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -114,6 +118,11 @@ object GraftFunctions {
     * windows only), space-joined. */
   def wordGrams(c: Column, n: Int): Column =
     call_function("word_grams", c.cast("string"), lit(n))
+
+  /** 63-bit fingerprints of the word n-grams — hashes the exact bytes of
+    * the [[wordGrams]] strings without materializing them. */
+  def wordGramHashes(c: Column, n: Int): Column =
+    call_function("word_gram_hashes", c.cast("string"), lit(n))
 
   /** Fixed-size token chunks (stride n, short tail kept) of the
     * lowercased whitespace tokens, space-joined. */

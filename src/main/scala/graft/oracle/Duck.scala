@@ -125,4 +125,20 @@ object Duck {
       s"${nib("substr(__rhx, (2*__rhi)::INT, 1)")})::BIGINT)), " +
       s"(__rh, __rb) -> (__rh * 31 + __rb) & 4294967295))[1]"
   }
+
+  /** DuckDB SQL computing `WordGramHashesExpr`'s 63-bit fold
+    * `h = (h*31 + byte) mod 2^63` over `strExpr`'s UTF-8 bytes — the
+    * same `hex(encode(...))` byte derivation as [[rollingHashSql]], with
+    * the accumulator lifted to HUGEINT so `h*31` (< 2^68) cannot
+    * overflow before the reduction back below 2^63. */
+  def gramHash63Sql(strExpr: String): String = {
+    val nib = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+    s"CAST(list_transform([lower(hex(encode($strExpr)))], __ghx -> " +
+      s"list_reduce(list_prepend(0::HUGEINT, " +
+      s"list_transform(range(1, length(__ghx)//2 + 1), " +
+      s"__ghi -> (${nib("substr(__ghx, (2*__ghi-1)::INT, 1)")} * 16 + " +
+      s"${nib("substr(__ghx, (2*__ghi)::INT, 1)")})::HUGEINT)), " +
+      s"(__gh, __gb) -> (__gh * 31 + __gb) % 9223372036854775808::HUGEINT))[1] " +
+      s"AS BIGINT)"
+  }
 }

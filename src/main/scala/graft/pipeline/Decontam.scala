@@ -48,38 +48,54 @@ object Decontam {
     * selects the held-out set). Docs with zero overlap are absent — the
     * contamination report, not a corpus rewrite.
     *
+    * Grams cross the plan as 63-bit FINGERPRINTS
+    * ([[graft.functions.WordGramHashesExpr]]), the Bloom-filter-style
+    * probe production decontam pipelines use: the train-side explode
+    * emits one long per gram instead of materializing ~50-byte gram
+    * strings (~100M of them at the 64× probe — the measured hot path),
+    * and the broadcast eval set is a table of longs. A false hit needs a
+    * corpus gram colliding with an eval gram under the 2^63 fold —
+    * expected cross-collisions ~10^-6 at 100 TB scale — and the DuckDB
+    * oracle walks the same bytes through the same fold, so the gate
+    * checks the shipped fingerprint semantics.
+    *
     * Each branch filters BEFORE tokenizing, so the predicate reaches the
-    * scan and the corpus is read and regexp-tokenized exactly once per
-    * row across the two branches (the round-5 version derived both from
-    * one exploded frame, scanning + tokenizing the whole table twice —
+    * scan and the corpus is read and tokenized exactly once per row
+    * across the two branches (the round-5 version derived both from one
+    * exploded frame, scanning + tokenizing the whole table twice —
     * VERDICT r5 item 3).
     *
     * CONTRACT on `evalPred`: it must select a held-out EVAL SET — MBs to
     * low GBs of benchmark text, never a large corpus slice. The distinct
-    * eval n-gram set is broadcast by design (that is what makes the train
-    * side a map-side probe with no shuffle of corpus grams); a predicate
-    * that selects, say, half the corpus will exceed the broadcast/driver
-    * memory limit and fail with Spark's broadcast-size error. That
-    * failure is the correct outcome — silently degrading to a shuffle
-    * join would shuffle the full exploded corpus, which at 100 TB is the
-    * worse accident (ADVICE r5). */
+    * eval fingerprint set is broadcast by design (that is what makes the
+    * train side a map-side probe with no shuffle of corpus grams); a
+    * predicate that selects, say, half the corpus will exceed the
+    * broadcast/driver memory limit and fail with Spark's broadcast-size
+    * error. That failure is the correct outcome — silently degrading to
+    * a shuffle join would shuffle the full exploded corpus, which at
+    * 100 TB is the worse accident (ADVICE r5). */
   def overlapReport(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val evalGrams = docs.filter(evalPred)
-      .select(explode(wordGrams(col(textCol), n)).as("gram"))
+      .select(explode(gramHashes).as("gram_fp"))
       .distinct()
     docs.filter(!evalPred)
-      .select(col(idCol).as("doc_id"), explode(wordGrams(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
+      .join(broadcast(evalGrams), "gram_fp")
       .groupBy("doc_id")
-      .agg(countDistinct("gram").as("n_overlap"))
+      .agg(countDistinct("gram_fp").as("n_overlap"))
       .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[overlapReport]] over table `documents`:
     * `evalPredSql` must be the SQL rendering of the SAME predicate passed
-    * as `evalPred` (kept adjacent at the registration site). */
+    * as `evalPred` (kept adjacent at the registration site). Grams are
+    * built as strings, then folded through the SAME 63-bit byte hash the
+    * native expression computes ([[graft.oracle.Duck.gramHash63Sql]]) —
+    * the join and distinct count run on fingerprints exactly as the
+    * Spark plan's do. */
   def oracleSql(evalPredSql: String, n: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
@@ -87,12 +103,15 @@ object Decontam {
        |  FROM documents),
        |grams AS (
        |  SELECT doc_id, is_eval,
-       |    unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
-       |      i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
-       |  FROM toks),
-       |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval)
-       |SELECT doc_id, count(DISTINCT gram) AS n_overlap
-       |FROM grams JOIN eval_grams USING (gram)
+       |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT doc_id, is_eval,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toks)),
+       |eval_grams AS (SELECT DISTINCT gram_fp FROM grams WHERE is_eval)
+       |SELECT doc_id, count(DISTINCT gram_fp) AS n_overlap
+       |FROM grams JOIN eval_grams USING (gram_fp)
        |WHERE NOT is_eval
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

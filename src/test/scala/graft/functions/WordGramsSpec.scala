@@ -62,6 +62,24 @@ class WordGramsSpec extends AnyFunSuite {
     ).toDF("text"))
   }
 
+  test("word_gram_hashes ≡ 63-bit fold of the word_grams strings") {
+    GraftFunctions.register(spark)
+    def fold63(g: String): Long =
+      g.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) & Long.MaxValue)
+    val rows = graft.core.Tables.load(spark, TestSpark.Sf, "documents").limit(100)
+      .select(col("text")).union(Seq(
+        "", " \t ", "one two three",
+        "Émile über 中文 ☃𝄞 mixé CASE Folding TEXT words here").toDF("text"))
+      .select(
+        GraftFunctions.wordGrams(col("text"), 4).as("g"),
+        GraftFunctions.wordGramHashes(col("text"), 4).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).map(fold63) == r.getSeq[Long](1))
+    }
+    assert(rows.exists(_.getSeq[String](0).nonEmpty))
+  }
+
   test("chunked mode keeps the short tail; gram mode drops partial windows") {
     GraftFunctions.register(spark)
     val r = Seq("a b c d e f g h i j").toDF("text").select(
