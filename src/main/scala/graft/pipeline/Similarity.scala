@@ -251,12 +251,77 @@ object Similarity {
     * quadratic within a cell, never across the corpus. */
   def topPairPerGroup(corpus: DataFrame, idCol: String, embCol: String,
       groupCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // One shuffle of the VECTORS (grouped by cell), then the all-pairs
+    // scan runs in primitive-array loops inside flatMapGroups — the
+    // self-join formulation it replaces (kept as [[hofTopPairPerGroup]],
+    // equivalence-pinned) materialized both embeddings onto every pair
+    // row: ~1 KB × |cell|²/2 rows through the join at the 64× probe vs
+    // 16 MB of grouped vectors here. Quadratic work WITHIN a cell is the
+    // operator's contract (exact all-pairs, cells stay bounded — see the
+    // scaladoc note below); this shape just stops paying quadratic
+    // MATERIALIZATION on top of it. Dot products, norms and the
+    // (cos desc, vec_a, vec_b) tie-break reproduce the join form's
+    // arithmetic bit for bit (same sequential folds; Double.compare
+    // places NaN largest exactly as the window's DESC ordering did).
+    // The group key is typed long (any integral group column works).
+    val best = corpus
+      .select(col(groupCol).cast("long").as("label"), col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val embs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        it.foreach { case (_, id, emb) => ids += id; embs += emb }
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val nrms = embs.map(e => math.sqrt(dot(e, e))).toArray
+        var bestCos = 0.0
+        var bestA = 0L
+        var bestB = 0L
+        var found = false
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val c = dot(embs(i), embs(j)) / (nrms(i) * nrms(j))
+            val (a, b) =
+              if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            val better = !found || {
+              // Spark's nan-safe double ordering: ±0.0 compare equal,
+              // NaN sorts largest (== first under the window's DESC).
+              val cmp = if (c == bestCos) 0 else java.lang.Double.compare(c, bestCos)
+              cmp > 0 || (cmp == 0 && (a < bestA || (a == bestA && b < bestB)))
+            }
+            if (better) { bestCos = c; bestA = a; bestB = b; found = true }
+            j += 1
+          }
+          i += 1
+        }
+        if (found) Iterator.single((label, bestA, bestB, bestCos)) else Iterator.empty
+      }
+      .toDF("label", "vec_a", "vec_b", "cos")
+    // Restore the group column's source type (cast through long is exact
+    // for integral labels).
+    val labelType = corpus.schema(groupCol).dataType
+    best.select(col("label").cast(labelType).as("label"),
+        col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("label")
+  }
+
+  /** The self-join + window formulation [[topPairPerGroup]] replaced —
+    * kept as the equivalence-test mirror (SimilaritySpec pins identical
+    * output, cos bits included, on the fixture). */
+  private[graft] def hofTopPairPerGroup(corpus: DataFrame, idCol: String,
+      embCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Cached, with the vector NORM precomputed per vector: recomputing it
-    // per PAIR would run |pairs| extra 64-element folds per side. The
-    // value is bit-identical (same sequential fold), so the oracle is
-    // unaffected.
     val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
         col(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))

@@ -174,6 +174,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "de", "es", "fr", "und"))
   }
 
+  test("grouped top-pair ≡ the self-join + window formulation, bits included") {
+    val emb = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
+    val fast = Similarity.topPairPerGroup(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val hof = Similarity.hofTopPairPerGroup(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fast.nonEmpty && fast.toSeq == hof.toSeq)
+  }
+
   test("token and subword counters") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq("hello, world! this is  spark").toDF("text")
