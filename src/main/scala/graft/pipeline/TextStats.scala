@@ -181,6 +181,57 @@ object TextStats {
        |  has_stopword, ok_count AND ok_mean_len AND has_stopword AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style within-document repetition score: the fraction of word
+    * `n`-grams that are repeats of an earlier gram in the SAME document
+    * (`1 − distinct/total`), with the keep decision at `maxRep`. Boiler-
+    * plate, chart spam and template text score high; the rule is
+    * orthogonal to cross-document dedup (a corpus-unique document can
+    * still be 90% self-repetition).
+    *
+    * Pure narrow scan, zero shuffle — the 100 TB shape for row-local
+    * filters. Grams are counted as 63-bit fingerprints
+    * ([[graft.functions.WordGramHashesExpr]] — no gram strings
+    * materialize; within-doc fingerprint collisions are ~|grams|²/2^64 ≈
+    * 10^-14) and the oracle folds the same bytes, so the gate checks the
+    * shipped semantics. Documents with fewer than `n` tokens have no
+    * grams: `rep_frac` is NULL and `keep` is false in both engines. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxRep: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("rep_frac",
+        lit(1.0) - col("n_distinct").cast("double") /
+          nullif(col("n_grams"), lit(0L)).cast("double"))
+      .withColumn("keep",
+        col("n_grams") > 0 && col("rep_frac") <= maxRep)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[repetitionStats]] over table `documents` — the
+    * gram fingerprints fold the same bytes via
+    * [[graft.oracle.Duck.gramHash63Sql]]. */
+  def repetitionOracleSql(n: Int = 3, maxRep: Double = 0.2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |    i -> ${graft.oracle.Duck.gramHash63Sql(s"array_to_string(t[i:i+${n - 1}], ' ')")}) AS gh
+       |  FROM toks),
+       |m AS (
+       |  SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+       |    CAST(len(list_distinct(gh)) AS BIGINT) AS n_distinct
+       |  FROM g)
+       |SELECT doc_id, n_grams, n_distinct,
+       |  1 - CAST(n_distinct AS DOUBLE) / CAST(nullif(n_grams, 0) AS DOUBLE) AS rep_frac,
+       |  n_grams > 0 AND
+       |    (1 - CAST(n_distinct AS DOUBLE) / CAST(nullif(n_grams, 0) AS DOUBLE))
+       |      <= CAST($maxRep AS DOUBLE) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // ---- DuckDB oracle mirrors of langId -------------------------------
   // Generated from the SAME profile tables as the Column form above, so
   // the Spark expression and the oracle SQL cannot drift apart.

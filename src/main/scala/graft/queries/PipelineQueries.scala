@@ -238,6 +238,12 @@ object PipelineQueries {
       EpochShuffle.assign(Tables.load(s, sf, "documents"), "doc_id",
         epoch = 3, numShards = 16)),
 
+    // Gopher-style within-document repetition: fraction of word 3-grams
+    // repeating an earlier gram of the same doc → keep decision. Narrow
+    // fingerprint scan, zero shuffle.
+    "q46_repetition" -> ((s, sf) =>
+      TextStats.repetitionStats(Tables.load(s, sf, "documents"), "doc_id", "text")),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -323,6 +329,8 @@ object PipelineQueries {
 
     "q44_quality_flags" -> TextStats.qualityFlagsOracleSql(),
 
-    "q45_epoch_shuffle" -> EpochShuffle.oracleSql(epoch = 3, numShards = 16)
+    "q45_epoch_shuffle" -> EpochShuffle.oracleSql(epoch = 3, numShards = 16),
+
+    "q46_repetition" -> TextStats.repetitionOracleSql()
   )
 }

@@ -183,6 +183,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(fast.nonEmpty && fast.toSeq == hof.toSeq)
   }
 
+  test("repetition score flags self-repeating text, keeps diverse text") {
+    val docs = Seq(
+      (0L, "a b c a b c a b c"),   // 7 grams, 3 distinct → rep ≈ 0.571
+      (1L, "the quick brown fox jumps over a lazy dog"), // all distinct
+      (2L, "one two")              // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+    assert(got(0) == ((0L, 7L, 3L, Some(1.0 - 3.0 / 7.0), false)))
+    assert(got(1)._2 == 7L && got(1)._3 == 7L && got(1)._4 == Some(0.0) && got(1)._5)
+    assert(got(2) == ((2L, 0L, 0L, None, false)))
+  }
+
   test("token and subword counters") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq("hello, world! this is  spark").toDF("text")
