@@ -51,6 +51,8 @@ object GraftFunctions {
       exprs => WordGramHashesExpr(exprs(0), WordGramsExpr.litInt(exprs(1))),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "pii_scrub", exprs => PiiScrubExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "word_grams",
       exprs => WordGramsExpr(exprs(0), WordGramsExpr.litInt(exprs(1)), chunked = false),
       "built-in")
@@ -99,6 +101,11 @@ object GraftFunctions {
     * literal set — native `regexp_count(lower(c), '\b(w1|...|wn)\b')`. */
   def wordSetCount(c: Column, wordsCsv: String): Column =
     call_function("word_set_count", c.cast("string"), lit(wordsCsv))
+
+  /** `struct(n_emails, n_phones, scrubbed)` — email/phone counts and the
+    * redacted text in two byte passes. */
+  def piiScrub(c: Column): Column =
+    call_function("pii_scrub", c.cast("string"))
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class PackedWordTable(entries: Seq[(String, Int)]) extends Serializable {
 
+  require(entries.nonEmpty, "packed word table requires at least one word")
   val maxLen: Int = entries.map(_._1.length).max
   require(maxLen <= 8, "packed word table requires words of <= 8 bytes")
   entries.foreach { case (w, _) =>

@@ -232,6 +232,75 @@ object TextStats {
        |      <= CAST($maxRep AS DOUBLE) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Conservative PII patterns shared by the Spark and oracle renderings
+    * of [[piiScrub]]. Kept to constructs Java regex and DuckDB's RE2
+    * treat identically (character classes, greedy `+`, literals), so
+    * both engines match the same spans. */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+  val PhonePattern = "\\+1-555-0[0-9]+"
+
+  /** PII scrubbing: count and redact email addresses and phone numbers
+    * (`<EMAIL>` / `<PHONE>` placeholders) — the row-local cleaning stage
+    * a curation pipeline runs before training. Zero shuffle; the
+    * scrubbed text is fingerprinted (rolling_hash) so the oracle checks
+    * the REDACTED BYTES exactly, not just the counts.
+    *
+    * Counts and the redacted text come from ONE native expression
+    * ([[graft.functions.PiiScrubExpr]], two byte passes — the regexp
+    * formulation ran four full regex passes per row and was the slowest
+    * scan at the 64× probe; it survives as [[hofPiiScrub]] for the
+    * equivalence gate). */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val st = graft.functions.GraftFunctions.piiScrub(col(textCol))
+    val scrubbed = st.getField("scrubbed")
+    docs.select(col(idCol).as("doc_id"),
+        st.getField("n_emails").as("n_emails"),
+        st.getField("n_phones").as("n_phones"),
+        length(scrubbed).cast("long").as("clean_len"),
+        graft.functions.GraftFunctions.rollingHash(scrubbed).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** The regexp formulation [[piiScrub]] replaced — the equivalence-test
+    * mirror (PipelineSpec pins identical counts and scrubbed bytes on
+    * fixture + adversarial text). */
+  private[graft] def hofPiiScrub(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scrubbed = regexp_replace(
+      regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit("<PHONE>"))
+    docs.select(col(idCol).as("doc_id"),
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
+        length(scrubbed).cast("long").as("clean_len"),
+        graft.functions.GraftFunctions.rollingHash(scrubbed).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle fragment for [[piiScrub]] over a relation exposing
+    * `(doc_id, t)` — the caller supplies the planted-PII derivation so
+    * query and oracle stay adjacent at the registration site. */
+  def piiScrubOracleSql(sourceSql: String): String = {
+    // The Scala literals already hold single-backslash regex escapes,
+    // which is exactly what DuckDB's RE2 expects inside '...'.
+    val email = EmailPattern
+    val phone = PhonePattern
+    s"""WITH p AS ($sourceSql),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g') AS scrubbed
+       |  FROM p)
+       |SELECT doc_id, n_emails, n_phones,
+       |  CAST(length(scrubbed) AS BIGINT) AS clean_len,
+       |  ${graft.oracle.Duck.rollingHashSql("scrubbed")} AS scrub_fp
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   // ---- DuckDB oracle mirrors of langId -------------------------------
   // Generated from the SAME profile tables as the Column form above, so
   // the Spark expression and the oracle SQL cannot drift apart.

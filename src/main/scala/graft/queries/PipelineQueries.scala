@@ -244,6 +244,18 @@ object PipelineQueries {
     "q46_repetition" -> ((s, sf) =>
       TextStats.repetitionStats(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
+    // PII scrubbing KAT: emails/phones planted deterministically (the
+    // fixture text has none — the derived column makes the redaction
+    // path actually fire), counts + redacted-bytes fingerprint checked.
+    "q47_pii_scrub" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      val planted = Tables.load(s, sf, "documents").selectExpr("doc_id",
+        "concat(text, element_at(array('', ' contact bob.smith@example.com today', " +
+          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'), " +
+          "cast(doc_id % 4 + 1 AS INT))) AS t")
+      TextStats.piiScrub(planted, "doc_id", "t")
+    }),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -331,6 +343,11 @@ object PipelineQueries {
 
     "q45_epoch_shuffle" -> EpochShuffle.oracleSql(epoch = 3, numShards = 16),
 
-    "q46_repetition" -> TextStats.repetitionOracleSql()
+    "q46_repetition" -> TextStats.repetitionOracleSql(),
+
+    "q47_pii_scrub" -> TextStats.piiScrubOracleSql(
+      """SELECT doc_id, text || (['', ' contact bob.smith@example.com today',
+        |  ' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'])
+        |  [(doc_id % 4 + 1)::INT] AS t FROM documents""".stripMargin)
   )
 }

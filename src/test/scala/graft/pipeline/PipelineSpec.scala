@@ -197,6 +197,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 0L, 0L, None, false)))
   }
 
+  test("pii scrub counts and redacts emails/phones; clean text untouched") {
+    val docs = Seq(
+      (0L, "write to jane.doe@example.org or +1-555-0777 anytime"),
+      (1L, "no contact info in this sentence at all")
+    ).toDF("doc_id", "text")
+    val got = TextStats.piiScrub(docs, "doc_id", "text").collect()
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L)
+    // "<EMAIL>"(7) + "<PHONE>"(7) replace the 20-char email + 11-char phone.
+    val t0 = "write to jane.doe@example.org or +1-555-0777 anytime"
+    assert(got(0).getLong(3) == t0.length - 20 + 7 - 11 + 7)
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L)
+    assert(got(1).getLong(3) == "no contact info in this sentence at all".length)
+    // Unchanged text fingerprints to the raw rolling hash.
+    val fp = graft.functions.RollingHashExpr
+    assert(got(1).getLong(4) == fp.hash("no contact info in this sentence at all".getBytes))
+  }
+
+  test("native pii_scrub ≡ the regexp formulation on adversarial text") {
+    val fixture = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .limit(60).selectExpr("doc_id",
+        "concat(text, element_at(array('', ' contact bob.smith@example.com today', " +
+          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'), " +
+          "cast(doc_id % 4 + 1 AS INT))) AS text")
+    val adversarial = Seq(
+      (1000L, "x@y.za@b.cd"),              // tld greedily eats into next local
+      (1001L, "a@@b.c .. ..ab@c.de"),      // double @, leading dots in local
+      (1002L, "a@b..c A@B.COM é@b.cé"),    // empty domain tail, case, multibyte
+      (1003L, "+1-555-0 and ++1-555-0142 and +1-555-01+1-555-02"), // no-digit, double +, adjacent
+      (1004L, "x@y.z@w.com plus jane.doe@sub9.mail"),              // resume-at-end
+      (1005L, "")                          // empty
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
+      f(df, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(run(fixture, TextStats.piiScrub) == run(fixture, TextStats.hofPiiScrub))
+    assert(run(adversarial, TextStats.piiScrub) == run(adversarial, TextStats.hofPiiScrub))
+  }
+
   test("token and subword counters") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq("hello, world! this is  spark").toDF("text")
