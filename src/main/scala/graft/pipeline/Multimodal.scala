@@ -49,14 +49,23 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode pixels/samples here
     * (??? in spirit); the deterministic fake hashes byte stripes so tests
-    * can assert exact outputs. */
-  def decodeStub(content: Array[Byte]): Array[Float] =
-    Array.tabulate(EmbeddingDim) { i =>
-      val stripe = content.zipWithIndex.collect {
-        case (b, j) if j % EmbeddingDim == i => b
-      }
-      (RollingHashExpr.hash(stripe).toDouble / (1L << 32).toDouble).toFloat
+    * can assert exact outputs. Stripes are gathered with primitive loops —
+    * the stub runs once per asset over every content byte, so per-byte
+    * boxing would dominate the whole extract pass. */
+  def decodeStub(content: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](EmbeddingDim)
+    var i = 0
+    while (i < EmbeddingDim) {
+      val len = if (content.length > i) (content.length - 1 - i) / EmbeddingDim + 1 else 0
+      val stripe = new Array[Byte](len)
+      var j = i
+      var k = 0
+      while (j < content.length) { stripe(k) = content(j); k += 1; j += EmbeddingDim }
+      out(i) = (RollingHashExpr.hash(stripe).toDouble / (1L << 32).toDouble).toFloat
+      i += 1
     }
+    out
+  }
 
   /** Frame sampling stub: fingerprint of each of `FrameSamples` contiguous
     * byte slices (a video decoder would grab I-frames here). */
