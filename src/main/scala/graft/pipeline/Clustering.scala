@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering for corpus curation: deterministic k-means
+  * (Lloyd's) and the cluster-then-dedup shape built on it — semantic
+  * near-duplicate removal (k-means partitions the corpus, exact cosine
+  * runs only WITHIN a cluster), the SemDeDup recipe. The trained
+  * centroids are also exactly what a real IVF index needs, upgrading the
+  * hash-blocked q26 cells to learned coarse cells.
+  *
+  * Determinism and oracle parity — the interesting problem here is that
+  * textbook k-means is nondeterministic on a cluster: centroid updates
+  * average floats, and float addition does not commute across partition
+  * orders. We lift every embedding to fixed point once at the start
+  * (`floor(v * 2^20 + 0.5)` per component, exact longs):
+  *
+  *  - centroid SUMS are exact integer arithmetic — order-independent, so
+  *    the result is identical however Spark partitions the corpus (the
+  *    100 TB-correct answer, not just an oracle trick);
+  *  - each centroid component is then ONE double division `sum/n` — a
+  *    single IEEE op on identical operands in any engine;
+  *  - assignment scores stay in the lifted domain: `score_c =
+  *    fxd·c − |c|²/2` (the `|x−c|² = |x|² − 2x·c + |c|²` decomposition
+  *    with the x-only term dropped — argmax(score) = argmin(dist)), all
+  *    dot products SEQUENTIAL index-order folds (`vec_dot` native
+  *    expression / DuckDB `list_reduce`), ties to the lowest cluster id.
+  *
+  * The DuckDB oracle ([[kmeansOracleSql]]) replays the same iterations as
+  * unrolled CTEs and reproduces assignments AND scores bit-for-bit — no
+  * float tolerance anywhere.
+  *
+  * Scale shape per round: assignment is a pure per-row expression against
+  * k collected centroids (zero shuffle); the update is one two-phase
+  * aggregation over slim (cluster, pos, long) triples — map-side combine
+  * collapses each partition to ≤ k×dim rows before the exchange, and the
+  * driver holds only k×dim longs (the O(P)-metadata pattern of
+  * [[graft.ops.ScalableCumSum]]). Empty clusters simply drop out of later
+  * rounds (ids of surviving clusters are stable).
+  */
+object Clustering {
+
+  /** Fixed-point lift scale (2^20). Embedding components are O(1), so
+    * lifted values are ~2^20 and round-1 scores (sums of 40-bit products
+    * over the dimension) stay below 2^53 — exactly representable. */
+  val Scale = 1048576.0
+
+  /** vec_id, emb (double), fx (exact fixed-point longs), fxd (same values
+    * as doubles — the domain every dot product runs in). Cached: the
+    * corpus is re-scanned once per k-means round (query-lifetime intent,
+    * same contract as [[Similarity.bucketedNearDupPairs]]). */
+  private def lifted(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("fx", expr(s"transform(emb, v -> floor(v * ${Scale}D + 0.5D))"))
+      .withColumn("fxd", expr("transform(fx, v -> CAST(v AS DOUBLE))"))
+      .cache()
+  }
+
+  /** Driver-side index-order fold of |c|² — the exact op sequence the
+    * oracle's `list_reduce` runs. */
+  private def normSq(c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** Adds `cluster` (long) and `score` (double) columns: argmax over the
+    * given centroids of `vec_dot(fxd, c) − 0.5·|c|²`, ties to the lowest
+    * cluster id (a strictly-greater fold keeps the first maximum;
+    * `cents` is sorted by cluster id). */
+  private def withCluster(e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val scores = cents.map { case (_, c) =>
+      call_function("vec_dot", col("fxd"), typedLit(c.toSeq)) - lit(0.5 * normSq(c))
+    }
+    val scored = e.withColumn("__s", array(scores: _*))
+    var bestS: Column = col("__s").getItem(0)
+    var bestJ: Column = lit(cents.head._1)
+    for (m <- 1 until cents.size) {
+      val sm = col("__s").getItem(m)
+      val nextJ = when(sm > bestS, lit(cents(m)._1)).otherwise(bestJ)
+      val nextS = when(sm > bestS, sm).otherwise(bestS)
+      bestJ = nextJ
+      bestS = nextS
+    }
+    scored.withColumn("cluster", bestJ).withColumn("score", bestS).drop("__s")
+  }
+
+  /** One Lloyd's update: exact per-(cluster, position) long sums via
+    * two-phase aggregation, k×dim rows collected, one double division per
+    * component on the driver. Empty clusters yield no rows and drop out. */
+  private def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Long, Array[Double])] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("fx")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      val c = new Array[Double](dim)
+      rs.foreach { r =>
+        c(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3).toDouble
+      }
+      (cid, c)
+    }
+  }
+
+  /** Assignment after `rounds` rounds, still carrying `emb` (for
+    * downstream exact-cosine work). Seeds: the k lowest-id vectors,
+    * cluster id = 0-based rank in that order. */
+  private def assignWithEmb(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val seedRows = e.orderBy("vec_id").limit(k).select("fxd").collect()
+    val dim = seedRows.head.getSeq[Double](0).length
+    var cents: Seq[(Long, Array[Double])] = seedRows.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Double](0).toArray)
+    }.toSeq
+    var assigned = withCluster(e, cents)
+    for (_ <- 2 to rounds) {
+      cents = updateCentroids(assigned, dim)
+      assigned = withCluster(e, cents)
+    }
+    assigned
+  }
+
+  /** Deterministic k-means assignment: (vec_id, cluster, score), `rounds`
+    * assignment rounds with a centroid refinement between each pair. */
+  def kmeans(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, rounds: Int): DataFrame =
+    assignWithEmb(lifted(corpus, idCol, embCol), k, rounds)
+      .select(col("vec_id"), col("cluster"), col("score"))
+      .orderBy("vec_id")
+
+  /** Semantic near-dup removal (the SemDeDup shape): k-means first, then
+    * exact cosine only WITHIN each cluster; a vector is dropped when a
+    * lower-id vector in the same cluster has cosine ≥ `minCos` (greedy
+    * by id — deterministic, and chains collapse to the lowest member).
+    * Returns (vec_id, cluster, keep).
+    *
+    * Scale: the self-join shuffles on the cluster key only — quadratic
+    * work stays within a cluster (the q26 bounded-cell contract: grow k
+    * with the corpus). The dropped-id set joins back without a forced
+    * broadcast hint — AQE decides (the [[Passages]] r5 lesson). */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, rounds: Int, minCos: Double): DataFrame = {
+    val a = assignWithEmb(lifted(corpus, idCol, embCol), k, rounds)
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+    val l = a.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = a.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr("vec_dot(emb_a, emb_b) / (nrm_a * nrm_b)") >= minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def fold(items: String): String =
+    s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    fold(s"list_transform(range(1, ${dim + 1}), __i -> $a[__i] * $b[__i])")
+
+  /** The default oracle corpus: the embeddings table, components as
+    * doubles. */
+  val EmbeddingsSql: String =
+    "(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)"
+
+  /** The `e` CTE body + one assignment/update CTE pair per round,
+    * mirroring [[assignWithEmb]] op for op. Returns the full WITH-chain
+    * prefix ending at assignment CTE `a$rounds`. */
+  private def kmeansCtes(k: Int, rounds: Int, dim: Int, corpusSql: String): String = {
+    val lift = s"list_transform(emb, v -> CAST(floor(v * $Scale + 0.5) AS BIGINT))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, emb, $lift AS fx,
+               |    list_transform($lift, v -> CAST(v AS DOUBLE)) AS fxd
+               |  FROM $corpusSql),
+               |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, fxd AS c
+               |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+    for (t <- 1 to rounds) {
+      sb ++= s""",
+                 |a$t AS (SELECT vec_id, cid AS cluster, score FROM (
+                 |    SELECT vec_id, cid, score,
+                 |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+                 |    FROM (SELECT e.vec_id, c.cid,
+                 |            ${dotSql("e.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} AS score
+                 |          FROM e CROSS JOIN c$t c))
+                 |  WHERE rn = 1)""".stripMargin
+      if (t < rounds) {
+        sb ++= s""",
+                   |s$t AS (SELECT a.cluster AS cid, t.i AS pos,
+                   |    CAST(sum(e.fx[t.i]) AS BIGINT) AS s, count(*) AS n
+                   |  FROM a$t a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+                   |  GROUP BY a.cluster, t.i),
+                   |c${t + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+                   |  FROM s$t GROUP BY cid)""".stripMargin
+      }
+    }
+    sb.result()
+  }
+
+  /** DuckDB oracle for [[kmeans]]. */
+  def kmeansOracleSql(k: Int, rounds: Int, dim: Int,
+      corpusSql: String = EmbeddingsSql): String =
+    s"""${kmeansCtes(k, rounds, dim, corpusSql)}
+       |SELECT vec_id, cluster, score FROM a$rounds ORDER BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[semanticDedup]]. */
+  def semanticDedupOracleSql(k: Int, rounds: Int, dim: Int, minCos: Double,
+      corpusSql: String = EmbeddingsSql): String =
+    s"""${kmeansCtes(k, rounds, dim, corpusSql)},
+       |d AS (SELECT a.vec_id, a.cluster, e.emb,
+       |    sqrt(${fold("list_transform(e.emb, v -> v * v)")}) AS nrm
+       |  FROM a$rounds a JOIN e USING (vec_id)),
+       |drp AS (SELECT DISTINCT r.vec_id FROM d l JOIN d r
+       |  ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+       |  AND ${dotSql("l.emb", "r.emb", dim)} / (l.nrm * r.nrm) >= $minCos)
+       |SELECT d.vec_id, d.cluster, drp.vec_id IS NULL AS keep
+       |FROM d LEFT JOIN drp ON d.vec_id = drp.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+}

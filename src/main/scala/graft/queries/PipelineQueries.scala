@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats}
+import graft.pipeline.{Clustering, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -256,6 +256,32 @@ object PipelineQueries {
       TextStats.piiScrub(planted, "doc_id", "t")
     }),
 
+    // Deterministic k-means over the embeddings (k=8, 3 assignment
+    // rounds): the fixed-point lift makes centroid sums exact integer
+    // arithmetic — partition-order-independent on a cluster AND
+    // bit-reproducible by the DuckDB oracle's unrolled-CTE replay
+    // (assignments + scores, no float tolerance). Also the IVF training
+    // path: the learned centroids are the coarse cells q26 blocks by.
+    "q48_kmeans" -> ((s, sf) =>
+      Clustering.kmeans(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", k = 8, rounds = 3)),
+
+    // Semantic dedup (the SemDeDup shape): k-means partitions the
+    // corpus, exact cosine runs only within a cluster, greedy-by-id drop
+    // at cos ≥ 0.9. Every 53rd vector gets a planted perturbed near-dup
+    // (cosine ≈ 0.9995 — q33's second family), far above the corpus's
+    // natural max pairwise cosine (≈ 0.51 at sf0.01), so the drops are
+    // exactly the planted copies when they co-cluster with their source.
+    "q49_semantic_dedup" -> ((s, sf) => {
+      val base = Tables.load(s, sf, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val planted = base.filter(col("vec_id") % 53 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          expr(Similarity.perturbExprSql("emb", EmbeddingDim, forDuck = false)).as("emb"))
+      Clustering.semanticDedup(base.unionAll(planted), "vec_id", "emb",
+        k = 8, rounds = 3, minCos = 0.9)
+    }),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -308,6 +334,17 @@ object PipelineQueries {
         SELECT vec_id + 2000000,
           ${Similarity.perturbExprSql("list_transform(embedding, x -> x::DOUBLE)", EmbeddingDim, forDuck = true)}
         FROM embeddings WHERE vec_id % 43 = 0)"""),
+
+    "q48_kmeans" -> Clustering.kmeansOracleSql(8, 3, EmbeddingDim),
+
+    "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
+      EmbeddingDim, 0.9,
+      corpusSql = s"""(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 3000000,
+          ${Similarity.perturbExprSql("list_transform(embedding, x -> x::DOUBLE)", EmbeddingDim, forDuck = true)}
+        FROM embeddings WHERE vec_id % 53 = 0)"""),
 
     "q32_murmur2_kat" ->
       s"""SELECT doc_id, "key", n, ${Duck.murmur2PartitionSql("\"key\"", "n")} AS part
