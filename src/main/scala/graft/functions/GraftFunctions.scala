@@ -28,6 +28,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDotExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "argmax_dot",
+      exprs => ArgmaxDotExpr(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
       "shingle_set", exprs => ShingleSetExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "lang_scores", exprs => LangScoresExpr(exprs(0)), "built-in")
@@ -106,6 +109,11 @@ object GraftFunctions {
     * redacted text in two byte passes. */
   def piiScrub(c: Column): Column =
     call_function("pii_scrub", c.cast("string"))
+
+  /** Nearest-centroid assignment `struct(cluster, score)` against a
+    * centroid matrix passed as data (see [[ArgmaxDotExpr]]). */
+  def argmaxDot(v: Column, cents: Column, offsets: Column, ids: Column): Column =
+    call_function("argmax_dot", v, cents, offsets, ids)
 
   /** Decode a msgpack binary column to its string rendering. */
   def msgpackDecode(c: Column): Column =

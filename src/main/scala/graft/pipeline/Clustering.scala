@@ -50,7 +50,7 @@ object Clustering {
     * as doubles — the domain every dot product runs in). Cached: the
     * corpus is re-scanned once per k-means round (query-lifetime intent,
     * same contract as [[Similarity.bucketedNearDupPairs]]). */
-  private def lifted(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+  private[graft] def lifted(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .select(col(idCol).cast("long").as("vec_id"),
@@ -71,9 +71,34 @@ object Clustering {
 
   /** Adds `cluster` (long) and `score` (double) columns: argmax over the
     * given centroids of `vec_dot(fxd, c) − 0.5·|c|²`, ties to the lowest
-    * cluster id (a strictly-greater fold keeps the first maximum;
-    * `cents` is sorted by cluster id). */
-  private def withCluster(e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    * cluster id (`cents` is sorted by cluster id; the expression's
+    * strictly-greater fold keeps the first maximum).
+    *
+    * The centroid matrix reaches the plan as ONE literal argument to the
+    * native `argmax_dot` expression — one call-sized generated method
+    * whatever k is. The previous formulation (k `vec_dot` columns + a
+    * k-deep `when`-chain) was O(k) generated code, which crosses the JVM
+    * huge-method JIT limit at IVF-scale k (10³–10⁵ clusters); see
+    * [[graft.functions.ArgmaxDotExpr]] and the SCALING.md q22 lesson.
+    * ClusteringSpec pins the two forms bit-identical (the old chain
+    * survives as [[chainWithCluster]]). */
+  private[graft] def withCluster(e: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val r = graft.functions.GraftFunctions.argmaxDot(col("fxd"),
+      typedLit(cents.map(_._2.toSeq)),
+      typedLit(cents.map { case (_, c) => 0.5 * normSq(c) }),
+      typedLit(cents.map(_._1)))
+    e.withColumn("__r", r)
+      .withColumn("cluster", col("__r").getField("cluster"))
+      .withColumn("score", col("__r").getField("score"))
+      .drop("__r")
+  }
+
+  /** The k-node expression-tree assignment [[withCluster]] replaced —
+    * kept as the equivalence-test mirror (ClusteringSpec pins identical
+    * clusters AND score bits at k=8; not for production use at large k,
+    * see [[withCluster]]'s scaladoc). */
+  private[graft] def chainWithCluster(e: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
     val scores = cents.map { case (_, c) =>
       call_function("vec_dot", col("fxd"), typedLit(c.toSeq)) - lit(0.5 * normSq(c))
     }
@@ -90,9 +115,22 @@ object Clustering {
     scored.withColumn("cluster", bestJ).withColumn("score", bestS).drop("__s")
   }
 
+  /** Hard bound on k×dim — the driver-side footprint of one centroid
+    * refinement ([[updateCentroids]] collects ≤ k×dim (cluster, pos,
+    * sum, count) rows ≈ 32 bytes each, so 2²⁴ caps the collect at
+    * ~512 MB). This is the explicit O(k×dim)-metadata contract of the
+    * operator, stated the way [[graft.ops.ScalableCumSum]] states its
+    * O(P) one: k-means here is the IVF/SemDeDup COARSE quantizer (k up
+    * to ~10⁵ at dim ~10² fits with 100× headroom), not a per-row
+    * codebook — past this bound the update itself must become
+    * distributed, which is a different operator. */
+  val MaxCentroidCells: Long = 1L << 24
+
   /** One Lloyd's update: exact per-(cluster, position) long sums via
     * two-phase aggregation, k×dim rows collected, one double division per
-    * component on the driver. Empty clusters yield no rows and drop out. */
+    * component on the driver ([[MaxCentroidCells]] bounds the collect;
+    * the caller `require`s it). Empty clusters yield no rows and drop
+    * out. */
   private def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Long, Array[Double])] = {
     val rows = assigned
       .select(col("cluster"), posexplode(col("fx")).as(Seq("pos", "v")))
@@ -114,6 +152,11 @@ object Clustering {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     val seedRows = e.orderBy("vec_id").limit(k).select("fxd").collect()
     val dim = seedRows.head.getSeq[Double](0).length
+    require(k.toLong * dim <= MaxCentroidCells,
+      s"k×dim = ${k.toLong * dim} exceeds the O(k×dim) driver-metadata " +
+        s"contract ($MaxCentroidCells cells): the centroid refinement " +
+        "collects one (sum, count) cell per (cluster, position) to the " +
+        "driver — see Clustering.MaxCentroidCells")
     var cents: Seq[(Long, Array[Double])] = seedRows.zipWithIndex.map {
       case (r, i) => (i.toLong, r.getSeq[Double](0).toArray)
     }.toSeq
@@ -139,12 +182,71 @@ object Clustering {
     * by id — deterministic, and chains collapse to the lowest member).
     * Returns (vec_id, cluster, keep).
     *
-    * Scale: the self-join shuffles on the cluster key only — quadratic
-    * work stays within a cluster (the q26 bounded-cell contract: grow k
-    * with the corpus). The dropped-id set joins back without a forced
-    * broadcast hint — AQE decides (the [[Passages]] r5 lesson). */
+    * Scale: ONE shuffle, of the cluster-keyed VECTORS — each cluster's
+    * members gather once and the quadratic cosine scan runs in primitive
+    * loops inside `flatMapGroups`, emitting one (id, cluster, keep) row
+    * per member. Pair rows never materialize: the self-join formulation
+    * this replaced carried BOTH full embeddings on every candidate pair
+    * row (C²/2 rows × 2·dim doubles per cluster through the exchange) —
+    * the exact shape [[Similarity.topPairPerGroup]]'s 64× probe measured
+    * at 51s vs 1.6s, and SemDeDup clusters are near-dup-dense BY DESIGN,
+    * so the blow-up lands where the data is thickest. The join form
+    * survives as [[joinSemanticDedup]]; ClusteringSpec pins the two
+    * bit-identical on the planted-family fixture. Quadratic WORK within
+    * a cluster remains the operator's contract — k grows with the corpus
+    * so cells stay bounded (the q26 bounded-cell rule). The drop scan
+    * early-exits per member at the first dropping neighbor, and no
+    * join-back is needed at all (the group already holds every member).
+    *
+    * Arithmetic parity with the join form and the DuckDB oracle: members
+    * scan in ascending-id order, so each pair's dot runs
+    * (lower-id)·(higher-id) with the same sequential fold as `vec_dot`,
+    * and norms are the same `sqrt(vec_dot(e, e))` folds. */
   def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, rounds: Int, minCos: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val a = assignWithEmb(lifted(corpus, idCol, embCol), k, rounds)
+    a.select(col("cluster"), col("vec_id"), col("emb"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster: Long, it: Iterator[(Long, Long, Array[Double])]) =>
+        val idBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val embBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        it.foreach { case (_, id, emb) => idBuf += id; embBuf += emb }
+        val n = idBuf.length
+        val order = Array.range(0, n).sortBy(idBuf(_))
+        val ids = order.map(idBuf(_))
+        val embs = order.map(embBuf(_))
+        def dot(x: Array[Double], y: Array[Double]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < x.length) { acc += x(i) * y(i); i += 1 }
+          acc
+        }
+        val nrms = embs.map(e => math.sqrt(dot(e, e)))
+        val dropped = new Array[Boolean](n)
+        var j = 1
+        while (j < n) {
+          var i = 0
+          while (i < j && !dropped(j)) {
+            if (dot(embs(i), embs(j)) / (nrms(i) * nrms(j)) >= minCos)
+              dropped(j) = true
+            i += 1
+          }
+          j += 1
+        }
+        Iterator.range(0, n).map(m => (ids(m), cluster, !dropped(m)))
+      }
+      .toDF("vec_id", "cluster", "keep")
+      .orderBy("vec_id")
+  }
+
+  /** The self-join + anti-join formulation [[semanticDedup]] replaced —
+    * kept as the equivalence-test mirror (ClusteringSpec pins identical
+    * output on the planted near-dup fixture). */
+  private[graft] def joinSemanticDedup(corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, rounds: Int, minCos: Double): DataFrame = {
     val a = assignWithEmb(lifted(corpus, idCol, embCol), k, rounds)
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
     val l = a.select(col("cluster"), col("vec_id").as("vec_a"),

@@ -33,7 +33,10 @@ class InterpretedParitySpec extends AnyFunSuite {
       "kafka_partition(text, 7) AS l",
       "sig_agree_count(minhash_sig(text), minhash_sig(reverse(text))) AS m",
       "sig_band_mask(minhash_sig(text), minhash_sig(reverse(text))) AS n",
-      "sorted_intersect_count(shingle_set(text), shingle_set(reverse(text))) AS o")
+      "sorted_intersect_count(shingle_set(text), shingle_set(reverse(text))) AS o",
+      "argmax_dot(array(CAST(doc_id AS DOUBLE), CAST(length(text) AS DOUBLE)), " +
+        "array(array(1.0D, 0.5D), array(-1.0D, 2.0D), array(0.25D, 0.25D)), " +
+        "array(0.25D, 0.5D, 0.0D), array(0L, 1L, 2L)) AS p")
   }
 
   test("codegen and interpreted evaluation agree on every native expression") {

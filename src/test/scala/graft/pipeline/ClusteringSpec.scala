@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Clustering's two scale-shape rewrites, each pinned bit-identical to
+  * the formulation it replaced:
+  *  - assignment through the native `argmax_dot` expression (centroid
+  *    matrix as ONE data argument) vs the k-node vec_dot/when-chain
+  *    expression tree;
+  *  - semantic dedup's grouped-vector flatMapGroups drop scan vs the
+  *    within-cluster self-join that materialized both embeddings on
+  *    every candidate pair row.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The q49 fixture: embeddings plus a planted perturbed near-dup
+    * family (cos ≈ 0.9995 against the source vectors). */
+  private lazy val planted = {
+    val dim = graft.queries.PipelineQueries.EmbeddingDim
+    val base = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val copies = base.filter(col("vec_id") % 53 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        expr(Similarity.perturbExprSql("emb", dim, forDuck = false)).as("emb"))
+    base.unionAll(copies)
+  }
+
+  test("argmax_dot assignment ≡ the vec_dot/when-chain form, score bits included") {
+    val e = Clustering.lifted(planted, "vec_id", "emb")
+    val k = 8
+    val seedRows = e.orderBy("vec_id").limit(k).select("fxd").collect()
+    val cents = seedRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Double](0).toArray)
+    }.toSeq
+    def run(f: (org.apache.spark.sql.DataFrame, Seq[(Long, Array[Double])]) => org.apache.spark.sql.DataFrame) =
+      f(e, cents).select("vec_id", "cluster", "score").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(run(Clustering.withCluster) == run(Clustering.chainWithCluster))
+  }
+
+  test("grouped semantic dedup ≡ the self-join formulation on the planted fixture") {
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val fast = run(Clustering.semanticDedup(planted, "vec_id", "emb",
+      k = 8, rounds = 3, minCos = 0.9))
+    val join = run(Clustering.joinSemanticDedup(planted, "vec_id", "emb",
+      k = 8, rounds = 3, minCos = 0.9))
+    assert(fast == join)
+    // The planted copies actually exercise the drop path.
+    assert(fast.exists(!_._3))
+  }
+
+  test("k×dim past the driver-metadata bound is a contract error, not an OOM") {
+    // Seeds come from `limit(k)`, so a 10-row corpus keeps the seed
+    // collect tiny while an oversized k still trips the k×dim require.
+    val dim = 4
+    val tooManyK = (Clustering.MaxCentroidCells / dim + 1).toInt
+    val tiny = (0L until 10L).map(i =>
+      (i, Array.fill(dim)(i.toDouble))).toDF("vec_id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.kmeans(tiny, "vec_id", "emb", k = tooManyK, rounds = 2)
+    }
+    assert(ex.getMessage.contains("driver-metadata"))
+  }
+}
