@@ -43,6 +43,13 @@ object Decontam {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Default cap on distinct eval-side gram fingerprints — ~400 MB of
+    * longs through the broadcast hash relation, far past any real
+    * benchmark suite (one gram per word of ~300 GB of eval text) and
+    * comfortably inside executor memory. See the `evalPred` contract on
+    * [[overlapReport]]. */
+  val DefaultMaxEvalGrams: Long = 50L * 1000 * 1000
+
   /** (doc_id, n_overlap) for every NON-eval document sharing at least one
     * word `n`-gram with the eval slice (`evalPred` over the doc columns
     * selects the held-out set). Docs with zero overlap are absent — the
@@ -70,17 +77,28 @@ object Decontam {
     * eval fingerprint set is broadcast by design (that is what makes the
     * train side a map-side probe with no shuffle of corpus grams); a
     * predicate that selects, say, half the corpus will exceed the
-    * broadcast/driver memory limit and fail with Spark's broadcast-size
-    * error. That failure is the correct outcome — silently degrading to
-    * a shuffle join would shuffle the full exploded corpus, which at
-    * 100 TB is the worse accident (ADVICE r5). */
+    * broadcast/driver memory limit. Silently degrading to a shuffle
+    * join would shuffle the full exploded corpus, which at 100 TB is
+    * the worse accident (ADVICE r5) — so the contract is ENFORCED:
+    * the distinct eval fingerprints are counted (one extra job over the
+    * filtered-scan eval slice, cached so the join reuses it) and a
+    * count past `maxEvalGrams` raises a readable contract error instead
+    * of an executor OOM deep inside broadcast construction. */
   def overlapReport(docs: DataFrame, idCol: String, textCol: String,
-      evalPred: Column, n: Int): DataFrame = {
+      evalPred: Column, n: Int,
+      maxEvalGrams: Long = DefaultMaxEvalGrams): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val evalGrams = docs.filter(evalPred)
       .select(explode(gramHashes).as("gram_fp"))
       .distinct()
+      .cache()
+    val nEval = evalGrams.count()
+    require(nEval <= maxEvalGrams,
+      s"decontam eval side has $nEval distinct $n-gram fingerprints, over " +
+        s"the broadcast contract bound $maxEvalGrams: evalPred must select " +
+        "a held-out eval set (MBs of benchmark text), not a corpus slice — " +
+        "see Decontam.overlapReport's evalPred contract")
     docs.filter(!evalPred)
       .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
       .join(broadcast(evalGrams), "gram_fp")

@@ -238,16 +238,22 @@ object TextStats {
     * both engines match the same spans. */
   val EmailPattern = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
   val PhonePattern = "\\+1-555-0[0-9]+"
+  val IpPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** PII scrubbing: count and redact email addresses and phone numbers
-    * (`<EMAIL>` / `<PHONE>` placeholders) — the row-local cleaning stage
-    * a curation pipeline runs before training. Zero shuffle; the
+  /** PII scrubbing: count and redact email addresses, phone numbers,
+    * IPv4 addresses, and Luhn-valid credit-card digit runs (`<EMAIL>` /
+    * `<PHONE>` / `<IP>` / `<CCN>` placeholders) — the row-local cleaning
+    * stage a curation pipeline runs before training. Zero shuffle; the
     * scrubbed text is fingerprinted (rolling_hash) so the oracle checks
-    * the REDACTED BYTES exactly, not just the counts.
+    * the REDACTED BYTES exactly, not just the counts. Credit cards are
+    * deliberately NOT a regex: a maximal 13–19-digit run is redacted
+    * only when the Luhn checksum passes, so real card shapes go and
+    * arbitrary long numbers stay (see [[graft.functions.PiiScrubExpr]]
+    * for the per-category exactness argument).
     *
     * Counts and the redacted text come from ONE native expression
-    * ([[graft.functions.PiiScrubExpr]], two byte passes — the regexp
-    * formulation ran four full regex passes per row and was the slowest
+    * ([[graft.functions.PiiScrubExpr]], four byte passes — the regexp
+    * formulation ran full regex passes per row and was the slowest
     * scan at the 64× probe; it survives as [[hofPiiScrub]] for the
     * equivalence gate). */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -257,23 +263,51 @@ object TextStats {
     docs.select(col(idCol).as("doc_id"),
         st.getField("n_emails").as("n_emails"),
         st.getField("n_phones").as("n_phones"),
+        st.getField("n_ips").as("n_ips"),
+        st.getField("n_ccns").as("n_ccns"),
         length(scrubbed).cast("long").as("clean_len"),
         graft.functions.GraftFunctions.rollingHash(scrubbed).as("scrub_fp"))
       .orderBy("doc_id")
   }
 
-  /** The regexp formulation [[piiScrub]] replaced — the equivalence-test
-    * mirror (PipelineSpec pins identical counts and scrubbed bytes on
-    * fixture + adversarial text). */
+  /** The regexp/HOF formulation [[piiScrub]] replaced — the
+    * equivalence-test mirror (PipelineSpec pins identical counts and
+    * scrubbed bytes on fixture + adversarial text). Emails/phones/IPs
+    * are `regexp_replace` stages; the Luhn-gated CCN stage is a
+    * split-on-digit-runs + conditional-rejoin HOF chain (a regex cannot
+    * express the checksum), with each count taken on the intermediate
+    * its stage scans — the same chain the byte passes walk. */
   private[graft] def hofPiiScrub(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scrubbed = regexp_replace(
+    val t2 = regexp_replace(
       regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
       lit(PhonePattern), lit("<PHONE>"))
+    val t3 = regexp_replace(t2, lit(IpPattern), lit("<IP>"))
+    val toks = regexp_extract_all(t3, lit("[0-9]+"), lit(0))
+    val segs = split(t3, "[0-9]+", -1)
+    def luhnOk(tok: Column): Column = {
+      def digit(j: Column): Column = {
+        val d = ascii(tok.substr(length(tok) - j, lit(1))) - lit(48)
+        when(j % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }
+      aggregate(sequence(lit(0), length(tok) - 1), lit(0),
+        (s, j) => s + digit(j)) % 10 === 0
+    }
+    def isCcn(tok: Column): Column =
+      length(tok).between(13, 19) && luhnOk(tok)
+    val scrubbed = when(size(toks) === 0, t3).otherwise(
+      aggregate(sequence(lit(1), size(toks)), element_at(segs, 1),
+        (acc, i) => concat(acc,
+          when(isCcn(element_at(toks, i)), lit("<CCN>"))
+            .otherwise(element_at(toks, i)),
+          element_at(segs, i + 1))))
     docs.select(col(idCol).as("doc_id"),
         regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
         regexp_count(col(textCol), lit(PhonePattern)).cast("long").as("n_phones"),
+        regexp_count(t2, lit(IpPattern)).cast("long").as("n_ips"),
+        size(filter(toks, isCcn _)).cast("long").as("n_ccns"),
         length(scrubbed).cast("long").as("clean_len"),
         graft.functions.GraftFunctions.rollingHash(scrubbed).as("scrub_fp"))
       .orderBy("doc_id")
@@ -284,21 +318,54 @@ object TextStats {
     * query and oracle stay adjacent at the registration site. */
   def piiScrubOracleSql(sourceSql: String): String = {
     // The Scala literals already hold single-backslash regex escapes,
-    // which is exactly what DuckDB's RE2 expects inside '...'.
+    // which is exactly what DuckDB's RE2 expects inside '...'. The CCN
+    // stage mirrors hofPiiScrub: split t3 on maximal digit runs, redact
+    // a run iff 13–19 digits AND the Luhn sum ≡ 0 (mod 10), rejoin.
     val email = EmailPattern
     val phone = PhonePattern
+    val ip = IpPattern
+    def luhnDigit(tok: String) =
+      s"(ascii(substr($tok, length($tok) - __j, 1)) - 48)"
+    def ccnOk(tok: String) =
+      s"""(length($tok) BETWEEN 13 AND 19 AND
+         |      list_sum(list_transform(range(0, length($tok)), __j ->
+         |        CASE WHEN __j % 2 = 1 THEN
+         |          CASE WHEN 2 * ${luhnDigit(tok)} > 9
+         |            THEN 2 * ${luhnDigit(tok)} - 9
+         |            ELSE 2 * ${luhnDigit(tok)} END
+         |        ELSE ${luhnDigit(tok)} END)) % 10 = 0)""".stripMargin
     s"""WITH p AS ($sourceSql),
-       |s AS (
+       |s1 AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
        |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
        |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
-       |      '$phone', '<PHONE>', 'g') AS scrubbed
-       |  FROM p)
-       |SELECT doc_id, n_emails, n_phones,
+       |      '$phone', '<PHONE>', 'g') AS t2
+       |  FROM p),
+       |s2 AS (
+       |  SELECT doc_id, n_emails, n_phones,
+       |    CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ips,
+       |    regexp_replace(t2, '$ip', '<IP>', 'g') AS t3
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, n_emails, n_phones, n_ips,
+       |    regexp_extract_all(t3, '[0-9]+') AS toks,
+       |    regexp_split_to_array(t3, '[0-9]+') AS segs
+       |  FROM s2),
+       |s4 AS (
+       |  SELECT doc_id, n_emails, n_phones, n_ips,
+       |    CAST(len(list_filter(toks, __tok -> ${ccnOk("__tok")})) AS BIGINT)
+       |      AS n_ccns,
+       |    list_reduce(list_prepend(segs[1],
+       |      list_transform(range(1, len(toks) + 1), __i ->
+       |        (CASE WHEN ${ccnOk("toks[__i]")} THEN '<CCN>'
+       |          ELSE toks[__i] END) || segs[__i + 1])),
+       |      (__a, __b) -> __a || __b) AS scrubbed
+       |  FROM s3)
+       |SELECT doc_id, n_emails, n_phones, n_ips, n_ccns,
        |  CAST(length(scrubbed) AS BIGINT) AS clean_len,
        |  ${graft.oracle.Duck.rollingHashSql("scrubbed")} AS scrub_fp
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s4 ORDER BY doc_id""".stripMargin
   }
 
   // ---- DuckDB oracle mirrors of langId -------------------------------

@@ -244,15 +244,19 @@ object PipelineQueries {
     "q46_repetition" -> ((s, sf) =>
       TextStats.repetitionStats(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
-    // PII scrubbing KAT: emails/phones planted deterministically (the
-    // fixture text has none — the derived column makes the redaction
-    // path actually fire), counts + redacted-bytes fingerprint checked.
+    // PII scrubbing KAT: emails/phones/IPs/CCNs planted deterministically
+    // (the fixture text has none — the derived column makes every
+    // redaction path actually fire), counts + redacted-bytes fingerprint
+    // checked. Variant 5 includes a mid-run IP start (999.1234.5.6.7 →
+    // 999.1<IP>); variant 6 a Luhn-valid CCN next to a Luhn-invalid one.
     "q47_pii_scrub" -> ((s, sf) => {
       GraftFunctions.register(s)
       val planted = Tables.load(s, sf, "documents").selectExpr("doc_id",
         "concat(text, element_at(array('', ' contact bob.smith@example.com today', " +
-          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'), " +
-          "cast(doc_id % 4 + 1 AS INT))) AS t")
+          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09', " +
+          "' from 10.0.12.255 and 999.1234.5.6.7', " +
+          "' card 4111111111111111 not 4111111111111112 or 1.2.3.4'), " +
+          "cast(doc_id % 6 + 1 AS INT))) AS t")
       TextStats.piiScrub(planted, "doc_id", "t")
     }),
 
@@ -384,7 +388,9 @@ object PipelineQueries {
 
     "q47_pii_scrub" -> TextStats.piiScrubOracleSql(
       """SELECT doc_id, text || (['', ' contact bob.smith@example.com today',
-        |  ' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'])
-        |  [(doc_id % 4 + 1)::INT] AS t FROM documents""".stripMargin)
+        |  ' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09',
+        |  ' from 10.0.12.255 and 999.1234.5.6.7',
+        |  ' card 4111111111111111 not 4111111111111112 or 1.2.3.4'])
+        |  [(doc_id % 6 + 1)::INT] AS t FROM documents""".stripMargin)
   )
 }

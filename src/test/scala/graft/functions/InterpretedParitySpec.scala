@@ -42,7 +42,8 @@ class InterpretedParitySpec extends AnyFunSuite {
   test("codegen and interpreted evaluation agree on every native expression") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
       .limit(80).selectExpr("doc_id",
-        "concat(text, element_at(array('', ' mail a.b@mail.org or +1-555-09 é中'), " +
+        "concat(text, element_at(array('', " +
+          "' mail a.b@mail.org or +1-555-09 at 10.0.0.1 card 4111111111111111 é中'), " +
           "cast(doc_id % 2 + 1 AS INT))) AS text")
     def run(): Seq[String] =
       allExprs(docs).collect().map(_.toString).toSeq

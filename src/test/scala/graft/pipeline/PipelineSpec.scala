@@ -197,40 +197,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) == ((2L, 0L, 0L, None, false)))
   }
 
-  test("pii scrub counts and redacts emails/phones; clean text untouched") {
+  test("pii scrub counts and redacts emails/phones/IPs/CCNs; clean text untouched") {
     val docs = Seq(
       (0L, "write to jane.doe@example.org or +1-555-0777 anytime"),
-      (1L, "no contact info in this sentence at all")
+      (1L, "no contact info in this sentence at all"),
+      (2L, "from 10.0.0.1 card 4111111111111111 ref 4111111111111112")
     ).toDF("doc_id", "text")
     val got = TextStats.piiScrub(docs, "doc_id", "text").collect()
+    // Row layout: doc_id, n_emails, n_phones, n_ips, n_ccns, clean_len, scrub_fp.
     assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 1L)
+    assert(got(0).getLong(3) == 0L && got(0).getLong(4) == 0L)
     // "<EMAIL>"(7) + "<PHONE>"(7) replace the 20-char email + 11-char phone.
     val t0 = "write to jane.doe@example.org or +1-555-0777 anytime"
-    assert(got(0).getLong(3) == t0.length - 20 + 7 - 11 + 7)
-    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L)
-    assert(got(1).getLong(3) == "no contact info in this sentence at all".length)
+    assert(got(0).getLong(5) == t0.length - 20 + 7 - 11 + 7)
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L &&
+      got(1).getLong(3) == 0L && got(1).getLong(4) == 0L)
+    assert(got(1).getLong(5) == "no contact info in this sentence at all".length)
     // Unchanged text fingerprints to the raw rolling hash.
     val fp = graft.functions.RollingHashExpr
-    assert(got(1).getLong(4) == fp.hash("no contact info in this sentence at all".getBytes))
+    assert(got(1).getLong(6) == fp.hash("no contact info in this sentence at all".getBytes))
+    // IP redacted; only the Luhn-VALID 16-digit run redacted.
+    assert(got(2).getLong(3) == 1L && got(2).getLong(4) == 1L)
+    assert(got(2).getLong(6) == fp.hash(
+      "from <IP> card <CCN> ref 4111111111111112".getBytes))
   }
 
   test("native pii_scrub ≡ the regexp formulation on adversarial text") {
     val fixture = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
       .limit(60).selectExpr("doc_id",
         "concat(text, element_at(array('', ' contact bob.smith@example.com today', " +
-          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09'), " +
-          "cast(doc_id % 4 + 1 AS INT))) AS text")
+          "' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09', " +
+          "' from 10.0.12.255 and 999.1234.5.6.7', " +
+          "' card 4111111111111111 not 4111111111111112 or 1.2.3.4'), " +
+          "cast(doc_id % 6 + 1 AS INT))) AS text")
     val adversarial = Seq(
       (1000L, "x@y.za@b.cd"),              // tld greedily eats into next local
       (1001L, "a@@b.c .. ..ab@c.de"),      // double @, leading dots in local
       (1002L, "a@b..c A@B.COM é@b.cé"),    // empty domain tail, case, multibyte
       (1003L, "+1-555-0 and ++1-555-0142 and +1-555-01+1-555-02"), // no-digit, double +, adjacent
       (1004L, "x@y.z@w.com plus jane.doe@sub9.mail"),              // resume-at-end
-      (1005L, "")                          // empty
+      (1005L, ""),                         // empty
+      (1006L, "1234.5.6.7 1.2.3.45678 999.999.999.999"), // mid-run start, greedy last octet, no value check
+      (1007L, "1.2.3.4.5.6.7.8 ...1.1.1.1 2.2.2.2."),    // adjacent quads, leading/trailing dots
+      (1008L, "4111111111111111 4111 1111 1111 1111"),   // valid CCN; spaced groups stay
+      (1009L, "94111111111111111 41111111111111112222"), // embedded-in-longer-run, >19 digits
+      (1010L, "079927398713 0079927398713"),             // 12-digit Luhn (short) vs 13-digit valid
+      (1011L, "1.2.3.4111111111111111 10.0.0.1é中4111111111111111") // IP eats CCN head; multibyte boundary
     ).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame, f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
       f(df, "doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(run(fixture, TextStats.piiScrub) == run(fixture, TextStats.hofPiiScrub))
     assert(run(adversarial, TextStats.piiScrub) == run(adversarial, TextStats.hofPiiScrub))
   }

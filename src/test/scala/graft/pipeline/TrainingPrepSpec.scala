@@ -39,6 +39,18 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L)))
   }
 
+  test("decontam eval side past the broadcast bound is a contract error, not an OOM") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval: 3 distinct 4-grams
+      (1L, "xx yy beta gamma delta epsilon zz")
+    ).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Decontam.overlapReport(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0, n = 4, maxEvalGrams = 2L).collect()
+    }
+    assert(ex.getMessage.contains("broadcast contract bound"))
+  }
+
   test("passage dedup drops corpus-frequent chunks, keeps order, drops empty docs") {
     val boiler = "one two three four five six seven eight" // exactly one chunk
     val docs = Seq(
