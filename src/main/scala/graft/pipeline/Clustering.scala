@@ -146,9 +146,12 @@ object Clustering {
   }
 
   /** Assignment after `rounds` rounds, still carrying `emb` (for
-    * downstream exact-cosine work). Seeds: the k lowest-id vectors,
-    * cluster id = 0-based rank in that order. */
-  private def assignWithEmb(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * downstream exact-cosine work), plus the centroids the final
+    * assignment used (the trained coarse-quantizer codebook — what
+    * [[ivfTopK]] probes). Seeds: the k lowest-id vectors, cluster id =
+    * 0-based rank in that order. */
+  private def trainAssign(e: DataFrame, k: Int,
+      rounds: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     val seedRows = e.orderBy("vec_id").limit(k).select("fxd").collect()
     val dim = seedRows.head.getSeq[Double](0).length
@@ -165,8 +168,11 @@ object Clustering {
       cents = updateCentroids(assigned, dim)
       assigned = withCluster(e, cents)
     }
-    assigned
+    (assigned, cents)
   }
+
+  private def assignWithEmb(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    trainAssign(e, k, rounds)._1
 
   /** Deterministic k-means assignment: (vec_id, cluster, score), `rounds`
     * assignment rounds with a centroid refinement between each pair. */
@@ -175,6 +181,64 @@ object Clustering {
     assignWithEmb(lifted(corpus, idCol, embCol), k, rounds)
       .select(col("vec_id"), col("cluster"), col("score"))
       .orderBy("vec_id")
+
+  /** IVF approximate-nearest-neighbor retrieval over the learned coarse
+    * cells — the scale path that upgrades [[Similarity.batchTopK]]'s
+    * full-corpus scan: k-means blocks the corpus into k cells, each
+    * query probes only its `nprobe` best cells, and exact cosine runs
+    * against just those cells' members. Returns `(qid, vec_id, cos,
+    * rn)`, the [[Similarity.batchTopK]] shape; at `nprobe = k` the two
+    * are identical row for row (ClusteringSpec pins it, bits included),
+    * and smaller `nprobe` trades recall for a k/nprobe scan cut.
+    *
+    * Scale shape: the corpus is assigned ONCE per training round (the
+    * zero-shuffle `argmax_dot` scan); at query time the probe list —
+    * `queryIds × nprobe` (query-batch contract of [[Similarity
+    * .batchTopK]]: a handful, requiring so) — BROADCASTS, candidates are
+    * scored map-side inside their cells, and the per-(partition, query)
+    * bounded heaps of [[Similarity.topKPerQid]] prune to ≤ topK before
+    * the only query-side shuffle. Probe-cell selection runs on the
+    * driver against the k collected centroids with the exact arithmetic
+    * the oracle replays (sequential dots in the lifted domain,
+    * score-desc / cell-asc tie-break). */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int, rounds: Int, nprobe: Int,
+      topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, $k]: $nprobe")
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract " +
+        "(batchTopK-style bounded query batch)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = lifted(corpus, idCol, embCol)
+    val (assigned, cents) = trainAssign(e, k, rounds)
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val probes = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+      cents.map { case (cid, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) { acc += fxd(i) * c(i); i += 1 }
+        (cid, acc - 0.5 * normSq(c))
+      }.sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }
+    val probeDf = probes.toDF("qid", "cell")
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
+    val scored = assigned
+      .select(col("cluster").as("cell"), col("vec_id"), col("emb"),
+        expr("sqrt(vec_dot(emb, emb))").as("nrm"))
+      .join(broadcast(probeDf.join(q, "qid")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
+    Similarity.topKPerQid(scored, topK)
+  }
 
   /** Semantic near-dup removal (the SemDeDup shape): k-means first, then
     * exact cosine only WITHIN each cluster; a vector is dropped when a
@@ -315,6 +379,38 @@ object Clustering {
       corpusSql: String = EmbeddingsSql): String =
     s"""${kmeansCtes(k, rounds, dim, corpusSql)}
        |SELECT vec_id, cluster, score FROM a$rounds ORDER BY vec_id""".stripMargin
+
+  /** DuckDB oracle for [[ivfTopK]]: replays the unrolled k-means CTEs,
+    * selects each query's `nprobe` best cells against the final-round
+    * centroids (same lifted-domain scores, score-desc / cid-asc ties),
+    * and ranks exact cosine within the probed cells — the q41 fold
+    * shapes, so cos bits match. */
+  def ivfOracleSql(queryIds: Seq[Long], k: Int, rounds: Int, dim: Int,
+      nprobe: Int, topK: Int, corpusSql: String = EmbeddingsSql): String = {
+    val cos = s"${dotSql("ce.emb", "q.emb", dim)} / " +
+      s"(sqrt(${fold("list_transform(ce.emb, v -> v * v)")}) * " +
+      s"sqrt(${fold("list_transform(q.emb, v -> v * v)")}))"
+    s"""${kmeansCtes(k, rounds, dim, corpusSql)},
+       |q AS (SELECT vec_id AS qid, fxd, emb FROM e
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |pc AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} DESC,
+       |        c.cid) AS prn
+       |    FROM q CROSS JOIN c$rounds c)
+       |  WHERE prn <= $nprobe),
+       |cand AS (SELECT q.qid, a.vec_id, $cos AS cos
+       |  FROM pc
+       |  JOIN a$rounds a ON a.cluster = pc.cell
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN q ON q.qid = pc.qid
+       |  WHERE a.vec_id <> pc.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cand)
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
 
   /** DuckDB oracle for [[semanticDedup]]. */
   def semanticDedupOracleSql(k: Int, rounds: Int, dim: Int, minCos: Double,

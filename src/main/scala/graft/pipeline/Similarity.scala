@@ -199,8 +199,17 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
-    val schema = scored.schema
+    topKPerQid(scored, k)
+  }
 
+  /** Per-query top-k over a `(qid, vec_id, cos)` frame: a bounded heap
+    * per (partition, query) prunes to ≤ k rows BEFORE any shuffle, so
+    * the ranking window sees ≤ k×P rows per query, never the corpus.
+    * Shared by [[batchTopK]] and [[Clustering.ivfTopK]]. */
+  private[graft] def topKPerQid(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    val schema = scored.schema
     // Worst kept row surfaces first: lowest cos, then LARGEST vec_id
     // (ties prefer the smaller id, so the larger one is evicted first).
     val worstFirst: Ordering[(Double, Long)] =

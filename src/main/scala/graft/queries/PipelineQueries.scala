@@ -286,6 +286,16 @@ object PipelineQueries {
         k = 8, rounds = 3, minCos = 0.9)
     }),
 
+    // IVF ANN retrieval: the learned q48 centroids become the coarse
+    // cells; each query probes its nprobe=2 best cells and exact cosine
+    // ranks only those cells' members — the scale path over q41's
+    // full-corpus batch scan (and bit-identical to it at nprobe=k,
+    // ClusteringSpec-pinned). Same query batch as q41.
+    "q50_ivf_ann" -> ((s, sf) =>
+      Clustering.ivfTopK(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 8,
+        rounds = 3, nprobe = 2, topK = 10)),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -340,6 +350,9 @@ object PipelineQueries {
         FROM embeddings WHERE vec_id % 43 = 0)"""),
 
     "q48_kmeans" -> Clustering.kmeansOracleSql(8, 3, EmbeddingDim),
+
+    "q50_ivf_ann" -> Clustering.ivfOracleSql(Seq(0L, 1L, 2L, 3L, 4L),
+      k = 8, rounds = 3, dim = EmbeddingDim, nprobe = 2, topK = 10),
 
     "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
       EmbeddingDim, 0.9,

@@ -57,6 +57,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(fast.exists(!_._3))
   }
 
+  test("IVF at nprobe = k ≡ exact batch top-k, cos bits included") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    val ivf = collectRows(Clustering.ivfTopK(emb, "vec_id", "embedding",
+      qids, k = 8, rounds = 3, nprobe = 8, topK = 10))
+    val exact = collectRows(Similarity.batchTopK(emb, "vec_id", "embedding",
+      qids, k = 10))
+    assert(ivf == exact)
+  }
+
+  test("IVF at nprobe = 2 returns topK rows per query (cell-bounded recall)") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val got = Clustering.ivfTopK(emb, "vec_id", "embedding",
+      Seq(0L, 1L), k = 8, rounds = 3, nprobe = 2, topK = 5).collect()
+    assert(got.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    // Probed cells at sf0.001 hold far more than 5 members each.
+    assert(got.length == 10)
+  }
+
   test("k×dim past the driver-metadata bound is a contract error, not an OOM") {
     // Seeds come from `limit(k)`, so a 10-row corpus keeps the seed
     // collect tiny while an oversized k still trips the k×dim require.
