@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document keyword extraction: the TF-IDF shape over lowercased
+  * whitespace unigrams, returning each document's `topN` highest-scoring
+  * terms — the "what is this document about" signal a curation pipeline
+  * uses for topic balancing and near-dup triage.
+  *
+  * Scoring is deliberately LOG-FREE: `score = tf × (N+1)/(df+1)` (the
+  * rarity ratio the idf log would be taken of). Transcendental functions
+  * are not bit-reproducible across engines (java.lang.Math.log only
+  * promises 1-ulp accuracy; DuckDB links libm), so an `ln`-based score
+  * could not be hash-checked against the oracle — whereas the ratio form
+  * is two single IEEE ops (one division, one multiply) on identical
+  * operands, bit-exact in both engines. It is monotone in the same
+  * per-term rarity but NOT numerically the classic `tf·log(idf)` (the
+  * log compresses rarity differences that the ratio keeps), so the
+  * score is named for what it computes: a rarity-weighted term
+  * frequency. Ties break by term bytes ascending — Spark UTF8String and
+  * DuckDB default collation both compare raw UTF-8 bytes.
+  *
+  * Scale shape: one token explode feeds ONE (doc, term) aggregation;
+  * the document-frequency table derives from THAT aggregate (never a
+  * second corpus scan); the df join-back is term-keyed with no broadcast
+  * hint (a 100 TB vocabulary is not driver-sized — AQE decides); the
+  * final per-doc ranking window shuffles (doc, term, counts) rows —
+  * bounded by distinct terms per document, not corpus size. N comes from
+  * a parquet-stats count, O(1) driver metadata.
+  */
+object TfIdf {
+
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be positive: $topN")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast("double") *
+          (lit((n + 1).toDouble) / (col("df") + lit(1L)).cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[topTerms]] over table `documents` — same
+    * tokenization (`\S+` on lowered text, the q42 parity-pinned
+    * rendering of `word_grams(text, 1)`), same two-op score. */
+  def oracleSql(topN: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, term, tf, df, score, rnk FROM (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |      CAST(tf.tf AS DOUBLE) *
+       |        (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) DESC,
+       |      tf.term) AS rnk
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |WHERE rnk <= $topN ORDER BY doc_id, rnk""".stripMargin
+}

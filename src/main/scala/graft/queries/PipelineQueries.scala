@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats}
+import graft.pipeline.{Clustering, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -296,6 +296,22 @@ object PipelineQueries {
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 8,
         rounds = 3, nprobe = 2, topK = 10)),
 
+    // Per-doc keyword extraction: top-3 terms by the log-free TF-IDF
+    // shape (tf × (N+1)/(df+1) — two IEEE ops, bit-exact vs the oracle;
+    // see TfIdf's scaladoc for why ln is unverifiable across engines).
+    "q51_tfidf" -> ((s, sf) =>
+      TfIdf.topTerms(Tables.load(s, sf, "documents"), "doc_id", "text",
+        topN = 3)),
+
+    // Ingest dedup, batch-replay form: lowest doc id per content
+    // fingerprint + duplicate count. The streaming first-occurrence
+    // filter (flatMapGroupsWithState, Append) is pinned equal across
+    // micro-batch splits in StreamDedupSpec — q29's batch/streaming
+    // pairing applied to the dedup family.
+    "q52_ingest_dedup" -> ((s, sf) =>
+      graft.streaming.StreamDedup.batch(Tables.load(s, sf, "documents"),
+        "doc_id", "text")),
+
     // The deduplicated corpus: clusters' minimum doc survives, other
     // members drop via a broadcast anti-join — the end product of the
     // pair→cluster→canonicalize dedup chain.
@@ -353,6 +369,10 @@ object PipelineQueries {
 
     "q50_ivf_ann" -> Clustering.ivfOracleSql(Seq(0L, 1L, 2L, 3L, 4L),
       k = 8, rounds = 3, dim = EmbeddingDim, nprobe = 2, topK = 10),
+
+    "q51_tfidf" -> TfIdf.oracleSql(topN = 3),
+
+    "q52_ingest_dedup" -> graft.streaming.StreamDedup.oracleSql,
 
     "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
       EmbeddingDim, 0.9,
