@@ -203,7 +203,15 @@ object Clustering {
     * score-desc / cell-asc tie-break). */
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], k: Int, rounds: Int, nprobe: Int,
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      ivfScored(corpus, idCol, embCol, queryIds, k, rounds, nprobe), topK)
+
+  /** The pre-ranking candidate scores of [[ivfTopK]] — exposed so
+    * PlanAuditSpec can assert the probe join's physical shape (the heap
+    * prune's RDD boundary hides this subtree from the final plan). */
+  private[graft] def ivfScored(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int, rounds: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, $k]: $nprobe")
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"query batch of ${queryIds.size} exceeds the broadcast contract " +
@@ -230,14 +238,13 @@ object Clustering {
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("emb").as("qv"),
         expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
-    val scored = assigned
+    assigned
       .select(col("cluster").as("cell"), col("vec_id"), col("emb"),
         expr("sqrt(vec_dot(emb, emb))").as("nrm"))
       .join(broadcast(probeDf.join(q, "qid")), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
-    Similarity.topKPerQid(scored, topK)
   }
 
   /** Semantic near-dup removal (the SemDeDup shape): k-means first, then

@@ -65,6 +65,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
   }
 
+  test("q48: k-means assignment is one argmax_dot call, not k dot-product nodes") {
+    val p = plan("q48_kmeans")
+    assert(p.contains("argmax_dot"), p)
+    assert(!p.contains("vec_dot"), p)
+  }
+
+  test("q49: semantic dedup groups vectors — no join, no pair-row embeddings") {
+    val p = plan("q49_semantic_dedup")
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("emb_a") && !p.contains("Join"), p)
+  }
+
+  test("q50: IVF probes via a broadcast equi-join on the cell key") {
+    // The heap prune's RDD boundary hides the join subtree from the
+    // registered query's final plan — audit the scored frame directly.
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val p = graft.pipeline.Clustering.ivfScored(emb, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), k = 8, rounds = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
