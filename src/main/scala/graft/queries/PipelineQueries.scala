@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
+import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -303,6 +303,13 @@ object PipelineQueries {
       TfIdf.topTerms(Tables.load(s, sf, "documents"), "doc_id", "text",
         topN = 3)),
 
+    // Corpus telemetry: per-language doc counts, total chars, and EXACT
+    // length percentiles as order statistics (no interpolation — every
+    // reported value exists in the data, so parity is integer-exact).
+    "q53_corpus_stats" -> ((s, sf) =>
+      CorpusStats.lengthReport(Tables.load(s, sf, "documents"),
+        "lang", "n_chars")),
+
     // Ingest dedup, batch-replay form: lowest doc id per content
     // fingerprint + duplicate count. The streaming first-occurrence
     // filter (flatMapGroupsWithState, Append) is pinned equal across
@@ -373,6 +380,8 @@ object PipelineQueries {
     "q51_tfidf" -> TfIdf.oracleSql(topN = 3),
 
     "q52_ingest_dedup" -> graft.streaming.StreamDedup.oracleSql,
+
+    "q53_corpus_stats" -> CorpusStats.oracleSql,
 
     "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
       EmbeddingDim, 0.9,
