@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection importance scoring (the DSIR shape: rank a raw corpus
+  * by affinity to a small high-quality TARGET slice, keep the top):
+  * every non-target document gets
+  * `score = Σ_tokens cnt(g) · w(g)` where
+  * `w(g) = ⌊(target_count(g)+1) · 2²⁰ / (corpus_count(g)+1)⌋` — the
+  * add-one likelihood ratio of the hashed-unigram distributions,
+  * DISCRETIZED TO FIXED POINT so both the weights and the scores are
+  * pure integer arithmetic: order-independent sums, identical on any
+  * cluster partitioning, and bit-checkable by the DuckDB oracle (the
+  * published recipe sums log-ratios; logs are only ulp-accurate per
+  * engine and their float sums are partition-order-dependent — the
+  * [[Clustering]] fixed-point argument applied to importance weights).
+  *
+  * Tokens cross the plan as the 63-bit fingerprints of
+  * [[graft.functions.WordGramHashesExpr]] (one long per token, the
+  * decontam representation). Overflow headroom: weights are ≤ 2²⁰·(tc+1)
+  * and a score sums cnt·w over one document — at 2⁴⁰-token corpora keep
+  * target counts under 2²² or lower the scale (the documented operating
+  * envelope; the target slice is small by the same contract that makes
+  * [[Decontam]]'s eval side broadcastable).
+  *
+  * Scale shape: ONE corpus tokenize feeds a (doc, gram) count aggregate;
+  * gram totals and weights derive from THAT aggregate (never a second
+  * scan); the weight join is gram-keyed and reuses the gram hash
+  * partitioning Catalyst already has (no broadcast hint — a 100 TB
+  * vocabulary is not driver-sized, and DSIR deployments that want a
+  * bounded table mask the hash down to 2^b buckets first); the final
+  * per-doc sum is the only doc-keyed exchange.
+  */
+object Importance {
+
+  /** Fixed-point weight scale (2²⁰ — the [[Clustering.Scale]] choice). */
+  val Scale: Long = 1L << 20
+
+  /** (doc_id, n_tokens, score) for every NON-target document, higher =
+    * closer to the target token distribution. `targetPred` selects the
+    * target slice over the doc columns (kept out of the output — the
+    * target is the reference distribution, not a scoring subject). */
+  def affinityScores(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = graft.functions.GraftFunctions.wordGramHashes(col(textCol), 1)
+    val docGram = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(grams).as("g"))
+      .groupBy("doc_id", "is_target", "g")
+      .agg(count(lit(1)).as("cnt"))
+    val gramW = docGram.groupBy("g")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"),
+        sum("cnt").as("cc"))
+      .select(col("g"), expr(s"((tc + 1L) * ${Scale}L) div (cc + 1L)").as("w"))
+    docGram.filter(!col("is_target"))
+      .join(gramW, "g")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("w")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[affinityScores]] over table `documents`;
+    * `targetPredSql` must render the SAME predicate (registration-site
+    * adjacency, the decontam convention). */
+  def oracleSql(targetPredSql: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetPredSql) AS is_target,
+       |    ${graft.oracle.Duck.gramHash63Sql("tok")} AS g
+       |  FROM (SELECT doc_id, lang, source,
+       |          unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |        FROM documents)),
+       |dg AS (SELECT doc_id, is_target, g, count(*) AS cnt
+       |  FROM toks GROUP BY doc_id, is_target, g),
+       |gw AS (SELECT g,
+       |    CAST(((sum(CASE WHEN is_target THEN cnt ELSE 0 END) + 1) * $Scale)
+       |      // (sum(cnt) + 1) AS BIGINT) AS w
+       |  FROM dg GROUP BY g)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cnt * w) AS BIGINT) AS score
+       |FROM dg JOIN gw USING (g) WHERE NOT is_target
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

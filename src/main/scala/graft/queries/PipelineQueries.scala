@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
+import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -303,6 +303,13 @@ object PipelineQueries {
       TfIdf.topTerms(Tables.load(s, sf, "documents"), "doc_id", "text",
         topN = 3)),
 
+    // DSIR-shape importance scoring: every non-English doc scored by
+    // fixed-point likelihood-ratio affinity to the English slice's
+    // hashed-unigram distribution (pure integer sums — see Importance).
+    "q54_importance" -> ((s, sf) =>
+      Importance.affinityScores(Tables.load(s, sf, "documents"),
+        "doc_id", "text", col("lang") === "en")),
+
     // Corpus telemetry: per-language doc counts, total chars, and EXACT
     // length percentiles as order statistics (no interpolation — every
     // reported value exists in the data, so parity is integer-exact).
@@ -382,6 +389,8 @@ object PipelineQueries {
     "q52_ingest_dedup" -> graft.streaming.StreamDedup.oracleSql,
 
     "q53_corpus_stats" -> CorpusStats.oracleSql,
+
+    "q54_importance" -> Importance.oracleSql("lang = 'en'"),
 
     "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
       EmbeddingDim, 0.9,
