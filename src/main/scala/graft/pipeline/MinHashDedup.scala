@@ -154,20 +154,114 @@ object MinHashDedup {
     * docs that banded into a shared bucket. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJac: Double): DataFrame = {
-    // Cached like nearDupPairs: the banding self-join reads the signature
-    // frame on BOTH sides — uncached, the corpus would be sketched twice
-    // (VERDICT r3 item 4). ~200 bytes/doc, so still tiny at corpus scale.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Grouped-cell verify (round 7): the pair-join formulation (kept as
+    // [[joinJaccardPairs]], equivalence-pinned) shipped BOTH exact
+    // shingle sets on every candidate pair row — on a dup-dense corpus a
+    // doc belongs to ~|cluster| pairs, so its ~KB set crossed the
+    // exchange once per pair (the 64× probe's 11.6M pairs → ~23 GB of
+    // set payload, 25s). Here each doc's payload ships once per HOT
+    // (band, bucket) cell it occupies — at most `Bands` times, however
+    // dup-dense the cluster — and the all-pairs scan runs in primitive
+    // loops inside flatMapGroups (the q26/q49 shape, applied to the
+    // verify stage).
+    //
+    // Semantics are the join form's exactly:
+    //  - singleton buckets are pruned before any payload moves (the
+    //    count aggregate also serves as the stats barrier the candidate
+    //    distinct() provided);
+    //  - the cell grouping key is a HASH of (band, bucket-slice); a
+    //    collision merely co-groups two real buckets — membership of a
+    //    pair's band is re-verified from the signatures inside the
+    //    loop, so spurious co-grouping cannot create a pair;
+    //  - a pair is verified only in its FIRST agreeing band's cell
+    //    (same uniqueness rule as candidatePairs), checked by a
+    //    primitive scan of the two signatures;
+    //  - the Jaccard division is the same single IEEE op on the same
+    //    sorted-merge intersection count.
     val sig = signatures(docs, idCol, textCol).cache()
-    // est_sim is free at the band join but dead weight here: the verify
-    // stage decides on TRUE Jaccard, so only the pair ids are kept.
+    val cells = sig.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.cell").as("cell"))
+    val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("band", "cell")
+    val hotMembers = cells.join(hot, Seq("band", "cell")).cache()
+    hotMembers.count() // barrier: reused for the semi-join AND the gather
+    val hotIds = hotMembers.select(col("doc_id")).distinct()
+    val payload = sig.join(
+      shingled(docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+        idCol, textCol), "doc_id")
+    val out = hotMembers.join(payload, "doc_id")
+      .select(col("band"), col("cell"), col("doc_id"), col("sig"), col("shingles"))
+      .as[(Int, Long, Long, Array[Long], Array[Int])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
+        val cellBand = key._1
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
+        val n = ids.length
+        val order = Array.range(0, n).sortBy(ids(_))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var oi = 0
+        while (oi < n) {
+          val i = order(oi)
+          var oj = oi + 1
+          while (oj < n) {
+            val j = order(oj)
+            if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
+              val inter = sortedIntersect(sets(i), sets(j))
+              val jac = inter / (sets(i).length + sets(j).length - inter).toDouble
+              if (jac >= minJac) out += ((ids(i), ids(j), jac))
+            }
+            oj += 1
+          }
+          oi += 1
+        }
+        out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** First band (0-based) where the two signatures' slices agree, or -1.
+    * Mirrors `sig_band_mask`'s lowest set bit — the candidatePairs
+    * uniqueness rule evaluated in primitive Scala. */
+  private def firstAgreeingBand(a: Array[Long], b: Array[Long]): Int = {
+    var band = 0
+    while (band < Bands) {
+      var r = band * RowsPerBand
+      val end = r + RowsPerBand
+      while (r < end && a(r) == b(r)) r += 1
+      if (r == end) return band
+      band += 1
+    }
+    -1
+  }
+
+  /** Sorted-merge intersection count (the `sorted_intersect_count`
+    * kernel over plain arrays). */
+  private def sortedIntersect(a: Array[Int], b: Array[Int]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  /** The pair-join formulation [[jaccardPairs]] replaced — kept as the
+    * equivalence-test mirror (PipelineSpec pins identical output,
+    * jaccard bits included, on fixture + planted near-dups). */
+  private[graft] def joinJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJac: Double): DataFrame = {
+    val sig = signatures(docs, idCol, textCol).cache()
     val cand = candidatePairs(sig).select("doc_a", "doc_b").cache()
-    // Materialization barrier: the candidate set feeds five downstream plan
-    // branches (pair join + two semi-join sides × two shingle joins); left
-    // lazy, concurrent stages would race the cache and recompute the whole
-    // banding pipeline per branch.
     cand.count()
-    // Signatures served their purpose (banding); downstream verify works on
-    // exact shingles only.
     sig.unpersist(false)
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
@@ -175,11 +269,6 @@ object MinHashDedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      // Sorted-merge set intersection, allocation-free O(|a|+|b|) per
-      // pair (shingle sets are sorted by construction) — array_intersect
-      // hashes and materializes the intersection per row, and the lambda
-      // formulation before it was O(|a|·|b|). Counts are identical on
-      // distinct sets.
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard",
         expr("inter / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))

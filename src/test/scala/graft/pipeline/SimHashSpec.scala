@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -53,5 +53,25 @@ class SimHashSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
     val jac = pairs.head.getAs[Double]("jaccard")
     assert(jac > 0.5 && jac < 1.0) // true overlap, not the minhash estimate
+  }
+
+  test("grouped-cell jaccardPairs ≡ the pair-join formulation, bits included") {
+    // Fixture corpus + planted near-dup families (replicas with a tag
+    // token), across repartitions — the dup-dense shape the grouped
+    // verify exists for.
+    val base = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("r1 "), col("text")).as("text"))
+    val corpus = base.unionAll(planted).repartition(9)
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Double) => org.apache.spark.sql.DataFrame) =
+      f(corpus, "doc_id", "text", 0.4).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val grouped = run(MinHashDedup.jaccardPairs)
+    val joined = run(MinHashDedup.joinJaccardPairs)
+    assert(grouped == joined)
+    assert(grouped.nonEmpty) // the planted family must actually band together
   }
 }
