@@ -99,17 +99,86 @@ object MinHashDedup {
     * shape) shuffled two 128-byte signature payloads per 11.6M-row join,
     * twice. */
   def candidatePairs(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    // Grouped-cell emission (round 7): the band self-join (kept as
+    // [[joinCandidatePairs]], equivalence-pinned) produced one joined
+    // row per (pair, agreeing band) BEFORE the first-band filter — a
+    // dup-dense cluster agrees on ALL bands, so the 64× probe's 11.6M
+    // unique pairs surfaced as ~160M joined rows, each paying the
+    // generated consume path plus two native sig calls. Here each hot
+    // (band, bucket) cell gathers its members' signatures once (~130 B
+    // each, ≤ Bands memberships per doc) and a primitive loop emits
+    // exactly the first-band pairs — the uniqueness rule costs an
+    // early-exit signature scan instead of a 14×-overproduced join.
+    //
+    // Correctness mirrors jaccardPairs' grouped verify: singleton
+    // buckets are pruned before the gather; the hashed cell key is
+    // collision-safe because band membership is re-verified from the
+    // signatures in the loop (firstAgreeingBand == this cell's band
+    // implies THIS band's slices agree); est_sim is the same
+    // agree-count / NumHashes single IEEE division.
+    val cells = sig.select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
+    val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("band", "cell")
+    val pairs = cells.join(hot, Seq("band", "cell"))
+      .select(col("band"), col("cell"), col("doc_id"), col("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
+        val cellBand = key._1
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        it.foreach { case (_, _, id, sg) => ids += id; sigs += sg }
+        val n = ids.length
+        val order = Array.range(0, n).sortBy(ids(_))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var oi = 0
+        while (oi < n) {
+          val i = order(oi)
+          var oj = oi + 1
+          while (oj < n) {
+            val j = order(oj)
+            if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
+              var agree = 0
+              var s = 0
+              while (s < NumHashes) {
+                if (sigs(i)(s) == sigs(j)(s)) agree += 1
+                s += 1
+              }
+              out += ((ids(i), ids(j), agree / NumHashes.toDouble))
+            }
+            oj += 1
+          }
+          oi += 1
+        }
+        out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "est_sim")
+    // Rows are already unique (first-band rule); this distinct is the
+    // STATS BARRIER the join form carried: the object-boundary output
+    // has no usable stats, and without an aggregate node downstream
+    // joins have been measured (64× probe, round 6) to BROADCAST the
+    // whole banding subtree and rebuild it once per consumer. The
+    // exchange carries the unique pairs once — ~25 B/row.
+    pairs.distinct()
+  }
+
+  /** The band self-join formulation [[candidatePairs]] replaced — kept
+    * as the equivalence-test mirror (PipelineSpec pins identical pairs
+    * and est_sim bits on the dup-dense fixture). */
+  private[graft] def joinCandidatePairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))")).as("bd"))
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     // For the joined band b: no earlier band b' may agree — one mask
-    // test over the native sig_band_mask call. Both comparison
-    // primitives are SINGLE STATIC CALLS by design: inlining the slot
-    // comparisons as raw Catalyst expressions (the previous shape) grew
-    // the band join's whole-stage-generated consume method past the
-    // JVM's huge-method JIT limit, and the matched-row loop ran
-    // interpreted — ~25× slower at the 64× probe (see SigCompareExpr).
+    // test over the native sig_band_mask call; both comparison
+    // primitives are SINGLE STATIC CALLS (the JIT huge-method lesson,
+    // see SigCompareExpr).
     val firstBandOnly =
       expr("(sig_band_mask(l.sig, r.sig) & (shiftleft(1, l.band) - 1)) = 0")
     bands.as("l").join(bands.as("r"),
@@ -118,14 +187,6 @@ object MinHashDedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         expr(s"sig_agree_count(l.sig, r.sig) / CAST($NumHashes AS DOUBLE)")
           .as("est_sim"))
-      // Rows are already unique, so this distinct's map-side partial agg
-      // passes them through — it exists as a STATS BARRIER, not a dedup:
-      // without an aggregate here, Catalyst's selectivity estimate for
-      // the CASE condition makes the pair set look tiny, and downstream
-      // joins then BROADCAST the whole banding subtree — rebuilding it
-      // once per consumer (measured 3× at the 64× probe: 79s vs 26s).
-      // An aggregate node resets the estimate to sane, the join stays a
-      // shuffle join, and the exchange carries 11.6M rows once.
       .distinct()
   }
 

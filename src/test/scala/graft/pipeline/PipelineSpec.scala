@@ -20,6 +20,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("grouped-cell candidatePairs ≡ the band self-join, est_sim bits included") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    // Fixture + planted replica families across repartitions — replicas
+    // agree on many bands, the shape where the join form overproduces.
+    val base = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val planted = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        concat(lit("r1 "), col("text")).as("text"))
+    val corpus = base.unionAll(planted).repartition(7)
+    val sig = MinHashDedup.signatures(corpus, "doc_id", "text").cache()
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(sig).orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val grouped = run(MinHashDedup.candidatePairs)
+    val joined = run(MinHashDedup.joinCandidatePairs)
+    assert(grouped == joined)
+    assert(grouped.nonEmpty)
+  }
+
   test("native minhash_sig ≡ the composed HOF formulation on fixture docs") {
     import org.apache.spark.sql.functions.expr
     graft.functions.GraftFunctions.register(spark)
