@@ -41,6 +41,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(grouped.nonEmpty)
   }
 
+  test("grouped ≡ join candidates/jaccard on randomized shared-fragment corpora") {
+    // Random corpora built from a shared fragment vocabulary — bucket
+    // structure varies per seed (partial overlaps, chains, singletons),
+    // covering collision/agreement shapes no planted fixture fixes.
+    val frags = IndexedSeq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow",
+      "how vexingly quick daft zebras jump",
+      "bright vixens jump dozy fowl quack")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        val text = Seq.fill(3 + rnd.nextInt(3))(frags(rnd.nextInt(frags.length)))
+          .mkString(" ") + s" tail${rnd.nextInt(4)}"
+        (id, text)
+      }.toDF("doc_id", "text").repartition(5)
+      val sig = MinHashDedup.signatures(docs, "doc_id", "text").cache()
+      def bits(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+      assert(bits(MinHashDedup.candidatePairs(sig)) ==
+        bits(MinHashDedup.joinCandidatePairs(sig)), s"candidates seed $seed")
+      assert(bits(MinHashDedup.jaccardPairs(docs, "doc_id", "text", 0.3)) ==
+        bits(MinHashDedup.joinJaccardPairs(docs, "doc_id", "text", 0.3)),
+        s"jaccard seed $seed")
+    }
+  }
+
   test("native minhash_sig ≡ the composed HOF formulation on fixture docs") {
     import org.apache.spark.sql.functions.expr
     graft.functions.GraftFunctions.register(spark)
