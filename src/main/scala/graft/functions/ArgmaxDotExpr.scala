@@ -80,6 +80,15 @@ object ArgmaxDotExpr {
   def compute(v: ArrayData, cents: ArrayData, off: ArrayData,
       ids: ArrayData): InternalRow = {
     val k = cents.numElements()
+    // argmax_dot is SQL-registered, so arbitrary callers reach this —
+    // turn shape violations into readable contract errors rather than
+    // an ArrayIndexOutOfBoundsException deep inside codegen.
+    if (k == 0) throw new IllegalArgumentException(
+      "argmax_dot requires a non-empty centroid matrix")
+    if (off.numElements() < k || ids.numElements() < k)
+      throw new IllegalArgumentException(
+        s"argmax_dot offsets/ids must have one entry per centroid row: " +
+          s"k=$k, offsets=${off.numElements()}, ids=${ids.numElements()}")
     var bestS = VecDotExpr.dot(v, cents.getArray(0)) - off.getDouble(0)
     var bestId = ids.getLong(0)
     var m = 1

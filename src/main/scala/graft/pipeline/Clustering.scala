@@ -220,11 +220,19 @@ object Clustering {
     import spark.implicits._
     val e = lifted(corpus, idCol, embCol)
     val (assigned, cents) = trainAssign(e, k, rounds)
+    // ONE query-slice scan: the collected rows carry both the lifted
+    // vector (probe-cell selection) and the raw embedding, from which
+    // the whole broadcast probe table (qid, cell, qv, qnrm) is built
+    // driver-side — qnrm via the same sequential |v|² fold + sqrt the
+    // plan-side `sqrt(vec_dot(emb, emb))` computes, so cos bits are
+    // unchanged.
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("fxd")).collect()
+      .select(col("vec_id"), col("fxd"), col("emb")).collect()
     val probes = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val fxd = r.getSeq[Double](1).toArray
+      val emb = r.getSeq[Double](2).toArray
+      val qnrm = math.sqrt(normSq(emb))
       cents.map { case (cid, c) =>
         var acc = 0.0
         var i = 0
@@ -232,16 +240,13 @@ object Clustering {
         (cid, acc - 0.5 * normSq(c))
       }.sortBy { case (cid, s) => (-s, cid) }
         .take(nprobe)
-        .map { case (cid, _) => (qid, cid) }
+        .map { case (cid, _) => (qid, cid, emb.toSeq, qnrm) }
     }
-    val probeDf = probes.toDF("qid", "cell")
-    val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("emb").as("qv"),
-        expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
+    val probeDf = probes.toDF("qid", "cell", "qv", "qnrm")
     assigned
       .select(col("cluster").as("cell"), col("vec_id"), col("emb"),
         expr("sqrt(vec_dot(emb, emb))").as("nrm"))
-      .join(broadcast(probeDf.join(q, "qid")), Seq("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))

@@ -51,8 +51,14 @@ object CorpusStats {
 
   /** DuckDB oracle for [[lengthReport]] over table `documents`. */
   def oracleSql: String = {
+    // CAST($p AS DOUBLE) is load-bearing: a bare decimal literal would
+    // make DuckDB compute the index in exact DECIMAL while Spark's
+    // lit(p) multiplies in double — for percentiles whose double product
+    // lands just under an integer (e.g. 0.29 × 100 = 28.999…96) the two
+    // floors would disagree by one rank. Forcing double on both sides
+    // makes it the same single IEEE multiply.
     val pSelects = Percentiles.map { case (p, name) =>
-      s"max(CASE WHEN rn = CAST(floor($p * (n - 1)) AS BIGINT) + 1 THEN len END) AS $name"
+      s"max(CASE WHEN rn = CAST(floor(CAST($p AS DOUBLE) * (n - 1)) AS BIGINT) + 1 THEN len END) AS $name"
     }.mkString(",\n       |  ")
     s"""WITH r AS (
        |  SELECT lang, n_chars AS len,

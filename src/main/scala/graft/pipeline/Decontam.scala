@@ -89,16 +89,24 @@ object Decontam {
       maxEvalGrams: Long = DefaultMaxEvalGrams): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    // Cached with query-lifetime intent (the count materializes it and
+    // the broadcast build reads it back); on the contract-failure path
+    // the cache is released before throwing so a rejected call strands
+    // no storage memory.
     val evalGrams = docs.filter(evalPred)
       .select(explode(gramHashes).as("gram_fp"))
       .distinct()
       .cache()
     val nEval = evalGrams.count()
-    require(nEval <= maxEvalGrams,
-      s"decontam eval side has $nEval distinct $n-gram fingerprints, over " +
-        s"the broadcast contract bound $maxEvalGrams: evalPred must select " +
-        "a held-out eval set (MBs of benchmark text), not a corpus slice — " +
-        "see Decontam.overlapReport's evalPred contract")
+    if (nEval > maxEvalGrams) {
+      evalGrams.unpersist(false)
+      throw new IllegalArgumentException(
+        s"requirement failed: decontam eval side has $nEval distinct " +
+          s"$n-gram fingerprints, over the broadcast contract bound " +
+          s"$maxEvalGrams: evalPred must select a held-out eval set (MBs " +
+          "of benchmark text), not a corpus slice — see " +
+          "Decontam.overlapReport's evalPred contract")
+    }
     docs.filter(!evalPred)
       .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
       .join(broadcast(evalGrams), "gram_fp")

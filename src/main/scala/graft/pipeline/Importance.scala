@@ -37,6 +37,15 @@ object Importance {
   /** Fixed-point weight scale (2²⁰ — the [[Clustering.Scale]] choice). */
   val Scale: Long = 1L << 20
 
+  /** Largest target-side gram count the weight multiply can carry
+    * without wrapping (`(tc+1)·Scale` must stay under 2⁶³). Enforced
+    * in-plan with `raise_error` — the MaxCentroidCells/maxEvalGrams
+    * convention: a corpus outside the operating envelope gets a
+    * readable contract error, never a silently wrapped score that
+    * surfaces as an unexplained oracle mismatch (the DuckDB side
+    * computes in HUGEINT and would NOT wrap). */
+  val MaxTargetCount: Long = Long.MaxValue / Scale - 1
+
   /** (doc_id, n_tokens, score) for every NON-target document, higher =
     * closer to the target token distribution. `targetPred` selects the
     * target slice over the doc columns (kept out of the output — the
@@ -53,7 +62,12 @@ object Importance {
     val gramW = docGram.groupBy("g")
       .agg(sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"),
         sum("cnt").as("cc"))
-      .select(col("g"), expr(s"((tc + 1L) * ${Scale}L) div (cc + 1L)").as("w"))
+      .select(col("g"), expr(
+        s"IF(tc > ${MaxTargetCount}L, CAST(raise_error(CONCAT(" +
+          s"'importance weight overflow: target gram count ', tc, " +
+          s"' exceeds the fixed-point bound $MaxTargetCount — lower " +
+          s"Importance.Scale or shrink the target slice')) AS BIGINT), " +
+          s"((tc + 1L) * ${Scale}L) div (cc + 1L))").as("w"))
     docGram.filter(!col("is_target"))
       .join(gramW, "g")
       .groupBy("doc_id")

@@ -242,18 +242,27 @@ object MinHashDedup {
     //  - the Jaccard division is the same single IEEE op on the same
     //    sorted-merge intersection count.
     val sig = signatures(docs, idCol, textCol).cache()
-    val cells = sig.select(col("doc_id"),
+    // Signatures RIDE the membership frame (one copy per hot membership,
+    // the same bytes the gather ships anyway), so the signature cache
+    // can be released at the barrier below — the returned plan reads
+    // only hotMembers. hotMembers itself is cached with query-lifetime
+    // intent (the [[lifted]]/[[nearDupPairs]] convention): it feeds the
+    // hot-doc semi-join AND the gather, and the count() barrier both
+    // materializes it and stops concurrent downstream branches from
+    // racing the banding pipeline.
+    val cells = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.cell").as("cell"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
     val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("band", "cell")
     val hotMembers = cells.join(hot, Seq("band", "cell")).cache()
     hotMembers.count() // barrier: reused for the semi-join AND the gather
+    sig.unpersist(false)
     val hotIds = hotMembers.select(col("doc_id")).distinct()
-    val payload = sig.join(
-      shingled(docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-        idCol, textCol), "doc_id")
+    val payload = shingled(
+      docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol)
     val out = hotMembers.join(payload, "doc_id")
       .select(col("band"), col("cell"), col("doc_id"), col("sig"), col("shingles"))
       .as[(Int, Long, Long, Array[Long], Array[Int])]
