@@ -260,9 +260,15 @@ object MinHashDedup {
     hotMembers.count() // barrier: reused for the semi-join AND the gather
     sig.unpersist(false)
     val hotIds = hotMembers.select(col("doc_id")).distinct()
+    // The merge hint is load-bearing: the semi-joined shingle frame has
+    // no honest size estimate, and Catalyst was measured (64× probe) to
+    // BROADCAST it — shipping every hot doc's shingle set to every task
+    // and rebuilding the semi-join subtree inside the broadcast build
+    // (12s → 26s). Both sides are corpus-sized at scale, so a shuffle
+    // merge join is the only correct strategy regardless of estimates.
     val payload = shingled(
       docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-      idCol, textCol)
+      idCol, textCol).hint("merge")
     val out = hotMembers.join(payload, "doc_id")
       .select(col("band"), col("cell"), col("doc_id"), col("sig"), col("shingles"))
       .as[(Int, Long, Long, Array[Long], Array[Int])]
