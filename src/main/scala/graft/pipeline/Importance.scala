@@ -75,10 +75,57 @@ object Importance {
       .orderBy("doc_id")
   }
 
-  /** DuckDB oracle for [[affinityScores]] over table `documents`;
-    * `targetPredSql` must render the SAME predicate (registration-site
-    * adjacency, the decontam convention). */
-  def oracleSql(targetPredSql: String): String =
+  /** Importance-based corpus SELECTION — the end product of the DSIR
+    * shape the way [[DupClusters.canonicalize]] is the end product of
+    * pair generation: the `n` highest-affinity documents per stratum
+    * (score desc, doc_id asc ties), as `(stratum, doc_id, score, rn)`.
+    *
+    * Scale shape: the per-stratum ranking reuses [[Sampling]]'s
+    * two-phase bounded-heap plan — each input partition forwards at
+    * most `n` rows per stratum it contains, so the only rank shuffle
+    * moves ≤ n×P candidate rows per stratum, never the scored corpus
+    * (a plain window would cap parallelism at the stratum count).
+    * Scores are integers (fixed point), so heap and window orderings
+    * are exact — no float comparison subtleties. */
+  def selectTop(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, targetPred: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"selection size must be positive: $n")
+    val spark = docs.sparkSession
+    val keyed = affinityScores(docs, idCol, textCol, targetPred)
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(strataCol).as("stratum")), "doc_id")
+      .select(col("stratum"), col("doc_id"), col("score"))
+    val schema = keyed.schema
+    // Worst kept row surfaces first: lowest score, then largest id.
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (s, id) => (-s, id) }
+    val pruned = keyed.rdd.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { r =>
+        val heap = heaps.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        heap.enqueue((r.getLong(2), r.getLong(1)))
+        if (heap.size > n) heap.dequeue()
+      }
+      heaps.iterator.flatMap { case (stratum, heap) =>
+        heap.iterator.map { case (score, id) =>
+          org.apache.spark.sql.Row(stratum, id, score)
+        }
+      }
+    }
+    val w = Window.partitionBy("stratum").orderBy(col("score").desc, col("doc_id"))
+    spark.createDataFrame(pruned, schema)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("stratum"), col("doc_id"), col("score"), col("rn"))
+      .orderBy("stratum", "doc_id")
+  }
+
+  /** The shared affinity CTE chain ending in `sc(doc_id, n_tokens,
+    * score)`. */
+  private def scoreCtesSql(targetPredSql: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, ($targetPredSql) AS is_target,
        |    ${graft.oracle.Duck.gramHash63Sql("tok")} AS g
@@ -90,9 +137,27 @@ object Importance {
        |gw AS (SELECT g,
        |    CAST(((sum(CASE WHEN is_target THEN cnt ELSE 0 END) + 1) * $Scale)
        |      // (sum(cnt) + 1) AS BIGINT) AS w
-       |  FROM dg GROUP BY g)
-       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       |  CAST(sum(cnt * w) AS BIGINT) AS score
-       |FROM dg JOIN gw USING (g) WHERE NOT is_target
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM dg GROUP BY g),
+       |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt * w) AS BIGINT) AS score
+       |  FROM dg JOIN gw USING (g) WHERE NOT is_target
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[affinityScores]] over table `documents`;
+    * `targetPredSql` must render the SAME predicate (registration-site
+    * adjacency, the decontam convention). */
+  def oracleSql(targetPredSql: String): String =
+    s"""${scoreCtesSql(targetPredSql)}
+       |SELECT doc_id, n_tokens, score FROM sc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[selectTop]] over table `documents`, strata =
+    * `lang` (window form — correct, just not the scale shape). */
+  def selectOracleSql(targetPredSql: String, n: Int): String =
+    s"""${scoreCtesSql(targetPredSql)}
+       |SELECT stratum, doc_id, score, rn FROM (
+       |  SELECT d.lang AS stratum, sc.doc_id, sc.score,
+       |    row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY sc.score DESC, sc.doc_id) AS rn
+       |  FROM sc JOIN documents d USING (doc_id))
+       |WHERE rn <= $n ORDER BY stratum, doc_id""".stripMargin
 }

@@ -310,6 +310,13 @@ object PipelineQueries {
       Importance.affinityScores(Tables.load(s, sf, "documents"),
         "doc_id", "text", col("lang") === "en")),
 
+    // Importance-based selection: the 20 highest-affinity docs per
+    // language vs the English target — the DSIR end product, via the
+    // Sampling-style bounded-heap rank (never a corpus-wide window).
+    "q55_importance_select" -> ((s, sf) =>
+      Importance.selectTop(Tables.load(s, sf, "documents"),
+        "doc_id", "text", "lang", col("lang") === "en", n = 20)),
+
     // Corpus telemetry: per-language doc counts, total chars, and EXACT
     // length percentiles as order statistics (no interpolation — every
     // reported value exists in the data, so parity is integer-exact).
@@ -391,6 +398,8 @@ object PipelineQueries {
     "q53_corpus_stats" -> CorpusStats.oracleSql,
 
     "q54_importance" -> Importance.oracleSql("lang = 'en'"),
+
+    "q55_importance_select" -> Importance.selectOracleSql("lang = 'en'", n = 20),
 
     "q49_semantic_dedup" -> Clustering.semanticDedupOracleSql(8, 3,
       EmbeddingDim, 0.9,

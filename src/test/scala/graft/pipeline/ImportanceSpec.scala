@@ -46,6 +46,25 @@ class ImportanceSpec extends AnyFunSuite {
       byLang("zh") < byLang("de"), byLang.toString)
   }
 
+  test("selectTop returns the n best per stratum, equal to the window form") {
+    val fixture = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val got = Importance.selectTop(fixture, "doc_id", "text", "lang",
+        col("lang") === "en", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Exact mirror: full scores ranked by a plain window.
+    val scores = Importance.affinityScores(fixture, "doc_id", "text",
+        col("lang") === "en")
+      .join(fixture.select(col("doc_id"), col("lang")), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score")))
+    val expect = scores.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy { case (_, id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((l, id, s), i) => (l, id, s, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect)
+    assert(got.nonEmpty && !got.exists(_._1 == "en"))
+  }
+
   test("result is invariant to input partitioning") {
     val fixture = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     def run(df: org.apache.spark.sql.DataFrame) =
