@@ -89,9 +89,20 @@ object ArgmaxDotExpr {
       throw new IllegalArgumentException(
         s"argmax_dot offsets/ids must have one entry per centroid row: " +
           s"k=$k, offsets=${off.numElements()}, ids=${ids.numElements()}")
+    // Null ELEMENTS get the same treatment as shape violations: a null
+    // centroid row would NPE inside the dot, and a null offset slot on
+    // the unsafe path would silently read 0.0 — a wrong assignment, the
+    // worst failure mode for a SQL-reachable function.
+    var m = 0
+    while (m < k) {
+      if (cents.isNullAt(m) || off.isNullAt(m) || ids.isNullAt(m))
+        throw new IllegalArgumentException(
+          s"argmax_dot does not accept null centroid/offset/id elements (row $m)")
+      m += 1
+    }
     var bestS = VecDotExpr.dot(v, cents.getArray(0)) - off.getDouble(0)
     var bestId = ids.getLong(0)
-    var m = 1
+    m = 1
     while (m < k) {
       val s = VecDotExpr.dot(v, cents.getArray(m)) - off.getDouble(m)
       if (s > bestS) { bestS = s; bestId = ids.getLong(m) }

@@ -228,16 +228,19 @@ object Clustering {
     // unchanged.
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("fxd"), col("emb")).collect()
+    // Centroid half-norms are query-invariant — computed once, not per
+    // (query, centroid).
+    val halfNorms = cents.map { case (cid, c) => (cid, c, 0.5 * normSq(c)) }
     val probes = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val fxd = r.getSeq[Double](1).toArray
       val emb = r.getSeq[Double](2).toArray
       val qnrm = math.sqrt(normSq(emb))
-      cents.map { case (cid, c) =>
+      halfNorms.map { case (cid, c, hn) =>
         var acc = 0.0
         var i = 0
         while (i < c.length) { acc += fxd(i) * c(i); i += 1 }
-        (cid, acc - 0.5 * normSq(c))
+        (cid, acc - hn)
       }.sortBy { case (cid, s) => (-s, cid) }
         .take(nprobe)
         .map { case (cid, _) => (qid, cid, emb.toSeq, qnrm) }

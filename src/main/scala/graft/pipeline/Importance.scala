@@ -55,7 +55,7 @@ object Importance {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = graft.functions.GraftFunctions.wordGramHashes(col(textCol), 1)
     val docGram = docs
-      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+      .select(col(idCol).cast("long").as("doc_id"), targetPred.as("is_target"),
         explode(grams).as("g"))
       .groupBy("doc_id", "is_target", "g")
       .agg(count(lit(1)).as("cnt"))
@@ -89,36 +89,16 @@ object Importance {
     * are exact — no float comparison subtleties. */
   def selectTop(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, targetPred: Column, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0, s"selection size must be positive: $n")
-    val spark = docs.sparkSession
     val keyed = affinityScores(docs, idCol, textCol, targetPred)
       .join(docs.select(col(idCol).cast("long").as("doc_id"),
         col(strataCol).as("stratum")), "doc_id")
       .select(col("stratum"), col("doc_id"), col("score"))
-    val schema = keyed.schema
-    // Worst kept row surfaces first: lowest score, then largest id.
-    val worstFirst: Ordering[(Long, Long)] =
-      Ordering.by { case (s, id) => (-s, id) }
-    val pruned = keyed.rdd.mapPartitions { it =>
-      val heaps = scala.collection.mutable.HashMap
-        .empty[Any, scala.collection.mutable.PriorityQueue[(Long, Long)]]
-      it.foreach { r =>
-        val heap = heaps.getOrElseUpdate(r.get(0),
-          scala.collection.mutable.PriorityQueue.empty(worstFirst))
-        heap.enqueue((r.getLong(2), r.getLong(1)))
-        if (heap.size > n) heap.dequeue()
-      }
-      heaps.iterator.flatMap { case (stratum, heap) =>
-        heap.iterator.map { case (score, id) =>
-          org.apache.spark.sql.Row(stratum, id, score)
-        }
-      }
-    }
-    val w = Window.partitionBy("stratum").orderBy(col("score").desc, col("doc_id"))
-    spark.createDataFrame(pruned, schema)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= n)
+    // Worst kept row surfaces first: lowest score, then largest id —
+    // consistent with the (score desc, doc_id asc) window rank.
+    Sampling.heapRank[Long](keyed, n, _.getLong(2),
+        Ordering.by { case (s, id) => (-s, id) },
+        Seq(col("score").desc, col("doc_id")))
       .select(col("stratum"), col("doc_id"), col("score"), col("rn"))
       .orderBy("stratum", "doc_id")
   }

@@ -118,13 +118,7 @@ object MinHashDedup {
     // signatures in the loop (firstAgreeingBand == this cell's band
     // implies THIS band's slices agree); est_sim is the same
     // agree-count / NumHashes single IEEE division.
-    val cells = sig.select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
-      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
-    val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("band", "cell")
-    val pairs = cells.join(hot, Seq("band", "cell"))
+    val pairs = hotCellMembers(sig)
       .select(col("band"), col("cell"), col("doc_id"), col("sig"))
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey(r => (r._1, r._2))
@@ -245,18 +239,16 @@ object MinHashDedup {
     // Signatures RIDE the membership frame (one copy per hot membership,
     // the same bytes the gather ships anyway), so the signature cache
     // can be released at the barrier below — the returned plan reads
-    // only hotMembers. hotMembers itself is cached with query-lifetime
+    // only hotMembers. hotMembers itself persists with query-lifetime
     // intent (the [[lifted]]/[[nearDupPairs]] convention): it feeds the
     // hot-doc semi-join AND the gather, and the count() barrier both
     // materializes it and stops concurrent downstream branches from
-    // racing the banding pipeline.
-    val cells = sig.select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
-      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
-    val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("band", "cell")
-    val hotMembers = cells.join(hot, Seq("band", "cell")).cache()
+    // racing the banding pipeline. Footprint: ≤ Bands signature copies
+    // per doc (vs 1× for the slim sig cache) — still bounded by Bands ×
+    // the REDUCED representation, far below raw text; MEMORY_AND_DISK
+    // makes pressure spill instead of forcing a banding recompute.
+    val hotMembers = hotCellMembers(sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hotMembers.count() // barrier: reused for the semi-join AND the gather
     sig.unpersist(false)
     val hotIds = hotMembers.select(col("doc_id")).distinct()
@@ -301,6 +293,24 @@ object MinHashDedup {
       }
       .toDF("doc_a", "doc_b", "jaccard")
     out.orderBy("doc_a", "doc_b")
+  }
+
+  /** Hot-cell membership frame `(band, cell, doc_id, sig)` shared by
+    * [[candidatePairs]] and [[jaccardPairs]] — ONE definition of the
+    * band-cell hashing scheme and the singleton-bucket prune, so the
+    * candidate emitter and the verify stage can never band differently.
+    * `cell` is `xxhash64(band, band-slice)`; collisions are harmless
+    * because both consumers re-verify band agreement from the
+    * signatures inside their loops. */
+  private def hotCellMembers(sig: DataFrame): DataFrame = {
+    val cells = sig.select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
+    val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("band", "cell")
+    cells.join(hot, Seq("band", "cell"))
+      .select(col("band"), col("cell"), col("doc_id"), col("sig"))
   }
 
   /** First band (0-based) where the two signatures' slices agree, or -1.

@@ -26,37 +26,54 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String, idCol: String, n: Int)
       : DataFrame = {
     require(n > 0, s"sample size must be positive: $n")
-    val spark = df.sparkSession
     val keyed = df.select(col(strataCol).as("stratum"),
       col(idCol).cast("long").as("doc_id"),
       md5(col(idCol).cast("string")).as("pick"))
-    val schema = keyed.schema
+    // Ordering is (pick, doc_id) ascending — doc_id breaks md5 ties
+    // deterministically; the max-heap evicts the largest = worst.
+    heapRank[String](keyed, n, _.getString(2),
+        Ordering.Tuple2[String, Long],
+        Seq(col("pick"), col("doc_id")))
+      .select(col("stratum"), col("doc_id"), col("rn"))
+      .orderBy("stratum", "doc_id")
+  }
 
-    // Phase 1: per-partition top-n per stratum. Memory is bounded by
-    // n × (strata present in the partition); ordering is (pick, doc_id),
-    // doc_id breaking md5 ties deterministically.
+  /** The shared two-phase per-stratum top-n rank (used by [[stratified]]
+    * and [[Importance.selectTop]]): phase 1 prunes map-side with a
+    * bounded heap — each input partition forwards at most `n` rows per
+    * stratum it contains, so the shuffle moves ≤ n×P candidate rows per
+    * stratum, never the corpus — and phase 2 ranks the survivor set
+    * with the exact window. The union of per-partition top-n supersets
+    * the global top-n, so the result is exact.
+    *
+    * `keyed` must be (stratum, doc_id long, key) in that column order;
+    * `worstFirst` must rank the WORST row maximal (the heap evicts its
+    * max) consistently with `windowOrder`'s best-first ranking. Returns
+    * (stratum, doc_id, key, rn ≤ n), unordered. */
+  private[pipeline] def heapRank[K](keyed: DataFrame, n: Int,
+      getKey: org.apache.spark.sql.Row => K,
+      worstFirst: Ordering[(K, Long)],
+      windowOrder: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = keyed.sparkSession
+    val schema = keyed.schema
     val pruned = keyed.rdd.mapPartitions { it =>
-      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[(String, Long)]]
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[(K, Long)]]
       it.foreach { r =>
         val heap = heaps.getOrElseUpdate(r.get(0),
-          mutable.PriorityQueue.empty[(String, Long)]) // max-heap: evicts largest
-        heap.enqueue((r.getString(2), r.getLong(1)))
+          mutable.PriorityQueue.empty(worstFirst))
+        heap.enqueue((getKey(r), r.getLong(1)))
         if (heap.size > n) heap.dequeue()
       }
       heaps.iterator.flatMap { case (stratum, heap) =>
-        heap.iterator.map { case (pick, id) =>
-          org.apache.spark.sql.Row(stratum, id, pick)
+        heap.iterator.map { case (key, id) =>
+          org.apache.spark.sql.Row(stratum, id, key)
         }
       }
     }
-
-    // Phase 2: exact rank over the ≤ n×P survivors per stratum.
-    val w = Window.partitionBy("stratum").orderBy(col("pick"), col("doc_id"))
+    val w = Window.partitionBy("stratum").orderBy(windowOrder: _*)
     spark.createDataFrame(pruned, schema)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= n)
-      .select(col("stratum"), col("doc_id"), col("rn"))
-      .orderBy("stratum", "doc_id")
   }
 
   /** DuckDB oracle for [[stratified]] over table `documents`, strata =
