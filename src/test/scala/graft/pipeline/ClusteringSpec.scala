@@ -79,6 +79,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.length == 10)
   }
 
+  test("kmeans and semanticDedup are invariant to input partitioning (fixed-point claim)") {
+    def runK(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kmeans(df, "vec_id", "emb", k = 8, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    def runS(df: org.apache.spark.sql.DataFrame) =
+      Clustering.semanticDedup(df, "vec_id", "emb", k = 8, rounds = 3, minCos = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(runK(planted.repartition(13)) == runK(planted.coalesce(1)))
+    assert(runS(planted.repartition(13)) == runS(planted.coalesce(1)))
+  }
+
   test("k×dim past the driver-metadata bound is a contract error, not an OOM") {
     // Seeds come from `limit(k)`, so a 10-row corpus keeps the seed
     // collect tiny while an oversized k still trips the k×dim require.
