@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   * envelope; the target slice is small by the same contract that makes
   * [[Decontam]]'s eval side broadcastable).
   *
-  * Scale shape: ONE corpus tokenize feeds a (doc, gram) count aggregate;
-  * gram totals and weights derive from THAT aggregate (never a second
-  * scan); the weight join is gram-keyed and reuses the gram hash
-  * partitioning Catalyst already has (no broadcast hint — a 100 TB
-  * vocabulary is not driver-sized, and DSIR deployments that want a
-  * bounded table mask the hash down to 2^b buckets first); the final
-  * per-doc sum is the only doc-keyed exchange.
+  * Scale shape: ONE corpus tokenize feeds a (doc, gram) count aggregate,
+  * MATERIALIZED (query-lifetime cache + count barrier, the
+  * [[MinHashDedup.nearDupPairs]]/[[MinHashDedup.jaccardPairs]]
+  * convention) so the weight derivation and the scoring join both read
+  * the cached aggregate — the corpus is scanned and tokenized exactly
+  * once. Without the materialization Catalyst pushed the `!is_target`
+  * filter below the aggregate on the scoring branch, the two subtrees
+  * stopped matching, ReusedExchange never fired, and the executed plan
+  * ran the full scan→tokenize→explode→aggregate chain TWICE (VERDICT r7
+  * item 1 — the r5 Decontam defect class; PlanAuditSpec now pins
+  * single-scan). The weight join is gram-keyed (no broadcast hint — a
+  * 100 TB vocabulary is not driver-sized, and DSIR deployments that want
+  * a bounded table mask the hash down to 2^b buckets first); the final
+  * per-doc sum is the only doc-keyed exchange. [[selectTop]]'s stratum
+  * column rides the SAME aggregate (it is functionally dependent on
+  * doc_id, so the extra grouping key changes nothing), eliminating the
+  * separate documents re-scan the r7 shape paid for the stratum join.
   */
 object Importance {
 
@@ -51,14 +61,37 @@ object Importance {
     * target slice over the doc columns (kept out of the output — the
     * target is the reference distribution, not a scoring subject). */
   def affinityScores(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column): DataFrame = {
+      targetPred: Column): DataFrame =
+    scoredGrams(docs, idCol, textCol, targetPred, strataCol = None)
+      .select("doc_id", "n_tokens", "score")
+      .orderBy("doc_id")
+
+  /** The shared scoring chain: tokenize → (doc, gram) count aggregate
+    * (materialized once — the scaladoc's scale-shape contract) → weight
+    * join → per-doc integer sum. With `strataCol` set the stratum rides
+    * the aggregate as an extra doc-dependent grouping key and the output
+    * gains a `stratum` column ([[selectTop]]'s input — no second
+    * documents scan). `private[graft]` so PlanAuditSpec can pin the
+    * single-scan shape on the pre-RDD-boundary frame. */
+  private[graft] def scoredGrams(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, strataCol: Option[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = graft.functions.GraftFunctions.wordGramHashes(col(textCol), 1)
+    val stratum = strataCol.map(c => col(c).as("stratum")).toSeq
+    val groupKeys = (Seq(col("doc_id"), col("is_target")) ++
+      strataCol.map(_ => col("stratum"))) :+ col("g")
+    // Query-lifetime cache + barrier: docGram feeds BOTH the weight
+    // derivation and the scoring join (see the scaladoc). The count() is
+    // the jaccardPairs-style materialization barrier — the join's stages
+    // launch concurrently, and racing an uncached relation would re-run
+    // the tokenize per branch.
     val docGram = docs
-      .select(col(idCol).cast("long").as("doc_id"), targetPred.as("is_target"),
-        explode(grams).as("g"))
-      .groupBy("doc_id", "is_target", "g")
+      .select(Seq(col(idCol).cast("long").as("doc_id"),
+        targetPred.as("is_target")) ++ stratum :+ explode(grams).as("g"): _*)
+      .groupBy(groupKeys: _*)
       .agg(count(lit(1)).as("cnt"))
+      .cache()
+    docGram.count()
     val gramW = docGram.groupBy("g")
       .agg(sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"),
         sum("cnt").as("cc"))
@@ -70,9 +103,8 @@ object Importance {
           s"((tc + 1L) * ${Scale}L) div (cc + 1L))").as("w"))
     docGram.filter(!col("is_target"))
       .join(gramW, "g")
-      .groupBy("doc_id")
+      .groupBy(col("doc_id") +: strataCol.map(_ => col("stratum")).toSeq: _*)
       .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("w")).as("score"))
-      .orderBy("doc_id")
   }
 
   /** Importance-based corpus SELECTION — the end product of the DSIR
@@ -80,19 +112,19 @@ object Importance {
     * pair generation: the `n` highest-affinity documents per stratum
     * (score desc, doc_id asc ties), as `(stratum, doc_id, score, rn)`.
     *
-    * Scale shape: the per-stratum ranking reuses [[Sampling]]'s
-    * two-phase bounded-heap plan — each input partition forwards at
-    * most `n` rows per stratum it contains, so the only rank shuffle
-    * moves ≤ n×P candidate rows per stratum, never the scored corpus
-    * (a plain window would cap parallelism at the stratum count).
-    * Scores are integers (fixed point), so heap and window orderings
-    * are exact — no float comparison subtleties. */
+    * Scale shape: the stratum column rides the shared scoring aggregate
+    * ([[scoredGrams]]) — no separate documents scan for the stratum
+    * join — and the per-stratum ranking reuses [[Sampling]]'s two-phase
+    * bounded-heap plan: each input partition forwards at most `n` rows
+    * per stratum it contains, so the only rank shuffle moves ≤ n×P
+    * candidate rows per stratum, never the scored corpus (a plain
+    * window would cap parallelism at the stratum count). Scores are
+    * integers (fixed point), so heap and window orderings are exact —
+    * no float comparison subtleties. */
   def selectTop(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, targetPred: Column, n: Int): DataFrame = {
     require(n > 0, s"selection size must be positive: $n")
-    val keyed = affinityScores(docs, idCol, textCol, targetPred)
-      .join(docs.select(col(idCol).cast("long").as("doc_id"),
-        col(strataCol).as("stratum")), "doc_id")
+    val keyed = scoredGrams(docs, idCol, textCol, targetPred, Some(strataCol))
       .select(col("stratum"), col("doc_id"), col("score"))
     // Worst kept row surfaces first: lowest score, then largest id —
     // consistent with the (score desc, doc_id asc) window rank.

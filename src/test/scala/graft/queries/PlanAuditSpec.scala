@@ -88,6 +88,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  /** Number of DISTINCT physical parquet scans of the documents table
+    * reachable from the plan — InMemoryTableScan cached plans are
+    * traversed too (deduped by their shared cache builder, because two
+    * scans of ONE cache execute its subtree once), and AQE wrappers are
+    * unwrapped. This is the r7 double-scan detector: an uncached shared
+    * aggregate shows up here as 2, the materialized shape as 1. */
+  private def documentScans(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seenCaches = scala.collection.mutable.Set.empty[Int]
+    def count(p: SparkPlan): Int = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        // AQE wraps materialized subtrees in leaf QueryStageExec nodes —
+        // unwrap, or the traversal never reaches the scans.
+        case q: QueryStageExec => count(q.plan)
+        case f: FileSourceScanExec =>
+          if (f.metadata.get("Location").exists(_.contains("documents"))) 1 else 0
+        case im: InMemoryTableScanExec =>
+          if (seenCaches.add(System.identityHashCode(im.relation.cacheBuilder)))
+            count(im.relation.cachedPlan)
+          else 0
+        case _ => 0
+      }
+      here + p.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  test("q51: the corpus is scanned and tokenized exactly once") {
+    // VERDICT r7 item 1: the uncached (doc, term) aggregate fed both the
+    // df derivation and the scoring join as independent subtrees — the
+    // executed plan showed 2 parquet scans + 2 tokenize calls.
+    val df = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)
+    assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q54: the corpus is scanned and tokenized exactly once") {
+    val df = SparkEntry.queries("q54_importance")(spark, TestSpark.Sf)
+    assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q55: stratum rides the scoring aggregate — one documents scan total") {
+    // The heap prune's RDD boundary hides the scoring subtree from the
+    // registered query's final plan (the q50 caveat), so audit the
+    // pre-boundary frame directly: it must hold the ONLY documents scan
+    // (r7 shape: double tokenize + a third scan for the stratum join).
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val keyed = graft.pipeline.Importance.scoredGrams(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en", Some("lang"))
+    assert(documentScans(keyed) == 1, keyed.queryExecution.executedPlan.toString)
+    val registered = SparkEntry.queries("q55_importance_select")(spark, TestSpark.Sf)
+    assert(documentScans(registered) == 0,
+      registered.queryExecution.executedPlan.toString)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
