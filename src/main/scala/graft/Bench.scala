@@ -60,13 +60,18 @@ object Bench {
       spark.catalog.clearCache()
     }
     spark.conf.set("spark.graft.archiveDir", archiveDir)
-    // Min-of-2 timed passes per query (VERDICT r5): BENCH_r05 recorded a
-    // contended machine as a uniform 3-10× inflation over a band of
-    // queries; a transient CPU spike cannot tax BOTH passes, so the min
-    // is the steady-state figure. A pass that errors contributes no time;
-    // a query reports an error only when both passes fail.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val passes = (1 to 2).map { _ =>
+    // Min-of-2 timed passes per query (VERDICT r5), INTERLEAVED (VERDICT
+    // r7 item 2): all queries run as pass 1, then all again as pass 2,
+    // and each query keeps its min. Back-to-back passes let a contention
+    // band longer than one query tax BOTH samples — BENCH_r07 recorded
+    // unchanged queries at 4-14× their steady state that way; with the
+    // full suite (~tens of seconds) between a query's two samples, a
+    // transient band would have to span the whole run to survive the
+    // min. A pass that errors contributes no time; a query reports an
+    // error only when both passes fail.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timedPass(): Map[String, (Double, Option[String])] =
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -76,8 +81,12 @@ object Bench {
         // queries (and the second pass) aren't taxed by accumulated
         // executor-heap pressure — each pass re-executes the full plan.
         spark.catalog.clearCache()
-        (t, err)
-      }
+        name -> (t, err)
+      }.toMap
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = named.map { case (name, _) =>
+      val passes = Seq(pass1(name), pass2(name))
       val ok = passes.collect { case (t, None) => t }
       if (ok.nonEmpty) (name, ok.min, None)
       else (name, passes.map(_._1).min, passes.last._2)

@@ -98,6 +98,14 @@ object ArgmaxDotExpr {
       if (cents.isNullAt(m) || off.isNullAt(m) || ids.isNullAt(m))
         throw new IllegalArgumentException(
           s"argmax_dot does not accept null centroid/offset/id elements (row $m)")
+      // A dimension mismatch would silently TRUNCATE the dot (vec_dot
+      // folds over the shorter operand) — a plausible-but-wrong
+      // assignment, the worst failure mode for a SQL-reachable function.
+      if (cents.getArray(m).numElements() != v.numElements())
+        throw new IllegalArgumentException(
+          s"argmax_dot dimension mismatch: query vector has " +
+            s"${v.numElements()} components, centroid row $m has " +
+            s"${cents.getArray(m).numElements()}")
       m += 1
     }
     var bestS = VecDotExpr.dot(v, cents.getArray(0)) - off.getDouble(0)

@@ -61,13 +61,8 @@ object Clustering {
   }
 
   /** Driver-side index-order fold of |c|² — the exact op sequence the
-    * oracle's `list_reduce` runs. */
-  private def normSq(c: Array[Double]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < c.length) { acc += c(i) * c(i); i += 1 }
-    acc
-  }
+    * oracle's `list_reduce` runs (the shared [[VecOps]] fold). */
+  private def normSq(c: Array[Double]): Double = VecOps.normSq(c)
 
   /** Adds `cluster` (long) and `score` (double) columns: argmax over the
     * given centroids of `vec_dot(fxd, c) − 0.5·|c|²`, ties to the lowest
@@ -237,10 +232,7 @@ object Clustering {
       val emb = r.getSeq[Double](2).toArray
       val qnrm = math.sqrt(normSq(emb))
       halfNorms.map { case (cid, c, hn) =>
-        var acc = 0.0
-        var i = 0
-        while (i < c.length) { acc += fxd(i) * c(i); i += 1 }
-        (cid, acc - hn)
+        (cid, VecOps.dot(fxd, c) - hn)
       }.sortBy { case (cid, s) => (-s, cid) }
         .take(nprobe)
         .map { case (cid, _) => (qid, cid, emb.toSeq, qnrm) }
@@ -297,19 +289,13 @@ object Clustering {
         val order = Array.range(0, n).sortBy(idBuf(_))
         val ids = order.map(idBuf(_))
         val embs = order.map(embBuf(_))
-        def dot(x: Array[Double], y: Array[Double]): Double = {
-          var acc = 0.0
-          var i = 0
-          while (i < x.length) { acc += x(i) * y(i); i += 1 }
-          acc
-        }
-        val nrms = embs.map(e => math.sqrt(dot(e, e)))
+        val nrms = embs.map(VecOps.norm)
         val dropped = new Array[Boolean](n)
         var j = 1
         while (j < n) {
           var i = 0
           while (i < j && !dropped(j)) {
-            if (dot(embs(i), embs(j)) / (nrms(i) * nrms(j)) >= minCos)
+            if (VecOps.dot(embs(i), embs(j)) / (nrms(i) * nrms(j)) >= minCos)
               dropped(j) = true
             i += 1
           }

@@ -123,33 +123,11 @@ object MinHashDedup {
       .as[(Int, Long, Long, Array[Long])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
-        val cellBand = key._1
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         it.foreach { case (_, _, id, sg) => ids += id; sigs += sg }
-        val n = ids.length
-        val order = Array.range(0, n).sortBy(ids(_))
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var oi = 0
-        while (oi < n) {
-          val i = order(oi)
-          var oj = oi + 1
-          while (oj < n) {
-            val j = order(oj)
-            if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
-              var agree = 0
-              var s = 0
-              while (s < NumHashes) {
-                if (sigs(i)(s) == sigs(j)(s)) agree += 1
-                s += 1
-              }
-              out += ((ids(i), ids(j), agree / NumHashes.toDouble))
-            }
-            oj += 1
-          }
-          oi += 1
-        }
-        out.result().iterator
+        cellPairScan(key._1, ids, sigs)(
+          (i, j) => agreeFraction(sigs(i), sigs(j)), _ => true)
       }
       .toDF("doc_a", "doc_b", "est_sim")
     // Rows are already unique (first-band rule); this distinct is the
@@ -266,51 +244,110 @@ object MinHashDedup {
       .as[(Int, Long, Long, Array[Long], Array[Int])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
-        val cellBand = key._1
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
-        val n = ids.length
-        val order = Array.range(0, n).sortBy(ids(_))
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var oi = 0
-        while (oi < n) {
-          val i = order(oi)
-          var oj = oi + 1
-          while (oj < n) {
-            val j = order(oj)
-            if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
-              val inter = sortedIntersect(sets(i), sets(j))
-              val jac = inter / (sets(i).length + sets(j).length - inter).toDouble
-              if (jac >= minJac) out += ((ids(i), ids(j), jac))
-            }
-            oj += 1
-          }
-          oi += 1
-        }
-        out.result().iterator
+        cellPairScan(key._1, ids, sigs)({ (i, j) =>
+          val inter = sortedIntersect(sets(i), sets(j))
+          inter / (sets(i).length + sets(j).length - inter).toDouble
+        }, _ >= minJac)
       }
       .toDF("doc_a", "doc_b", "jaccard")
     out.orderBy("doc_a", "doc_b")
   }
 
+  /** Default ceiling on one (band, bucket) cell's membership — the
+    * in-plan guard for the degenerate-cell straggler (SCALING.md
+    * caveat): `groupByKey` concentrates each hot cell in ONE task and
+    * AQE cannot split a single key, so a malformed corpus (millions of
+    * identical or empty documents collapse to one signature → one cell)
+    * would silently hang a task in the quadratic scan. Past the bound
+    * the job fails with a readable contract error naming the mitigation
+    * instead — the Decontam `maxEvalGrams` / [[Clustering
+    * .MaxCentroidCells]] convention. 2¹⁶ members ≈ 2×10⁹ pair probes in
+    * one task — already hours past any healthy cell (true near-dup
+    * clusters are orders of magnitude smaller; the adversarial 64×
+    * probe's largest is 64). Override per-session with
+    * `spark.graft.maxCellMembers`. */
+  val DefaultMaxCellMembers: Long = 1L << 16
+
   /** Hot-cell membership frame `(band, cell, doc_id, sig)` shared by
     * [[candidatePairs]] and [[jaccardPairs]] — ONE definition of the
-    * band-cell hashing scheme and the singleton-bucket prune, so the
-    * candidate emitter and the verify stage can never band differently.
-    * `cell` is `xxhash64(band, band-slice)`; collisions are harmless
-    * because both consumers re-verify band agreement from the
-    * signatures inside their loops. */
+    * band-cell hashing scheme, the singleton-bucket prune, and the
+    * degenerate-cell cap, so the candidate emitter and the verify stage
+    * can never band differently. `cell` is `xxhash64(band, band-slice)`;
+    * collisions are harmless because both consumers re-verify band
+    * agreement from the signatures inside their loops. */
   private def hotCellMembers(sig: DataFrame): DataFrame = {
+    val bound = sig.sparkSession.conf
+      .get("spark.graft.maxCellMembers", DefaultMaxCellMembers.toString).toLong
     val cells = sig.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
+    // The cap rides the singleton-prune filter over the ALREADY-computed
+    // count aggregate (a kept filter cannot be pruned away, unlike a
+    // projected-then-dropped column), so it costs nothing extra.
     val hot = cells.groupBy("band", "cell").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("band", "cell")
+      .filter(expr(
+        s"CASE WHEN n > ${bound}L THEN CAST(raise_error(CONCAT(" +
+          s"'minhash hot cell of ', n, ' members exceeds " +
+          s"spark.graft.maxCellMembers=$bound: a cell this size means " +
+          s"near-identical documents at mass scale (the quadratic " +
+          s"per-cell scan would hang one task) — run exact dedup (q20) " +
+          s"over the corpus first, or grow Bands/NumHashes')) AS " +
+          s"BOOLEAN) ELSE n >= 2 END"))
+      .select("band", "cell")
     cells.join(hot, Seq("band", "cell"))
       .select(col("band"), col("cell"), col("doc_id"), col("sig"))
+  }
+
+  /** The shared grouped-cell pair scan ([[candidatePairs]] emits with
+    * it, [[jaccardPairs]] verifies with it — the r7 writeup's one
+    * skeleton, now one body): members sort by id, the double loop
+    * visits each unordered pair once in (doc_a < doc_b) order, the
+    * FIRST-agreeing-band rule (checked from the signatures, so hashed
+    * cell-key collisions cannot create a pair) makes emission unique
+    * across cells, and `score`/`keep` plug in the per-pair measure.
+    * `score` receives GATHER-ORDER indices — callers index their own
+    * parallel payload buffers (signatures here, shingle sets in the
+    * verify stage). */
+  private def cellPairScan(cellBand: Int,
+      ids: scala.collection.mutable.ArrayBuffer[Long],
+      sigs: scala.collection.mutable.ArrayBuffer[Array[Long]])(
+      score: (Int, Int) => Double,
+      keep: Double => Boolean): Iterator[(Long, Long, Double)] = {
+    val n = ids.length
+    val order = Array.range(0, n).sortBy(ids(_))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var oi = 0
+    while (oi < n) {
+      val i = order(oi)
+      var oj = oi + 1
+      while (oj < n) {
+        val j = order(oj)
+        if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
+          val s = score(i, j)
+          if (keep(s)) out += ((ids(i), ids(j), s))
+        }
+        oj += 1
+      }
+      oi += 1
+    }
+    out.result().iterator
+  }
+
+  /** Fraction of agreeing signature slots — est_sim's single IEEE
+    * division, the primitive mirror of `sig_agree_count / NumHashes`. */
+  private def agreeFraction(a: Array[Long], b: Array[Long]): Double = {
+    var agree = 0
+    var s = 0
+    while (s < NumHashes) {
+      if (a(s) == b(s)) agree += 1
+      s += 1
+    }
+    agree / NumHashes.toDouble
   }
 
   /** First band (0-based) where the two signatures' slices agree, or -1.

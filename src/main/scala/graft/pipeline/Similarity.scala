@@ -284,13 +284,7 @@ object Similarity {
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val embs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         it.foreach { case (_, id, emb) => ids += id; embs += emb }
-        def dot(a: Array[Double], b: Array[Double]): Double = {
-          var acc = 0.0
-          var i = 0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          acc
-        }
-        val nrms = embs.map(e => math.sqrt(dot(e, e))).toArray
+        val nrms = embs.map(VecOps.norm).toArray
         var bestCos = 0.0
         var bestA = 0L
         var bestB = 0L
@@ -299,7 +293,7 @@ object Similarity {
         while (i < ids.length) {
           var j = i + 1
           while (j < ids.length) {
-            val c = dot(embs(i), embs(j)) / (nrms(i) * nrms(j))
+            val c = VecOps.dot(embs(i), embs(j)) / (nrms(i) * nrms(j))
             val (a, b) =
               if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
             val better = !found || {

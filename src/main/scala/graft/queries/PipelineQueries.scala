@@ -327,8 +327,11 @@ object PipelineQueries {
     // Ingest dedup, batch-replay form: lowest doc id per content
     // fingerprint + duplicate count. The streaming first-occurrence
     // filter (flatMapGroupsWithState, Append) is pinned equal across
-    // micro-batch splits in StreamDedupSpec — q29's batch/streaming
-    // pairing applied to the dedup family.
+    // micro-batch splits in StreamDedupSpec FOR ID-ORDERED ARRIVAL
+    // (streaming keeps the first-SEEN id, which equals batch's min
+    // only when ids arrive ascending — the StreamDedup scaladoc's
+    // arrival-order caveat) — q29's batch/streaming pairing applied
+    // to the dedup family.
     "q52_ingest_dedup" -> ((s, sf) =>
       graft.streaming.StreamDedup.batch(Tables.load(s, sf, "documents"),
         "doc_id", "text")),

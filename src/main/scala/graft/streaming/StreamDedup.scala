@@ -21,6 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    fingerprint is the kept doc id, a first sight emits exactly one
   *    row, a duplicate emits nothing (StreamDedupSpec drives it over
   *    multi-batch MemoryStream input and pins agreement with [[batch]]).
+  *    The two agree on which ROWS survive for any arrival order; the
+  *    kept ID per fingerprint additionally matches [[batch]]'s
+  *    min(doc_id) only when ids arrive ascending across micro-batches
+  *    (an id-ordered ingest log — the spec's fixtures are ascending by
+  *    construction). A LATER batch carrying a LOWER id for an
+  *    already-seen fingerprint keeps the earlier, higher id: streaming
+  *    first-occurrence is arrival-order semantics by definition, and
+  *    that is the honest production contract — it cannot know about ids
+  *    it has not seen yet.
   *
   * Scale shape: only (fingerprint, id) longs ever shuffle — content
   * bytes stay at the scan, exactly the q20 rule. Streaming state is one
@@ -55,8 +64,10 @@ object StreamDedup {
 
   /** Streaming first-occurrence filter over (fp, doc_id) pairs: emits
     * one [[Kept]] row the first time a fingerprint is seen (lowest id
-    * if several arrive in the same micro-batch, matching [[batch]]
-    * replay) and nothing for any later duplicate. */
+    * if several arrive in the same micro-batch) and nothing for any
+    * later duplicate. Matches [[batch]] replay exactly when ids arrive
+    * ascending across micro-batches — see the object scaladoc for the
+    * arrival-order caveat. */
   def firstSeen(pairs: Dataset[(Long, Long)]): Dataset[Kept] = {
     import pairs.sparkSession.implicits._
     pairs.groupByKey(_._1)

@@ -109,6 +109,23 @@ class NativeExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("argmax_dot rejects a centroid/query dimension mismatch loudly") {
+    // vec_dot folds over the shorter operand, so a mismatched row would
+    // silently truncate the dot — a plausible-but-wrong assignment. The
+    // contract error must fire instead (ADVICE r7).
+    val v = Array(1.0, 2.0, 3.0)
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0)) // row 1 short
+    val e = intercept[IllegalArgumentException] {
+      ArgmaxDotExpr.compute(
+        new GenericArrayData(v),
+        new GenericArrayData(cents.map(c => new GenericArrayData(c): AnyRef)),
+        new GenericArrayData(Array(0.0, 0.0)),
+        new GenericArrayData(Array(0L, 1L)))
+    }
+    assert(e.getMessage.contains("dimension mismatch") &&
+      e.getMessage.contains("row 1"), e.getMessage)
+  }
+
   // --------------------------------------------- sorted_intersect_count
 
   test("sorted_intersect_count ≡ Set intersection on 300 random sorted arrays") {

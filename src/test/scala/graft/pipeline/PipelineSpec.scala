@@ -20,6 +20,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("degenerate hot cell fails loud past spark.graft.maxCellMembers") {
+    // An identical-document flood collapses to ONE signature → one cell
+    // holding every member: the shape that would hang a single task in
+    // the quadratic scan (SCALING.md caveat). Past the configurable
+    // bound the job must fail with the contract error, not hang.
+    val flood = (0L until 10L).map(i =>
+      (i, "the same boilerplate page body repeated verbatim " * 4))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.maxCellMembers", "4")
+    try {
+      val e = intercept[Exception] {
+        MinHashDedup.nearDupPairs(flood, "doc_id", "text", minSim = 0.5).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("maxCellMembers")), e.toString)
+    } finally spark.conf.unset("spark.graft.maxCellMembers")
+    // Under the default bound the same flood is legal: 10 identical docs
+    // pair completely (45 pairs, all from their first agreeing band).
+    assert(MinHashDedup.nearDupPairs(flood, "doc_id", "text", minSim = 0.5)
+      .count() == 45)
+  }
+
   test("grouped-cell candidatePairs ≡ the band self-join, est_sim bits included") {
     import org.apache.spark.sql.functions.{concat, lit}
     // Fixture + planted replica families across repartitions — replicas
