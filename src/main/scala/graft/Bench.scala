@@ -56,6 +56,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
+        finally graft.ops.Materialize.releaseAll(spark)
       }
       spark.catalog.clearCache()
     }
@@ -77,9 +78,12 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
         val t = (System.nanoTime() - t0) / 1e9
-        // Query isolation: drop any DataFrames the query cached so later
-        // queries (and the second pass) aren't taxed by accumulated
-        // executor-heap pressure — each pass re-executes the full plan.
+        // Query isolation: release the query's registered caches (drops
+        // the registry's strong refs too) and drop anything else cached,
+        // so later queries (and the second pass) aren't taxed by
+        // accumulated executor-heap pressure — each pass re-executes the
+        // full plan.
+        graft.ops.Materialize.releaseAll(spark)
         spark.catalog.clearCache()
         name -> (t, err)
       }.toMap

@@ -49,15 +49,16 @@ object Clustering {
   /** vec_id, emb (double), fx (exact fixed-point longs), fxd (same values
     * as doubles — the domain every dot product runs in). Cached: the
     * corpus is re-scanned once per k-means round (query-lifetime intent,
-    * same contract as [[Similarity.bucketedNearDupPairs]]). */
+    * same contract as [[Similarity.bucketedNearDupPairs]]; registered
+    * with [[graft.ops.Materialize]] so session owners can release it —
+    * no barrier, the round-0 assignment consumes it sequentially). */
   private[graft] def lifted(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    corpus
+    graft.ops.Materialize.register(corpus
       .select(col(idCol).cast("long").as("vec_id"),
         col(embCol).cast("array<double>").as("emb"))
       .withColumn("fx", expr(s"transform(emb, v -> floor(v * ${Scale}D + 0.5D))"))
-      .withColumn("fxd", expr("transform(fx, v -> CAST(v AS DOUBLE))"))
-      .cache()
+      .withColumn("fxd", expr("transform(fx, v -> CAST(v AS DOUBLE))")))
   }
 
   /** Driver-side index-order fold of |c|² — the exact op sequence the

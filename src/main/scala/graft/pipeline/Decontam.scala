@@ -90,16 +90,16 @@ object Decontam {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     // Cached with query-lifetime intent (the count materializes it and
-    // the broadcast build reads it back); on the contract-failure path
-    // the cache is released before throwing so a rejected call strands
-    // no storage memory.
-    val evalGrams = docs.filter(evalPred)
+    // the broadcast build reads it back), registered with
+    // graft.ops.Materialize for session-owner release; on the
+    // contract-failure path the cache is released before throwing so a
+    // rejected call strands no storage memory.
+    val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
       .select(explode(gramHashes).as("gram_fp"))
-      .distinct()
-      .cache()
+      .distinct())
     val nEval = evalGrams.count()
     if (nEval > maxEvalGrams) {
-      evalGrams.unpersist(false)
+      graft.ops.Materialize.release(Seq(evalGrams))
       throw new IllegalArgumentException(
         s"requirement failed: decontam eval side has $nEval distinct " +
           s"$n-gram fingerprints, over the broadcast contract bound " +

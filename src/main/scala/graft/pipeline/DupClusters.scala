@@ -48,9 +48,12 @@ object DupClusters {
       maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
-    val undWide = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Registered (graft.ops.Materialize) so a mid-loop failure leaves the
+    // edge cache reachable by the session owner's releaseAll; the success
+    // path releases it eagerly below.
+    val undWide = graft.ops.Materialize.register(edges
+      .union(edges.select(col("b").as("a"), col("a").as("b"))),
+      StorageLevel.MEMORY_AND_DISK)
     // Size the edge list's partitioning to the GRAPH, not to the upstream
     // corpus shuffle: pair graphs are orders of magnitude smaller than the
     // corpus that produced them (the union above even doubles the upstream
@@ -108,7 +111,7 @@ object DupClusters {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
-    undWide.unpersist(false)
+    graft.ops.Materialize.release(Seq(undWide))
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds; " +
         "raise maxIters (the graph diameter exceeds 2^maxIters)")

@@ -81,17 +81,16 @@ object Importance {
     val groupKeys = (Seq(col("doc_id"), col("is_target")) ++
       strataCol.map(_ => col("stratum"))) :+ col("g")
     // Query-lifetime cache + barrier: docGram feeds BOTH the weight
-    // derivation and the scoring join (see the scaladoc). The count() is
-    // the jaccardPairs-style materialization barrier — the join's stages
-    // launch concurrently, and racing an uncached relation would re-run
-    // the tokenize per branch.
-    val docGram = docs
+    // derivation and the scoring join (see the scaladoc); the barrier
+    // stops the join's concurrently-launching stages from racing an
+    // unfilled cache into a per-branch re-tokenize. Registered with
+    // [[graft.ops.Materialize]] so session owners can release it once
+    // the result is consumed (VERDICT r8 item 1).
+    val docGram = graft.ops.Materialize.barrier(docs
       .select(Seq(col(idCol).cast("long").as("doc_id"),
         targetPred.as("is_target")) ++ stratum :+ explode(grams).as("g"): _*)
       .groupBy(groupKeys: _*)
-      .agg(count(lit(1)).as("cnt"))
-      .cache()
-    docGram.count()
+      .agg(count(lit(1)).as("cnt")))
     val gramW = docGram.groupBy("g")
       .agg(sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("tc"),
         sum("cnt").as("cc"))

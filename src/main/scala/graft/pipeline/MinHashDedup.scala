@@ -171,7 +171,10 @@ object MinHashDedup {
     * [[candidatePairs]]), so no further joins touch the pair stream. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       minSim: Double): DataFrame = {
-    val sig = signatures(docs, idCol, textCol).cache()
+    // No barrier: candidatePairs consumes sig through ONE subtree (the
+    // banding explode), so the cache fills on first use — registered so
+    // session owners can release it (graft.ops.Materialize, r8 item 1).
+    val sig = graft.ops.Materialize.register(signatures(docs, idCol, textCol))
     candidatePairs(sig)
       .filter(col("est_sim") >= minSim)
       .orderBy("doc_a", "doc_b")
@@ -213,22 +216,21 @@ object MinHashDedup {
     //    primitive scan of the two signatures;
     //  - the Jaccard division is the same single IEEE op on the same
     //    sorted-merge intersection count.
-    val sig = signatures(docs, idCol, textCol).cache()
+    val sig = graft.ops.Materialize.register(signatures(docs, idCol, textCol))
     // Signatures RIDE the membership frame (one copy per hot membership,
     // the same bytes the gather ships anyway), so the signature cache
     // can be released at the barrier below — the returned plan reads
     // only hotMembers. hotMembers itself persists with query-lifetime
-    // intent (the [[lifted]]/[[nearDupPairs]] convention): it feeds the
-    // hot-doc semi-join AND the gather, and the count() barrier both
-    // materializes it and stops concurrent downstream branches from
-    // racing the banding pipeline. Footprint: ≤ Bands signature copies
-    // per doc (vs 1× for the slim sig cache) — still bounded by Bands ×
-    // the REDUCED representation, far below raw text; MEMORY_AND_DISK
-    // makes pressure spill instead of forcing a banding recompute.
-    val hotMembers = hotCellMembers(sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    hotMembers.count() // barrier: reused for the semi-join AND the gather
-    sig.unpersist(false)
+    // intent (the [[lifted]]/[[nearDupPairs]] convention, registered for
+    // session-owner release): it feeds the hot-doc semi-join AND the
+    // gather, and the barrier both materializes it and stops concurrent
+    // downstream branches from racing the banding pipeline. Footprint:
+    // ≤ Bands signature copies per doc (vs 1× for the slim sig cache) —
+    // still bounded by Bands × the REDUCED representation, far below raw
+    // text; MEMORY_AND_DISK makes pressure spill instead of forcing a
+    // banding recompute.
+    val hotMembers = graft.ops.Materialize.barrier(hotCellMembers(sig))
+    graft.ops.Materialize.release(Seq(sig))
     val hotIds = hotMembers.select(col("doc_id")).distinct()
     // The merge hint is load-bearing: the semi-joined shingle frame has
     // no honest size estimate, and Catalyst was measured (64× probe) to
@@ -382,13 +384,14 @@ object MinHashDedup {
     * jaccard bits included, on fixture + planted near-dups). */
   private[graft] def joinJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       minJac: Double): DataFrame = {
-    val sig = signatures(docs, idCol, textCol).cache()
-    val cand = candidatePairs(sig).select("doc_a", "doc_b").cache()
-    cand.count()
-    sig.unpersist(false)
+    val sig = graft.ops.Materialize.register(signatures(docs, idCol, textCol))
+    val cand = graft.ops.Materialize.barrier(
+      candidatePairs(sig).select("doc_a", "doc_b"))
+    graft.ops.Materialize.release(Seq(sig))
     val candIds = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val sh = shingled(docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol).cache()
+    val sh = graft.ops.Materialize.register(
+      shingled(docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

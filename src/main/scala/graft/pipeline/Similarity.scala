@@ -100,8 +100,10 @@ object Similarity {
       dim: Int, minCos: Double, bands: Int = SignBands,
       bitsPerBand: Int = BitsPerBand): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
-      .cache()
+    // Registered for session-owner release (graft.ops.Materialize, r8
+    // item 1); fills lazily — the banding explode is its first consumer.
+    val e = graft.ops.Materialize.register(corpus.select(
+      col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb")))
     val bucketArray = bandBucketExprs("emb", dim, bands, bitsPerBand, forDuck = false)
       .mkString("array(", ", ", ")")
     // Each pair emits from its FIRST agreeing band only (the carried
@@ -325,10 +327,10 @@ object Similarity {
       embCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val e = corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
-        col(embCol).cast("array<double>").as("emb"))
-      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
-      .cache()
+    val e = graft.ops.Materialize.register(
+      corpus.select(col(groupCol).as("label"), col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("emb"))
+        .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))")))
     val l = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
     val r = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"),

@@ -48,12 +48,13 @@ object TfIdf {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
     // Query-lifetime cache + barrier: tf feeds BOTH the df derivation and
-    // the scoring join (see the scaladoc's scale-shape paragraph). The
-    // count() is the jaccardPairs-style materialization barrier — the
-    // join's two stages launch concurrently, and racing an uncached
-    // relation would re-run the tokenize per branch.
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
-    tf.count()
+    // the scoring join (see the scaladoc's scale-shape paragraph); the
+    // barrier stops the join's concurrently-launching stages from racing
+    // an unfilled cache into a per-branch re-tokenize. Registered with
+    // [[graft.ops.Materialize]] so session owners can release it once the
+    // result is consumed (VERDICT r8 item 1).
+    val tf = graft.ops.Materialize.barrier(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score",

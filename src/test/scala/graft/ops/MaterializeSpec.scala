@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** The cache-release contract (VERDICT r8 item 1): every pipeline query
+  * that materializes a query-lifetime cache registers it with
+  * [[Materialize]], and releasing after the result is consumed leaves no
+  * cached relation behind — the long-lived-session leak (one cached
+  * corpus-scale aggregate per query until storage pressure evicts) is
+  * closed by construction, not by `clearCache()` hygiene. */
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Every registered query whose construction persists at least one
+    * shared frame (directly or through the pipelines it composes). */
+  private val cacheUsers = Seq(
+    "q22_minhash_pairs", // MinHashDedup.nearDupPairs: sig
+    "q27_jaccard_pairs", // MinHashDedup.jaccardPairs: sig (inline-released) + hotMembers
+    "q33_sign_lsh_pairs", // Similarity.bucketedNearDupPairs: reduced frame
+    "q37_dup_clusters", // nearDupPairs sig + DupClusters edge cache (inline-released)
+    "q40_canonical_corpus", // same chain as q37
+    "q42_decontam", // Decontam: evalGrams
+    "q48_kmeans", // Clustering.lifted
+    "q49_semantic_dedup", // Clustering.lifted
+    "q50_ivf_ann", // Clustering.lifted
+    "q51_tfidf", // TfIdf: (doc, term) aggregate
+    "q54_importance", // Importance: (doc, gram) aggregate
+    "q55_importance_select") // Importance: (doc, stratum, gram) aggregate
+
+  for (name <- cacheUsers)
+    test(s"$name: consume, release, and no registered cache survives") {
+      val before = Materialize.liveCount(spark)
+      val (rows, frames) = Materialize.collecting {
+        SparkEntry.queries(name)(spark, TestSpark.Sf).collect()
+      }
+      assert(rows.nonEmpty)
+      assert(frames.nonEmpty, s"$name registered no frame — if its caches " +
+        "moved off Materialize, drop it from cacheUsers")
+      Materialize.release(frames)
+      frames.foreach(f => assert(f.storageLevel == StorageLevel.NONE,
+        s"$name left a cached frame after release"))
+      assert(Materialize.liveCount(spark) == before,
+        s"$name leaked registry entries")
+    }
+
+  test("releaseAll drains every registered frame for the session") {
+    val ((), frames) = Materialize.collecting {
+      SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf).collect()
+      SparkEntry.queries("q54_importance")(spark, TestSpark.Sf).collect()
+      ()
+    }
+    assert(frames.nonEmpty)
+    // The consuming action is done and the caches are still warm — the
+    // service-shaped moment where releaseAll is supposed to run.
+    assert(frames.forall(_.storageLevel != StorageLevel.NONE))
+    assert(Materialize.releaseAll(spark) >= frames.size)
+    assert(frames.forall(_.storageLevel == StorageLevel.NONE))
+    assert(Materialize.liveCount(spark) == 0)
+  }
+
+  test("release is recompute-safe: a released frame still answers") {
+    val (df, frames) = Materialize.collecting {
+      val d = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    val expected = df.collect()
+    Materialize.release(frames)
+    // The cache is gone; the SAME DataFrame recomputes to the same rows
+    // (every registered frame is deterministic by construction).
+    assert(df.collect().sameElements(expected))
+  }
+}
