@@ -62,19 +62,42 @@ object Sessionize {
 
   /** Streaming per-user session/event counts via mapGroupsWithState.
     * Events within one micro-batch group are sorted by event time before
-    * folding, so AvailableNow replay is deterministic. */
-  def streamingCounts(events: Dataset[(Long, Long)]): Dataset[UserCounts] = {
+    * folding, so AvailableNow replay is deterministic.
+    *
+    * State is one [[UserState]] per DISTINCT user forever by default —
+    * at 100 TB of ingest that unbounded growth is the scale bound of
+    * this path (the [[StreamDedup.firstSeen]] contract). `idleTtl`, when
+    * set, evicts a user idle for that much PROCESSING time (clock resets
+    * on every sighting); the evicted user's final counts are flushed as
+    * one last emission (idempotent for update-mode consumers that keep
+    * the max per key, e.g. [[replayCounts]]), and a later return starts
+    * the counts OVER — the documented trade for bounded state. Default
+    * off: q29's replay semantics are the no-TTL contract. Same
+    * operational note as [[StreamDedup.firstSeen]]: a processing-time
+    * timeout makes the engine schedule extra empty micro-batches. */
+  def streamingCounts(events: Dataset[(Long, Long)],
+      idleTtl: Option[scala.concurrent.duration.FiniteDuration] = None): Dataset[UserCounts] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._1)
-      .mapGroupsWithState[UserState, UserCounts](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserState, UserCounts](timeoutConf) {
         (user: Long, it: Iterator[(Long, Long)], state: GroupState[UserState]) =>
-          var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
-          it.toSeq.sortBy(_._2).foreach { case (_, tsMs) =>
-            val newSession = s.nEvents == 0L || tsMs - s.lastTsMs > GapMs
-            s = UserState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), tsMs)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            UserCounts(user, s.nEvents, s.nSessions)
+          } else {
+            var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+            it.toSeq.sortBy(_._2).foreach { case (_, tsMs) =>
+              val newSession = s.nEvents == 0L || tsMs - s.lastTsMs > GapMs
+              s = UserState(s.nEvents + 1, s.nSessions + (if (newSession) 1 else 0), tsMs)
+            }
+            state.update(s)
+            idleTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            UserCounts(user, s.nEvents, s.nSessions)
           }
-          state.update(s)
-          UserCounts(user, s.nEvents, s.nSessions)
       }
   }
 

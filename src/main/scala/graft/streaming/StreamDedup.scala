@@ -21,23 +21,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    fingerprint is the kept doc id, a first sight emits exactly one
   *    row, a duplicate emits nothing (StreamDedupSpec drives it over
   *    multi-batch MemoryStream input and pins agreement with [[batch]]).
-  *    The two agree on which ROWS survive for any arrival order; the
-  *    kept ID per fingerprint additionally matches [[batch]]'s
-  *    min(doc_id) only when ids arrive ascending across micro-batches
-  *    (an id-ordered ingest log — the spec's fixtures are ascending by
-  *    construction). A LATER batch carrying a LOWER id for an
-  *    already-seen fingerprint keeps the earlier, higher id: streaming
-  *    first-occurrence is arrival-order semantics by definition, and
-  *    that is the honest production contract — it cannot know about ids
-  *    it has not seen yet.
+  *    The two agree on the surviving FINGERPRINT set — one kept row per
+  *    distinct fingerprint — for any arrival order; the kept ID per
+  *    fingerprint additionally matches [[batch]]'s min(doc_id) only when
+  *    ids arrive ascending across micro-batches (an id-ordered ingest
+  *    log — StreamDedupSpec pins both: full agreement on ascending
+  *    fixtures, and the kept-id divergence when a LATER batch carries a
+  *    LOWER id). That later-lower-id duplicate emits nothing and the
+  *    earlier, higher id stays kept: streaming first-occurrence is
+  *    arrival-order semantics by definition, and that is the honest
+  *    production contract — it cannot know about ids it has not seen
+  *    yet.
   *
   * Scale shape: only (fingerprint, id) longs ever shuffle — content
   * bytes stay at the scan, exactly the q20 rule. Streaming state is one
   * long per DISTINCT fingerprint; that grows with the corpus by
-  * definition of exact dedup (the operator's honest contract — a
-  * production deployment bounds it with a TTL timeout accepting
-  * re-admitted dupes past the horizon, or fronts it with the batch
-  * canonical corpus and streams only the increment).
+  * definition of exact dedup, so at 100 TB of ingest the state IS the
+  * scale bound. [[firstSeen]]'s optional `ttl` is the named mitigation:
+  * state idle past the horizon is evicted (ProcessingTimeTimeout), and a
+  * fingerprint re-arriving after eviction is RE-ADMITTED as a first
+  * sight — the documented trade (bounded state, duplicates readmitted
+  * past the horizon). Default off: q52's exact-dedup semantics are the
+  * no-TTL contract. The alternative production shape fronts the stream
+  * with the batch canonical corpus and streams only the increment.
   */
 object StreamDedup {
 
@@ -67,18 +73,44 @@ object StreamDedup {
     * if several arrive in the same micro-batch) and nothing for any
     * later duplicate. Matches [[batch]] replay exactly when ids arrive
     * ascending across micro-batches — see the object scaladoc for the
-    * arrival-order caveat. */
-  def firstSeen(pairs: Dataset[(Long, Long)]): Dataset[Kept] = {
+    * arrival-order caveat.
+    *
+    * `ttl`, when set, bounds state (the 100 TB contract, scaladoc):
+    * a fingerprint idle for `ttl` of PROCESSING time is evicted — the
+    * clock RESETS on every sighting (sliding idle-horizon: a fingerprint
+    * that keeps recurring keeps deduplicating; only cold ones age out),
+    * and eviction fires during the next micro-batch after expiry.
+    * Operational note: with a processing-time timeout registered the
+    * engine schedules additional EMPTY micro-batches to fire timeouts
+    * (under the default trigger, continuously) — use a real
+    * `Trigger.ProcessingTime` in deployment, and don't rely on
+    * `processAllAvailable` as a test barrier (it can block
+    * indefinitely; StreamDedupSpec polls the sink instead). Default
+    * `None` keeps exact forever-dedup. */
+  def firstSeen(pairs: Dataset[(Long, Long)],
+      ttl: Option[scala.concurrent.duration.FiniteDuration] = None): Dataset[Kept] = {
     import pairs.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     pairs.groupByKey(_._1)
       .flatMapGroupsWithState[Long, Kept](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (fp: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // Idle past the horizon: drop the fingerprint. A later
+            // re-arrival is a first sight again (re-admitted duplicate —
+            // the documented TTL trade).
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+            Iterator.empty
+          } else {
             var keep = Long.MaxValue
             it.foreach { case (_, id) => if (id < keep) keep = id }
             state.update(keep)
+            ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
             Iterator.single(Kept(fp, keep))
           }
       }

@@ -65,6 +65,67 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idleTtl evicts a cold user's counts; a returning user starts over") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ProcessingTimeTimeout makes the engine schedule extra EMPTY
+    // micro-batches to fire timeouts, so processAllAvailable is not a
+    // usable barrier (it can block indefinitely) — poll the sink instead.
+    def user1Rows(): Seq[(Long, Long)] = spark.table("sessionize_ttl_test")
+      .filter(col("user_id") === 1L)
+      .collect().toSeq.map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))
+    def awaitUser1(n: Int): Seq[(Long, Long)] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (user1Rows().length < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      user1Rows()
+    }
+
+    val input = MemoryStream[(Long, Long)] // (user_id, epoch ms)
+    val q = Sessionize.streamingCounts(input.toDS(), idleTtl = Some(100.millis))
+      .toDF().writeStream
+      .format("memory").queryName("sessionize_ttl_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1000L))
+      assert(awaitUser1(1) == Seq((1L, 1L)))
+      // Past the horizon the engine's timeout batches evict user 1,
+      // FLUSHING their final (1, 1) — the second observable emission.
+      assert(awaitUser1(2) == Seq((1L, 1L), (1L, 1L)))
+      // User 1 returns WITHIN GapMs of their old last event — without
+      // eviction this would fold into the same session as n_events = 2;
+      // with state gone the counts start over at (1, 1).
+      input.addData((1L, 2000L))
+      val rows = awaitUser1(3)
+      assert(rows.forall(_ == ((1L, 1L))), rows.mkString(","))
+      assert(rows.length == 3, rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("without idleTtl a long-idle user's counts accumulate (default contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long)]
+    val q = Sessionize.streamingCounts(input.toDS())
+      .toDF().writeStream
+      .format("memory").queryName("sessionize_nottl_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1000L)); q.processAllAvailable()
+      Thread.sleep(300)
+      input.addData((1L, 2000L)); q.processAllAvailable()
+      val last = spark.table("sessionize_nottl_test")
+        .filter(col("user_id") === 1L)
+        .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))
+      assert(last.contains((2L, 1L)), last.mkString(","))
+    } finally q.stop()
+  }
+
   test("gap semantics: a gap greater than GapMs opens a new session") {
     import spark.implicits._
     val gap = Sessionize.GapMs

@@ -37,6 +37,99 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order arrival: later-batch LOWER id emits nothing; kept id diverges from batch min") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamDedup.firstSeen(input.toDS()).toDF().writeStream
+      .format("memory").queryName("stream_dedup_ooo_test")
+      .outputMode("append").start()
+    try {
+      // Batch 1 sees fp 100 with id 50; batch 2 delivers a LOWER id 10
+      // for the same fingerprint — the non-ascending arrival the object
+      // scaladoc's caveat describes.
+      input.addData((100L, 50L)); q.processAllAvailable()
+      input.addData((100L, 10L), (200L, 60L)); q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_ooo_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (a) No second emission: the surviving-fingerprint set matches the
+      // batch replay of the union — one kept row per fingerprint.
+      val batchKept = StreamDedup
+        .batch(Seq((50L, "A"), (10L, "A"), (60L, "B")).toDF("doc_id", "t")
+          .selectExpr("doc_id", "t AS text"), "doc_id", "text")
+      assert(streamed.map(_._1) == Set(100L, 200L))
+      assert(streamed.size == 2)
+      // (b) The documented kept-id divergence: streaming keeps the first
+      // SEEN id 50, batch replay keeps min(doc_id) = 10.
+      assert(streamed == Set((100L, 50L), (200L, 60L)))
+      assert(batchKept.collect().map(_.getLong(1)).toSet == Set(10L, 60L))
+    } finally q.stop()
+  }
+
+  /** Poll the memory sink until `expect` holds of the emitted (fp, id)
+    * set — with ProcessingTimeTimeout the engine schedules extra EMPTY
+    * micro-batches to fire timeouts, so `processAllAvailable` is not a
+    * usable barrier (it can block indefinitely); observing the sink is. */
+  private def awaitSink(table: String)(expect: Set[(Long, Long)] => Boolean): Set[(Long, Long)] = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var got = Set.empty[(Long, Long)]
+    while ({ got = spark.table(table).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      !expect(got) && System.nanoTime() < deadline }) Thread.sleep(50)
+    got
+  }
+
+  test("ttl evicts idle fingerprints; re-arrival past the horizon is re-admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.concurrent.duration._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamDedup.firstSeen(input.toDS(), ttl = Some(100.millis))
+      .toDF().writeStream
+      .format("memory").queryName("stream_dedup_ttl_test")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 10L))
+      assert(awaitSink("stream_dedup_ttl_test")(_ == Set((100L, 10L)))
+        == Set((100L, 10L)))
+      // Wall clock passes the horizon; the engine's timeout batches evict
+      // fp 100 (nothing observable emits — give it a generous window).
+      Thread.sleep(1500)
+      input.addData((200L, 20L))
+      assert(awaitSink("stream_dedup_ttl_test")(_.contains((200L, 20L)))
+        .contains((200L, 20L)))
+      Thread.sleep(1500)
+      // fp 100's state is gone — this duplicate is RE-ADMITTED (the
+      // documented TTL trade) and emits with its own id.
+      input.addData((100L, 30L))
+      val streamed = awaitSink("stream_dedup_ttl_test")(_.contains((100L, 30L)))
+      assert(streamed == Set((100L, 10L), (200L, 20L), (100L, 30L)))
+    } finally q.stop()
+  }
+
+  test("without ttl a long-idle fingerprint still deduplicates (default contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamDedup.firstSeen(input.toDS()).toDF().writeStream
+      .format("memory").queryName("stream_dedup_nottl_test")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 10L)); q.processAllAvailable()
+      Thread.sleep(300)
+      input.addData((100L, 30L)); q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_nottl_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((100L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming kept set ≡ batch replay on the documents fixture") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
