@@ -298,7 +298,9 @@ object MinHashDedup {
           s"spark.graft.maxCellMembers=$bound: a cell this size means " +
           s"near-identical documents at mass scale (the quadratic " +
           s"per-cell scan would hang one task) — run exact dedup (q20) " +
-          s"over the corpus first, or grow Bands/NumHashes')) AS " +
+          s"over the corpus first (byte-identical documents collapse to " +
+          s"ONE signature at any Bands/NumHashes, so only removing them " +
+          s"splits the cell)')) AS " +
           s"BOOLEAN) ELSE n >= 2 END"))
       .select("band", "cell")
     cells.join(hot, Seq("band", "cell"))
