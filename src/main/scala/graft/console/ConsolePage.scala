@@ -9,6 +9,15 @@ package graft.console
   * exist as Scala mirrors ([[IncrementalJson]], [[ConsoleState]]) driven
   * headlessly by ConsoleSpec; this page carries the same algorithms in
   * JS, string-aware where the reference's brace counter is naive.
+  *
+  * The JS itself executes under `tools/console_dom_check.js` — the
+  * reference's four puppeteer scenarios (`test-console.js:65-145`:
+  * checkIDs, search-some, search-none, topicsRefresh) run against a
+  * live server through a minimal DOM shim (no browser ships in this
+  * environment, the same constraint that blocks the reference's own
+  * harness), streaming a real chunked /search through the incremental
+  * parser. ConsoleSpec pins the same inventory and search behaviors
+  * in-build; the node tool is the end-to-end complement.
   */
 object ConsolePage {
   val Html: String = """<!DOCTYPE html>
