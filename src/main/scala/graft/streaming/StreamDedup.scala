@@ -37,7 +37,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bytes stay at the scan, exactly the q20 rule. Streaming state is one
   * long per DISTINCT fingerprint; that grows with the corpus by
   * definition of exact dedup, so at 100 TB of ingest the state IS the
-  * scale bound. [[firstSeen]]'s optional `ttl` is the named mitigation:
+  * scale bound. Two independent mitigations, both tested:
+  * `spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider` bounds state in SPACE (off-heap,
+  * spills to local disk — the deployment backend once fingerprints
+  * outgrow executor heap; StreamDedupSpec runs the operator on it), and
+  * [[firstSeen]]'s optional `ttl` bounds it in TIME:
   * state idle past the horizon is evicted (ProcessingTimeTimeout), and a
   * fingerprint re-arriving after eviction is RE-ADMITTED as a first
   * sight — the documented trade (bounded state, duplicates readmitted

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -128,6 +130,39 @@ class StreamDedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(streamed == Set((100L, 10L)))
     } finally q.stop()
+  }
+
+  test("firstSeen runs on the RocksDB state store — the corpus-scale state backend") {
+    // TTL bounds state growth in TIME; RocksDB bounds it in SPACE (state
+    // lives off-heap and spills to local disk instead of executor heap —
+    // the production backend once fingerprint state outgrows memory).
+    // Same semantics, different provider; rocksdb custom metrics in the
+    // progress event prove the provider actually engaged.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamDedup.firstSeen(input.toDS()).toDF().writeStream
+      .format("memory").queryName("stream_dedup_rocksdb_test")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, 12L), (100L, 10L), (200L, 11L))
+      q.processAllAvailable()
+      input.addData((100L, 13L), (300L, 14L))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup_rocksdb_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((100L, 10L), (200L, 11L), (300L, 14L)))
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got ${metrics.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("streaming kept set ≡ batch replay on the documents fixture") {
