@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
+import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -345,6 +345,17 @@ object PipelineQueries {
       DupClusters.canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental admission: every 5th doc arrives as the NEW increment,
+    // the rest are the existing canonical corpus — dedup the increment
+    // (exact fp + banded near) against the corpus sidecar and its own
+    // lower-id siblings, never corpus×corpus.
+    "q56_incremental_dedup" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      IncrementalDedup.admissions(
+        IncrementalDedup.index(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", minSim = 0.5)
     })
   )
 
@@ -454,6 +465,8 @@ object PipelineQueries {
         |  ' call +1-555-0142 now', ' mail a.b@mail.org or dial +1-555-09',
         |  ' from 10.0.12.255 and 999.1234.5.6.7',
         |  ' card 4111111111111111 not 4111111111111112 or 1.2.3.4'])
-        |  [(doc_id % 6 + 1)::INT] AS t FROM documents""".stripMargin)
+        |  [(doc_id % 6 + 1)::INT] AS t FROM documents""".stripMargin),
+
+    "q56_incremental_dedup" -> IncrementalDedup.oracleSql("doc_id % 5 = 0", 0.5)
   )
 }

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental admission: exact/near decisions against the corpus
+  * sidecar and lower-id increment siblings — never corpus×corpus. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(corpus: Seq[(Long, String)], inc: Seq[(Long, String)],
+      minSim: Double = 0.5): Seq[(Long, Boolean, Boolean, Boolean)] = {
+    import spark.implicits._
+    IncrementalDedup.admissions(
+        IncrementalDedup.index(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+        inc.toDF("doc_id", "text"), "doc_id", "text", minSim)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+  }
+
+  test("exact vs corpus, near vs corpus, sibling dup, and unique admissions") {
+    val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
+    val corpus = Seq(
+      10L -> base,
+      11L -> ("completely different corpus content about parquet row groups and bloom filters " * 4))
+    val inc = Seq(
+      100L -> base, // byte-identical to corpus 10
+      101L -> base.replace("lazy", "idle"), // near-dup of corpus 10
+      102L -> ("unique increment content about shuffle partitioning strategies at scale " * 4),
+      103L -> ("unique increment content about shuffle partitioning strategies at scale " * 4), // = sibling 102
+      104L -> ("totally fresh subject matter entirely unlike anything stored before now " * 4))
+    assert(run(corpus, inc) == Seq(
+      (100L, true, true, false), // identical text: exact AND (trivially) near
+      (101L, false, true, false), // one token changed: near only
+      (102L, false, false, true), // first of the sibling pair: admitted
+      (103L, true, true, false), // blocked by LOWER-id sibling 102 (greedy-by-id)
+      (104L, false, false, true)))
+  }
+
+  test("near-dup blocking is one-directional within the increment: lower id wins") {
+    val text = "spark structured streaming state stores and watermark semantics explained " * 4
+    val out = run(corpus = Seq(1L -> ("entirely unrelated corpus doc about columnar encodings " * 4)),
+      inc = Seq(200L -> text, 201L -> ("v2 " + text))) // prefixed replica, the PipelineSpec planted-family shape
+    assert(out == Seq((200L, false, false, true), (201L, false, true, false)))
+  }
+
+  test("short documents (no shingle) participate in exact dedup only") {
+    val out = run(corpus = Seq(1L -> "abc"), inc = Seq(2L -> "abc", 3L -> "xyz"))
+    assert(out == Seq((2L, true, false, false), (3L, false, false, true)))
+  }
+
+  test("raising minSim past the estimate admits the near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
+    val out = run(corpus = Seq(10L -> base),
+      inc = Seq(100L -> base.replace("lazy", "idle")), minSim = 0.999)
+    assert(out == Seq((100L, false, false, true)))
+  }
+}

@@ -145,6 +145,17 @@ class PlanAuditSpec extends AnyFunSuite {
       registered.queryExecution.executedPlan.toString)
   }
 
+  test("q56: incremental admission stays band-blocked — no cartesian, no corpus self-pairs") {
+    val df = SparkEntry.queries("q56_incremental_dedup")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // The corpus contributes through its sidecar scans only: every join
+    // keyed (fp set, band+bkey), increment side small enough that AQE
+    // picks broadcast for the admission joins.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
