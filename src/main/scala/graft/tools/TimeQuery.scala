@@ -32,6 +32,7 @@ object TimeQuery {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      graft.ops.Materialize.releaseAll(spark)
       spark.catalog.clearCache()
       println(f"[timequery] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
