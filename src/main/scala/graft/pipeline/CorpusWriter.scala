@@ -29,4 +29,21 @@ object CorpusWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Store the corpus's admission sidecar ([[IncrementalDedup.index]]:
+    * ~140 bytes/doc of fp + minhash signature) as a table BUCKETED by
+    * fingerprint — written once when the corpus lands, so per-increment
+    * admission ([[IncrementalDedup.admissions]]) never recomputes
+    * signatures from corpus text, and the sidecar-wide distinct-fp
+    * aggregate (the one corpus-scale step of the exact check) runs with
+    * NO exchange: the bucketed scan already delivers fp-hash
+    * partitioning (IncrementalDedupSpec pins the exchange-free plan). */
+  def writeAdmissionIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 256): Unit =
+    IncrementalDedup.index(corpus, idCol, textCol)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "fp")
+      .sortBy("fp")
+      .format("parquet")
+      .saveAsTable(table)
 }

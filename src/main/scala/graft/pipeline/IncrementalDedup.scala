@@ -85,14 +85,21 @@ object IncrementalDedup {
       s"transform(sequence(0, ${MinHashDedup.Bands - 1}), " +
         s"b -> struct(b AS band, slice(sig, b * ${MinHashDedup.RowsPerBand} + 1, " +
         s"${MinHashDedup.RowsPerBand}) AS bkey))")).as("bd")
+    // array_compact normalizes element nullability: a sidecar read back
+    // from parquet types sig as array<bigint> (nullable elements), which
+    // the native signature comparators reject — compact is a no-op on
+    // the data (signatures never hold nulls) that restores the
+    // non-null-element type either way.
     val incBands = inc.filter(col("sig").isNotNull)
+      .select(col("doc_id"), array_compact(col("sig")).as("sig"))
       .select(col("doc_id"), col("sig"), bandCol)
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     val partnerBands = idx.select(col("doc_id").as("p_id"), col("sig"), lit(true).as("is_corpus"))
       .unionAll(inc.select(col("doc_id").as("p_id"), col("sig"), lit(false).as("is_corpus")))
       .filter(col("sig").isNotNull)
-      .select(col("p_id"), col("sig").as("p_sig"), col("is_corpus"), bandCol)
-      .select(col("p_id"), col("p_sig"), col("is_corpus"),
+      .select(col("p_id"), array_compact(col("sig")).as("sig"), col("is_corpus"))
+      .select(col("p_id"), col("sig"), col("is_corpus"), bandCol)
+      .select(col("p_id"), col("sig").as("p_sig"), col("is_corpus"),
         col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     val nearHit = incBands.join(partnerBands,
         incBands("band") === partnerBands("band") &&

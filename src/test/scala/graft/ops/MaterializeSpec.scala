@@ -28,7 +28,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q50_ivf_ann", // Clustering.lifted
     "q51_tfidf", // TfIdf: (doc, term) aggregate
     "q54_importance", // Importance: (doc, gram) aggregate
-    "q55_importance_select") // Importance: (doc, stratum, gram) aggregate
+    "q55_importance_select", // Importance: (doc, stratum, gram) aggregate
+    "q56_incremental_dedup") // IncrementalDedup: increment sidecar frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

@@ -50,6 +50,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out == Seq((2L, true, false, false), (3L, false, false, true)))
   }
 
+  test("a STORED bucketed sidecar admits identically; distinct-fp runs exchange-free") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
+    val corpus = Seq(10L -> base,
+      11L -> ("completely different corpus content about parquet row groups and bloom filters " * 4))
+    val inc = Seq(100L -> base, 101L -> ("v2 " + base),
+      102L -> ("unique increment content about shuffle partitioning strategies at scale " * 4))
+    val incDf = inc.toDF("doc_id", "text")
+    val inline = IncrementalDedup.admissions(
+        IncrementalDedup.index(corpus.toDF("doc_id", "text"), "doc_id", "text"),
+        incDf, "doc_id", "text", 0.5).collect().map(_.toSeq).toSeq
+
+    CorpusWriter.writeAdmissionIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", table = "graft_sidecar_test", buckets = 4)
+    try {
+      val stored = spark.table("graft_sidecar_test")
+      val viaStored = IncrementalDedup.admissions(stored, incDf,
+        "doc_id", "text", 0.5).collect().map(_.toSeq).toSeq
+      assert(viaStored == inline)
+      // The deployment payoff of bucketing: the corpus-scale distinct-fp
+      // aggregate consumes the bucketed scan's fp partitioning directly.
+      val p = stored.select("fp").distinct()
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sidecar_test")
+  }
+
   test("raising minSim past the estimate admits the near-duplicate") {
     val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
     val out = run(corpus = Seq(10L -> base),
