@@ -77,6 +77,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sidecar_test")
   }
 
+  test("near flags ≡ the banded pair mirror on randomized shared-fragment corpora") {
+    // The PipelineSpec randomized harness applied to admission: on every
+    // seed, a doc's near_dup flag must equal "some banded candidate pair
+    // (same estimator, same bands) links it to a corpus doc or a
+    // lower-id sibling with est ≥ minSim" derived from the equivalence
+    // mirror joinCandidatePairs over the union's signatures.
+    import spark.implicits._
+    val frags = IndexedSeq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow",
+      "how vexingly quick daft zebras jump",
+      "bright vixens jump dozy fowl quack")
+    val minSim = 0.5
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val all = (0L until 40L).map { id =>
+        val text = Seq.fill(3 + rnd.nextInt(3))(frags(rnd.nextInt(frags.length)))
+          .mkString(" ") + s" tail${rnd.nextInt(4)}"
+        (id, text)
+      }
+      val (incRows, corpusRows) = all.partition(_._1 % 3 == 0)
+      val incIds = incRows.map(_._1).toSet
+      val got = run(corpusRows, incRows, minSim)
+        .collect { case (id, _, near, _) if near => id }.toSet
+      val pairs = MinHashDedup.joinCandidatePairs(
+          MinHashDedup.signatures(all.toDF("doc_id", "text"), "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._3 >= minSim)
+      val expected = incIds.filter { i =>
+        pairs.exists { case (a, b, _) =>
+          (b == i && (!incIds.contains(a) || a < i)) ||
+            (a == i && !incIds.contains(b)) // b > i qualifies only as corpus
+        }
+      }
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("raising minSim past the estimate admits the near-duplicate") {
     val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
     val out = run(corpus = Seq(10L -> base),
