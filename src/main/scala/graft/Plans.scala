@@ -12,7 +12,8 @@ object Plans {
     "q18_asof_join", "q22_minhash_pairs", "q23_ann_topk", "q29_sessionize",
     "q33_sign_lsh_pairs", "q34_avro_roundtrip", "q36_curation",
     "q42_decontam", "q48_kmeans", "q49_semantic_dedup", "q50_ivf_ann",
-    "q51_tfidf", "q54_importance", "q55_importance_select")
+    "q51_tfidf", "q54_importance", "q55_importance_select",
+    "q56_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
