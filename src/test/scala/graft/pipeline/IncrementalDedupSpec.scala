@@ -116,6 +116,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("empty corpus admits everything non-sibling; empty increment yields no rows") {
+    val text = "some perfectly ordinary document text that stands alone in the corpus " * 4
+    // Bootstrap: the very first increment sees an EMPTY corpus index.
+    assert(run(corpus = Seq.empty, inc = Seq(1L -> text, 2L -> text)) ==
+      Seq((1L, false, false, true), (2L, true, true, false)))
+    // A quiet ingest tick: nothing to admit, nothing to decide.
+    assert(run(corpus = Seq(1L -> text), inc = Seq.empty).isEmpty)
+  }
+
   test("raising minSim past the estimate admits the near-duplicate") {
     val base = "the quick brown fox jumps over the lazy dog while catalyst optimizes plans " * 4
     val out = run(corpus = Seq(10L -> base),
