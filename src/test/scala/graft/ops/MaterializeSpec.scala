@@ -62,6 +62,35 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.liveCount(spark) == 0)
   }
 
+  test("concurrent consume + racing releaseAll stays answer-preserving") {
+    // The service scenario: several requests build and consume the same
+    // pipeline query (CacheManager dedupes same-plan caches, so they
+    // SHARE the materialized aggregate) while completions release. A
+    // release racing another request's execution may force a recompute —
+    // never a wrong answer (every registered frame is deterministic).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val expected = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    Materialize.releaseAll(spark)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val runs = (1 to 4).map { _ =>
+        Future {
+          val rows = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)
+            .collect().map(_.toSeq).toSeq
+          Materialize.releaseAll(spark) // completion hook, racing the others
+          rows
+        }
+      }
+      val all = Await.result(Future.sequence(runs), Duration("180s"))
+      assert(all.forall(_ == expected))
+    } finally pool.shutdown()
+    Materialize.releaseAll(spark)
+    assert(Materialize.liveCount(spark) == 0)
+  }
+
   test("release is recompute-safe: a released frame still answers") {
     val (df, frames) = Materialize.collecting {
       val d = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)
