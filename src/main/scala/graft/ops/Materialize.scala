@@ -49,6 +49,20 @@ object Materialize {
     if (buf != null) buf += d
   }
 
+  /** Self-healing prune: drop registry entries that are no longer cached
+    * (storageLevel NONE). A session that clears caches out-of-band —
+    * `spark.catalog.clearCache()`, a direct `unpersist`, or a second
+    * registration of the same plan whose release dissolved the shared
+    * CacheManager entry — leaves the registry holding Dataset references
+    * whose cache is already gone; without pruning, a long-lived session
+    * using clearCache-only hygiene accumulates them forever. Run on every
+    * [[releaseAll]]/[[liveCount]] so the registry converges to the truth
+    * regardless of which path dropped the cache. */
+  private def pruneStale(): Unit =
+    live.asScala.foreach { d =>
+      if (d.storageLevel == StorageLevel.NONE) live.remove(d)
+    }
+
   /** Persist (MEMORY_AND_DISK — `Dataset.cache()`'s level, spilling
     * instead of forcing a recompute under pressure), run the count
     * BARRIER, and register for release. The barrier is the
@@ -88,6 +102,7 @@ object Materialize {
     * them). Returns the number released. Call once per completed query
     * in any long-lived session. */
   def releaseAll(spark: SparkSession): Int = {
+    pruneStale()
     val mine = live.asScala.toSeq
       .filter(_.sparkSession.sharedState eq spark.sharedState)
     release(mine)
@@ -95,8 +110,10 @@ object Materialize {
   }
 
   /** Registered-frame count for this session's shared state. */
-  def liveCount(spark: SparkSession): Int =
+  def liveCount(spark: SparkSession): Int = {
+    pruneStale()
     live.asScala.count(_.sparkSession.sharedState eq spark.sharedState)
+  }
 
   /** Run `body`, returning its result plus exactly the frames it
     * registered from THIS thread — the test-side scope (see the class

@@ -91,6 +91,29 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.liveCount(spark) == 0)
   }
 
+  test("registry self-prunes entries whose cache was dropped out-of-band") {
+    // A session using clearCache-style hygiene (or a direct unpersist)
+    // drops the cache WITHOUT going through release — the registry must
+    // not hold the stale Dataset reference forever (ADVICE r9). liveCount
+    // and releaseAll prune storageLevel-NONE entries on entry.
+    val before = Materialize.liveCount(spark)
+    val (d, frames) = Materialize.collecting {
+      Materialize.barrier(spark.range(0, 12347).toDF("prune_probe"))
+    }
+    assert(frames.size == 1)
+    assert(Materialize.liveCount(spark) == before + 1)
+    d.unpersist(blocking = true) // out-of-band: NOT Materialize.release
+    assert(Materialize.liveCount(spark) == before,
+      "stale registry entry survived an out-of-band cache drop")
+    // releaseAll after the prune has nothing extra to release for it,
+    // and re-registering the same plan tracks a fresh, releasable entry.
+    val d2 = Materialize.barrier(spark.range(0, 12347).toDF("prune_probe"))
+    assert(Materialize.liveCount(spark) == before + 1)
+    assert(Materialize.releaseAll(spark) >= 1)
+    assert(d2.storageLevel == StorageLevel.NONE)
+    assert(Materialize.liveCount(spark) == 0)
+  }
+
   test("release is recompute-safe: a released frame still answers") {
     val (df, frames) = Materialize.collecting {
       val d = SparkEntry.queries("q51_tfidf")(spark, TestSpark.Sf)

@@ -90,18 +90,26 @@ class SessionizeSpec extends AnyFunSuite {
       .format("memory").queryName("sessionize_ttl_test")
       .outputMode("update").start()
     try {
+      // Every emission for user 1 in this scenario is (1, 1), and TTL
+      // eviction keeps firing ~100ms after each arrival — a further
+      // timeout flush can append another (1, 1) row between any poll and
+      // its assert, so assert CONTENT plus a lower bound, never exact
+      // counts.
       input.addData((1L, 1000L))
-      assert(awaitUser1(1) == Seq((1L, 1L)))
+      val first = awaitUser1(1)
+      assert(first.nonEmpty && first.forall(_ == ((1L, 1L))), first.mkString(","))
       // Past the horizon the engine's timeout batches evict user 1,
       // FLUSHING their final (1, 1) — the second observable emission.
-      assert(awaitUser1(2) == Seq((1L, 1L), (1L, 1L)))
+      val flushed = awaitUser1(2)
+      assert(flushed.length >= 2 && flushed.forall(_ == ((1L, 1L))),
+        flushed.mkString(","))
       // User 1 returns WITHIN GapMs of their old last event — without
-      // eviction this would fold into the same session as n_events = 2;
-      // with state gone the counts start over at (1, 1).
+      // eviction this would fold into the same session and emit (2, 1);
+      // with state gone the counts start over, so every row stays (1, 1).
       input.addData((1L, 2000L))
       val rows = awaitUser1(3)
+      assert(rows.length >= 3, rows.mkString(","))
       assert(rows.forall(_ == ((1L, 1L))), rows.mkString(","))
-      assert(rows.length == 3, rows.mkString(","))
     } finally q.stop()
   }
 

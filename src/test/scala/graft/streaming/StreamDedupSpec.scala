@@ -83,6 +83,23 @@ class StreamDedupSpec extends AnyFunSuite {
     got
   }
 
+  /** Await the dedup state store draining to exactly `n` rows — the
+    * OBSERVABLE eviction signal (`numRowsTotal` in the state operator's
+    * progress). A fixed sleep races the engine's timeout batch (a delayed
+    * batch turns the later re-arrival assert into a confusing 30s sink
+    * timeout); the metric cannot race, because the eviction batch that
+    * removes the rows is the same batch that reports the drained count. */
+  private def awaitStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def stateRows: Option[Long] = Option(q.lastProgress)
+      .flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal)
+    while (!stateRows.contains(n) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(stateRows.contains(n), s"state never drained to $n rows: $stateRows")
+  }
+
   test("ttl evicts idle fingerprints; re-arrival past the horizon is re-admitted") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -99,14 +116,15 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(awaitSink("stream_dedup_ttl_test")(_ == Set((100L, 10L)))
         == Set((100L, 10L)))
       // Wall clock passes the horizon; the engine's timeout batches evict
-      // fp 100 (nothing observable emits — give it a generous window).
-      Thread.sleep(1500)
+      // fp 100. Eviction emits nothing to the sink, so observe it where
+      // it IS visible — the state row count draining to zero.
+      awaitStateRows(q, 0L)
       input.addData((200L, 20L))
       assert(awaitSink("stream_dedup_ttl_test")(_.contains((200L, 20L)))
         .contains((200L, 20L)))
-      Thread.sleep(1500)
-      // fp 100's state is gone — this duplicate is RE-ADMITTED (the
-      // documented TTL trade) and emits with its own id.
+      // fp 100's state is gone (observed above, BEFORE fp 200 arrived) —
+      // this duplicate is RE-ADMITTED (the documented TTL trade) and
+      // emits with its own id.
       input.addData((100L, 30L))
       val streamed = awaitSink("stream_dedup_ttl_test")(_.contains((100L, 30L)))
       assert(streamed == Set((100L, 10L), (200L, 20L), (100L, 30L)))
