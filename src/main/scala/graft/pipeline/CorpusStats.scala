@@ -70,4 +70,102 @@ object CorpusStats {
        |  $pSelects
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  /** Default bound on how many sources may share one gram — which is
+    * also the bound on the matrix's side, since a gram common to every
+    * source (stopword runs are, at any n) has all of them in its cell.
+    * 4096 sources = an 8M-cell matrix, the edge of what a report that
+    * humans (or a mixing optimizer) consume can mean. */
+  val DefaultMaxSources: Int = 4096
+
+  /** Cross-source content overlap matrix: for every unordered source
+    * pair (a < b), how many DISTINCT word `n`-grams the two share — the
+    * corpus-provenance report behind mixing and dedup decisions
+    * ("how much of snapshot B is already in A?"), sensitive to shared
+    * CONTENT even when no whole document is duplicated.
+    *
+    * Scale shape: grams never cross the plan as text — each doc's grams
+    * are 63-bit fingerprints from one codegen'd pass
+    * ([[graft.functions.WordGramHashesExpr]]), distinct-ed with
+    * map-side combine so the one corpus-scale exchange carries
+    * (source, fp) longs. The per-gram source set is then folded ONCE
+    * (`collect_set`, bounded by the source count) and pairs are emitted
+    * from the sorted set array-side — k(k−1)/2 rows for a gram shared by
+    * k sources, never a fp-keyed self-join whose hot grams would square
+    * the shuffle. The quadratic emission is capped by the
+    * maxCellMembers convention: a gram in more than `maxSources`
+    * sources raises a contract error naming the knob, because past that
+    * the matrix itself (S² cells) has stopped being a report.
+    *
+    * Requires [[graft.functions.GraftFunctions.register]] on the
+    * session (native gram fingerprints). */
+  def overlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int, maxSources: Int = DefaultMaxSources): DataFrame = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    require(maxSources > 1, s"maxSources must exceed 1: $maxSources")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.GraftFunctions.wordGramHashes(
+          col(textCol), n)).as("gram_fp"))
+      .distinct()
+    val cells = grams.groupBy("gram_fp")
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .filter(expr(
+        s"CASE WHEN size(srcs) > $maxSources THEN CAST(raise_error(CONCAT(" +
+          s"'overlap matrix: a gram is shared by ', size(srcs), " +
+          s"' sources, past maxSources=$maxSources — at that breadth the " +
+          s"S-squared matrix is no longer a consumable report; raise " +
+          s"maxSources only with a matching budget for its cells')) " +
+          s"AS BOOLEAN) ELSE true END"))
+    cells
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** The fp-keyed self-join formulation of [[overlapMatrix]] — kept as
+    * the equivalence-test mirror (correct, but a hot gram shared by k
+    * sources makes the join materialize its k² row pairs through the
+    * shuffle instead of emitting k(k−1)/2 array-side). */
+  private[graft] def joinOverlapMatrix(docs: DataFrame, srcCol: String,
+      textCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.GraftFunctions.wordGramHashes(
+          col(textCol), n)).as("gram_fp"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram_fp") === col("b.gram_fp") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[overlapMatrix]] over `documents` (the join
+    * form — correct, just not the scale shape). */
+  def overlapOracleSql(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT source,
+       |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT source,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toks))
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS shared_grams
+       |FROM grams a JOIN grams b
+       |  ON a.gram_fp = b.gram_fp AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

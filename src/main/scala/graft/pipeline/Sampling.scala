@@ -76,6 +76,94 @@ object Sampling {
       .filter(col("rn") <= n)
   }
 
+  /** Fixed-point weight scale for [[temperatureMix]]: a power of two, so
+    * `sqrt(n) * Scale` is an exact exponent shift of the one correctly-
+    * rounded operation (IEEE 754 requires sqrt correctly rounded), making
+    * the weight bit-reproducible across engines — the same reason the
+    * draw key is md5 and not an engine RNG. */
+  val MixScale = 1024L
+
+  /** Temperature-scaled mixture resampling (T = 2): draw a corpus of
+    * ~`budget` documents whose stratum mix follows p_i ∝ √n_i — the
+    * standard multilingual rebalance that upweights rare strata relative
+    * to their natural share without letting any single stratum dominate.
+    * Quotas are integer arithmetic end to end: w_i = ⌊√n_i · 2¹⁰⌋,
+    * quota_i = min(n_i, budget·w_i div Σw_j) — no float sum whose
+    * addition ORDER could flip a floor at a quota boundary between
+    * engines. Within a stratum the draw is the [[stratified]] md5 order.
+    *
+    * Scale shape: pass 1 is a map-side-combined count per stratum (tiny
+    * result, one exchange of ≤ #strata rows per partition) materialized
+    * through [[graft.ops.Materialize]] so the quota plan is computed
+    * once; pass 2 reuses [[heapRank]] — per-partition bounded heaps
+    * capped at the LARGEST quota, so the rank shuffle moves ≤ maxQuota×P
+    * rows per stratum, never the corpus — then a broadcast join applies
+    * each stratum's exact quota. The only driver-side values are the
+    * max quota (one scalar) and the in-plan overflow guard's constant;
+    * #strata (languages / sources) never rides the driver.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val keyed = df.select(col(strataCol).as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      md5(col(idCol).cast("string")).as("pick"))
+
+    // budget·w_i must not overflow a long — raise IN PLAN (the Importance
+    // convention) rather than wrap silently in non-ANSI mode. DuckDB's
+    // oracle arithmetic goes through HUGEINT, so only Spark needs the guard.
+    val wtCap = Long.MaxValue / budget
+    val quotas = graft.ops.Materialize.barrier(
+      keyed.groupBy("stratum").agg(count(lit(1)).as("n"))
+        .withColumn("wt",
+          floor(sqrt(col("n").cast("double")) * lit(MixScale)).cast("long"))
+        .withColumn("wt", expr(
+          s"IF(wt > ${wtCap}L, CAST(raise_error(CONCAT(" +
+            s"'temperatureMix: weight ', wt, ' times budget $budget " +
+            s"overflows the long quota arithmetic')) AS BIGINT), wt)"))
+        .withColumn("total",
+          sum(col("wt")).over(Window.partitionBy(lit(1))))
+        .withColumn("quota",
+          least(col("n"), expr(s"($budget * wt) div total")))
+        .select("stratum", "quota"))
+
+    val maxQuota = quotas.agg(max("quota")).head() match {
+      case r if r.isNullAt(0) => 0L // empty corpus
+      case r => r.getLong(0)
+    }
+    if (maxQuota <= 0)
+      return keyed.select(col("stratum"), col("doc_id"),
+        lit(0L).as("rn")).limit(0)
+    require(maxQuota <= Int.MaxValue,
+      s"per-stratum quota $maxQuota exceeds the heap-cap envelope")
+
+    heapRank[String](keyed, maxQuota.toInt, _.getString(2),
+        Ordering.Tuple2[String, Long],
+        Seq(col("pick"), col("doc_id")))
+      .join(broadcast(quotas), "stratum")
+      .filter(col("rn") <= col("quota"))
+      .select(col("stratum"), col("doc_id"), col("rn"))
+      .orderBy("stratum", "doc_id")
+  }
+
+  /** DuckDB oracle for [[temperatureMix]] over `documents`, strata =
+    * `lang` (the window form of the same integer-exact quota arithmetic;
+    * `//` is DuckDB's floor division ≡ Spark's `div` on positives). */
+  def temperatureMixOracleSql(budget: Long): String =
+    s"""WITH sizes AS (SELECT lang AS stratum, count(*) AS n
+       |              FROM documents GROUP BY 1),
+       |w AS (SELECT stratum, n,
+       |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * $MixScale) AS BIGINT) AS wt
+       |      FROM sizes),
+       |q AS (SELECT stratum,
+       |        least(n, ($budget * wt) // sum(wt) OVER ()) AS quota FROM w),
+       |ranked AS (SELECT lang AS stratum, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.stratum, r.doc_id, r.rn FROM ranked r JOIN q USING (stratum)
+       |WHERE r.rn <= q.quota ORDER BY stratum, doc_id""".stripMargin
+
   /** DuckDB oracle for [[stratified]] over table `documents`, strata =
     * `lang` (the window form — correct, just not the scale shape). */
   def oracleSql(n: Int): String =

@@ -356,7 +356,22 @@ object PipelineQueries {
       IncrementalDedup.admissions(
         IncrementalDedup.index(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", minSim = 0.5)
-    })
+    }),
+
+    // Temperature-scaled mixture (T = 2): rebalance the corpus draw so
+    // stratum shares follow √n instead of n — rare languages upweighted,
+    // the dominant one capped — with integer-exact quotas and the md5
+    // deterministic draw.
+    "q57_temperature_mix" -> ((s, sf) =>
+      Sampling.temperatureMix(Tables.load(s, sf, "documents"), "lang", "doc_id", 120L)),
+
+    // Cross-source content overlap matrix: distinct shared word 3-grams
+    // per source pair — fingerprints only across the plan, pairs emitted
+    // array-side from each gram's source set (never an fp-keyed
+    // self-join that squares hot grams through the shuffle).
+    "q58_overlap_matrix" -> ((s, sf) =>
+      CorpusStats.overlapMatrix(Tables.load(s, sf, "documents"),
+        "source", "text", n = 3))
   )
 
   def oracle: Map[String, String] = Map(
@@ -467,6 +482,10 @@ object PipelineQueries {
         |  ' card 4111111111111111 not 4111111111111112 or 1.2.3.4'])
         |  [(doc_id % 6 + 1)::INT] AS t FROM documents""".stripMargin),
 
-    "q56_incremental_dedup" -> IncrementalDedup.oracleSql("doc_id % 5 = 0", 0.5)
+    "q56_incremental_dedup" -> IncrementalDedup.oracleSql("doc_id % 5 = 0", 0.5),
+
+    "q57_temperature_mix" -> Sampling.temperatureMixOracleSql(120L),
+
+    "q58_overlap_matrix" -> CorpusStats.overlapOracleSql(3)
   )
 }

@@ -29,7 +29,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q51_tfidf", // TfIdf: (doc, term) aggregate
     "q54_importance", // Importance: (doc, gram) aggregate
     "q55_importance_select", // Importance: (doc, stratum, gram) aggregate
-    "q56_incremental_dedup") // IncrementalDedup: increment sidecar frame
+    "q56_incremental_dedup", // IncrementalDedup: increment sidecar frame
+    "q57_temperature_mix") // Sampling.temperatureMix: per-stratum quota frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {
@@ -43,7 +44,13 @@ class MaterializeSpec extends AnyFunSuite {
       Materialize.release(frames)
       frames.foreach(f => assert(f.storageLevel == StorageLevel.NONE,
         s"$name left a cached frame after release"))
-      assert(Materialize.liveCount(spark) == before,
+      // ≤, not ==: releasing this test's frames can dissolve a SAME-PLAN
+      // CacheManager entry another suite left registered (CacheManager
+      // dedupes by plan), and the self-healing prune then drops that
+      // stale twin too — the count may shrink below `before`, but a LEAK
+      // would push it above. This test's own frames are pinned released
+      // by the storageLevel asserts.
+      assert(Materialize.liveCount(spark) <= before,
         s"$name leaked registry entries")
     }
 

@@ -44,4 +44,38 @@ class CorpusStatsSpec extends AnyFunSuite {
       CorpusStats.lengthReport(df, "lang", "n_chars").collect().map(_.toString).toSeq
     assert(run(fixture.repartition(13)) == run(fixture.coalesce(1)))
   }
+
+  test("overlap matrix ≡ fp-keyed self-join mirror on the fixture") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val got = CorpusStats.overlapMatrix(docs, "source", "text", n = 3)
+      .as[(String, String, Long)].collect().toSeq
+    val mirror = CorpusStats.joinOverlapMatrix(docs, "source", "text", n = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == mirror)
+    assert(got.nonEmpty)
+    // Pairs are unordered-canonical (a < b) and counts positive.
+    assert(got.forall { case (a, b, c) => a < b && c > 0 })
+  }
+
+  test("overlap matrix is invariant under input partitioning") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.overlapMatrix(df, "source", "text", n = 3)
+        .collect().map(_.toString).toSeq
+    assert(run(docs.repartition(13)) == run(docs.coalesce(1)))
+  }
+
+  test("a gram shared past maxSources raises the contract error") {
+    // Three sources all containing one identical sentence: the common
+    // gram's cell holds 3 sources, over a maxSources of 2.
+    val docs = Seq(("s1", "the same exact boilerplate line"),
+        ("s2", "the same exact boilerplate line"),
+        ("s3", "the same exact boilerplate line"))
+      .toDF("source", "text")
+    val e = intercept[Exception] {
+      CorpusStats.overlapMatrix(docs, "source", "text", n = 3,
+        maxSources = 2).collect()
+    }
+    assert(e.getMessage.contains("maxSources"), e.getMessage)
+  }
 }

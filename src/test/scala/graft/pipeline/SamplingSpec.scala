@@ -38,4 +38,79 @@ class SamplingSpec extends AnyFunSuite {
     val total = docs.count()
     assert(Sampling.stratified(docs, "lang", "doc_id", 1000000).count() == total)
   }
+
+  /** The integer quota arithmetic of temperatureMix, replayed in plain
+    * Scala (Math.sqrt is the same correctly-rounded IEEE op the plan
+    * uses): quota_i = min(n_i, budget·⌊√n_i·Scale⌋ div Σ⌊√n_j·Scale⌋). */
+  private def naiveQuotas(sizes: Map[String, Long], budget: Long): Map[String, Long] = {
+    val wt = sizes.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * Sampling.MixScale).toLong }
+    val tot = wt.values.sum
+    sizes.map { case (s, n) => s -> math.min(n, budget * wt(s) / tot) }
+  }
+
+  /** temperatureMix registers its quota frame with Materialize; release
+    * it per call so this suite leaves no cached plan behind — a leftover
+    * sharing q57's exact plan would let MaterializeSpec's release
+    * dissolve the common CacheManager entry and trip its registry
+    * accounting (the cross-suite hazard Materialize's doc describes). */
+  private def mixReleased[T](body: => T): T = {
+    val (out, frames) = graft.ops.Materialize.collecting(body)
+    graft.ops.Materialize.release(frames)
+    out
+  }
+
+  test("temperatureMix ≡ naive quota + window draw, across repartitions") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val quotas = naiveQuotas(docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap, budget = 120L)
+    val expect = naive(docs, Int.MaxValue)
+      .filter { case (stratum, _, rn) => rn <= quotas(stratum) }
+    assert(expect.nonEmpty)
+    for (p <- Seq(1, 5, 13)) {
+      val got = mixReleased {
+        Sampling.temperatureMix(docs.repartition(p), "lang", "doc_id", 120L)
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      assert(got == expect, s"repartition=$p")
+    }
+  }
+
+  test("temperatureMix rebalances: dominant stratum under natural share, rare over") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val budget = 120L
+    val drawn = mixReleased {
+      Sampling.temperatureMix(docs, "lang", "doc_id", budget)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(drawn.values.sum <= budget)
+    // 'en' is ~44% of the fixture; its √n-weighted share must fall below
+    // its natural share, and every rare stratum must rise above its own.
+    val (big, _) = sizes.maxBy(_._2)
+    assert(drawn(big).toDouble / budget < sizes(big).toDouble / total,
+      s"$big not downweighted: $drawn vs $sizes")
+    for ((s, n) <- sizes if s != big)
+      assert(drawn(s).toDouble / budget > n.toDouble / total,
+        s"$s not upweighted: $drawn vs $sizes")
+  }
+
+  test("temperatureMix with budget ≥ corpus keeps every document") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    assert(mixReleased {
+      Sampling.temperatureMix(docs, "lang", "doc_id", 10000000L).count()
+    } == docs.count())
+  }
+
+  test("temperatureMix on an empty corpus returns an empty frame") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    mixReleased {
+      val out = Sampling.temperatureMix(docs.filter(lit(false)), "lang", "doc_id", 10L)
+      assert(out.columns.toSeq == Seq("stratum", "doc_id", "rn"))
+      assert(out.count() == 0)
+    }
+  }
 }
