@@ -156,6 +156,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q57: per-stratum quotas apply through a broadcast join on the cached quota frame") {
+    val df = SparkEntry.queries("q57_temperature_mix")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The quota side is #strata rows — it must broadcast, never shuffle
+    // the ranked candidates against it.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // the materialized quota frame
+    graft.ops.Materialize.releaseAll(spark)
+  }
+
+  test("q58: overlap matrix is one corpus scan and zero joins") {
+    // The pair emission is array-side from each gram's source set — a
+    // fp-keyed self-join would show up here as a second documents scan
+    // plus a join node squaring hot grams through the shuffle.
+    val df = SparkEntry.queries("q58_overlap_matrix")(spark, TestSpark.Sf)
+    assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+  }
+
   test("q13: scan reads only the columns the aggregate needs") {
     val p = plan("q13_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
