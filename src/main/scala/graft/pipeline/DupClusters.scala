@@ -134,6 +134,39 @@ object DupClusters {
     docs.join(dupMembers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/validation split: every document receives the
+    * split of its near-dup CLUSTER root (min id; documents in no pair
+    * root themselves), so a held-out document's near-duplicates can
+    * never land in training — the group-aware split that keeps eval
+    * honest, where a row-wise random split leaks every duplicated
+    * document across the boundary.
+    *
+    * The draw is the md5 idiom ([[Sampling]]): a root goes to `val`
+    * when the first 4 hex nibbles of `md5(root)` fall below
+    * `valFrac`'s fixed-length threshold — lexicographic on lowercase
+    * fixed-width hex IS numeric order, so both engines compare the
+    * same strings and no float or RNG is involved. Granularity is
+    * 1/65536.
+    *
+    * Scale shape: the cluster table is GRAPH-sized (only documents
+    * that appear in a pair), so the corpus-side left join is
+    * AQE-broadcast in the common case and the corpus never reshuffles;
+    * the split column is one scan-side hash of the root. */
+  def groupSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, valFrac: Double = 0.1): DataFrame = {
+    require(valFrac > 0 && valFrac < 1, s"valFrac must be in (0,1): $valFrac")
+    val threshold = f"${math.floor(valFrac * 65536).toLong}%04x"
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("root"),
+        when(substring(md5(col("root").cast("string")), 1, 4) < threshold,
+          "val").otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB CTE chain ending in `cc(id, cluster)`: clusters over
     * [[MinHashDedup.nearDupPairs]] edges on table `documents`, computed
     * by a recursive reachability CTE + min aggregate (fine at oracle
@@ -163,4 +196,16 @@ object DupClusters {
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[groupSplit]] on table `documents`. */
+  def groupSplitOracleSql(minSim: Double, valFrac: Double): String = {
+    val threshold = f"${math.floor(valFrac * 65536).toLong}%04x"
+    s"""${ccCtesSql(minSim)}
+       |SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS root,
+       |  CASE WHEN substr(md5(CAST(coalesce(cc.cluster, d.doc_id) AS VARCHAR)),
+       |                   1, 4) < '$threshold'
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -371,7 +371,18 @@ object PipelineQueries {
     // self-join that squares hot grams through the shuffle).
     "q58_overlap_matrix" -> ((s, sf) =>
       CorpusStats.overlapMatrix(Tables.load(s, sf, "documents"),
-        "source", "text", n = 3))
+        "source", "text", n = 3)),
+
+    // Leakage-safe split: every doc takes its near-dup cluster root's
+    // md5 draw, so duplicates never straddle the train/val boundary —
+    // the group-aware split a row-wise random split gets wrong on
+    // every duplicated document.
+    "q59_group_split" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      DupClusters.groupSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        valFrac = 0.1)
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -486,6 +497,8 @@ object PipelineQueries {
 
     "q57_temperature_mix" -> Sampling.temperatureMixOracleSql(120L),
 
-    "q58_overlap_matrix" -> CorpusStats.overlapOracleSql(3)
+    "q58_overlap_matrix" -> CorpusStats.overlapOracleSql(3),
+
+    "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1)
   )
 }

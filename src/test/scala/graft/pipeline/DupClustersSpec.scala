@@ -83,4 +83,40 @@ class DupClustersSpec extends AnyFunSuite {
       assert(members.contains(label) && label == members.min)
     }
   }
+
+  test("groupSplit: no near-dup pair ever straddles the train/val boundary") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+    val split = DupClusters.groupSplit(docs, "doc_id", pairs,
+        "doc_a", "doc_b", valFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // Total: one row per document, both sides populated at valFrac=0.3.
+    assert(split.size == docs.count())
+    assert(split.values.exists(_._2 == "val") &&
+      split.values.exists(_._2 == "train"))
+    // THE property: both ends of every near-dup pair share root + split —
+    // a row-wise split would leak each duplicated doc across the boundary.
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles: ${split(a)} vs ${split(b)}")
+    }
+    // Unpaired docs root themselves.
+    val paired = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    split.foreach { case (id, (root, _)) =>
+      if (!paired.contains(id)) assert(root == id, s"singleton $id rooted at $root")
+    }
+  }
+
+  test("groupSplit uses transitive closure, not just direct pairs") {
+    // Chain 1–2, 2–3: docs 1 and 3 never share a pair but must share a
+    // split (near-dup similarity chains in real corpora).
+    val docs = (1L to 6L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = DupClusters.groupSplit(docs, "doc_id", pairs, "a", "b", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(1L)._1 == 1L)
+    assert(Seq(4L, 5L, 6L).forall(i => out(i)._1 == i))
+  }
 }
