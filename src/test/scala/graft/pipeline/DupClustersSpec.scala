@@ -87,9 +87,15 @@ class DupClustersSpec extends AnyFunSuite {
   test("groupSplit: no near-dup pair ever straddles the train/val boundary") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
-    val split = DupClusters.groupSplit(docs, "doc_id", pairs,
-        "doc_a", "doc_b", valFrac = 0.3)
+    val splitDf = DupClusters.groupSplit(docs, "doc_id", pairs,
+      "doc_a", "doc_b", valFrac = 0.3)
+    val split = splitDf
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // The cluster table is graph-sized → AQE's final plan must broadcast
+    // it against the corpus (the q40 canonicalize property, same reason).
+    val physical = splitDf.queryExecution.executedPlan.toString
+    assert(physical.contains("isFinalPlan=true"), physical.take(300))
+    assert(physical.contains("BroadcastHashJoin"), physical.take(2000))
     // Total: one row per document, both sides populated at valFrac=0.3.
     assert(split.size == docs.count())
     assert(split.values.exists(_._2 == "val") &&
