@@ -192,6 +192,68 @@ object MinHashDedup {
       minJac: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val out = hotShingledCells(docs, idCol, textCol)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
+        cellPairScan(key._1, ids, sigs)({ (i, j) =>
+          val inter = sortedIntersect(sets(i), sets(j))
+          inter / (sets(i).length + sets(j).length - inter).toDouble
+        }, _ >= minJac)
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** Asymmetric CONTAINMENT over the same LSH-candidate pairs:
+    * `|A∩B| / min(|A|, |B|)` — near 1.0 when the smaller document's
+    * shingles sit inside the larger (quote inclusion, page subsumption,
+    * article + boilerplate wrapper), a relation symmetric Jaccard
+    * under-reports exactly when the size ratio is largest. Output
+    * carries both set sizes so the consumer knows WHICH side is the
+    * contained one.
+    *
+    * Honest scope note: candidates still come from symmetric MinHash
+    * banding, whose est-Jaccard recall DROPS as sizes diverge (a tiny
+    * quote inside a huge page rarely bands) — this reports containment
+    * among near-dup candidates with bounded compute; indexing extreme
+    * size-ratio containment needs size-stratified banding, a different
+    * candidate generator, not a different verifier. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minCont: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = hotShingledCells(docs, idCol, textCol)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
+        // Per-cell id → set size, attached after the shared scan (cells
+        // are maxCellMembers-bounded, so the map is task-local small).
+        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+        cellPairScan(key._1, ids, sigs)({ (i, j) =>
+          val inter = sortedIntersect(sets(i), sets(j))
+          inter / math.min(sets(i).length, sets(j).length).toDouble
+        }, _ >= minCont).map { case (a, b, c) =>
+          (a, b, size(a).toLong, size(b).toLong, c)
+        }
+      }
+      .toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
+    out.orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared verify-stage gather ([[jaccardPairs]] and
+    * [[containmentPairs]] score over it): hot-cell memberships with each
+    * member's signature AND exact shingle set, grouped-cell shaped. */
+  private def hotShingledCells(docs: DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Grouped-cell verify (round 7): the pair-join formulation (kept as
     // [[joinJaccardPairs]], equivalence-pinned) shipped BOTH exact
     // shingle sets on every candidate pair row — on a dup-dense corpus a
@@ -241,22 +303,9 @@ object MinHashDedup {
     val payload = shingled(
       docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
       idCol, textCol).hint("merge")
-    val out = hotMembers.join(payload, "doc_id")
+    hotMembers.join(payload, "doc_id")
       .select(col("band"), col("cell"), col("doc_id"), col("sig"), col("shingles"))
       .as[(Int, Long, Long, Array[Long], Array[Int])]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-        it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
-        cellPairScan(key._1, ids, sigs)({ (i, j) =>
-          val inter = sortedIntersect(sets(i), sets(j))
-          inter / (sets(i).length + sets(j).length - inter).toDouble
-        }, _ >= minJac)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-    out.orderBy("doc_a", "doc_b")
   }
 
   /** Default ceiling on one (band, bucket) cell's membership — the
@@ -454,5 +503,21 @@ object MinHashDedup {
        |  JOIN sh sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, inter / CAST(na + nb - inter AS DOUBLE) AS jaccard
        |FROM ex WHERE inter / CAST(na + nb - inter AS DOUBLE) >= $minJac
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB oracle for [[containmentPairs]] on table `documents` — the
+    * same candidate CTEs, scored `inter / least(na, nb)`. */
+  def containmentOracleSql(minCont: Double): String =
+    s"""$ctePrefixSql,
+       |ex AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, na AS n_a, nb AS n_b,
+       |  inter / CAST(least(na, nb) AS DOUBLE) AS containment
+       |FROM ex WHERE inter / CAST(least(na, nb) AS DOUBLE) >= $minCont
        |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -382,7 +382,14 @@ object PipelineQueries {
       val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
       DupClusters.groupSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
         valFrac = 0.1)
-    })
+    }),
+
+    // Asymmetric containment over the LSH candidates: |A∩B|/min(|A|,|B|)
+    // with both set sizes — flags quote inclusion / subsumption that
+    // symmetric Jaccard under-reports as the size ratio grows.
+    "q60_containment" -> ((s, sf) =>
+      MinHashDedup.containmentPairs(Tables.load(s, sf, "documents"),
+        "doc_id", "text", 0.6))
   )
 
   def oracle: Map[String, String] = Map(
@@ -499,6 +506,8 @@ object PipelineQueries {
 
     "q58_overlap_matrix" -> CorpusStats.overlapOracleSql(3),
 
-    "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1)
+    "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1),
+
+    "q60_containment" -> MinHashDedup.containmentOracleSql(0.6)
   )
 }

@@ -31,7 +31,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q55_importance_select", // Importance: (doc, stratum, gram) aggregate
     "q56_incremental_dedup", // IncrementalDedup: increment sidecar frame
     "q57_temperature_mix", // Sampling.temperatureMix: per-stratum quota frame
-    "q59_group_split") // nearDupPairs sig + CC edge cache (inline-released)
+    "q59_group_split", // nearDupPairs sig + CC edge cache (inline-released)
+    "q60_containment") // jaccard-machinery hotMembers frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

@@ -94,6 +94,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment ≥ jaccard on the same LSH candidates; an exact prefix scores 1.0") {
+    import spark.implicits._
+    val (_, frames) = graft.ops.Materialize.collecting {
+      // Same randomized-corpus generator as the equivalence gate above.
+      val frags = IndexedSeq(
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "how vexingly quick daft zebras jump",
+        "bright vixens jump dozy fowl quack")
+      val rnd = new scala.util.Random(7)
+      val docs = (0L until 40L).map { id =>
+        val text = Seq.fill(3 + rnd.nextInt(3))(frags(rnd.nextInt(frags.length)))
+          .mkString(" ") + s" tail${rnd.nextInt(4)}"
+        (id, text)
+      }.toDF("doc_id", "text").repartition(5)
+      val jac = MinHashDedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val cont = MinHashDedup.containmentPairs(docs, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // Same candidate pairs (same banding, same first-band uniqueness),
+      // and inter/min dominates inter/union pointwise.
+      assert(cont.keySet == jac.keySet)
+      assert(cont.nonEmpty)
+      cont.foreach { case (k, (na, nb, c)) =>
+        assert(c >= jac(k) - 1e-12 && c <= 1.0 + 1e-12, s"$k: $c vs ${jac(k)}")
+        assert(na > 0 && nb > 0)
+      }
+      // Planted subsumption: B is an exact character prefix of A, so every
+      // shingle of B is a shingle of A — containment exactly 1.0 while
+      // Jaccard only reports the size ratio.
+      val rnd2 = new scala.util.Random(11)
+      val a = Seq.fill(400)(('a' + rnd2.nextInt(26)).toChar).mkString
+      val planted = Seq((100L, a), (101L, a.take(300))).toDF("doc_id", "text")
+      val pc = MinHashDedup.containmentPairs(planted, "doc_id", "text", 0.9)
+        .collect()
+      assert(pc.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L &&
+        r.getDouble(4) == 1.0), pc.mkString(","))
+      val pj = MinHashDedup.jaccardPairs(planted, "doc_id", "text", 0.0)
+        .collect().find(r => r.getLong(0) == 100L).map(_.getDouble(2))
+      assert(pj.exists(j => j < 1.0), s"prefix pair jaccard: $pj")
+    }
+    graft.ops.Materialize.release(frames)
+  }
+
   test("native minhash_sig ≡ the composed HOF formulation on fixture docs") {
     import org.apache.spark.sql.functions.expr
     graft.functions.GraftFunctions.register(spark)
