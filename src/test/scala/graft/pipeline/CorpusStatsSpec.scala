@@ -65,6 +65,29 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(run(docs.repartition(13)) == run(docs.coalesce(1)))
   }
 
+  test("overlap matrix ≡ join mirror on randomized corpora") {
+    // Random fragment-composed docs over random source assignments:
+    // covers sharing shapes (grams in 1, some, all sources) no fixture
+    // fixes, including sources with zero shared grams (absent rows).
+    val frags = IndexedSeq(
+      "alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+      "lambda mu nu xi omicron", "pi rho sigma tau upsilon",
+      "phi chi psi omega alef")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 60).map { i =>
+        val text = Seq.fill(1 + rnd.nextInt(3))(frags(rnd.nextInt(frags.length)))
+          .mkString(" ")
+        (s"s${rnd.nextInt(6)}", text)
+      }.toDF("source", "text").repartition(7)
+      val got = CorpusStats.overlapMatrix(docs, "source", "text", n = 3)
+        .collect().map(_.toString).toSeq
+      val mirror = CorpusStats.joinOverlapMatrix(docs, "source", "text", n = 3)
+        .collect().map(_.toString).toSeq
+      assert(got == mirror, s"seed=$seed")
+    }
+  }
+
   test("a gram shared past maxSources raises the contract error") {
     // Three sources all containing one identical sentence: the common
     // gram's cell holds 3 sources, over a maxSources of 2.

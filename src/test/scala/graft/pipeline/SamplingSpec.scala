@@ -98,6 +98,25 @@ class SamplingSpec extends AnyFunSuite {
         s"$s not upweighted: $drawn vs $sizes")
   }
 
+  test("temperatureMix ≡ naive across a budget sweep (quota-boundary hunt)") {
+    // Quota floors shift with every budget; sweeping budgets hunts for
+    // an off-by-one between the in-plan integer arithmetic and the
+    // replayed Scala form at quota boundaries.
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = naive(docs, Int.MaxValue)
+    for (budget <- Seq(1L, 7L, 119L, 444L, 5000L)) {
+      val quotas = naiveQuotas(sizes, budget)
+      val expect = all.filter { case (stratum, _, rn) => rn <= quotas(stratum) }
+      val got = mixReleased {
+        Sampling.temperatureMix(docs, "lang", "doc_id", budget)
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      assert(got == expect, s"budget=$budget quotas=$quotas")
+    }
+  }
+
   test("temperatureMix with budget ≥ corpus keeps every document") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     assert(mixReleased {
