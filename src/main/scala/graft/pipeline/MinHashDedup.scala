@@ -192,20 +192,14 @@ object MinHashDedup {
       minJac: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val out = hotShingledCells(docs, idCol, textCol)
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-        val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-        it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
-        cellPairScan(key._1, ids, sigs)({ (i, j) =>
+    scoredCellGroups[(Long, Long, Double)](docs, idCol, textCol) {
+      (band, ids, sigs, sets) =>
+        cellPairScan(band, ids, sigs)({ (i, j) =>
           val inter = sortedIntersect(sets(i), sets(j))
           inter / (sets(i).length + sets(j).length - inter).toDouble
         }, _ >= minJac)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-    out.orderBy("doc_a", "doc_b")
+    }.toDF("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Asymmetric CONTAINMENT over the same LSH-candidate pairs:
@@ -226,29 +220,47 @@ object MinHashDedup {
       minCont: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val out = hotShingledCells(docs, idCol, textCol)
+    scoredCellGroups[(Long, Long, Long, Long, Double)](docs, idCol, textCol) {
+      (band, ids, sigs, sets) =>
+        // Per-cell id → set size, attached after the shared scan (cells
+        // are maxCellMembers-bounded, so the map is task-local small).
+        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+        cellPairScan(band, ids, sigs)({ (i, j) =>
+          val inter = sortedIntersect(sets(i), sets(j))
+          inter / math.min(sets(i).length, sets(j).length).toDouble
+        }, _ >= minCont).map { case (a, b, c) =>
+          (a, b, size(a).toLong, size(b).toLong, c)
+        }
+    }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared verify-stage skeleton ([[jaccardPairs]] and
+    * [[containmentPairs]] are each just a scorer plugged in here): group
+    * the hot-cell payloads, gather each cell's parallel (id, signature,
+    * shingle-set) buffers once, and hand them to `scorer` — ONE copy of
+    * the gather loop, so a gather fix can never diverge the two
+    * measures. */
+  private def scoredCellGroups[T: org.apache.spark.sql.Encoder](
+      docs: DataFrame, idCol: String, textCol: String)(
+      scorer: (Int, scala.collection.mutable.ArrayBuffer[Long],
+        scala.collection.mutable.ArrayBuffer[Array[Long]],
+        scala.collection.mutable.ArrayBuffer[Array[Int]]) => Iterator[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    hotShingledCells(docs, idCol, textCol)
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
-        // Per-cell id → set size, attached after the shared scan (cells
-        // are maxCellMembers-bounded, so the map is task-local small).
-        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
-        cellPairScan(key._1, ids, sigs)({ (i, j) =>
-          val inter = sortedIntersect(sets(i), sets(j))
-          inter / math.min(sets(i).length, sets(j).length).toDouble
-        }, _ >= minCont).map { case (a, b, c) =>
-          (a, b, size(a).toLong, size(b).toLong, c)
-        }
+        scorer(key._1, ids, sigs, sets)
       }
-      .toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
-    out.orderBy("doc_a", "doc_b")
   }
 
-  /** The shared verify-stage gather ([[jaccardPairs]] and
-    * [[containmentPairs]] score over it): hot-cell memberships with each
+  /** The shared verify-stage gather: hot-cell memberships with each
     * member's signature AND exact shingle set, grouped-cell shaped. */
   private def hotShingledCells(docs: DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {

@@ -157,15 +157,23 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q57: per-stratum quotas apply through a broadcast join on the cached quota frame") {
-    val df = SparkEntry.queries("q57_temperature_mix")(spark, TestSpark.Sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // The quota side is #strata rows — it must broadcast, never shuffle
-    // the ranked candidates against it.
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("InMemoryTableScan"), p) // the materialized quota frame
-    graft.ops.Materialize.releaseAll(spark)
+    // collecting/release, NOT releaseAll: a failed assert must still
+    // release this test's quota frame, and releaseAll on the shared
+    // session would drop other suites' registered frames (Materialize's
+    // own test-scoping rule).
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q57_temperature_mix")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // The quota side is #strata rows — it must broadcast, never shuffle
+      // the ranked candidates against it.
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("InMemoryTableScan"), p) // the materialized quota frame
+    } finally graft.ops.Materialize.release(frames)
   }
 
   test("q58: overlap matrix is one corpus scan and zero joins") {

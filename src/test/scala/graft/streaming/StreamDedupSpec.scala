@@ -117,7 +117,12 @@ class StreamDedupSpec extends AnyFunSuite {
         == Set((100L, 10L)))
       // Wall clock passes the horizon; the engine's timeout batches evict
       // fp 100. Eviction emits nothing to the sink, so observe it where
-      // it IS visible — the state row count draining to zero.
+      // it IS visible — the state row count draining to zero. Observe
+      // the ADMISSION (1 row) first: the sink shows (100,10) during
+      // addBatch, before that batch's progress lands, so a pre-data
+      // batch's stale zero-row progress could otherwise satisfy the
+      // drain wait while fp 100's state is still alive.
+      awaitStateRows(q, 1L)
       awaitStateRows(q, 0L)
       input.addData((200L, 20L))
       assert(awaitSink("stream_dedup_ttl_test")(_.contains((200L, 20L)))
