@@ -127,8 +127,53 @@ object Sampling {
           least(col("n"), expr(s"($budget * wt) div total")))
         .select("stratum", "quota"))
 
+    drawByQuota(keyed, quotas)
+  }
+
+  /** Explicit-recipe mixture: draw ~`budget` documents whose stratum
+    * shares follow a PUBLISHED weight recipe (the DoReMi / data-mixing
+    * end product — integer `parts` per stratum, e.g. en→30, de→20),
+    * rather than [[temperatureMix]]'s automatic √n rebalance. Quotas are
+    * integer-exact: quota_i = min(n_i, budget·part_i div Σparts), with
+    * the Σ over the WHOLE recipe — a stratum that saturates (n_i below
+    * its quota) leaves its shortfall UNFILLED rather than silently
+    * redistributed, so the drawn mix never over-weights another stratum
+    * beyond its recipe share; strata absent from the recipe draw zero.
+    * (Iterative waterfilling of shortfalls is a consumer-side loop over
+    * the #strata-row quota table, deliberately not baked in.) Same
+    * md5 draw, same [[drawByQuota]] scale shape. */
+  def targetMix(df: DataFrame, strataCol: String, idCol: String,
+      budget: Long, parts: Map[String, Long]): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      s"recipe parts must be positive: $parts")
+    val partsTotal = parts.values.sum
+    parts.values.foreach(p => require(p <= Long.MaxValue / budget,
+      s"part $p times budget $budget overflows the long quota arithmetic"))
+    val keyed = df.select(col(strataCol).cast("string").as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      md5(col(idCol).cast("string")).as("pick"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = parts.toSeq.toDF("stratum", "part")
+    val quotas = graft.ops.Materialize.barrier(
+      keyed.groupBy("stratum").agg(count(lit(1)).as("n"))
+        .join(broadcast(recipe), "stratum") // inner: unlisted strata drop
+        .withColumn("quota",
+          least(col("n"), expr(s"($budget * part) div ${partsTotal}L")))
+        .select("stratum", "quota"))
+    drawByQuota(keyed, quotas)
+  }
+
+  /** The shared quota-application tail of [[temperatureMix]] and
+    * [[targetMix]]: bounded-heap rank capped at the LARGEST quota (the
+    * rank shuffle moves ≤ maxQuota×P rows per stratum, never the
+    * corpus), then a broadcast join applies each stratum's exact quota.
+    * The only driver-side value is the max quota — one scalar off the
+    * already-materialized quota frame. */
+  private def drawByQuota(keyed: DataFrame, quotas: DataFrame): DataFrame = {
     val maxQuota = quotas.agg(max("quota")).head() match {
-      case r if r.isNullAt(0) => 0L // empty corpus
+      case r if r.isNullAt(0) => 0L // empty corpus / empty recipe match
       case r => r.getLong(0)
     }
     if (maxQuota <= 0)
@@ -163,6 +208,26 @@ object Sampling {
        |  FROM documents)
        |SELECT r.stratum, r.doc_id, r.rn FROM ranked r JOIN q USING (stratum)
        |WHERE r.rn <= q.quota ORDER BY stratum, doc_id""".stripMargin
+
+  /** DuckDB oracle for [[targetMix]] over `documents`, strata = `lang`
+    * (same integer quota arithmetic; the recipe rides as a VALUES list). */
+  def targetMixOracleSql(budget: Long, parts: Map[String, Long]): String = {
+    val partsTotal = parts.values.sum
+    val values = parts.toSeq.sorted
+      .map { case (s, p) => s"('$s', ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH sizes AS (SELECT lang AS stratum, count(*) AS n
+       |              FROM documents GROUP BY 1),
+       |recipe(stratum, part) AS (VALUES $values),
+       |q AS (SELECT s.stratum,
+       |        least(s.n, ($budget * r.part) // ${partsTotal}) AS quota
+       |      FROM sizes s JOIN recipe r ON s.stratum = r.stratum),
+       |ranked AS (SELECT lang AS stratum, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.stratum, r.doc_id, r.rn FROM ranked r JOIN q USING (stratum)
+       |WHERE r.rn <= q.quota ORDER BY stratum, doc_id""".stripMargin
+  }
 
   /** DuckDB oracle for [[stratified]] over table `documents`, strata =
     * `lang` (the window form — correct, just not the scale shape). */

@@ -389,8 +389,19 @@ object PipelineQueries {
     // symmetric Jaccard under-reports as the size ratio grows.
     "q60_containment" -> ((s, sf) =>
       MinHashDedup.containmentPairs(Tables.load(s, sf, "documents"),
-        "doc_id", "text", 0.6))
+        "doc_id", "text", 0.6)),
+
+    // Explicit-recipe mixture: published integer weight parts (the
+    // data-mixing end product) applied with saturation-capped integer
+    // quotas and the md5 draw; 'zh' deliberately absent → draws zero.
+    "q61_target_mix" -> ((s, sf) =>
+      Sampling.targetMix(Tables.load(s, sf, "documents"), "lang", "doc_id",
+        200L, TargetRecipe))
   )
+
+  /** The q61 recipe — shared with its oracle; 'zh' deliberately absent. */
+  private val TargetRecipe: Map[String, Long] =
+    Map("en" -> 30L, "de" -> 25L, "es" -> 25L, "fr" -> 20L)
 
   def oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -508,6 +519,8 @@ object PipelineQueries {
 
     "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1),
 
-    "q60_containment" -> MinHashDedup.containmentOracleSql(0.6)
+    "q60_containment" -> MinHashDedup.containmentOracleSql(0.6),
+
+    "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )
 }

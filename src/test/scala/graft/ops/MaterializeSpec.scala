@@ -32,7 +32,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q56_incremental_dedup", // IncrementalDedup: increment sidecar frame
     "q57_temperature_mix", // Sampling.temperatureMix: per-stratum quota frame
     "q59_group_split", // nearDupPairs sig + CC edge cache (inline-released)
-    "q60_containment") // jaccard-machinery hotMembers frame
+    "q60_containment", // jaccard-machinery hotMembers frame
+    "q61_target_mix") // Sampling.targetMix: per-stratum quota frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

@@ -117,6 +117,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("targetMix follows the recipe, drops unlisted strata, caps at saturation") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recipe = Map("en" -> 30L, "de" -> 25L, "es" -> 25L, "fr" -> 20L)
+    val partsTotal = recipe.values.sum
+    for (budget <- Seq(200L, 5000L)) {
+      val quotas = recipe.map { case (s, p) =>
+        s -> math.min(sizes(s), budget * p / partsTotal) }
+      val expect = naive(docs, Int.MaxValue).filter { case (stratum, _, rn) =>
+        quotas.get(stratum).exists(rn <= _) }
+      val got = mixReleased {
+        Sampling.targetMix(docs, "lang", "doc_id", budget, recipe)
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      assert(got == expect, s"budget=$budget quotas=$quotas")
+      // 'zh' is not in the recipe: zero drawn, however large the budget.
+      assert(!got.exists(_._1 == "zh"))
+      if (budget == 5000L) {
+        // Every stratum saturates (quota = n); the shortfall is NOT
+        // redistributed — the drawn mix never exceeds any recipe share.
+        val drawn = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        recipe.keys.foreach(s => assert(drawn(s) == sizes(s), s))
+      }
+    }
+  }
+
   test("temperatureMix with budget ≥ corpus keeps every document") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     assert(mixReleased {
