@@ -49,6 +49,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * past the horizon). Default off: q52's exact-dedup semantics are the
   * no-TTL contract. The alternative production shape fronts the stream
   * with the batch canonical corpus and streams only the increment.
+  *
+  * Why not the built-in? Spark's `dropDuplicatesWithinWatermark` covers
+  * the EVENT-TIME-bounded variant of this operator with zero custom
+  * state code — when duplicates only ever arrive within a known
+  * event-time window, prefer it (StreamDedupSpec proves it on the same
+  * fixtures). [[firstSeen]] exists for what it cannot express: unbounded
+  * first-occurrence semantics (no watermark bound on how late a
+  * duplicate may arrive), the emitted kept-id row shape, and
+  * PROCESSING-time TTL (eviction by wall-clock idleness, not event-time
+  * progress — an ingest stream that pauses does not advance a watermark
+  * but does age wall-clock state).
   */
 object StreamDedup {
 

@@ -188,6 +188,39 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("the built-in dropDuplicatesWithinWatermark covers the event-time-bounded variant") {
+    // The scaladoc's built-in-first claim, proven: when duplicates are
+    // bounded in EVENT time, Spark's own operator deduplicates with no
+    // custom state code — firstSeen earns its keep only for unbounded
+    // arrival, the kept-id row shape, and processing-time TTL.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, Long)] // (fp, doc_id, event ms)
+    val h = 7200L * 1000
+    val q = input.toDF().toDF("fp", "doc_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("memory")
+      .queryName("stream_dedup_builtin_test")
+      .outputMode("append").start()
+    try {
+      // Batch 1: fp 100 twice within the window + fp 200.
+      input.addData((100L, 12L, h), (100L, 10L, h + 1000), (200L, 11L, h))
+      q.processAllAvailable()
+      // Batch 2: fp 100 again inside the watermark window → suppressed.
+      input.addData((100L, 13L, h + 2000), (300L, 14L, h + 3000))
+      q.processAllAvailable()
+      val fps = spark.table("stream_dedup_builtin_test")
+        .collect().map(_.getAs[Long]("fp")).toSet
+      assert(fps == Set(100L, 200L, 300L))
+      assert(spark.table("stream_dedup_builtin_test").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming kept set ≡ batch replay on the documents fixture") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
