@@ -151,6 +151,20 @@ class SamplingSpec extends AnyFunSuite {
     } == docs.count())
   }
 
+  test("temperatureMix raises the in-plan overflow guard, not a wrapped quota") {
+    // budget near Long.MaxValue drives wtCap below any real weight —
+    // the plan must raise the contract error instead of silently
+    // wrapping budget*wt in non-ANSI mode.
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    mixReleased {
+      val e = intercept[Exception] {
+        Sampling.temperatureMix(docs, "lang", "doc_id",
+          Long.MaxValue / 1000).count()
+      }
+      assert(e.getMessage.contains("overflows"), e.getMessage)
+    }
+  }
+
   test("temperatureMix on an empty corpus returns an empty frame") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     mixReleased {

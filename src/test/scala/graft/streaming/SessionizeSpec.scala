@@ -134,6 +134,37 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingCounts runs on the RocksDB state store — the corpus-scale backend") {
+    // The second stateful operator gets the same backend proof as
+    // StreamDedup: identical counts, rocksdb custom metrics present.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val q = Sessionize.streamingCounts(input.toDS())
+      .toDF().writeStream
+      .format("memory").queryName("sessionize_rocksdb_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1000L), (1L, 2000L), (2L, 1000L))
+      q.processAllAvailable()
+      val last = spark.table("sessionize_rocksdb_test")
+        .filter(col("user_id") === 1L)
+        .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions")))
+      assert(last.contains((2L, 1L)), last.mkString(","))
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb state metrics, got ${metrics.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("gap semantics: a gap greater than GapMs opens a new session") {
     import spark.implicits._
     val gap = Sessionize.GapMs
