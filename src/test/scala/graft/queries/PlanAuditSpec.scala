@@ -156,25 +156,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q57: per-stratum quotas apply through a broadcast join on the cached quota frame") {
-    // collecting/release, NOT releaseAll: a failed assert must still
-    // release this test's quota frame, and releaseAll on the shared
-    // session would drop other suites' registered frames (Materialize's
-    // own test-scoping rule).
-    val (df, frames) = graft.ops.Materialize.collecting {
-      val d = SparkEntry.queries("q57_temperature_mix")(spark, TestSpark.Sf)
-      d.collect()
-      d
+  for (name <- Seq("q57_temperature_mix", "q61_target_mix"))
+    test(s"$name: per-stratum quotas apply through a broadcast join on the cached quota frame") {
+      // collecting/release, NOT releaseAll: a failed assert must still
+      // release this test's quota frame, and releaseAll on the shared
+      // session would drop other suites' registered frames (Materialize's
+      // own test-scoping rule). Both mixes share drawByQuota, so both get
+      // the same pin.
+      val (df, frames) = graft.ops.Materialize.collecting {
+        val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
+        d.collect()
+        d
+      }
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        // The quota side is #strata rows — it must broadcast, never shuffle
+        // the ranked candidates against it.
+        assert(p.contains("BroadcastHashJoin"), p)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+        assert(p.contains("InMemoryTableScan"), p) // the materialized quota frame
+      } finally graft.ops.Materialize.release(frames)
     }
-    try {
-      val p = df.queryExecution.executedPlan.toString
-      // The quota side is #strata rows — it must broadcast, never shuffle
-      // the ranked candidates against it.
-      assert(p.contains("BroadcastHashJoin"), p)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-      assert(p.contains("InMemoryTableScan"), p) // the materialized quota frame
-    } finally graft.ops.Materialize.release(frames)
-  }
 
   test("q58: overlap matrix is one corpus scan and zero joins") {
     // The pair emission is array-side from each gram's source set — a
