@@ -57,10 +57,21 @@ object Materialize {
     * whose cache is already gone; without pruning, a long-lived session
     * using clearCache-only hygiene accumulates them forever. Run on every
     * [[releaseAll]]/[[liveCount]] so the registry converges to the truth
-    * regardless of which path dropped the cache. */
-  private def pruneStale(): Unit =
+    * regardless of which path dropped the cache.
+    *
+    * Scoped to the CALLER's shared state (ADVICE r10): probing
+    * `storageLevel` touches the owning session's CacheManager, and a
+    * registry accessor running for session X must not side-effect
+    * entries belonging to session Y. The one exception is an entry whose
+    * session has been STOPPED — its probe throws, nothing can ever
+    * release it, so it is dropped regardless of owner. */
+  private def pruneStale(spark: SparkSession): Unit =
     live.asScala.foreach { d =>
-      if (d.storageLevel == StorageLevel.NONE) live.remove(d)
+      val stale = scala.util.Try {
+        (d.sparkSession.sharedState eq spark.sharedState) &&
+          d.storageLevel == StorageLevel.NONE
+      }.getOrElse(true) // stopped session: unreleasable, drop the ref
+      if (stale) live.remove(d)
     }
 
   /** Persist (MEMORY_AND_DISK — `Dataset.cache()`'s level, spilling
@@ -102,7 +113,7 @@ object Materialize {
     * them). Returns the number released. Call once per completed query
     * in any long-lived session. */
   def releaseAll(spark: SparkSession): Int = {
-    pruneStale()
+    pruneStale(spark)
     val mine = live.asScala.toSeq
       .filter(_.sparkSession.sharedState eq spark.sharedState)
     release(mine)
@@ -111,8 +122,17 @@ object Materialize {
 
   /** Registered-frame count for this session's shared state. */
   def liveCount(spark: SparkSession): Int = {
-    pruneStale()
+    pruneStale(spark)
     live.asScala.count(_.sparkSession.sharedState eq spark.sharedState)
+  }
+
+  /** Identity snapshot of this session's registered frames — the
+    * test-side leak probe (MaterializeSpec asserts on WHICH frames are
+    * live, not on a count a same-plan stale twin's prune could mask). */
+  private[ops] def liveSnapshot(spark: SparkSession): Set[Dataset[_]] = {
+    pruneStale(spark)
+    live.asScala.toSet
+      .filter(_.sparkSession.sharedState eq spark.sharedState)
   }
 
   /** Run `body`, returning its result plus exactly the frames it

@@ -213,8 +213,12 @@ object Sampling {
     * (same integer quota arithmetic; the recipe rides as a VALUES list). */
   def targetMixOracleSql(budget: Long, parts: Map[String, Long]): String = {
     val partsTotal = parts.values.sum
+    // ''-escape embedded quotes (ADVICE r10): targetMix handles ANY
+    // stratum string, so the VALUES literal must too, or the oracle
+    // silently diverges on (or is injected by) a quoting stratum.
     val values = parts.toSeq.sorted
-      .map { case (s, p) => s"('$s', ${p}::BIGINT)" }.mkString(", ")
+      .map { case (s, p) => s"('${s.replace("'", "''")}', ${p}::BIGINT)" }
+      .mkString(", ")
     s"""WITH sizes AS (SELECT lang AS stratum, count(*) AS n
        |              FROM documents GROUP BY 1),
        |recipe(stratum, part) AS (VALUES $values),

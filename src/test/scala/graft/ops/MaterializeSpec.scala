@@ -37,7 +37,7 @@ class MaterializeSpec extends AnyFunSuite {
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {
-      val before = Materialize.liveCount(spark)
+      val before = Materialize.liveSnapshot(spark)
       val (rows, frames) = Materialize.collecting {
         SparkEntry.queries(name)(spark, TestSpark.Sf).collect()
       }
@@ -47,14 +47,15 @@ class MaterializeSpec extends AnyFunSuite {
       Materialize.release(frames)
       frames.foreach(f => assert(f.storageLevel == StorageLevel.NONE,
         s"$name left a cached frame after release"))
-      // ≤, not ==: releasing this test's frames can dissolve a SAME-PLAN
-      // CacheManager entry another suite left registered (CacheManager
-      // dedupes by plan), and the self-healing prune then drops that
-      // stale twin too — the count may shrink below `before`, but a LEAK
-      // would push it above. This test's own frames are pinned released
-      // by the storageLevel asserts.
-      assert(Materialize.liveCount(spark) <= before,
-        s"$name leaked registry entries")
+      // Identity, not count (ADVICE r10): releasing this test's frames
+      // can dissolve a SAME-PLAN CacheManager entry another suite left
+      // registered (CacheManager dedupes by plan) and the self-healing
+      // prune then drops that stale twin — a net count could mask a
+      // genuine leak. Instead: no frame may be live now that wasn't
+      // live before this query ran.
+      val leaked = Materialize.liveSnapshot(spark) -- before
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} registry entries")
     }
 
   test("releaseAll drains every registered frame for the session") {

@@ -144,6 +144,14 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("targetMix oracle SQL ''-escapes a quoting stratum name") {
+    // targetMix itself handles ANY stratum string; the VALUES literal in
+    // its oracle must too (ADVICE r10) — an embedded quote would either
+    // break the oracle's parse or, worse, silently diverge it.
+    val sql = Sampling.targetMixOracleSql(10L, Map("o'brien" -> 1L))
+    assert(sql.contains("('o''brien', 1::BIGINT)"), sql)
+  }
+
   test("temperatureMix with budget ≥ corpus keeps every document") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     assert(mixReleased {

@@ -83,21 +83,28 @@ class StreamDedupSpec extends AnyFunSuite {
     got
   }
 
-  /** Await the dedup state store draining to exactly `n` rows — the
-    * OBSERVABLE eviction signal (`numRowsTotal` in the state operator's
-    * progress). A fixed sleep races the engine's timeout batch (a delayed
-    * batch turns the later re-arrival assert into a confusing 30s sink
-    * timeout); the metric cannot race, because the eviction batch that
-    * removes the rows is the same batch that reports the drained count. */
-  private def awaitStateRows(
-      q: org.apache.spark.sql.streaming.StreamingQuery, n: Long): Unit = {
+  /** Await the admission→eviction state sequence — a progress batch
+    * reporting `numRowsTotal == 1` (the fingerprint admitted) followed
+    * by a LATER batch reporting 0 (the TTL eviction) — the OBSERVABLE
+    * eviction signal. Scans `recentProgress` (the engine's bounded
+    * history), not `lastProgress`: the 1-row admission batch is
+    * transient, and if the eviction batch lands before the first poll
+    * observes it, a lastProgress poll for 1 would spin its full timeout
+    * even though the 1→0 sequence actually occurred (ADVICE r10). The
+    * 0 must come AFTER the 1 in history order — a pre-data batch's
+    * zero-row progress must not satisfy the drain wait. */
+  private def awaitAdmitThenDrain(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    def stateRows: Option[Long] = Option(q.lastProgress)
-      .flatMap(_.stateOperators.headOption)
-      .map(_.numRowsTotal)
-    while (!stateRows.contains(n) && System.nanoTime() < deadline)
-      Thread.sleep(50)
-    assert(stateRows.contains(n), s"state never drained to $n rows: $stateRows")
+    def states: Seq[Long] = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+    def ok: Boolean = {
+      val s = states
+      val i = s.indexOf(1L)
+      i >= 0 && s.drop(i + 1).contains(0L)
+    }
+    while (!ok && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ok, s"state never admitted 1 row then drained to 0: $states")
   }
 
   test("ttl evicts idle fingerprints; re-arrival past the horizon is re-admitted") {
@@ -117,13 +124,11 @@ class StreamDedupSpec extends AnyFunSuite {
         == Set((100L, 10L)))
       // Wall clock passes the horizon; the engine's timeout batches evict
       // fp 100. Eviction emits nothing to the sink, so observe it where
-      // it IS visible — the state row count draining to zero. Observe
-      // the ADMISSION (1 row) first: the sink shows (100,10) during
-      // addBatch, before that batch's progress lands, so a pre-data
-      // batch's stale zero-row progress could otherwise satisfy the
-      // drain wait while fp 100's state is still alive.
-      awaitStateRows(q, 1L)
-      awaitStateRows(q, 0L)
+      // it IS visible — the state row count going 1 (admission) then 0
+      // (drain) in progress-history order, so neither a pre-data batch's
+      // zero-row progress nor an eviction landing before the first poll
+      // can satisfy the wait spuriously.
+      awaitAdmitThenDrain(q)
       input.addData((200L, 20L))
       assert(awaitSink("stream_dedup_ttl_test")(_.contains((200L, 20L)))
         .contains((200L, 20L)))
