@@ -126,7 +126,8 @@ object MinHashDedup {
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         it.foreach { case (_, _, id, sg) => ids += id; sigs += sg }
-        cellPairScan(key._1, ids, sigs)(
+        cellPairScan(ids)(
+          (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == key._1,
           (i, j) => agreeFraction(sigs(i), sigs(j)), _ => true)
       }
       .toDF("doc_a", "doc_b", "est_sim")
@@ -192,12 +193,14 @@ object MinHashDedup {
       minJac: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    scoredCellGroups[(Long, Long, Double)](docs, idCol, textCol) {
+    scoredCellGroups[(Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
       (band, ids, sigs, sets) =>
-        cellPairScan(band, ids, sigs)({ (i, j) =>
-          val inter = sortedIntersect(sets(i), sets(j))
-          inter / (sets(i).length + sets(j).length - inter).toDouble
-        }, _ >= minJac)
+        cellPairScan(ids)(
+          (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
+          { (i, j) =>
+            val inter = sortedIntersect(sets(i), sets(j))
+            inter / (sets(i).length + sets(j).length - inter).toDouble
+          }, _ >= minJac)
     }.toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -210,46 +213,204 @@ object MinHashDedup {
     * carries both set sizes so the consumer knows WHICH side is the
     * contained one.
     *
-    * Honest scope note: candidates still come from symmetric MinHash
+    * Honest scope note: candidates here come from symmetric MinHash
     * banding, whose est-Jaccard recall DROPS as sizes diverge (a tiny
     * quote inside a huge page rarely bands) — this reports containment
-    * among near-dup candidates with bounded compute; indexing extreme
-    * size-ratio containment needs size-stratified banding, a different
-    * candidate generator, not a different verifier. */
+    * among near-dup candidates with bounded compute. Indexing the
+    * small-inside-large case needs a different candidate generator, not
+    * a different verifier: [[stratifiedContainmentPairs]] feeds the same
+    * verify stage from size-stratified sampled-shingle cells. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       minCont: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    scoredCellGroups[(Long, Long, Long, Long, Double)](docs, idCol, textCol) {
+    scoredCellGroups[(Long, Long, Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
       (band, ids, sigs, sets) =>
         // Per-cell id → set size, attached after the shared scan (cells
         // are maxCellMembers-bounded, so the map is task-local small).
         val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
-        cellPairScan(band, ids, sigs)({ (i, j) =>
-          val inter = sortedIntersect(sets(i), sets(j))
-          inter / math.min(sets(i).length, sets(j).length).toDouble
-        }, _ >= minCont).map { case (a, b, c) =>
+        cellPairScan(ids)(
+          (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
+          { (i, j) =>
+            val inter = sortedIntersect(sets(i), sets(j))
+            inter / math.min(sets(i).length, sets(j).length).toDouble
+          }, _ >= minCont).map { case (a, b, c) =>
           (a, b, size(a).toLong, size(b).toLong, c)
         }
     }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The shared verify-stage skeleton ([[jaccardPairs]] and
-    * [[containmentPairs]] are each just a scorer plugged in here): group
-    * the hot-cell payloads, gather each cell's parallel (id, signature,
-    * shingle-set) buffers once, and hand them to `scorer` — ONE copy of
-    * the gather loop, so a gather fix can never diverge the two
-    * measures. */
+  /** Expected sampled shingles per document at its own stratum's level —
+    * the recall knob of [[stratifiedContainmentPairs]]: a fully
+    * contained document misses only if NONE of its ~SampleTarget..2×
+    * level-sampled shingles survive, ≈ e^-SampleTarget ≈ 0.03%. */
+  val SampleTarget: Int = 8
+
+  /** Largest stratum gap the stratified index covers — size ratios up to
+    * ~2^(StrataSpan+1). Emission per document is ≤ ~2·SampleTarget·
+    * 2^StrataSpan slim rows REGARDLESS of document size (the geometric
+    * level sum telescopes), so widening the span doubles index cost per
+    * unit; pairs beyond the span are the documented out-of-scope case. */
+  val StrataSpan: Int = 6
+
+  /** Stop-shingle bound: a sampled shingle shared by more than this many
+    * documents at one level is boilerplate, not subsumption evidence (a
+    * common 8-char window — " the and " — would otherwise turn its cell
+    * into an all-pairs scan). Cells past the bound are DROPPED, the
+    * standard prefix-filtering move; deterministic, and mirrored by the
+    * oracle's HAVING, so both engines drop identically. This also caps
+    * the per-cell quadratic scan at MaxKeyDf members, which is why the
+    * stratified path needs no maxCellMembers-style raise. */
+  val MaxKeyDf: Int = 64
+
+  /** Size-stratified containment discovery — the candidate generator for
+    * the small-inside-large subsumption case that [[containmentPairs]]'s
+    * symmetric bands systematically miss (a 60-char quote inside a
+    * 3500-char page has est-Jaccard ≈ 0.02: no band ever agrees).
+    *
+    * Universe-sampling inverted index (the LSH-Ensemble idea — Zhu et
+    * al., VLDB'16 — reduced to deterministic mod-2^l sampling):
+    *
+    *   1. stratum t = ⌊log2(max(windowCount div SampleTarget, 1))⌋, from
+    *      the scan-cheap window count (length − K + 1) rather than the
+    *      distinct set size — the two agree within a stratum for natural
+    *      text, and scoring still uses exact distinct sets;
+    *   2. every document emits its shingles with l trailing zero bits
+    *      as (level l, shingle) index keys, for each ACTIVE level in
+    *      [t − StrataSpan, t] — at its own level that is ~SampleTarget
+    *      sampled shingles (its probe keys); at finer levels it hosts
+    *      smaller probes. Active = levels that are some document's
+    *      stratum (one cheap length-only aggregate, ≤64 values — the
+    *      bounded-driver-metadata convention), so a corpus with no tiny
+    *      documents never pays the dense low levels;
+    *   3. a pair is candidate where both emitted the same (level, key)
+    *      cell; it is SCORED only at its canonical level min(t_a, t_b)
+    *      — the smaller side's probe level, where it has ~SampleTarget
+    *      sampled shingles — bounding redundant verifies at ~2·
+    *      SampleTarget per pair, collapsed by a bit-exact `distinct`;
+    *   4. the verify stage is [[scoredCellGroups]] — the SAME grouped
+    *      gather and `inter / min` scoring as [[containmentPairs]], so
+    *      the two measures can never diverge on a shared pair.
+    *
+    * If A ⊆ B with a stratum gap ≤ StrataSpan, they collide unless none
+    * of A's ~SampleTarget level-sampled shingles exists (≈ e^-8); the
+    * symmetric generator's miss probability at the same size ratio is
+    * ~1 − (1 − (|A|/|B|)^RowsPerBand)^Bands ≈ 1. Gaps past StrataSpan
+    * and shingles dropped by [[MaxKeyDf]] are the documented recall
+    * bounds. Scale shape: slim (level, key, id, t) rows only through
+    * the index shuffle — exact shingle sets ship once per HOT cell
+    * membership, merge-joined, never broadcast. */
+  def stratifiedContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, minCont: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cells = stratifiedCells(docs, idCol, textCol)
+    if (cells == null)
+      return spark.range(0).select(col("id").as("doc_a"),
+        col("id").as("doc_b"), col("id").as("n_a"), col("id").as("n_b"),
+        col("id").cast("double").as("containment"))
+    scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
+      (level, ids, strata, sets) =>
+        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+        cellPairScan(ids)(
+          // Canonical-level gate: score the pair only at the smaller
+          // side's probe level (strata ride the aux slot).
+          (i, j) => math.min(strata(i)(0), strata(j)(0)) == level,
+          { (i, j) =>
+            val inter = sortedIntersect(sets(i), sets(j))
+            inter / math.min(sets(i).length, sets(j).length).toDouble
+          }, _ >= minCont).map { case (a, b, c) =>
+          (a, b, size(a).toLong, size(b).toLong, c)
+        }
+    }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
+      // A pair verifies once per shared canonical-level cell (≤ ~2×
+      // SampleTarget); scores are bit-identical (same sets, same IEEE
+      // ops), so distinct collapses them exactly — and doubles as the
+      // stats barrier the band path gets from its candidate distinct.
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The stratified index + gather: (level, cellKey, doc_id, [stratum],
+    * shingles) memberships of HOT (2..MaxKeyDf members, ≥1 probe)
+    * sampled-shingle cells, [[scoredCellGroups]]-shaped. Returns null on
+    * an empty corpus (no strata to index). */
+  private def stratifiedCells(docs: DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val k = ShingleK
+    val stratumSql =
+      s"CAST(length(bin(greatest((length($textCol) - ${k - 1}) div $SampleTarget, 1))) - 1 AS INT)"
+    // Pass 1: active probe levels — a length-only aggregate collapsing
+    // to ≤64 rows (strata are log2 buckets of a long), collected as
+    // bounded driver metadata (the ScalableCumSum O(P) convention).
+    val active = docs.filter(length(col(textCol)) >= k)
+      .select(expr(stratumSql).as("t")).distinct().as[Int].collect().sorted
+    if (active.isEmpty) return null
+    val d = docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.shingleSet(col(textCol)).as("shingles"),
+        expr(stratumSql).as("t"))
+    // Pass 2: the slim index emission — one corpus scan, ~2·SampleTarget·
+    // 2^StrataSpan (level, key) rows per document at worst, telescoping
+    // to ~2·windowCount when every level down to 0 is active. Barriered:
+    // it feeds the hot-cell aggregate AND the membership join, and an
+    // uncached shared frame would re-shingle the corpus per branch.
+    val mem = graft.ops.Materialize.barrier(d
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"flatten(transform(" +
+          s"filter(sequence(greatest(t - $StrataSpan, 0), t), " +
+          s"l -> array_contains(array(${active.mkString(", ")}), l)), " +
+          s"l -> transform(" +
+          s"filter(shingles, s -> (s & (shiftleft(CAST(1 AS BIGINT), l) - 1)) = 0), " +
+          s"s -> struct(l AS level, CAST(s AS BIGINT) AS skey))))")).as("m"))
+      .select(col("doc_id"), col("t"), col("m.level").as("level"),
+        col("m.skey").as("skey")))
+    // Hot cells: ≥2 members (a pair exists), ≤ MaxKeyDf (stop-shingle
+    // drop), ≥1 PROBE member (someone whose own stratum IS this level —
+    // a cell of pure hosts can gate no pair, since scoring happens only
+    // at the smaller side's probe level).
+    val hot = mem.groupBy("level", "skey")
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("t") === col("level"), 1L).otherwise(0L)).as("probes"))
+      .filter(col("df") >= 2 && col("df") <= MaxKeyDf && col("probes") >= 1)
+      .select("level", "skey")
+    val hotMem = mem.join(hot, Seq("level", "skey"))
+    val hotIds = hotMem.select(col("doc_id")).distinct()
+    // Exact sets ship once per hot membership; merge hint for the same
+    // reason as the band path — the semi-joined payload has no honest
+    // size estimate and both sides are corpus-sized at scale.
+    val payload = shingled(
+      docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol).hint("merge")
+    hotMem.join(payload, "doc_id")
+      .select(col("level"), col("skey").as("cell"), col("doc_id"),
+        array(col("t").cast("long")).as("aux"), col("shingles"))
+      .as[(Int, Long, Long, Array[Long], Array[Int])]
+  }
+
+  /** The shared verify-stage skeleton ([[jaccardPairs]],
+    * [[containmentPairs]] and [[stratifiedContainmentPairs]] are each
+    * just a cell frame + scorer plugged in here): group the cell
+    * payloads, gather each cell's parallel (id, aux, shingle-set)
+    * buffers once, and hand them to `scorer` — ONE copy of the gather
+    * loop, so a gather fix can never diverge the measures. `cells` rows
+    * are (cellKind, cellKey, doc_id, aux, shingles): the band generator
+    * puts the band index in cellKind and the signature in aux; the
+    * stratified generator puts the sampling level in cellKind and the
+    * member's stratum in aux. */
   private def scoredCellGroups[T: org.apache.spark.sql.Encoder](
-      docs: DataFrame, idCol: String, textCol: String)(
+      cells: org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])])(
       scorer: (Int, scala.collection.mutable.ArrayBuffer[Long],
         scala.collection.mutable.ArrayBuffer[Array[Long]],
         scala.collection.mutable.ArrayBuffer[Array[Int]]) => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
-    val spark = docs.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
-    hotShingledCells(docs, idCol, textCol)
+    cells
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long], Array[Int])]) =>
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -371,16 +532,18 @@ object MinHashDedup {
   /** The shared grouped-cell pair scan ([[candidatePairs]] emits with
     * it, [[jaccardPairs]] verifies with it — the r7 writeup's one
     * skeleton, now one body): members sort by id, the double loop
-    * visits each unordered pair once in (doc_a < doc_b) order, the
-    * FIRST-agreeing-band rule (checked from the signatures, so hashed
-    * cell-key collisions cannot create a pair) makes emission unique
-    * across cells, and `score`/`keep` plug in the per-pair measure.
-    * `score` receives GATHER-ORDER indices — callers index their own
-    * parallel payload buffers (signatures here, shingle sets in the
-    * verify stage). */
-  private def cellPairScan(cellBand: Int,
-      ids: scala.collection.mutable.ArrayBuffer[Long],
-      sigs: scala.collection.mutable.ArrayBuffer[Array[Long]])(
+    * visits each unordered pair once in (doc_a < doc_b) order,
+    * `eligible` plugs in the per-generator pair gate (the band callers
+    * pass the FIRST-agreeing-band rule — checked from the signatures,
+    * so hashed cell-key collisions cannot create a pair, and emission
+    * is unique across cells; the stratified caller gates on the
+    * canonical probe level and dedups with a downstream `distinct`),
+    * and `score`/`keep` plug in the per-pair measure. `eligible` and
+    * `score` receive GATHER-ORDER indices — callers index their own
+    * parallel payload buffers (signatures, strata, shingle sets). */
+  private def cellPairScan(
+      ids: scala.collection.mutable.ArrayBuffer[Long])(
+      eligible: (Int, Int) => Boolean,
       score: (Int, Int) => Double,
       keep: Double => Boolean): Iterator[(Long, Long, Double)] = {
     val n = ids.length
@@ -392,7 +555,7 @@ object MinHashDedup {
       var oj = oi + 1
       while (oj < n) {
         val j = order(oj)
-        if (firstAgreeingBand(sigs(i), sigs(j)) == cellBand) {
+        if (eligible(i, j)) {
           val s = score(i, j)
           if (keep(s)) out += ((ids(i), ids(j), s))
         }
@@ -532,4 +695,46 @@ object MinHashDedup {
        |  inter / CAST(least(na, nb) AS DOUBLE) AS containment
        |FROM ex WHERE inter / CAST(least(na, nb) AS DOUBLE) >= $minCont
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB oracle for [[stratifiedContainmentPairs]] on table
+    * `documents` — the stratified index (window-count strata, active
+    * levels, trailing-zero sampling, 2..MaxKeyDf + probe-member hot
+    * filter, canonical-level gate) and the exact `inter / min` verify,
+    * mirrored CTE for CTE. The shingle values here are the UNWRAPPED
+    * [0, 2^32) rolling hashes; the Spark side samples the wrapped Int —
+    * equivalent, because the wrap preserves the low 32 bits the masks
+    * test and is bijective for cell identity. */
+  def stratifiedOracleSql(minCont: Double): String = {
+    val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, length(text) - ${ShingleK - 2}), i -> $sh)) AS shingles,
+       |    (length(bin(greatest((length(text) - ${ShingleK - 1}) // $SampleTarget, 1))) - 1) AS t
+       |  FROM documents WHERE length(text) >= $ShingleK),
+       |lv AS (SELECT doc_id, t, shingles,
+       |         unnest(range(greatest(t - $StrataSpan, 0), t + 1)) AS l
+       |       FROM sh),
+       |mem AS (SELECT doc_id, t, l,
+       |          unnest(list_filter(shingles, s -> (s & ((1::BIGINT << l) - 1)) = 0)) AS skey
+       |        FROM lv WHERE l IN (SELECT t FROM sh)),
+       |hot AS (SELECT l, skey FROM mem GROUP BY l, skey
+       |        HAVING count(*) BETWEEN 2 AND $MaxKeyDf
+       |           AND sum(CASE WHEN t = l THEN 1 ELSE 0 END) >= 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mem a JOIN hot h ON a.l = h.l AND a.skey = h.skey
+       |       JOIN mem b ON b.l = h.l AND b.skey = h.skey AND a.doc_id < b.doc_id
+       |  WHERE a.l = least(a.t, b.t)),
+       |ex AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, na AS n_a, nb AS n_b,
+       |  inter / CAST(least(na, nb) AS DOUBLE) AS containment
+       |FROM ex WHERE inter / CAST(least(na, nb) AS DOUBLE) >= $minCont
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -396,7 +396,15 @@ object PipelineQueries {
     // quotas and the md5 draw; 'zh' deliberately absent → draws zero.
     "q61_target_mix" -> ((s, sf) =>
       Sampling.targetMix(Tables.load(s, sf, "documents"), "lang", "doc_id",
-        200L, TargetRecipe))
+        200L, TargetRecipe)),
+
+    // Size-stratified containment: the subsumption candidate generator —
+    // a universe-sampled (trailing-zero) inverted index over size strata
+    // feeds the SAME exact-set verify as q60, recovering the
+    // small-inside-large pairs symmetric banding structurally misses.
+    "q62_containment_stratified" -> ((s, sf) =>
+      MinHashDedup.stratifiedContainmentPairs(Tables.load(s, sf, "documents"),
+        "doc_id", "text", 0.6))
   )
 
   /** The q61 recipe — shared with its oracle; 'zh' deliberately absent. */
@@ -520,6 +528,8 @@ object PipelineQueries {
     "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1),
 
     "q60_containment" -> MinHashDedup.containmentOracleSql(0.6),
+
+    "q62_containment_stratified" -> MinHashDedup.stratifiedOracleSql(0.6),
 
     "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )

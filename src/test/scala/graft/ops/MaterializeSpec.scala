@@ -33,7 +33,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q57_temperature_mix", // Sampling.temperatureMix: per-stratum quota frame
     "q59_group_split", // nearDupPairs sig + CC edge cache (inline-released)
     "q60_containment", // jaccard-machinery hotMembers frame
-    "q61_target_mix") // Sampling.targetMix: per-stratum quota frame
+    "q61_target_mix", // Sampling.targetMix: per-stratum quota frame
+    "q62_containment_stratified") // stratified index membership frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

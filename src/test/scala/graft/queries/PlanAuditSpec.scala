@@ -178,6 +178,28 @@ class PlanAuditSpec extends AnyFunSuite {
       } finally graft.ops.Materialize.release(frames)
     }
 
+  test("q62: stratified containment never goes cartesian; payload merge-joins") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q62_containment_stratified")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // Candidates come only from equal (level, key) cells — a cartesian
+      // or nested-loop anywhere means the inverted index degenerated.
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // The exact-set payload attach honors the merge hint: both sides
+      // are corpus-sized at scale, so a size-estimate-driven broadcast of
+      // the shingle frame (the band path's measured failure mode) must
+      // not resurface here.
+      assert(p.contains("SortMergeJoin"), p)
+      // The barriered slim index feeds the hot-cell aggregate AND the
+      // membership join from the cache, not by re-shingling per branch.
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("q58: overlap matrix is one corpus scan and zero joins") {
     // The pair emission is array-side from each gram's source set — a
     // fp-keyed self-join would show up here as a second documents scan
