@@ -153,11 +153,28 @@ object DupClusters {
     * AQE-broadcast in the common case and the corpus never reshuffles;
     * the split column is one scan-side hash of the root. */
   def groupSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-      srcCol: String, dstCol: String, valFrac: Double = 0.1): DataFrame = {
+      srcCol: String, dstCol: String, valFrac: Double = 0.1): DataFrame =
+    groupSplit(docs, idCol, connectedComponents(pairs, srcCol, dstCol), valFrac)
+
+  /** The composition form of [[groupSplit]] (VERDICT r10): a pipeline
+    * that has already materialized its cluster table (q37) splits from
+    * it directly instead of re-running the whole CC chain — at 64× the
+    * chain was measured as ~92% of the pairs-form's cost (SCALING.md),
+    * all of it redundant for a user who holds the clusters. The
+    * pairs-based overload above is now a pure delegation, so the two
+    * forms cannot diverge. `clusters` is the [[connectedComponents]]
+    * shape: (id, cluster), one row per document that appears in a pair.
+    *
+    * Scale shape unchanged: `clusters` is GRAPH-sized, so the
+    * corpus-side left join is AQE-broadcast in the common case and the
+    * corpus never reshuffles; the split is one scan-side md5 of the
+    * root. */
+  def groupSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      valFrac: Double): DataFrame = {
     require(valFrac > 0 && valFrac < 1, s"valFrac must be in (0,1): $valFrac")
     val threshold = f"${math.floor(valFrac * 65536).toLong}%04x"
-    val cc = connectedComponents(pairs, srcCol, dstCol)
-      .withColumnRenamed("id", "doc_id")
+    val cc = clusters
+      .select(col("id").cast("long").as("doc_id"), col("cluster").cast("long"))
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("cluster"), col("doc_id")))
@@ -166,6 +183,20 @@ object DupClusters {
           "val").otherwise("train").as("split"))
       .orderBy("doc_id")
   }
+
+  /** The dedup manifest — the training-data artifact the cluster chain
+    * exists to produce, from ONE connected-components run: every
+    * document with its cluster root, its leakage-safe split, and
+    * whether it is the cluster's surviving canonical ([[canonicalize]]
+    * keeps exactly the `doc_id = root` rows). Composes
+    * [[connectedComponents]] with the clusters-form [[groupSplit]] —
+    * where running q37 + q59 + q40 as separate queries pays the CC
+    * chain three times, the manifest pays it once and derives all three
+    * columns from the same cluster table. */
+  def dedupManifest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, valFrac: Double = 0.1): DataFrame =
+    groupSplit(docs, idCol, connectedComponents(pairs, srcCol, dstCol), valFrac)
+      .withColumn("is_canonical", col("doc_id") === col("root"))
 
   /** DuckDB CTE chain ending in `cc(id, cluster)`: clusters over
     * [[MinHashDedup.nearDupPairs]] edges on table `documents`, computed
@@ -205,6 +236,19 @@ object DupClusters {
        |  CASE WHEN substr(md5(CAST(coalesce(cc.cluster, d.doc_id) AS VARCHAR)),
        |                   1, 4) < '$threshold'
        |       THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[dedupManifest]] on table `documents`. */
+  def dedupManifestOracleSql(minSim: Double, valFrac: Double): String = {
+    val threshold = f"${math.floor(valFrac * 65536).toLong}%04x"
+    s"""${ccCtesSql(minSim)}
+       |SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS root,
+       |  CASE WHEN substr(md5(CAST(coalesce(cc.cluster, d.doc_id) AS VARCHAR)),
+       |                   1, 4) < '$threshold'
+       |       THEN 'val' ELSE 'train' END AS split,
+       |  (d.doc_id = coalesce(cc.cluster, d.doc_id)) AS is_canonical
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
        |ORDER BY d.doc_id""".stripMargin
   }

@@ -404,7 +404,17 @@ object PipelineQueries {
     // small-inside-large pairs symmetric banding structurally misses.
     "q62_containment_stratified" -> ((s, sf) =>
       MinHashDedup.stratifiedContainmentPairs(Tables.load(s, sf, "documents"),
-        "doc_id", "text", 0.6))
+        "doc_id", "text", 0.6)),
+
+    // The dedup manifest: root + leakage-safe split + canonical flag per
+    // document from ONE connected-components run — the composition the
+    // separate q37/q59/q40 registrations pay the CC chain thrice for.
+    "q63_dedup_manifest" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      DupClusters.dedupManifest(docs, "doc_id", pairs, "doc_a", "doc_b",
+        valFrac = 0.1)
+    })
   )
 
   /** The q61 recipe — shared with its oracle; 'zh' deliberately absent. */
@@ -530,6 +540,8 @@ object PipelineQueries {
     "q60_containment" -> MinHashDedup.containmentOracleSql(0.6),
 
     "q62_containment_stratified" -> MinHashDedup.stratifiedOracleSql(0.6),
+
+    "q63_dedup_manifest" -> DupClusters.dedupManifestOracleSql(0.5, 0.1),
 
     "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )

@@ -34,7 +34,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q59_group_split", // nearDupPairs sig + CC edge cache (inline-released)
     "q60_containment", // jaccard-machinery hotMembers frame
     "q61_target_mix", // Sampling.targetMix: per-stratum quota frame
-    "q62_containment_stratified") // stratified index membership frame
+    "q62_containment_stratified", // stratified index membership frame
+    "q63_dedup_manifest") // nearDupPairs sig + CC edge cache (inline-released)
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

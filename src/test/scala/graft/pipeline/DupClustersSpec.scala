@@ -125,4 +125,60 @@ class DupClustersSpec extends AnyFunSuite {
     assert(out(1L)._1 == 1L)
     assert(Seq(4L, 5L, 6L).forall(i => out(i)._1 == i))
   }
+
+  test("clusters-form groupSplit composes a precomputed cluster table (r10 verdict)") {
+    // A handmade cluster table drives the splits directly — no CC run —
+    // and every doc takes exactly its ROOT's md5 draw.
+    val docs = (1L to 8L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val clusters = Seq((2L, 1L), (1L, 1L), (5L, 4L), (4L, 4L))
+      .toDF("id", "cluster")
+    val out = DupClusters.groupSplit(docs, "doc_id", clusters, 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(1L) == out(2L))
+    assert(out(4L)._1 == 4L && out(5L)._1 == 4L && out(4L) == out(5L))
+    Seq(3L, 6L, 7L, 8L).foreach(i => assert(out(i)._1 == i))
+    // The draw is the documented md5-threshold rule, checked per root.
+    val threshold = f"${math.floor(0.4 * 65536).toLong}%04x"
+    out.foreach { case (_, (root, split)) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(root.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      assert(split == (if (md5 < threshold) "val" else "train"), s"root $root")
+    }
+    // Delegation: the pairs form on edges generating those clusters
+    // returns the identical frame.
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("a", "b")
+    val viaPairs = DupClusters.groupSplit(docs, "doc_id", pairs, "a", "b", 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(viaPairs == out)
+  }
+
+  test("dedupManifest: one CC run yields split + canonical flag consistently") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val pairs = graft.ops.Materialize.barrier(
+      MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5))
+    try {
+      val manifest = DupClusters.dedupManifest(docs, "doc_id", pairs,
+        "doc_a", "doc_b", valFrac = 0.1)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+      // is_canonical ⟺ the doc survives canonicalize — the manifest must
+      // agree with the standalone q40 chain on the same pairs.
+      val kept = DupClusters.canonicalize(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .collect().map(_.getLong(0)).toSet
+      assert(manifest.size == docs.count())
+      manifest.foreach { case (id, (root, _, canon)) =>
+        assert(canon == kept.contains(id), s"doc $id")
+        assert(canon == (id == root), s"doc $id root $root")
+      }
+      // And the split column is exactly the groupSplit draw on the same
+      // pairs (same CC, same md5 rule).
+      val split = DupClusters.groupSplit(docs, "doc_id", pairs,
+        "doc_a", "doc_b", valFrac = 0.1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      manifest.foreach { case (id, (root, s, _)) =>
+        assert(split(id) == ((root, s)), s"doc $id")
+      }
+    } finally graft.ops.Materialize.release(Seq(pairs))
+  }
 }
