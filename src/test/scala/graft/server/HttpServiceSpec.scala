@@ -191,4 +191,40 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(cfg.get("key-deserializers").size() == 2)
     assert(cfg.get("schema-registry-urls").isNull) // avro hidden offline
   }
+
+  test("/pipeline runs an analytics query and releases its caches on completion") {
+    // q51_tfidf registers a query-lifetime cached aggregate — the exact
+    // long-lived-service leak the Materialize release path exists for.
+    // The route must stream the result AND leave the registry empty.
+    val (status, body) = get(s"/pipeline?name=q51_tfidf&dir=${TestSpark.Sf}")
+    assert(status == 200)
+    val arr = mapper.readTree(body)
+    assert(arr.isArray && arr.size() > 1, body.take(200))
+    assert(arr.get(0).get("type").asText() == "pioneer")
+    assert(arr.get(1).has("doc_id"), arr.get(1).toString)
+    assert(graft.ops.Materialize.liveCount(spark) == 0,
+      "pipeline request left registered caches behind")
+  }
+
+  test("/pipeline without a name lists the query catalog") {
+    val (status, body) = get("/pipeline")
+    assert(status == 200)
+    val names = mapper.readTree(body).get("queries")
+    assert(names != null && names.isArray)
+    val set = (0 until names.size()).map(names.get(_).asText()).toSet
+    assert(set.contains("q01_scan") &&
+      set.contains("q62_containment_stratified"), set.take(5).toString)
+  }
+
+  test("/pipeline argument errors reach the 400 channel pre-commit (C4)") {
+    val (s1, b1) = get("/pipeline?name=no_such_query&dir=/tmp")
+    assert(s1 == 400 && b1.contains("unknown query: no_such_query"), b1)
+    val (s2, b2) = get("/pipeline?name=q01_scan")
+    assert(s2 == 400 && b2.contains("dir required"), b2)
+    // A bad dir fails at build/analysis time — still 400, and the
+    // half-built query's caches are swept.
+    val (s3, _) = get("/pipeline?name=q51_tfidf&dir=/no/such/dir")
+    assert(s3 == 400)
+    assert(graft.ops.Materialize.liveCount(spark) == 0)
+  }
 }
