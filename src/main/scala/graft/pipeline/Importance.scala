@@ -124,10 +124,11 @@ object Importance {
       strataCol: String, targetPred: Column, n: Int): DataFrame = {
     require(n > 0, s"selection size must be positive: $n")
     val keyed = scoredGrams(docs, idCol, textCol, targetPred, Some(strataCol))
-      .select(col("stratum"), col("doc_id"), col("score"))
+      .select(col("stratum").cast("string").as("stratum"),
+        col("doc_id"), col("score"))
     // Worst kept row surfaces first: lowest score, then largest id —
     // consistent with the (score desc, doc_id asc) window rank.
-    Sampling.heapRank[Long](keyed, n, _.getLong(2),
+    Sampling.heapRank[Long](keyed, n,
         Ordering.by { case (s, id) => (-s, id) },
         Seq(col("score").desc, col("doc_id")))
       .select(col("stratum"), col("doc_id"), col("score"), col("rn"))

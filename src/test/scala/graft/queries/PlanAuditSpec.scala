@@ -132,16 +132,17 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q55: stratum rides the scoring aggregate — one documents scan total") {
-    // The heap prune's RDD boundary hides the scoring subtree from the
-    // registered query's final plan (the q50 caveat), so audit the
-    // pre-boundary frame directly: it must hold the ONLY documents scan
-    // (r7 shape: double tokenize + a third scan for the stratum join).
+    // r11: the heap prune is a typed mapPartitions INSIDE the Dataset
+    // plan (the old `.rdd` boundary hid the scoring subtree from the
+    // registered query's final plan entirely), so the registered query
+    // itself is auditable: exactly ONE documents scan end to end (the
+    // r7 shape was double tokenize + a third scan for the stratum join).
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val keyed = graft.pipeline.Importance.scoredGrams(docs, "doc_id", "text",
       org.apache.spark.sql.functions.col("lang") === "en", Some("lang"))
     assert(documentScans(keyed) == 1, keyed.queryExecution.executedPlan.toString)
     val registered = SparkEntry.queries("q55_importance_select")(spark, TestSpark.Sf)
-    assert(documentScans(registered) == 0,
+    assert(documentScans(registered) == 1,
       registered.queryExecution.executedPlan.toString)
   }
 
