@@ -194,7 +194,7 @@ object MinHashDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     scoredCellGroups[(Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
-      (band, ids, sigs, sets) =>
+      (band, _, ids, sigs, sets) =>
         cellPairScan(ids)(
           (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
           { (i, j) =>
@@ -225,7 +225,7 @@ object MinHashDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     scoredCellGroups[(Long, Long, Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
-      (band, ids, sigs, sets) =>
+      (band, _, ids, sigs, sets) =>
         // Per-cell id → set size, attached after the shared scan (cells
         // are maxCellMembers-bounded, so the map is task-local small).
         val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
@@ -254,8 +254,8 @@ object MinHashDedup {
     * unit; pairs beyond the span are the documented out-of-scope case. */
   val StrataSpan: Int = 6
 
-  /** Stop-shingle bound: a sampled shingle shared by more than this many
-    * documents at one level is boilerplate, not subsumption evidence (a
+  /** Stop-shingle bound: a sampled shingle indexed by more than this
+    * many documents is boilerplate, not subsumption evidence (a
     * common 8-char window — " the and " — would otherwise turn its cell
     * into an all-pairs scan). Cells past the bound are DROPPED, the
     * standard prefix-filtering move; deterministic, and mirrored by the
@@ -270,25 +270,31 @@ object MinHashDedup {
     * 3500-char page has est-Jaccard ≈ 0.02: no band ever agrees).
     *
     * Universe-sampling inverted index (the LSH-Ensemble idea — Zhu et
-    * al., VLDB'16 — reduced to deterministic mod-2^l sampling):
+    * al., VLDB'16 — reduced to deterministic trailing-zero sampling):
     *
     *   1. stratum t = ⌊log2(max(windowCount div SampleTarget, 1))⌋, from
     *      the scan-cheap window count (length − K + 1) rather than the
     *      distinct set size — the two agree within a stratum for natural
     *      text, and scoring still uses exact distinct sets;
-    *   2. every document emits its shingles with l trailing zero bits
-    *      as (level l, shingle) index keys, for each ACTIVE level in
-    *      [t − StrataSpan, t] — at its own level that is ~SampleTarget
-    *      sampled shingles (its probe keys); at finer levels it hosts
-    *      smaller probes. Active = levels that are some document's
-    *      stratum (one cheap length-only aggregate, ≤64 values — the
-    *      bounded-driver-metadata convention), so a corpus with no tiny
-    *      documents never pays the dense low levels;
-    *   3. a pair is candidate where both emitted the same (level, key)
-    *      cell; it is SCORED only at its canonical level min(t_a, t_b)
-    *      — the smaller side's probe level, where it has ~SampleTarget
-    *      sampled shingles — bounding redundant verifies at ~2·
-    *      SampleTarget per pair, collapsed by a bit-exact `distinct`;
+    *   2. every document emits each shingle whose trailing-zero count z
+    *      reaches some ACTIVE level in [t − StrataSpan, t] ONCE, keyed
+    *      by the shingle value alone — ~SampleTarget·2^min(StrataSpan,t)
+    *      slim rows per document in ONE filter pass. (The round-11 first
+    *      cut emitted one row per (level, shingle); the level dimension
+    *      is redundant — a pair's level eligibility is decidable in-cell
+    *      from z, which the KEY itself carries, and the member strata —
+    *      and the per-level HOF passes were the measured 64× bottleneck:
+    *      42M rows / 13 s of emission collapse to ~21M / one pass.)
+    *      Active = levels that are some document's stratum (one cheap
+    *      length-only aggregate, ≤64 values — the bounded-driver-
+    *      metadata convention), so a corpus with no tiny documents
+    *      never pays the dense low levels;
+    *   3. a pair sharing a hot cell is eligible iff z ≥ min(t_a, t_b)
+    *      (the shingle is sampled at the smaller side's probe level —
+    *      where that side has ~SampleTarget sampled shingles) and the
+    *      stratum gap is ≤ StrataSpan; it verifies once per common
+    *      qualifying shingle (~2·SampleTarget worst case), collapsed by
+    *      a bit-exact `distinct`;
     *   4. the verify stage is [[scoredCellGroups]] — the SAME grouped
     *      gather and `inter / min` scoring as [[containmentPairs]], so
     *      the two measures can never diverge on a shared pair.
@@ -298,9 +304,9 @@ object MinHashDedup {
     * symmetric generator's miss probability at the same size ratio is
     * ~1 − (1 − (|A|/|B|)^RowsPerBand)^Bands ≈ 1. Gaps past StrataSpan
     * and shingles dropped by [[MaxKeyDf]] are the documented recall
-    * bounds. Scale shape: slim (level, key, id, t) rows only through
-    * the index shuffle — exact shingle sets ship once per HOT cell
-    * membership, merge-joined, never broadcast. */
+    * bounds. Scale shape: slim (key, id, t) rows only through the index
+    * shuffle — exact shingle sets ship once per HOT cell membership,
+    * merge-joined, never broadcast. */
   def stratifiedContainmentPairs(docs: DataFrame, idCol: String,
       textCol: String, minCont: Double): DataFrame = {
     val spark = docs.sparkSession
@@ -311,12 +317,19 @@ object MinHashDedup {
         col("id").as("doc_b"), col("id").as("n_a"), col("id").as("n_b"),
         col("id").cast("double").as("containment"))
     scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
-      (level, ids, strata, sets) =>
+      (_, skey, ids, strata, sets) =>
+        // The cell key IS the sampled shingle: its trailing zeros decide
+        // which probe levels it serves.
+        val z = java.lang.Long.numberOfTrailingZeros(skey)
         val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
         cellPairScan(ids)(
-          // Canonical-level gate: score the pair only at the smaller
-          // side's probe level (strata ride the aux slot).
-          (i, j) => math.min(strata(i)(0), strata(j)(0)) == level,
+          // Probe-level gate: the shingle must be sampled at the smaller
+          // side's stratum (z ≥ min t — strata ride the aux slot) and
+          // the pair must be within the indexed span.
+          { (i, j) =>
+            val (ti, tj) = (strata(i)(0), strata(j)(0))
+            z >= math.min(ti, tj) && math.abs(ti - tj) <= StrataSpan
+          },
           { (i, j) =>
             val inter = sortedIntersect(sets(i), sets(j))
             inter / math.min(sets(i).length, sets(j).length).toDouble
@@ -332,10 +345,13 @@ object MinHashDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The stratified index + gather: (level, cellKey, doc_id, [stratum],
-    * shingles) memberships of HOT (2..MaxKeyDf members, ≥1 probe)
-    * sampled-shingle cells, [[scoredCellGroups]]-shaped. Returns null on
-    * an empty corpus (no strata to index). */
+  /** The stratified index + gather: (0, shingle-key, doc_id, [stratum],
+    * shingles) memberships of HOT (2..MaxKeyDf members, ≥1 possible
+    * probe) sampled-shingle cells, [[scoredCellGroups]]-shaped. Keys are
+    * the UNSIGNED 32-bit shingle values (low 32 bits of the rolling
+    * hash), so the oracle's [0, 2^32) values match them verbatim and
+    * trailing zeros read the sampling level directly. Returns null on an
+    * empty corpus (no strata to index). */
   private def stratifiedCells(docs: DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {
     val spark = docs.sparkSession
@@ -354,31 +370,30 @@ object MinHashDedup {
       .select(col(idCol).as("doc_id"),
         GraftFunctions.shingleSet(col(textCol)).as("shingles"),
         expr(stratumSql).as("t"))
-    // Pass 2: the slim index emission — one corpus scan, ~2·SampleTarget·
-    // 2^StrataSpan (level, key) rows per document at worst, telescoping
-    // to ~2·windowCount when every level down to 0 is active. Barriered:
-    // it feeds the hot-cell aggregate AND the membership join, and an
+    // Pass 2: the slim index emission — one corpus scan, ONE filter pass
+    // per document (no per-level HOF re-scan: a shingle is kept iff its
+    // trailing zeros reach some active level inside the document's
+    // [t − StrataSpan, t] window, a handful of bit tests). Barriered: it
+    // feeds the hot-cell aggregate AND the membership join, and an
     // uncached shared frame would re-shingle the corpus per branch.
+    val keep = active.map(a =>
+      s"($a >= greatest(t - $StrataSpan, 0) AND $a <= t " +
+        s"AND (u & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
     val mem = graft.ops.Materialize.barrier(d
       .select(col("doc_id"), col("t"), explode(expr(
-        s"flatten(transform(" +
-          s"filter(sequence(greatest(t - $StrataSpan, 0), t), " +
-          s"l -> array_contains(array(${active.mkString(", ")}), l)), " +
-          s"l -> transform(" +
-          s"filter(shingles, s -> (s & (shiftleft(CAST(1 AS BIGINT), l) - 1)) = 0), " +
-          s"s -> struct(l AS level, CAST(s AS BIGINT) AS skey))))")).as("m"))
-      .select(col("doc_id"), col("t"), col("m.level").as("level"),
-        col("m.skey").as("skey")))
+        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
+          s"u -> $keep)")).as("skey")))
     // Hot cells: ≥2 members (a pair exists), ≤ MaxKeyDf (stop-shingle
-    // drop), ≥1 PROBE member (someone whose own stratum IS this level —
-    // a cell of pure hosts can gate no pair, since scoring happens only
-    // at the smaller side's probe level).
-    val hot = mem.groupBy("level", "skey")
+    // drop), and ≥1 member that can PROBE through this shingle (its own
+    // stratum sampled here: skey mod 2^t = 0) — a cell of pure hosts can
+    // gate no pair, since eligibility needs z ≥ the smaller stratum.
+    val hot = mem.groupBy("skey")
       .agg(count(lit(1)).as("df"),
-        sum(when(col("t") === col("level"), 1L).otherwise(0L)).as("probes"))
+        sum(when(expr("(skey & (shiftleft(CAST(1 AS BIGINT), t) - 1)) = 0"),
+          1L).otherwise(0L)).as("probes"))
       .filter(col("df") >= 2 && col("df") <= MaxKeyDf && col("probes") >= 1)
-      .select("level", "skey")
-    val hotMem = mem.join(hot, Seq("level", "skey"))
+      .select("skey")
+    val hotMem = mem.join(hot, Seq("skey"))
     val hotIds = hotMem.select(col("doc_id")).distinct()
     // Exact sets ship once per hot membership; merge hint for the same
     // reason as the band path — the semi-joined payload has no honest
@@ -387,7 +402,7 @@ object MinHashDedup {
       docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
       idCol, textCol).hint("merge")
     hotMem.join(payload, "doc_id")
-      .select(col("level"), col("skey").as("cell"), col("doc_id"),
+      .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
         array(col("t").cast("long")).as("aux"), col("shingles"))
       .as[(Int, Long, Long, Array[Long], Array[Int])]
   }
@@ -399,12 +414,13 @@ object MinHashDedup {
     * buffers once, and hand them to `scorer` — ONE copy of the gather
     * loop, so a gather fix can never diverge the measures. `cells` rows
     * are (cellKind, cellKey, doc_id, aux, shingles): the band generator
-    * puts the band index in cellKind and the signature in aux; the
-    * stratified generator puts the sampling level in cellKind and the
-    * member's stratum in aux. */
+    * puts the band index in cellKind, the hashed bucket in cellKey and
+    * the signature in aux; the stratified generator puts the sampled
+    * shingle value in cellKey (its trailing zeros carry the level) and
+    * the member's stratum in aux. */
   private def scoredCellGroups[T: org.apache.spark.sql.Encoder](
       cells: org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])])(
-      scorer: (Int, scala.collection.mutable.ArrayBuffer[Long],
+      scorer: (Int, Long, scala.collection.mutable.ArrayBuffer[Long],
         scala.collection.mutable.ArrayBuffer[Array[Long]],
         scala.collection.mutable.ArrayBuffer[Array[Int]]) => Iterator[T])
       : org.apache.spark.sql.Dataset[T] = {
@@ -417,7 +433,7 @@ object MinHashDedup {
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
         val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         it.foreach { case (_, _, id, sg, sh) => ids += id; sigs += sg; sets += sh }
-        scorer(key._1, ids, sigs, sets)
+        scorer(key._1, key._2, ids, sigs, sets)
       }
   }
 
@@ -698,12 +714,13 @@ object MinHashDedup {
 
   /** DuckDB oracle for [[stratifiedContainmentPairs]] on table
     * `documents` — the stratified index (window-count strata, active
-    * levels, trailing-zero sampling, 2..MaxKeyDf + probe-member hot
-    * filter, canonical-level gate) and the exact `inter / min` verify,
-    * mirrored CTE for CTE. The shingle values here are the UNWRAPPED
-    * [0, 2^32) rolling hashes; the Spark side samples the wrapped Int —
-    * equivalent, because the wrap preserves the low 32 bits the masks
-    * test and is bijective for cell identity. */
+    * levels, one trailing-zero-sampled emission per qualifying shingle,
+    * 2..MaxKeyDf + possible-probe hot filter, in-cell probe-level +
+    * span gate) and the exact `inter / min` verify, mirrored CTE for
+    * CTE. The shingle values here are the [0, 2^32) rolling hashes; the
+    * Spark side keys cells by the same unsigned value (wrapped Int
+    * masked back to 32 bits), so keys and trailing zeros agree
+    * verbatim. */
   def stratifiedOracleSql(minCont: Double): String = {
     val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
     s"""WITH sh AS (
@@ -711,20 +728,22 @@ object MinHashDedup {
        |    range(1, length(text) - ${ShingleK - 2}), i -> $sh)) AS shingles,
        |    (length(bin(greatest((length(text) - ${ShingleK - 1}) // $SampleTarget, 1))) - 1) AS t
        |  FROM documents WHERE length(text) >= $ShingleK),
-       |lv AS (SELECT doc_id, t, shingles,
-       |         unnest(range(greatest(t - $StrataSpan, 0), t + 1)) AS l
-       |       FROM sh),
-       |mem AS (SELECT doc_id, t, l,
-       |          unnest(list_filter(shingles, s -> (s & ((1::BIGINT << l) - 1)) = 0)) AS skey
-       |        FROM lv WHERE l IN (SELECT t FROM sh)),
-       |hot AS (SELECT l, skey FROM mem GROUP BY l, skey
+       |act AS (SELECT DISTINCT t AS l FROM sh),
+       |mem AS (
+       |  SELECT DISTINCT doc_id, t, skey FROM (
+       |    SELECT s.doc_id, s.t,
+       |      unnest(list_filter(s.shingles, x -> (x & ((1::BIGINT << a.l) - 1)) = 0)) AS skey
+       |    FROM sh s JOIN act a ON a.l BETWEEN greatest(s.t - $StrataSpan, 0) AND s.t)),
+       |hot AS (SELECT skey FROM mem GROUP BY skey
        |        HAVING count(*) BETWEEN 2 AND $MaxKeyDf
-       |           AND sum(CASE WHEN t = l THEN 1 ELSE 0 END) >= 1),
+       |           AND sum(CASE WHEN (skey & ((1::BIGINT << t) - 1)) = 0
+       |                        THEN 1 ELSE 0 END) >= 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM mem a JOIN hot h ON a.l = h.l AND a.skey = h.skey
-       |       JOIN mem b ON b.l = h.l AND b.skey = h.skey AND a.doc_id < b.doc_id
-       |  WHERE a.l = least(a.t, b.t)),
+       |  FROM mem a JOIN hot h ON a.skey = h.skey
+       |       JOIN mem b ON b.skey = h.skey AND a.doc_id < b.doc_id
+       |  WHERE abs(a.t - b.t) <= $StrataSpan
+       |    AND (h.skey & ((1::BIGINT << least(a.t, b.t)) - 1)) = 0),
        |ex AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
