@@ -13,7 +13,8 @@ object Plans {
     "q33_sign_lsh_pairs", "q34_avro_roundtrip", "q36_curation",
     "q42_decontam", "q48_kmeans", "q49_semantic_dedup", "q50_ivf_ann",
     "q51_tfidf", "q54_importance", "q55_importance_select",
-    "q56_incremental_dedup", "q57_temperature_mix", "q58_overlap_matrix")
+    "q56_incremental_dedup", "q57_temperature_mix", "q58_overlap_matrix",
+    "q62_containment_stratified", "q63_dedup_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
