@@ -154,8 +154,8 @@ object Sampling {
     * its quota) leaves its shortfall UNFILLED rather than silently
     * redistributed, so the drawn mix never over-weights another stratum
     * beyond its recipe share; strata absent from the recipe draw zero.
-    * (Iterative waterfilling of shortfalls is a consumer-side loop over
-    * the #strata-row quota table, deliberately not baked in.) Same
+    * (When the shortfall SHOULD be re-spent, [[waterfillMix]] is the
+    * same recipe with the redistribution loop baked in.) Same
     * md5 draw, same [[drawByQuota]] scale shape. */
   def targetMix(df: DataFrame, strataCol: String, idCol: String,
       budget: Long, parts: Map[String, Long]): DataFrame = {
@@ -177,6 +177,67 @@ object Sampling {
         .withColumn("quota",
           least(col("n"), expr(s"($budget * part) div ${partsTotal}L")))
         .select("stratum", "quota"))
+    drawByQuota(keyed, quotas)
+  }
+
+  /** Redistribution rounds for [[waterfillMix]] — each round can absorb
+    * one saturation cascade, so K rounds settle any recipe whose
+    * saturations chain at most K deep; whatever integer flooring leaves
+    * after K rounds stays UNDRAWN, identically in both engines (the
+    * oracle unrolls the same K rounds), preserving determinism over
+    * last-row exactness. */
+  val WaterfillRounds = 8
+
+  /** [[targetMix]] with the shortfall REDISTRIBUTED: when a stratum
+    * saturates (n_i below its recipe quota), the undrawn remainder is
+    * re-split across the unsaturated strata by their recipe parts —
+    * iteratively, since redistribution can saturate further strata
+    * (the classic waterfilling loop, here as [[WaterfillRounds]]
+    * unrolled integer rounds). Each round, entirely in-plan over the
+    * #strata-row frame (no stratum ever rides the driver — the q57
+    * convention):
+    *
+    *   rem   = budget − Σ q_i                (window sum)
+    *   ap    = Σ parts of unsaturated strata (window sum)
+    *   q_i  += (rem · part_i) div ap         (unsaturated only)
+    *   q_i   = min(n_i, q_i)
+    *
+    * All arithmetic is long-integer; `rem · part` is guarded by the
+    * same `part ≤ Long.MaxValue / budget` require as [[targetMix]]
+    * (rem ≤ budget). Flooring can stall a round (every alloc 0) —
+    * stalls are idempotent, so trailing rounds are no-ops and the
+    * residual (< Σ active parts) stays undrawn by contract. Strata in
+    * the recipe but absent from the corpus drop out of the frame, so
+    * their shares redistribute naturally from round 1. Same md5 draw,
+    * same [[drawByQuota]] scale shape. */
+  def waterfillMix(df: DataFrame, strataCol: String, idCol: String,
+      budget: Long, parts: Map[String, Long]): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      s"recipe parts must be positive: $parts")
+    parts.values.foreach(p => require(p <= Long.MaxValue / budget,
+      s"part $p times budget $budget overflows the long quota arithmetic"))
+    val keyed = df.select(col(strataCol).cast("string").as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      md5(col(idCol).cast("string")).as("pick"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = parts.toSeq.toDF("stratum", "part")
+    val w = Window.partitionBy(lit(1))
+    var q = keyed.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .join(broadcast(recipe), "stratum") // inner: unlisted strata drop
+      .withColumn("q", lit(0L))
+    for (_ <- 1 to WaterfillRounds)
+      q = q
+        .withColumn("tq", sum(col("q")).over(w))
+        .withColumn("ap",
+          sum(when(col("q") < col("n"), col("part")).otherwise(0L)).over(w))
+        .withColumn("q", least(col("n"), col("q") +
+          when(col("q") < col("n") && col("ap") > 0,
+            expr(s"((${budget}L - tq) * part) div ap")).otherwise(0L)))
+        .select("stratum", "n", "part", "q")
+    val quotas = graft.ops.Materialize.barrier(
+      q.select(col("stratum"), col("q").as("quota")))
     drawByQuota(keyed, quotas)
   }
 
@@ -246,6 +307,37 @@ object Sampling {
        |  FROM documents)
        |SELECT r.stratum, r.doc_id, r.rn FROM ranked r JOIN q USING (stratum)
        |WHERE r.rn <= q.quota ORDER BY stratum, doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[waterfillMix]] over `documents`, strata =
+    * `lang` — the SAME [[WaterfillRounds]] integer rounds unrolled as a
+    * CTE chain (`q0 … qK`), then the ranked draw. `//` ≡ Spark `div` on
+    * the non-negative operands here (rem ≥ 0, parts > 0). */
+  def waterfillOracleSql(budget: Long, parts: Map[String, Long]): String = {
+    val values = parts.toSeq.sorted
+      .map { case (s, p) => s"('${s.replace("'", "''")}', ${p}::BIGINT)" }
+      .mkString(", ")
+    val rounds = (1 to WaterfillRounds).map { r =>
+      s"""q$r AS (SELECT stratum, n, part,
+         |  least(n, q + CASE WHEN q < n AND ap > 0
+         |    THEN (($budget - tq) * part) // ap ELSE 0 END) AS q
+         |  FROM (SELECT stratum, n, part, q, sum(q) OVER () AS tq,
+         |          sum(CASE WHEN q < n THEN part ELSE 0 END) OVER () AS ap
+         |        FROM q${r - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sizes AS (SELECT lang AS stratum, count(*) AS n
+       |              FROM documents GROUP BY 1),
+       |recipe(stratum, part) AS (VALUES $values),
+       |q0 AS (SELECT s.stratum, s.n, r.part, 0::BIGINT AS q
+       |       FROM sizes s JOIN recipe r ON s.stratum = r.stratum),
+       |$rounds,
+       |ranked AS (SELECT lang AS stratum, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.stratum, r.doc_id, r.rn
+       |FROM ranked r JOIN q$WaterfillRounds f USING (stratum)
+       |WHERE r.rn <= f.q ORDER BY stratum, doc_id""".stripMargin
   }
 
   /** DuckDB oracle for [[stratified]] over table `documents`, strata =

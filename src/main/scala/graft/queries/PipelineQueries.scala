@@ -406,6 +406,14 @@ object PipelineQueries {
       MinHashDedup.stratifiedContainmentPairs(Tables.load(s, sf, "documents"),
         "doc_id", "text", 0.6)),
 
+    // Waterfilled recipe mixture: q61's recipe with saturated strata's
+    // shortfall REDISTRIBUTED across the unsaturated ones by recipe
+    // share — K unrolled integer rounds, in-plan, no stratum on the
+    // driver. Budget high enough that 'de'/'fr' saturate and cascade.
+    "q64_waterfill_mix" -> ((s, sf) =>
+      Sampling.waterfillMix(Tables.load(s, sf, "documents"), "lang", "doc_id",
+        400L, TargetRecipe)),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -542,6 +550,8 @@ object PipelineQueries {
     "q62_containment_stratified" -> MinHashDedup.stratifiedOracleSql(0.6),
 
     "q63_dedup_manifest" -> DupClusters.dedupManifestOracleSql(0.5, 0.1),
+
+    "q64_waterfill_mix" -> Sampling.waterfillOracleSql(400L, TargetRecipe),
 
     "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )

@@ -35,7 +35,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q60_containment", // jaccard-machinery hotMembers frame
     "q61_target_mix", // Sampling.targetMix: per-stratum quota frame
     "q62_containment_stratified", // stratified index membership frame
-    "q63_dedup_manifest") // nearDupPairs sig + CC edge cache (inline-released)
+    "q63_dedup_manifest", // nearDupPairs sig + CC edge cache (inline-released)
+    "q64_waterfill_mix") // Sampling.waterfillMix: per-stratum quota frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

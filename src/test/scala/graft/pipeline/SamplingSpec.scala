@@ -144,6 +144,56 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  /** The waterfill rounds replayed in plain Scala on collected sizes —
+    * the driver-side reference for the in-plan unrolled loop. */
+  private def naiveWaterfill(sizes: Map[String, Long], budget: Long,
+      parts: Map[String, Long]): Map[String, Long] = {
+    var q = parts.keys.filter(sizes.contains).map(_ -> 0L).toMap
+    for (_ <- 1 to Sampling.WaterfillRounds) {
+      val rem = budget - q.values.sum
+      val ap = q.collect { case (s, v) if v < sizes(s) => parts(s) }.sum
+      q = q.map { case (s, v) =>
+        s -> (if (v < sizes(s) && ap > 0)
+          math.min(sizes(s), v + rem * parts(s) / ap) else v)
+      }
+    }
+    q
+  }
+
+  test("waterfillMix redistributes saturated shortfall; ≡ naive round replay") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recipe = Map("en" -> 30L, "de" -> 25L, "es" -> 25L, "fr" -> 20L)
+    for (budget <- Seq(340L, 400L, 5000L)) {
+      val quotas = naiveWaterfill(sizes, budget, recipe)
+      val expect = naive(docs, Int.MaxValue).filter { case (stratum, _, rn) =>
+        quotas.get(stratum).exists(rn <= _) }
+      val got = mixReleased {
+        Sampling.waterfillMix(docs, "lang", "doc_id", budget, recipe)
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      assert(got == expect, s"budget=$budget quotas=$quotas")
+      // Per-stratum caps hold and unlisted strata stay at zero.
+      val drawn = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      drawn.foreach { case (s, d) => assert(d <= sizes(s), s) }
+      assert(!got.exists(_._1 == "zh"))
+      val capacity = recipe.keys.map(sizes).sum
+      if (budget <= capacity) {
+        // The redistribution's point: the budget is spent to within the
+        // documented flooring residual (< Σ parts — a stalled round has
+        // every alloc floor to 0), where targetMix leaves the whole
+        // saturated shortfall undrawn.
+        val residual = budget - got.size.toLong
+        assert(residual >= 0 && residual < recipe.values.sum,
+          s"budget=$budget drew ${got.size}")
+      } else assert(got.size.toLong == capacity)
+      val plain = mixReleased {
+        Sampling.targetMix(docs, "lang", "doc_id", budget, recipe).count() }
+      assert(got.size >= plain, s"budget=$budget")
+    }
+  }
+
   test("targetMix oracle SQL ''-escapes a quoting stratum name") {
     // targetMix itself handles ANY stratum string; the VALUES literal in
     // its oracle must too (ADVICE r10) — an embedded quote would either

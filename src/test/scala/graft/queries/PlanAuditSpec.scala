@@ -157,7 +157,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  for (name <- Seq("q57_temperature_mix", "q61_target_mix"))
+  for (name <- Seq("q57_temperature_mix", "q61_target_mix", "q64_waterfill_mix"))
     test(s"$name: per-stratum quotas apply through a broadcast join on the cached quota frame") {
       // collecting/release, NOT releaseAll: a failed assert must still
       // release this test's quota frame, and releaseAll on the shared
