@@ -352,37 +352,187 @@ object MinHashDedup {
     * hash), so the oracle's [0, 2^32) values match them verbatim and
     * trailing zeros read the sampling level directly. Returns null on an
     * empty corpus (no strata to index). */
+  /** Cross-side containment of an ingest INCREMENT against the canonical
+    * CORPUS — [[stratifiedContainmentPairs]]'s index applied the
+    * [[graft.pipeline.IncrementalDedup]] way: every reported pair has
+    * one increment side and one corpus side, never corpus×corpus (the
+    * admission question is "does the new document subsume / get
+    * subsumed by something we already hold", not "re-scan the corpus
+    * against itself"). Both directions of containment are covered —
+    * a new quote inside a held page AND a new page swallowing a held
+    * quote — because eligibility is the same z ≥ min(t_inc, t_corp)
+    * probe-level gate within [[StrataSpan]].
+    *
+    * Ids must be globally unique across the two frames (they key the
+    * shared payload attach). Active levels and the stop-shingle DF
+    * bound are computed over the UNION of both sides — a boilerplate
+    * shingle is boilerplate regardless of which side carries it. At
+    * deployment the corpus-side emission is a STORED sidecar (the q56
+    * convention — `CorpusWriter.writeAdmissionIndex`); this
+    * fixture-bound form recomputes it from text, overstating
+    * steady-state cost by the corpus pass (recorded in SCALING.md).
+    *
+    * Output: (inc_id, corp_id, n_inc, n_corp, containment) — both set
+    * sizes ride along so the consumer knows which side is contained. */
+  def incrementalContainmentPairs(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, minCont: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val active = (activeLevels(corpus, textCol) ++
+      activeLevels(increment, textCol)).distinct.sorted
+    if (active.isEmpty)
+      return spark.range(0).select(col("id").as("inc_id"),
+        col("id").as("corp_id"), col("id").as("n_inc"), col("id").as("n_corp"),
+        col("id").cast("double").as("containment"))
+    // side rides the emission: 1 = increment, 0 = corpus.
+    val mem = graft.ops.Materialize.barrier(
+      sampledEmission(corpus, idCol, textCol, active.toArray)
+        .withColumn("side", lit(0))
+        .unionAll(sampledEmission(increment, idCol, textCol, active.toArray)
+          .withColumn("side", lit(1))))
+    // Hot cells need a possible cross-side pair: 2..MaxKeyDf members
+    // TOTAL (the stop-shingle bound is side-agnostic), at least one
+    // member from EACH side, and a possible probe (some member's own
+    // stratum sampled here) — all riding one count aggregate.
+    val hot = mem.groupBy("skey")
+      .agg(count(lit(1)).as("df"),
+        sum(col("side")).as("incs"),
+        sum(when(expr("(skey & (shiftleft(CAST(1 AS BIGINT), t) - 1)) = 0"),
+          1L).otherwise(0L)).as("probes"))
+      .filter(col("df") >= 2 && col("df") <= MaxKeyDf &&
+        col("incs") >= 1 && col("incs") < col("df") && col("probes") >= 1)
+      .select("skey")
+    val hotMem = mem.join(hot, Seq("skey"))
+    val hotIds = hotMem.select(col("doc_id")).distinct()
+    val payload = shingled(
+      corpus.select(col(idCol), col(textCol))
+        .unionAll(increment.select(col(idCol), col(textCol)))
+        .join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol).hint("merge")
+    val cells = hotMem.join(payload, "doc_id")
+      .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
+        array(col("t").cast("long"), col("side").cast("long")).as("aux"),
+        col("shingles"))
+      .as[(Int, Long, Long, Array[Long], Array[Int])]
+    scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
+      (_, skey, ids, aux, sets) =>
+        val z = java.lang.Long.numberOfTrailingZeros(skey)
+        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+        val side = ids.iterator.zip(aux.iterator.map(_(1))).toMap
+        cellPairScan(ids)(
+          { (i, j) =>
+            val (ti, tj) = (aux(i)(0), aux(j)(0))
+            aux(i)(1) != aux(j)(1) &&
+              z >= math.min(ti, tj) && math.abs(ti - tj) <= StrataSpan
+          },
+          { (i, j) =>
+            val inter = sortedIntersect(sets(i), sets(j))
+            inter / math.min(sets(i).length, sets(j).length).toDouble
+          }, _ >= minCont).map { case (a, b, c) =>
+          val (inc, corp) = if (side(a) == 1L) (a, b) else (b, a)
+          (inc, corp, size(inc).toLong, size(corp).toLong, c)
+        }
+    }.toDF("inc_id", "corp_id", "n_inc", "n_corp", "containment")
+      .distinct()
+      .orderBy("inc_id", "corp_id")
+  }
+
+  /** DuckDB oracle for [[incrementalContainmentPairs]] on table
+    * `documents`, increment = rows satisfying `incPredSql` (the q56
+    * fixture convention) — same CTEs as [[stratifiedOracleSql]] with the
+    * side flag threaded through the hot filter and the cross-side
+    * candidate gate. */
+  def incrementalContainmentOracleSql(incPredSql: String,
+      minCont: Double): String = {
+    val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
+    s"""WITH sh AS (
+       |  SELECT doc_id, CASE WHEN $incPredSql THEN 1 ELSE 0 END AS side,
+       |    list_distinct(list_transform(
+       |    range(1, length(text) - ${ShingleK - 2}), i -> $sh)) AS shingles,
+       |    (length(bin(greatest((length(text) - ${ShingleK - 1}) // $SampleTarget, 1))) - 1) AS t
+       |  FROM documents WHERE length(text) >= $ShingleK),
+       |act AS (SELECT DISTINCT t AS l FROM sh),
+       |mem AS (
+       |  SELECT DISTINCT doc_id, side, t, skey FROM (
+       |    SELECT s.doc_id, s.side, s.t,
+       |      unnest(list_filter(s.shingles, x -> (x & ((1::BIGINT << a.l) - 1)) = 0)) AS skey
+       |    FROM sh s JOIN act a ON a.l BETWEEN greatest(s.t - $StrataSpan, 0) AND s.t)),
+       |hot AS (SELECT skey FROM mem GROUP BY skey
+       |        HAVING count(*) BETWEEN 2 AND $MaxKeyDf
+       |           AND sum(side) >= 1 AND sum(side) < count(*)
+       |           AND sum(CASE WHEN (skey & ((1::BIGINT << t) - 1)) = 0
+       |                        THEN 1 ELSE 0 END) >= 1),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corp_id
+       |  FROM mem i JOIN hot h ON i.skey = h.skey
+       |       JOIN mem c ON c.skey = h.skey
+       |  WHERE i.side = 1 AND c.side = 0
+       |    AND abs(i.t - c.t) <= $StrataSpan
+       |    AND (h.skey & ((1::BIGINT << least(i.t, c.t)) - 1)) = 0),
+       |ex AS (
+       |  SELECT cd.inc_id, cd.corp_id,
+       |    len(list_filter(si.shingles, x -> list_contains(sc.shingles, x))) AS inter,
+       |    len(si.shingles) AS ni, len(sc.shingles) AS nc
+       |  FROM cand cd
+       |  JOIN sh si ON si.doc_id = cd.inc_id
+       |  JOIN sh sc ON sc.doc_id = cd.corp_id)
+       |SELECT inc_id, corp_id, ni AS n_inc, nc AS n_corp,
+       |  inter / CAST(least(ni, nc) AS DOUBLE) AS containment
+       |FROM ex WHERE inter / CAST(least(ni, nc) AS DOUBLE) >= $minCont
+       |ORDER BY inc_id, corp_id""".stripMargin
+  }
+
+  /** Stratum SQL for one text column — the scan-cheap log2 window-count
+    * bucket (see [[stratifiedContainmentPairs]] step 1). */
+  private def stratumSqlFor(textCol: String): String =
+    s"CAST(length(bin(greatest((length($textCol) - ${ShingleK - 1}) div " +
+      s"$SampleTarget, 1))) - 1 AS INT)"
+
+  /** Active probe levels of a document frame — a length-only aggregate
+    * collapsing to ≤64 rows (strata are log2 buckets of a long),
+    * collected as bounded driver metadata (the ScalableCumSum O(P)
+    * convention). */
+  private def activeLevels(docs: DataFrame, textCol: String): Array[Int] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col(textCol)) >= ShingleK)
+      .select(expr(stratumSqlFor(textCol)).as("t"))
+      .distinct().as[Int].collect().sorted
+  }
+
+  /** The slim index emission over one document frame — one scan, ONE
+    * filter pass per document (no per-level HOF re-scan: a shingle is
+    * kept iff its trailing zeros reach some active level inside the
+    * document's [t − StrataSpan, t] window, a handful of bit tests).
+    * Rows are (doc_id, t, skey) with skey the unsigned 32-bit shingle. */
+  private def sampledEmission(docs: DataFrame, idCol: String,
+      textCol: String, active: Array[Int]): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val keep = active.map(a =>
+      s"($a >= greatest(t - $StrataSpan, 0) AND $a <= t " +
+        s"AND (u & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
+    docs.filter(length(col(textCol)) >= ShingleK)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.shingleSet(col(textCol)).as("shingles"),
+        expr(stratumSqlFor(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
+          s"u -> $keep)")).as("skey"))
+  }
+
   private def stratifiedCells(docs: DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {
     val spark = docs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val k = ShingleK
-    val stratumSql =
-      s"CAST(length(bin(greatest((length($textCol) - ${k - 1}) div $SampleTarget, 1))) - 1 AS INT)"
-    // Pass 1: active probe levels — a length-only aggregate collapsing
-    // to ≤64 rows (strata are log2 buckets of a long), collected as
-    // bounded driver metadata (the ScalableCumSum O(P) convention).
-    val active = docs.filter(length(col(textCol)) >= k)
-      .select(expr(stratumSql).as("t")).distinct().as[Int].collect().sorted
+    val active = activeLevels(docs, textCol)
     if (active.isEmpty) return null
-    val d = docs.filter(length(col(textCol)) >= k)
-      .select(col(idCol).as("doc_id"),
-        GraftFunctions.shingleSet(col(textCol)).as("shingles"),
-        expr(stratumSql).as("t"))
-    // Pass 2: the slim index emission — one corpus scan, ONE filter pass
-    // per document (no per-level HOF re-scan: a shingle is kept iff its
-    // trailing zeros reach some active level inside the document's
-    // [t − StrataSpan, t] window, a handful of bit tests). Barriered: it
-    // feeds the hot-cell aggregate AND the membership join, and an
-    // uncached shared frame would re-shingle the corpus per branch.
-    val keep = active.map(a =>
-      s"($a >= greatest(t - $StrataSpan, 0) AND $a <= t " +
-        s"AND (u & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
-    val mem = graft.ops.Materialize.barrier(d
-      .select(col("doc_id"), col("t"), explode(expr(
-        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
-          s"u -> $keep)")).as("skey")))
+    // Barriered: the emission feeds the hot-cell aggregate AND the
+    // membership join, and an uncached shared frame would re-shingle
+    // the corpus per branch.
+    val mem = graft.ops.Materialize.barrier(
+      sampledEmission(docs, idCol, textCol, active))
     // Hot cells: ≥2 members (a pair exists), ≤ MaxKeyDf (stop-shingle
     // drop), and ≥1 member that can PROBE through this shingle (its own
     // stratum sampled here: skey mod 2^t = 0) — a cell of pure hosts can

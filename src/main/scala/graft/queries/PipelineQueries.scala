@@ -414,6 +414,18 @@ object PipelineQueries {
       Sampling.waterfillMix(Tables.load(s, sf, "documents"), "lang", "doc_id",
         400L, TargetRecipe)),
 
+    // Incremental containment: subsumption of the ingest increment
+    // (every 5th doc, the q56 split) against the canonical corpus —
+    // cross-side pairs only, never corpus×corpus; both directions of
+    // containment through the stratified index's probe-level gate.
+    "q65_incremental_containment" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      MinHashDedup.incrementalContainmentPairs(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", 0.6)
+    }),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -552,6 +564,9 @@ object PipelineQueries {
     "q63_dedup_manifest" -> DupClusters.dedupManifestOracleSql(0.5, 0.1),
 
     "q64_waterfill_mix" -> Sampling.waterfillOracleSql(400L, TargetRecipe),
+
+    "q65_incremental_containment" ->
+      MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
 
     "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )

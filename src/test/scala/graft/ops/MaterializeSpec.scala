@@ -36,7 +36,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q61_target_mix", // Sampling.targetMix: per-stratum quota frame
     "q62_containment_stratified", // stratified index membership frame
     "q63_dedup_manifest", // nearDupPairs sig + CC edge cache (inline-released)
-    "q64_waterfill_mix") // Sampling.waterfillMix: per-stratum quota frame
+    "q64_waterfill_mix", // Sampling.waterfillMix: per-stratum quota frame
+    "q65_incremental_containment") // two-sided stratified index frame
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

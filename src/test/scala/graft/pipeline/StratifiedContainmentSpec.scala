@@ -97,6 +97,44 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     assert(small.forall(_.getDouble(4) == 1.0))
   }
 
+  test("incremental containment: cross-side only, both directions, q62-consistent") {
+    // Corpus holds a page and a small note; the increment brings a
+    // quote FROM the page (new-inside-held) and a page CONTAINING the
+    // note (held-inside-new) — both directions must surface, and
+    // corpus-internal / increment-internal subsumption must NOT.
+    val page = randText(31, 3000)
+    val note = randText(37, 80)
+    val corpus = Seq((1L, page), (2L, note), (3L, page.substring(100, 160)))
+      .toDF("doc_id", "text") // doc 3: corpus-internal quote of doc 1
+    val increment = Seq((10L, page.substring(1500, 1560)),
+      (11L, randText(41, 2500) + note + randText(43, 400)))
+      .toDF("doc_id", "text")
+    val got = released {
+      MinHashDedup.incrementalContainmentPairs(corpus, increment,
+        "doc_id", "text", 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    }
+    assert(got.exists(p => p._1 == 10L && p._2 == 1L && p._3 == 1.0),
+      got.mkString(",")) // new quote inside held page
+    assert(got.exists(p => p._1 == 11L && p._2 == 2L && p._3 == 1.0),
+      got.mkString(",")) // held note inside new page
+    // Never a same-side pair: every inc_id is from the increment,
+    // every corp_id from the corpus.
+    assert(got.forall(p => p._1 >= 10L && p._2 < 10L), got.mkString(","))
+    // The full-corpus q62 on the union sees the same cross pairs with
+    // identical scores (plus the within-side ones q65 excludes).
+    val all = released {
+      MinHashDedup.stratifiedContainmentPairs(corpus.unionAll(increment),
+        "doc_id", "text", 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    }
+    got.foreach { case (inc, corp, c) =>
+      val (a, b) = if (inc < corp) (inc, corp) else (corp, inc)
+      assert(all.contains((a, b, c)), s"($inc,$corp)")
+    }
+    assert(all.exists(p => p._1 == 1L && p._2 == 3L), all.mkString(","))
+  }
+
   test("reported scores match driver-side brute force on a random corpus") {
     val frags = IndexedSeq(
       "the quick brown fox jumps over the lazy dog",

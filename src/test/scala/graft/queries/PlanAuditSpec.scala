@@ -179,9 +179,10 @@ class PlanAuditSpec extends AnyFunSuite {
       } finally graft.ops.Materialize.release(frames)
     }
 
-  test("q62: stratified containment never goes cartesian; payload merge-joins") {
+  for (name <- Seq("q62_containment_stratified", "q65_incremental_containment"))
+  test(s"$name: stratified containment never goes cartesian; payload merge-joins") {
     val (df, frames) = graft.ops.Materialize.collecting {
-      val d = SparkEntry.queries("q62_containment_stratified")(spark, TestSpark.Sf)
+      val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
       d.collect()
       d
     }
