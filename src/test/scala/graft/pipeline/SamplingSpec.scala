@@ -194,6 +194,28 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("waterfillMix ≡ naive across a budget sweep (cascade/stall boundary hunt)") {
+    // Sweep budgets across the saturation boundaries of every stratum —
+    // each crossing changes which round a stratum saturates in and
+    // where integer flooring stalls; the in-plan rounds must track the
+    // driver-side replay through all of them.
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recipe = Map("en" -> 30L, "de" -> 25L, "es" -> 25L, "fr" -> 20L)
+    val ranked = naive(docs, Int.MaxValue)
+    for (budget <- 37L to 437L by 40L) {
+      val quotas = naiveWaterfill(sizes, budget, recipe)
+      val expect = ranked.filter { case (stratum, _, rn) =>
+        quotas.get(stratum).exists(rn <= _) }
+      val got = mixReleased {
+        Sampling.waterfillMix(docs, "lang", "doc_id", budget, recipe)
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      assert(got == expect, s"budget=$budget quotas=$quotas")
+    }
+  }
+
   test("targetMix oracle SQL ''-escapes a quoting stratum name") {
     // targetMix itself handles ANY stratum string; the VALUES literal in
     // its oracle must too (ADVICE r10) — an embedded quote would either

@@ -135,6 +135,85 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     assert(all.exists(p => p._1 == 1L && p._2 == 3L), all.mkString(","))
   }
 
+  /** Independent full-semantics reference of the stratified generator —
+    * strata, one-per-shingle emissions, active levels, hot filter
+    * (2..MaxKeyDf + possible probe), in-cell gates and exact scoring,
+    * all re-derived from the scaladoc in plain driver Scala. The
+    * randomized gate below plays the role the band path's join-mirror
+    * equivalence tests play for q22/q27. */
+  private def referencePairs(docs: Seq[(Long, String)],
+      minCont: Double): Set[(Long, Long, Long, Long, Double)] = {
+    val k = MinHashDedup.ShingleK
+    val span = MinHashDedup.StrataSpan
+    def rh(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) & 0xFFFFFFFFL)
+      h
+    }
+    val info = docs.filter(_._2.length >= k).map { case (id, text) =>
+      val set = (0 to text.length - k).map(i => rh(text.substring(i, i + k))).toSet
+      val m = math.max((text.length - k + 1) / MinHashDedup.SampleTarget, 1L)
+      val t = (63 - java.lang.Long.numberOfLeadingZeros(m)).toInt
+      (id, set, t)
+    }
+    val active = info.map(_._3).toSet
+    def lo(t: Int) = math.max(t - span, 0)
+    val mem = info.flatMap { case (id, set, t) =>
+      set.toSeq.filter(u => active.exists(a =>
+        a >= lo(t) && a <= t && (u & ((1L << a) - 1)) == 0)).map(u => (u, id, t))
+    }
+    val byId = info.map(i => i._1 -> i).toMap
+    mem.groupBy(_._1).toSeq
+      .filter { case (u, ms) => ms.size >= 2 && ms.size <= MinHashDedup.MaxKeyDf &&
+        ms.exists { case (_, _, t) => (u & ((1L << t) - 1)) == 0 } }
+      .flatMap { case (u, ms) =>
+        val z = java.lang.Long.numberOfTrailingZeros(u)
+        for {
+          Seq((_, a, ta), (_, b, tb)) <- ms.sortBy(_._2).combinations(2).toSeq
+          if z >= math.min(ta, tb) && math.abs(ta - tb) <= span
+          inter = (byId(a)._2 & byId(b)._2).size
+          nA = byId(a)._2.size; nB = byId(b)._2.size
+          c = inter / math.min(nA, nB).toDouble
+          if c >= minCont
+        } yield (a, b, nA.toLong, nB.toLong, c)
+      }.toSet
+  }
+
+  test("Spark pipeline ≡ the independent reference on randomized corpora") {
+    val frags = IndexedSeq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow",
+      "how vexingly quick daft zebras jump",
+      "bright vixens jump dozy fowl quack")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // Mixed strata: word-salad docs of 1-6 fragments, occasionally
+      // inflated 10x so size ratios spread across several strata, plus
+      // planted substrings for true subsumption.
+      val base = (0L until 30L).map { id =>
+        val body = Seq.fill(1 + rnd.nextInt(6))(frags(rnd.nextInt(frags.length)))
+          .mkString(" ")
+        (id, (if (id % 7 == 0) body * 10 else body) + s" tail${rnd.nextInt(5)}")
+      }
+      val planted = base.take(4).zipWithIndex.collect {
+        case ((_, text), i) if text.length > 120 =>
+          (100L + i, text.substring(30, 30 + 60 + rnd.nextInt(30)))
+      }
+      val corpus = base ++ planted
+      val expect = referencePairs(corpus, 0.3)
+      val got = released {
+        MinHashDedup.stratifiedContainmentPairs(
+          corpus.toDF("doc_id", "text").repartition(5), "doc_id", "text", 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      }
+      assert(got == expect,
+        s"seed $seed: extra=${got -- expect} missing=${expect -- got}")
+      assert(expect.nonEmpty, s"seed $seed produced an empty reference")
+    }
+  }
+
   test("reported scores match driver-side brute force on a random corpus") {
     val frags = IndexedSeq(
       "the quick brown fox jumps over the lazy dog",
