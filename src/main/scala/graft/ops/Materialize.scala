@@ -127,9 +127,10 @@ object Materialize {
   }
 
   /** Identity snapshot of this session's registered frames — the
-    * test-side leak probe (MaterializeSpec asserts on WHICH frames are
-    * live, not on a count a same-plan stale twin's prune could mask). */
-  private[ops] def liveSnapshot(spark: SparkSession): Set[Dataset[_]] = {
+    * test-side leak probe (MaterializeSpec and HttpServiceSpec assert on
+    * WHICH frames are live, not on a count that other suites' leftovers
+    * or a same-plan stale twin's prune could skew). */
+  private[graft] def liveSnapshot(spark: SparkSession): Set[Dataset[_]] = {
     pruneStale(spark)
     live.asScala.toSet
       .filter(_.sparkSession.sharedState eq spark.sharedState)

@@ -123,6 +123,7 @@ object Importance {
   def selectTop(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, targetPred: Column, n: Int): DataFrame = {
     require(n > 0, s"selection size must be positive: $n")
+    // Stratum comes back as string (the Sampling.heapRank r11 contract).
     val keyed = scoredGrams(docs, idCol, textCol, targetPred, Some(strataCol))
       .select(col("stratum").cast("string").as("stratum"),
         col("doc_id"), col("score"))

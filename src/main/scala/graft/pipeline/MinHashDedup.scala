@@ -379,8 +379,10 @@ object MinHashDedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val active = (activeLevels(corpus, textCol) ++
-      activeLevels(increment, textCol)).distinct.sorted
+    // ONE length-only aggregate over the union — not a collect per side.
+    val active = activeLevels(
+      corpus.select(col(idCol), col(textCol))
+        .unionAll(increment.select(col(idCol), col(textCol))), textCol)
     if (active.isEmpty)
       return spark.range(0).select(col("id").as("inc_id"),
         col("id").as("corp_id"), col("id").as("n_inc"), col("id").as("n_corp"),

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** (stratum, doc_id, rn) with rn = 1..n per stratum in md5 order. */
+  /** (stratum, doc_id, rn) with rn = 1..n per stratum in md5 order.
+    * The stratum column comes back as STRING whatever its input type
+    * (r11: the draw's heap phase runs on a typed tuple encoder — all
+    * real strata are language/source strings; a caller sampling on a
+    * numeric stratum should cast before joining back). The same
+    * contract applies to every mix in this object. */
   def stratified(df: DataFrame, strataCol: String, idCol: String, n: Int)
       : DataFrame = {
     require(n > 0, s"sample size must be positive: $n")

@@ -50,11 +50,23 @@ object JsonArrayRender {
   }
 
   /** Stream the DataFrame through `out` as one chunked JSON array. */
-  def render(df: DataFrame, out: String => Unit): Unit = {
+  def render(df: DataFrame, out: String => Unit): Unit =
+    renderWith(df, out, renderRecord)
+
+  /** Same array framing with the rows VERBATIM — the `/pipeline`
+    * analytics stream, where rows are data, not log records, so the
+    * key/value try-parse must not apply. One copy of the
+    * pioneer/comma framing contract serves both routes (the console's
+    * incremental parser depends on it). */
+  def renderVerbatim(df: DataFrame, out: String => Unit): Unit =
+    renderWith(df, out, row => ", " + row)
+
+  private def renderWith(df: DataFrame, out: String => Unit,
+      perRecord: String => String): Unit = {
     out("[")
     out(Pioneer)
     val it = df.toJSON.toLocalIterator()
-    while (it.hasNext) out(renderRecord(it.next()))
+    while (it.hasNext) out(perRecord(it.next()))
     out("]")
   }
 }

@@ -196,12 +196,20 @@ final class HttpService(spark: SparkSession, port: Int,
     * `/pipeline` with no `name` lists the catalog.
     *
     * This is the end-to-end adopter of the [[graft.ops.Materialize]]
-    * release path (r9): the finally releases every query-lifetime cache
-    * once the response is done, so a long-lived service accumulates ZERO
-    * corpus-scale cached aggregates across requests. A release racing a
-    * concurrent request's execution is answer-preserving by the
-    * registry's determinism contract (MaterializeSpec pins it) — the
-    * racer recomputes, never misreads. */
+    * release path (r9), REQUEST-scoped: the frames this request
+    * registers are `collecting`-tracked and released on completion, so
+    * a long-lived service accumulates ZERO corpus-scale cached
+    * aggregates across requests — and a concurrent request's in-flight
+    * barrier caches are never touched (a blanket `releaseAll` would
+    * re-introduce the per-branch recompute the barrier exists to
+    * prevent, under any steady concurrent load).
+    *
+    * Unlike `/search` — whose build phase runs no Spark jobs — building
+    * a pipeline query EXECUTES work (barrier counts, bounded-metadata
+    * collects, the q63 CC loop), so the L3 deadline group opens BEFORE
+    * the build: a wall-clock expiry mid-build cancels the jobs and
+    * surfaces as a 400 (the response is uncommitted until the build
+    * succeeds). L4 client-cancel still applies from the first write. */
   private def pipelineHandler(ex: HttpExchange): Unit = {
     val args = try queryArgs(ex) catch { case e: Exception =>
       return reply(ex, 400, errorJson(e.getMessage))
@@ -224,45 +232,50 @@ final class HttpService(spark: SparkSession, port: Int,
       case Some(q) => q
       case None => return reply(ex, 400, errorJson(s"unknown query: $name"))
     }
-    // Build + analyze pre-commit (the /search discipline): a bad dir or
-    // a build-time contract error still reaches the 400 channel.
-    val df = try {
-      val d = query(spark, dir)
-      d.schema // force analysis
-      d
-    } catch { case e: Exception =>
-      graft.ops.Materialize.releaseAll(spark) // a failed build may have cached
-      return reply(ex, 400, errorJson(e.getMessage))
-    }
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(200, 0L) // chunked
-    val os: OutputStream = ex.getResponseBody
-    val out: String => Unit = s => { os.write(s.getBytes(StandardCharsets.UTF_8)); os.flush() }
-    try {
-      // L3/L4 exactly like /search: wall-clock kill switch around the
-      // run; a client disconnect cancels the job group.
+    var toClose: Option[OutputStream] = None
+    val (_, frames) = graft.ops.Materialize.collecting {
       graft.ops.Deadline.withDeadlineGroup(spark, config.stopConsumersAfterNSeconds) { group =>
-        try {
-          out("[")
-          out(JsonArrayRender.Pioneer)
-          val it = df.toJSON.toLocalIterator()
-          while (it.hasNext) out(", " + it.next())
-          out("]")
-        } catch { case e: java.io.IOException =>
-          graft.ops.Deadline.cancel(spark, group); throw e
+        // Build + analyze pre-commit (the /search discipline): a bad
+        // dir, a build-time contract error, or the deadline expiring
+        // mid-build all reach the 400 channel.
+        val built = try {
+          val d = query(spark, dir)
+          d.schema // force analysis
+          Right(d)
+        } catch { case e: Exception =>
+          Left(if (e.getMessage == null) e.toString else e.getMessage)
+        }
+        built match {
+          case Left(msg) => reply(ex, 400, errorJson(msg))
+          case Right(df) =>
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, 0L) // chunked
+            val os: OutputStream = ex.getResponseBody
+            toClose = Some(os)
+            val out: String => Unit = s => {
+              os.write(s.getBytes(StandardCharsets.UTF_8)); os.flush()
+            }
+            try {
+              try JsonArrayRender.renderVerbatim(df, out)
+              catch { case e: java.io.IOException =>
+                graft.ops.Deadline.cancel(spark, group); throw e
+              }
+            } catch {
+              case _: java.io.IOException => () // client went away (L4)
+              case e: org.apache.spark.SparkException
+                  if e.getMessage != null && e.getMessage.contains("cancelled") => ()
+              case e: Exception =>
+                System.err.println(
+                  s"[graft-http] pipeline mid-stream failure: ${e.getMessage}")
+            }
         }
       }
-    } catch {
-      case _: java.io.IOException => () // client went away (L4)
-      case e: org.apache.spark.SparkException
-          if e.getMessage != null && e.getMessage.contains("cancelled") => ()
-      case e: Exception =>
-        System.err.println(s"[graft-http] pipeline mid-stream failure: ${e.getMessage}")
-    } finally {
-      os.close()
-      // The request is complete — its query-lifetime caches go NOW.
-      graft.ops.Materialize.releaseAll(spark)
     }
+    // Release THIS request's caches BEFORE the close sends the chunked
+    // terminator the client treats as EOF — "response done ⇒ caches
+    // gone" is an ordering guarantee, not a race.
+    graft.ops.Materialize.release(frames)
+    toClose.foreach(os => try os.close() catch { case _: Exception => () })
   }
 
   private def route(path: String)(h: HttpExchange => Unit): Unit =

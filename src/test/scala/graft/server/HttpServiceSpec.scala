@@ -195,15 +195,20 @@ class HttpServiceSpec extends AnyFunSuite {
   test("/pipeline runs an analytics query and releases its caches on completion") {
     // q51_tfidf registers a query-lifetime cached aggregate — the exact
     // long-lived-service leak the Materialize release path exists for.
-    // The route must stream the result AND leave the registry empty.
+    // The route must stream the result AND leave no NEW registered
+    // frame behind (identity, not a zero-count: the shared test session
+    // legitimately holds other suites' frames, and the release is
+    // request-scoped by design — it must not touch them).
+    val before = graft.ops.Materialize.liveSnapshot(spark)
     val (status, body) = get(s"/pipeline?name=q51_tfidf&dir=${TestSpark.Sf}")
     assert(status == 200)
     val arr = mapper.readTree(body)
     assert(arr.isArray && arr.size() > 1, body.take(200))
     assert(arr.get(0).get("type").asText() == "pioneer")
     assert(arr.get(1).has("doc_id"), arr.get(1).toString)
-    assert(graft.ops.Materialize.liveCount(spark) == 0,
-      "pipeline request left registered caches behind")
+    val leaked = graft.ops.Materialize.liveSnapshot(spark) -- before
+    assert(leaked.isEmpty,
+      s"pipeline request left ${leaked.size} registered caches behind")
   }
 
   test("/pipeline without a name lists the query catalog") {
@@ -222,9 +227,11 @@ class HttpServiceSpec extends AnyFunSuite {
     val (s2, b2) = get("/pipeline?name=q01_scan")
     assert(s2 == 400 && b2.contains("dir required"), b2)
     // A bad dir fails at build/analysis time — still 400, and the
-    // half-built query's caches are swept.
+    // half-built query's caches are swept (request-scoped: identity
+    // delta, not a zero-count on the shared session).
+    val before = graft.ops.Materialize.liveSnapshot(spark)
     val (s3, _) = get("/pipeline?name=q51_tfidf&dir=/no/such/dir")
     assert(s3 == 400)
-    assert(graft.ops.Materialize.liveCount(spark) == 0)
+    assert((graft.ops.Materialize.liveSnapshot(spark) -- before).isEmpty)
   }
 }
