@@ -134,6 +134,35 @@ object DupClusters {
     docs.join(dupMembers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonicalize: keep each cluster's BEST member — the
+    * maximum of `scoreCol`, ties broken by the smallest id — instead of
+    * [[canonicalize]]'s smallest id. The production keep-policy: dedup
+    * should retain the cleanest / longest / highest-quality copy of a
+    * duplicated page, not the numerically first one crawled. Documents
+    * in no pair survive untouched, and with `scoreCol` monotone
+    * DECREASING in id this degenerates to [[canonicalize]] exactly
+    * (equivalence-pinned in DupClustersSpec).
+    *
+    * Scale shape: one CC run, then ONE corpus-wide window keyed by the
+    * cluster root — the root domain is ≈ corpus-sized (every unpaired
+    * document is its own root), so parallelism is never capped by the
+    * cluster count, and the graph-sized cluster table keeps the corpus
+    * join AQE-broadcast in the common case (the [[canonicalize]] /
+    * [[groupSplit]] property). */
+  def canonicalizeBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id").as("cb_id"), col("cluster").as("cb_cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cb_root")
+      .orderBy(col(scoreCol).desc, col("cb_id_"))
+    docs.withColumn("cb_id_", col(idCol).cast("long"))
+      .join(cc, col("cb_id_") === col("cb_id"), "left")
+      .withColumn("cb_root", coalesce(col("cb_cluster"), col("cb_id_")))
+      .withColumn("cb_rank", row_number().over(w))
+      .filter(col("cb_rank") === 1)
+      .drop("cb_id_", "cb_id", "cb_cluster", "cb_root", "cb_rank")
+  }
+
   /** Leakage-safe train/validation split: every document receives the
     * split of its near-dup CLUSTER root (min id; documents in no pair
     * root themselves), so a held-out document's near-duplicates can
@@ -239,6 +268,18 @@ object DupClusters {
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** DuckDB oracle for [[canonicalizeBest]] on table `documents`,
+    * score = `scoreSql` (e.g. `n_chars` — keep the longest copy). */
+  def canonicalBestOracleSql(minSim: Double, scoreSql: String): String =
+    s"""${ccCtesSql(minSim)}
+       |SELECT doc_id, lang, source, n_chars FROM (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |    row_number() OVER (
+       |      PARTITION BY coalesce(cc.cluster, d.doc_id)
+       |      ORDER BY ($scoreSql) DESC, d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for [[dedupManifest]] on table `documents`. */
   def dedupManifestOracleSql(minSim: Double, valFrac: Double): String = {

@@ -426,6 +426,18 @@ object PipelineQueries {
         "doc_id", "text", 0.6)
     }),
 
+    // Quality-aware canonical corpus: each near-dup cluster keeps its
+    // LONGEST member (n_chars, ties to smallest id) — the production
+    // keep-policy, vs q40's keep-smallest-id.
+    "q66_canonical_best" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      DupClusters.canonicalizeBest(docs, "doc_id", pairs, "doc_a", "doc_b",
+        "n_chars")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -567,6 +579,8 @@ object PipelineQueries {
 
     "q65_incremental_containment" ->
       MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
+
+    "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 
     "q61_target_mix" -> Sampling.targetMixOracleSql(200L, TargetRecipe)
   )

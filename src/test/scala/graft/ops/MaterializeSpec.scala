@@ -37,7 +37,8 @@ class MaterializeSpec extends AnyFunSuite {
     "q62_containment_stratified", // stratified index membership frame
     "q63_dedup_manifest", // nearDupPairs sig + CC edge cache (inline-released)
     "q64_waterfill_mix", // Sampling.waterfillMix: per-stratum quota frame
-    "q65_incremental_containment") // two-sided stratified index frame
+    "q65_incremental_containment", // two-sided stratified index frame
+    "q66_canonical_best") // nearDupPairs sig + CC edge cache (inline-released)
 
   for (name <- cacheUsers)
     test(s"$name: consume, release, and no registered cache survives") {

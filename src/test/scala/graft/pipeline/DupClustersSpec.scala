@@ -126,6 +126,39 @@ class DupClustersSpec extends AnyFunSuite {
     assert(Seq(4L, 5L, 6L).forall(i => out(i)._1 == i))
   }
 
+  test("canonicalizeBest keeps the top-scoring member; ≡ canonicalize on anti-id score") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 20L), // cluster {1,2,3}
+      (7L, "d", 5L), (8L, "e", 5L), // cluster {7,8}: tie → smaller id
+      (9L, "f", 1L) // singleton
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val kept = DupClusters.canonicalizeBest(docs, "doc_id", pairs, "a", "b",
+      "quality").collect().map(_.getLong(0)).sorted.toSeq
+    // doc 2 wins {1,2,3} on quality 30; tie in {7,8} goes to doc 7;
+    // the singleton survives untouched.
+    assert(kept == Seq(2L, 7L, 9L))
+    // Output schema is the input's, no helper columns leak.
+    assert(DupClusters.canonicalizeBest(docs, "doc_id", pairs, "a", "b",
+      "quality").columns.toSeq == Seq("doc_id", "text", "quality"))
+    // With a score DECREASING in id, the best member IS the minimum id:
+    // canonicalizeBest degenerates to canonicalize exactly.
+    val fixture = Tables.load(spark, TestSpark.Sf, "documents").limit(200)
+    val fpairs = graft.ops.Materialize.barrier(
+      MinHashDedup.nearDupPairs(fixture, "doc_id", "text", 0.5))
+    try {
+      val best = DupClusters.canonicalizeBest(
+        fixture.withColumn("anti",
+          -org.apache.spark.sql.functions.col("doc_id")), "doc_id", fpairs,
+        "doc_a", "doc_b", "anti")
+        .collect().map(_.getLong(0)).toSet
+      val plain = DupClusters.canonicalize(fixture, "doc_id", fpairs,
+        "doc_a", "doc_b").collect().map(_.getLong(0)).toSet
+      assert(best == plain)
+      assert(best.nonEmpty)
+    } finally graft.ops.Materialize.release(Seq(fpairs))
+  }
+
   test("clusters-form groupSplit composes a precomputed cluster table (r10 verdict)") {
     // A handmade cluster table drives the splits directly — no CC run —
     // and every doc takes exactly its ROOT's md5 draw.
