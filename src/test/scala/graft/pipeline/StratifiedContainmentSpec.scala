@@ -142,7 +142,19 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     * randomized gate below plays the role the band path's join-mirror
     * equivalence tests play for q22/q27. */
   private def referencePairs(docs: Seq[(Long, String)],
-      minCont: Double): Set[(Long, Long, Long, Long, Double)] = {
+      minCont: Double): Set[(Long, Long, Long, Long, Double)] =
+    referenceCore(docs, minCont, None)
+
+  /** Two-sided variant — the reference for
+    * [[MinHashDedup.incrementalContainmentPairs]]: the hot filter adds
+    * the both-sides requirement, pairs are cross-side only, ordered
+    * (inc, corp). */
+  private def referenceCross(docs: Seq[(Long, String)], incIds: Set[Long],
+      minCont: Double): Set[(Long, Long, Long, Long, Double)] =
+    referenceCore(docs, minCont, Some(incIds))
+
+  private def referenceCore(docs: Seq[(Long, String)], minCont: Double,
+      incIds: Option[Set[Long]]): Set[(Long, Long, Long, Long, Double)] = {
     val k = MinHashDedup.ShingleK
     val span = MinHashDedup.StrataSpan
     def rh(s: String): Long = {
@@ -165,17 +177,23 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     val byId = info.map(i => i._1 -> i).toMap
     mem.groupBy(_._1).toSeq
       .filter { case (u, ms) => ms.size >= 2 && ms.size <= MinHashDedup.MaxKeyDf &&
-        ms.exists { case (_, _, t) => (u & ((1L << t) - 1)) == 0 } }
+        ms.exists { case (_, _, t) => (u & ((1L << t) - 1)) == 0 } &&
+        incIds.forall(inc => ms.exists(m => inc(m._2)) && ms.exists(m => !inc(m._2))) }
       .flatMap { case (u, ms) =>
         val z = java.lang.Long.numberOfTrailingZeros(u)
         for {
           Seq((_, a, ta), (_, b, tb)) <- ms.sortBy(_._2).combinations(2).toSeq
           if z >= math.min(ta, tb) && math.abs(ta - tb) <= span
+          if incIds.forall(inc => inc(a) != inc(b)) // cross-side only
           inter = (byId(a)._2 & byId(b)._2).size
           nA = byId(a)._2.size; nB = byId(b)._2.size
           c = inter / math.min(nA, nB).toDouble
           if c >= minCont
-        } yield (a, b, nA.toLong, nB.toLong, c)
+          (x, y, nX, nY) = incIds match {
+            case Some(inc) if inc(b) => (b, a, nB, nA) // inc first
+            case _ => (a, b, nA, nB)
+          }
+        } yield (x, y, nX.toLong, nY.toLong, c)
       }.toSet
   }
 
@@ -211,6 +229,21 @@ class StratifiedContainmentSpec extends AnyFunSuite {
       assert(got == expect,
         s"seed $seed: extra=${got -- expect} missing=${expect -- got}")
       assert(expect.nonEmpty, s"seed $seed produced an empty reference")
+
+      // The incremental form against its own two-sided reference on the
+      // same corpus, split doc_id % 5 (the q65 registration's split).
+      val incIds = corpus.map(_._1).filter(_ % 5 == 0).toSet
+      val expectX = referenceCross(corpus, incIds, 0.3)
+      val gotX = released {
+        MinHashDedup.incrementalContainmentPairs(
+          corpus.filterNot(d => incIds(d._1)).toDF("doc_id", "text"),
+          corpus.filter(d => incIds(d._1)).toDF("doc_id", "text"),
+          "doc_id", "text", 0.3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      }
+      assert(gotX == expectX,
+        s"seed $seed cross: extra=${gotX -- expectX} missing=${expectX -- gotX}")
     }
   }
 
