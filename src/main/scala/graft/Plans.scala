@@ -14,7 +14,9 @@ object Plans {
     "q42_decontam", "q48_kmeans", "q49_semantic_dedup", "q50_ivf_ann",
     "q51_tfidf", "q54_importance", "q55_importance_select",
     "q56_incremental_dedup", "q57_temperature_mix", "q58_overlap_matrix",
-    "q62_containment_stratified", "q63_dedup_manifest")
+    "q62_containment_stratified", "q63_dedup_manifest",
+    "q64_waterfill_mix", "q65_incremental_containment",
+    "q66_canonical_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
