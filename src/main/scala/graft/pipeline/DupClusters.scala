@@ -143,24 +143,30 @@ object DupClusters {
     * DECREASING in id this degenerates to [[canonicalize]] exactly
     * (equivalence-pinned in DupClustersSpec).
     *
-    * Scale shape: one CC run, then ONE corpus-wide window keyed by the
-    * cluster root — the root domain is ≈ corpus-sized (every unpaired
-    * document is its own root), so parallelism is never capped by the
-    * cluster count, and the graph-sized cluster table keeps the corpus
-    * join AQE-broadcast in the common case (the [[canonicalize]] /
-    * [[groupSplit]] property). */
+    * Scale shape: [[canonicalize]]'s exactly (r11 review) — the window
+    * runs over the GRAPH-sized member table only (docs appearing in a
+    * pair, id + score + cluster — three slim columns; unpaired
+    * documents never enter it), picks each cluster's losers, and one
+    * left-anti join drops them from the corpus. The corpus itself
+    * never shuffles — a corpus-wide root-keyed window would push every
+    * row INCLUDING the text payload through an exchange — and the
+    * graph-sized loser side keeps the anti-join AQE-broadcast in the
+    * common case. Near-dup graphs are many small clusters, so the
+    * member window's partition count is the cluster count — wide, not
+    * a skew wall. */
   def canonicalizeBest(docs: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String, scoreCol: String): DataFrame = {
     val cc = connectedComponents(pairs, srcCol, dstCol)
       .select(col("id").as("cb_id"), col("cluster").as("cb_cluster"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cb_root")
-      .orderBy(col(scoreCol).desc, col("cb_id_"))
-    docs.withColumn("cb_id_", col(idCol).cast("long"))
-      .join(cc, col("cb_id_") === col("cb_id"), "left")
-      .withColumn("cb_root", coalesce(col("cb_cluster"), col("cb_id_")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cb_cluster")
+      .orderBy(col("cb_score").desc, col("cb_id"))
+    val losers = docs
+      .select(col(idCol).cast("long").as("cb_doc"), col(scoreCol).as("cb_score"))
+      .join(cc, col("cb_doc") === col("cb_id")) // inner: members only
       .withColumn("cb_rank", row_number().over(w))
-      .filter(col("cb_rank") === 1)
-      .drop("cb_id_", "cb_id", "cb_cluster", "cb_root", "cb_rank")
+      .filter(col("cb_rank") > 1)
+      .select(col("cb_doc").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Leakage-safe train/validation split: every document receives the

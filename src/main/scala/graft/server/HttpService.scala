@@ -199,10 +199,15 @@ final class HttpService(spark: SparkSession, port: Int,
     * release path (r9), REQUEST-scoped: the frames this request
     * registers are `collecting`-tracked and released on completion, so
     * a long-lived service accumulates ZERO corpus-scale cached
-    * aggregates across requests — and a concurrent request's in-flight
-    * barrier caches are never touched (a blanket `releaseAll` would
-    * re-introduce the per-branch recompute the barrier exists to
-    * prevent, under any steady concurrent load).
+    * aggregates across requests — and a concurrent request running a
+    * DIFFERENT query keeps its in-flight barrier caches (a blanket
+    * `releaseAll` would drop them mid-execution and re-introduce the
+    * per-branch recompute the barrier exists to prevent). The honest
+    * remaining limit: Spark's CacheManager dedupes by logical plan, so
+    * two concurrent requests for the SAME query share one cache entry
+    * and the first completion dissolves it under the second — which
+    * then recomputes, never misreads (Materialize's determinism
+    * contract; MaterializeSpec pins the race).
     *
     * Unlike `/search` — whose build phase runs no Spark jobs — building
     * a pipeline query EXECUTES work (barrier counts, bounded-metadata
@@ -233,8 +238,13 @@ final class HttpService(spark: SparkSession, port: Int,
       case None => return reply(ex, 400, errorJson(s"unknown query: $name"))
     }
     var toClose: Option[OutputStream] = None
+    // The collecting body must RETURN NORMALLY on every path — an
+    // exception escaping it would lose the frame list before release
+    // could run (the r11 review's leak: a client vanishing between the
+    // build and the header write makes sendResponseHeaders/reply throw
+    // IOException) — so the whole deadline block is fenced.
     val (_, frames) = graft.ops.Materialize.collecting {
-      graft.ops.Deadline.withDeadlineGroup(spark, config.stopConsumersAfterNSeconds) { group =>
+      try graft.ops.Deadline.withDeadlineGroup(spark, config.stopConsumersAfterNSeconds) { group =>
         // Build + analyze pre-commit (the /search discipline): a bad
         // dir, a build-time contract error, or the deadline expiring
         // mid-build all reach the 400 channel.
@@ -269,6 +279,8 @@ final class HttpService(spark: SparkSession, port: Int,
                   s"[graft-http] pipeline mid-stream failure: ${e.getMessage}")
             }
         }
+      } catch { case e: Exception => // header write / 400 reply failed
+        System.err.println(s"[graft-http] pipeline aborted: ${e.getMessage}")
       }
     }
     // Release THIS request's caches BEFORE the close sends the chunked
