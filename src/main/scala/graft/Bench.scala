@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Sidecar tables (the q67 stored-index fixture) land here rather
+      // than under a cwd-relative spark-warehouse.
+      .config("spark.sql.warehouse.dir", "/tmp/graft-bench-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,8 +90,30 @@ object Bench {
         spark.catalog.clearCache()
         name -> (t, err)
       }.toMap
+    // Calibration canary (VERDICT r11 item 3): a fixed probe — one
+    // in-memory aggregate plus one small parquet scan, both independent
+    // of the query surface — timed before and after the timed passes.
+    // Min-of-2 interleaving defends against a contention band SHORTER
+    // than the run, but whole-box load inflates both passes together and
+    // the artifact silently reads as a regression (BENCH_r11 vs r10,
+    // adjudicated as load in VERDICT r11). The canary makes that
+    // readable off the artifact: a cross-round per-query ratio that
+    // tracks the canary ratio is box load; one that exceeds it is a real
+    // regression. The probe itself is warmed by the untimed warmup above
+    // (same range-sum + region-scan shapes), so JIT is not charged to
+    // the start sample.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id)")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
     val pass1 = timedPass()
     val pass2 = timedPass()
+    val calEnd = calibrate()
     val results = named.map { case (name, _) =>
       val passes = Seq(pass1(name), pass2(name))
       val ok = passes.collect { case (t, None) => t }
@@ -100,7 +125,8 @@ object Bench {
       s"\"$k\":\"${e.replace("\\", "\\\\").replace("\"", "\\\"")}\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","layout":"archive"}""")
+    val cal = s"""{"start":$calStart,"end":$calEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir","layout":"archive"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Sidecar tables (the q67 stored-index fixture) land here rather
+      // than under a cwd-relative spark-warehouse.
+      .config("spark.sql.warehouse.dir", "/tmp/graft-verify-warehouse")
       .config("spark.ui.enabled", "false")
       // Opt-in record-log cache: ~15 conformance queries share one scan of
       // the synthesized log at sf0.01 (general path stays uncached).

@@ -63,14 +63,28 @@ object Materialize {
     * `storageLevel` touches the owning session's CacheManager, and a
     * registry accessor running for session X must not side-effect
     * entries belonging to session Y. The one exception is an entry whose
-    * session has been STOPPED — its probe throws, nothing can ever
-    * release it, so it is dropped regardless of owner. */
+    * session has been STOPPED — its probe throws the stopped-context
+    * error, nothing can ever release it, so it is dropped regardless of
+    * owner. Only that SPECIFIC failure drops the entry (ADVICE r11): a
+    * transient probe failure (an interrupt mid-probe, say) keeps the
+    * entry registered — dropping it would orphan a still-cached frame
+    * that `releaseAll` could no longer reach. */
   private def pruneStale(spark: SparkSession): Unit =
     live.asScala.foreach { d =>
-      val stale = scala.util.Try {
-        (d.sparkSession.sharedState eq spark.sharedState) &&
-          d.storageLevel == StorageLevel.NONE
-      }.getOrElse(true) // stopped session: unreleasable, drop the ref
+      val stale =
+        try {
+          (d.sparkSession.sharedState eq spark.sharedState) &&
+            d.storageLevel == StorageLevel.NONE
+        } catch {
+          // SparkContext.assertNotStopped throws IllegalStateException
+          // ("Cannot call methods on a stopped SparkContext"); some probe
+          // paths wrap it in SparkException with the same marker text.
+          case _: IllegalStateException => true
+          case e: org.apache.spark.SparkException
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("stopped") => true
+          case scala.util.control.NonFatal(_) => false // transient: keep
+        }
       if (stale) live.remove(d)
     }
 

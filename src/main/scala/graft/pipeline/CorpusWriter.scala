@@ -38,12 +38,86 @@ object CorpusWriter {
     * aggregate (the one corpus-scale step of the exact check) runs with
     * NO exchange: the bucketed scan already delivers fp-hash
     * partitioning (IncrementalDedupSpec pins the exchange-free plan). */
+  /** A managed table's location can outlive its catalog entry: the
+    * in-memory catalog dies with the session while the warehouse
+    * directory persists, and the next session's CTAS then refuses with
+    * LOCATION_ALREADY_EXISTS even under Overwrite. Sidecars are
+    * rebuild-at-will artifacts, so an orphaned location (directory
+    * present, table absent) is deleted before writing. */
+  private def dropOrphanedLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
   def writeAdmissionIndex(corpus: DataFrame, idCol: String, textCol: String,
-      table: String, buckets: Int = 256): Unit =
+      table: String, buckets: Int = 256): Unit = {
+    dropOrphanedLocation(corpus.sparkSession, table)
     IncrementalDedup.index(corpus, idCol, textCol)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "fp")
       .sortBy("fp")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Store the corpus's STRATIFIED-CONTAINMENT sidecar (VERDICT r11
+    * item 1) — the [[writeAdmissionIndex]] convention applied to the
+    * trailing-zero index, written ONCE when the corpus lands so
+    * per-increment containment admission
+    * ([[MinHashDedup.incrementalContainmentPairs]]'s stored overload,
+    * q67) never touches corpus text again. Four tables:
+    *
+    *  - `{table}_mem` (skey, doc_id, t): the FLOOR-LEVEL emission —
+    *    every shingle with trailing zeros ≥ max(t − span, 0), the
+    *    active-level-independent SUPERSET of any future admission's
+    *    corpus emission (the increment's strata decide the active set
+    *    at read time; see [[MinHashDedup.floorEmission]] for the
+    *    superset→filter identity). BUCKETED by skey so the reader's
+    *    per-cell aggregate runs with NO exchange;
+    *  - `{table}_payload` (doc_id, shingles): exact shingle sets for
+    *    the verify stage, bucketed by doc_id — pruned to hot documents
+    *    by a broadcast semi-join at read time, never shuffled;
+    *  - `{table}_levels` (t): the corpus's strata — ≤64 rows, unioned
+    *    with the increment's at read time to form the active set;
+    *  - `{table}_meta`: the index constants (shingle_k, sample_target,
+    *    strata_span, max_key_df) — the reader `require`s they match its
+    *    own, so an index written under one span can never silently
+    *    answer a query posed under another.
+    *
+    * Size: `_mem` is ≤ ~2·SampleTarget·2^min(span, t) rows/doc of three
+    * longs; `_payload` is the dominant term (~4 bytes/shingle ≈ 4× text
+    * bytes) — the price of never re-shingling, the same trade the q56
+    * sidecar makes with signatures. */
+  def writeStratifiedIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 256,
+      span: Int = MinHashDedup.StrataSpan): Unit = {
+    val spark = corpus.sparkSession
+    Seq("_mem", "_payload", "_levels", "_meta")
+      .foreach(s => dropOrphanedLocation(spark, table + s))
+    MinHashDedup.floorEmission(corpus, idCol, textCol, span)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "skey")
+      .sortBy("skey")
+      .format("parquet")
+      .saveAsTable(s"${table}_mem")
+    val (levels, payload) = MinHashDedup.sidecarAuxFrames(corpus, idCol, textCol)
+    payload
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(s"${table}_payload")
+    levels.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_levels")
+    import spark.implicits._
+    Seq((MinHashDedup.ShingleK, MinHashDedup.SampleTarget, span,
+        MinHashDedup.MaxKeyDf))
+      .toDF("shingle_k", "sample_target", "strata_span", "max_key_df")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
 }

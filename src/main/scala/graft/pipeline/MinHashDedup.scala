@@ -247,11 +247,19 @@ object MinHashDedup {
     * level-sampled shingles survive, ≈ e^-SampleTarget ≈ 0.03%. */
   val SampleTarget: Int = 8
 
-  /** Largest stratum gap the stratified index covers — size ratios up to
-    * ~2^(StrataSpan+1). Emission per document is ≤ ~2·SampleTarget·
-    * 2^StrataSpan slim rows REGARDLESS of document size (the geometric
-    * level sum telescopes), so widening the span doubles index cost per
-    * unit; pairs beyond the span are the documented out-of-scope case. */
+  /** DEFAULT largest stratum gap the stratified index covers — size
+    * ratios up to ~2^(StrataSpan+1). Emission per document is ≤
+    * ~2·SampleTarget·2^min(span, t) slim rows REGARDLESS of document
+    * size (the geometric level sum telescopes), so the cost model of the
+    * span knob is: widening the span by one level DOUBLES the per-unit
+    * emission bound, paid ONLY by documents whose own stratum t exceeds
+    * the span (the big side samples down to its floor level; small
+    * documents already emit everything above their stratum). Every
+    * stratified entry point takes `span` as a parameter (VERDICT r11
+    * item 2 — a 100-shingle quote inside a multi-megabyte page needs
+    * span ≈ log2 of the size ratio); this default keeps q62/q65/q67's
+    * published semantics. Pairs beyond the configured span remain the
+    * documented out-of-scope case. */
   val StrataSpan: Int = 6
 
   /** Stop-shingle bound: a sampled shingle indexed by more than this
@@ -308,50 +316,45 @@ object MinHashDedup {
     * shuffle — exact shingle sets ship once per HOT cell membership,
     * merge-joined, never broadcast. */
   def stratifiedContainmentPairs(docs: DataFrame, idCol: String,
-      textCol: String, minCont: Double): DataFrame = {
+      textCol: String, minCont: Double, span: Int = StrataSpan): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cells = stratifiedCells(docs, idCol, textCol)
-    if (cells == null)
-      return spark.range(0).select(col("id").as("doc_a"),
-        col("id").as("doc_b"), col("id").as("n_a"), col("id").as("n_b"),
-        col("id").cast("double").as("containment"))
-    scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
-      (_, skey, ids, strata, sets) =>
-        // The cell key IS the sampled shingle: its trailing zeros decide
-        // which probe levels it serves.
-        val z = java.lang.Long.numberOfTrailingZeros(skey)
-        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
-        cellPairScan(ids)(
-          // Probe-level gate: the shingle must be sampled at the smaller
-          // side's stratum (z ≥ min t — strata ride the aux slot) and
-          // the pair must be within the indexed span.
-          { (i, j) =>
-            val (ti, tj) = (strata(i)(0), strata(j)(0))
-            z >= math.min(ti, tj) && math.abs(ti - tj) <= StrataSpan
-          },
-          { (i, j) =>
-            val inter = sortedIntersect(sets(i), sets(j))
-            inter / math.min(sets(i).length, sets(j).length).toDouble
-          }, _ >= minCont).map { case (a, b, c) =>
-          (a, b, size(a).toLong, size(b).toLong, c)
-        }
-    }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
-      // A pair verifies once per shared canonical-level cell (≤ ~2×
-      // SampleTarget); scores are bit-identical (same sets, same IEEE
-      // ops), so distinct collapses them exactly — and doubles as the
-      // stats barrier the band path gets from its candidate distinct.
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+    stratifiedCells(docs, idCol, textCol, span) match {
+      case None =>
+        spark.range(0).select(col("id").as("doc_a"),
+          col("id").as("doc_b"), col("id").as("n_a"), col("id").as("n_b"),
+          col("id").cast("double").as("containment"))
+      case Some(cells) =>
+        scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
+          (_, skey, ids, strata, sets) =>
+            // The cell key IS the sampled shingle: its trailing zeros
+            // decide which probe levels it serves.
+            val z = java.lang.Long.numberOfTrailingZeros(skey)
+            val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+            cellPairScan(ids)(
+              // Probe-level gate: the shingle must be sampled at the
+              // smaller side's stratum (z ≥ min t — strata ride the aux
+              // slot) and the pair must be within the indexed span.
+              { (i, j) =>
+                val (ti, tj) = (strata(i)(0), strata(j)(0))
+                z >= math.min(ti, tj) && math.abs(ti - tj) <= span
+              },
+              { (i, j) =>
+                val inter = sortedIntersect(sets(i), sets(j))
+                inter / math.min(sets(i).length, sets(j).length).toDouble
+              }, _ >= minCont).map { case (a, b, c) =>
+              (a, b, size(a).toLong, size(b).toLong, c)
+            }
+        }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
+          // A pair verifies once per shared canonical-level cell (≤ ~2×
+          // SampleTarget); scores are bit-identical (same sets, same IEEE
+          // ops), so distinct collapses them exactly — and doubles as the
+          // stats barrier the band path gets from its candidate distinct.
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+    }
   }
 
-  /** The stratified index + gather: (0, shingle-key, doc_id, [stratum],
-    * shingles) memberships of HOT (2..MaxKeyDf members, ≥1 possible
-    * probe) sampled-shingle cells, [[scoredCellGroups]]-shaped. Keys are
-    * the UNSIGNED 32-bit shingle values (low 32 bits of the rolling
-    * hash), so the oracle's [0, 2^32) values match them verbatim and
-    * trailing zeros read the sampling level directly. Returns null on an
-    * empty corpus (no strata to index). */
   /** Cross-side containment of an ingest INCREMENT against the canonical
     * CORPUS — [[stratifiedContainmentPairs]]'s index applied the
     * [[graft.pipeline.IncrementalDedup]] way: every reported pair has
@@ -368,14 +371,18 @@ object MinHashDedup {
     * bound are computed over the UNION of both sides — a boilerplate
     * shingle is boilerplate regardless of which side carries it. At
     * deployment the corpus-side emission is a STORED sidecar (the q56
-    * convention — `CorpusWriter.writeAdmissionIndex`); this
+    * convention — [[CorpusWriter.writeStratifiedIndex]]); this
     * fixture-bound form recomputes it from text, overstating
-    * steady-state cost by the corpus pass (recorded in SCALING.md).
+    * steady-state cost by the corpus pass (recorded in SCALING.md). The
+    * stored-reading overload below is the deployment shape (q67) and is
+    * bit-equal by construction: the superset-then-filter identity in its
+    * scaladoc reduces its corpus emission to exactly this one.
     *
     * Output: (inc_id, corp_id, n_inc, n_corp, containment) — both set
     * sizes ride along so the consumer knows which side is contained. */
   def incrementalContainmentPairs(corpus: DataFrame, increment: DataFrame,
-      idCol: String, textCol: String, minCont: Double): DataFrame = {
+      idCol: String, textCol: String, minCont: Double,
+      span: Int = StrataSpan): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -383,15 +390,12 @@ object MinHashDedup {
     val active = activeLevels(
       corpus.select(col(idCol), col(textCol))
         .unionAll(increment.select(col(idCol), col(textCol))), textCol)
-    if (active.isEmpty)
-      return spark.range(0).select(col("id").as("inc_id"),
-        col("id").as("corp_id"), col("id").as("n_inc"), col("id").as("n_corp"),
-        col("id").cast("double").as("containment"))
+    if (active.isEmpty) return emptyCross(spark)
     // side rides the emission: 1 = increment, 0 = corpus.
     val mem = graft.ops.Materialize.barrier(
-      sampledEmission(corpus, idCol, textCol, active.toArray)
+      sampledEmission(corpus, idCol, textCol, active.toArray, span)
         .withColumn("side", lit(0))
-        .unionAll(sampledEmission(increment, idCol, textCol, active.toArray)
+        .unionAll(sampledEmission(increment, idCol, textCol, active.toArray, span)
           .withColumn("side", lit(1))))
     // Hot cells need a possible cross-side pair: 2..MaxKeyDf members
     // TOTAL (the stop-shingle bound is side-agnostic), at least one
@@ -417,6 +421,117 @@ object MinHashDedup {
         array(col("t").cast("long"), col("side").cast("long")).as("aux"),
         col("shingles"))
       .as[(Int, Long, Long, Array[Long], Array[Int])]
+    crossScored(cells, minCont, span)
+  }
+
+  /** The STORED-SIDECAR overload — q65's documented steady-state
+    * deployment shape as an exercised code path (VERDICT r11 item 1):
+    * the corpus side contributes only through the
+    * [[CorpusWriter.writeStratifiedIndex]] tables, never through a text
+    * pass.
+    *
+    * Bit-equality with the text form is by construction, not by
+    * convention: the stored `_mem` table holds the FLOOR-LEVEL superset
+    * — every shingle with trailing zeros ≥ max(t − span, 0), an
+    * active-level-independent bound — and this reader filters it with
+    * the SAME exists-an-active-level predicate [[sampledEmission]]
+    * evaluates inline. Any active level a in [max(t−span,0), t] implies
+    * z ≥ a ≥ max(t−span,0), so the filtered scan reproduces the text
+    * form's corpus emission row for row (the active set is the union of
+    * the stored corpus strata and the increment's — an increment
+    * carrying a NEW stratum activates corpus shingles the corpus-only
+    * view would not, which is why the superset must be stored, not the
+    * filtered emission).
+    *
+    * Scale shape (the reason the sidecar exists): the corpus never
+    * re-shingles and never SHUFFLES —
+    *  - per-side cell aggregates replace the union aggregate: the
+    *    corpus's runs EXCHANGE-FREE on the skey-bucketed `_mem` scan
+    *    (the q56 bucketed-sidecar convention), the increment's is
+    *    increment-sized;
+    *  - a hot cell needs ≥1 member from EACH side, so hot = the INNER
+    *    join of the two aggregates — bounded by the increment's cell
+    *    count, broadcast both ways (df ≥ 2, incs ≥ 1, incs < df are
+    *    implied by both sides being present; df ≤ MaxKeyDf and the
+    *    probe bound stay explicit);
+    *  - exact shingle payloads come from the stored `_payload` table
+    *    semi-joined to the hot ids (broadcast — scan-side prune, no
+    *    corpus shuffle), unioned with the increment's own shingling.
+    * The recurring cost is the increment's emission + the broadcast
+    * probe joins + two bucketed corpus SCANS (no text decode, no
+    * exchange) — SCALING.md carries the measured probe-vs-full-pass
+    * row. */
+  def incrementalContainmentPairs(spark: org.apache.spark.sql.SparkSession,
+      sidecarTable: String, increment: DataFrame, idCol: String,
+      textCol: String, minCont: Double, span: Int): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val meta = spark.table(s"${sidecarTable}_meta").collect()
+    require(meta.length == 1, s"malformed sidecar meta: ${meta.length} rows")
+    val storedSpan = meta(0).getAs[Int]("strata_span")
+    require(storedSpan == span && meta(0).getAs[Int]("shingle_k") == ShingleK &&
+      meta(0).getAs[Int]("sample_target") == SampleTarget &&
+      meta(0).getAs[Int]("max_key_df") == MaxKeyDf,
+      s"sidecar $sidecarTable was written under different index constants " +
+        s"(span=$storedSpan vs $span): rebuild it with writeStratifiedIndex")
+    val corpStrata = spark.table(s"${sidecarTable}_levels").as[Int].collect()
+    val active = (corpStrata ++ activeLevels(increment, textCol)).distinct.sorted
+    if (active.isEmpty) return emptyCross(spark)
+    // The superset→filter identity (scaladoc): stored floor-level rows
+    // filtered by the text form's exact keep predicate.
+    val corpMem = spark.table(s"${sidecarTable}_mem")
+      .filter(expr(activeKeepSql("skey", "t", active, span)))
+    val incMem = graft.ops.Materialize.barrier(
+      sampledEmission(increment, idCol, textCol, active, span))
+    def cellAgg(mem: DataFrame): DataFrame = mem.groupBy("skey")
+      .agg(count(lit(1)).as("df"),
+        sum(when(expr("(skey & (shiftleft(CAST(1 AS BIGINT), t) - 1)) = 0"),
+          1L).otherwise(0L)).as("probes"))
+    // Hot = inner join of the per-side aggregates (both sides present ⇒
+    // df ≥ 2, incs ≥ 1, incs < df), bounded by the increment's cells.
+    val hot = broadcast(
+      cellAgg(corpMem).select(col("skey"), col("df").as("df0"), col("probes").as("pr0"))
+        .join(cellAgg(incMem).select(col("skey"), col("df").as("df1"), col("probes").as("pr1")),
+          Seq("skey"))
+        .filter(col("df0") + col("df1") <= MaxKeyDf &&
+          col("pr0") + col("pr1") >= 1)
+        .select("skey"))
+    val hotMem = corpMem.join(hot, Seq("skey")).withColumn("side", lit(0))
+      .unionAll(incMem.join(hot, Seq("skey")).withColumn("side", lit(1)))
+    val hotIds = broadcast(hotMem.select(col("doc_id")).distinct())
+    // array_compact: parquet round-trips array<int> with nullable
+    // elements; compact is a data no-op restoring the non-null element
+    // type (the IncrementalDedup sig convention).
+    val payload = spark.table(s"${sidecarTable}_payload")
+      .select(col("doc_id"), array_compact(col("shingles")).as("shingles"))
+      .join(hotIds, Seq("doc_id"), "left_semi")
+      .unionAll(shingled(
+        increment.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+        idCol, textCol))
+      .hint("merge")
+    val cells = hotMem.join(payload, "doc_id")
+      .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
+        array(col("t").cast("long"), col("side").cast("long")).as("aux"),
+        col("shingles"))
+      .as[(Int, Long, Long, Array[Long], Array[Int])]
+    crossScored(cells, minCont, span)
+  }
+
+  /** Typed empty (inc_id, corp_id, n_inc, n_corp, containment) frame. */
+  private def emptyCross(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("inc_id"),
+      col("id").as("corp_id"), col("id").as("n_inc"), col("id").as("n_corp"),
+      col("id").cast("double").as("containment"))
+
+  /** The shared two-sided verify: in-cell probe-level + span + cross-side
+    * gates, `inter / min` scoring, (inc, corp) ordering — ONE body for
+    * the text form and the sidecar form, so the two can never diverge on
+    * a shared cell. */
+  private def crossScored(
+      cells: org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])],
+      minCont: Double, span: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
     scoredCellGroups[(Long, Long, Long, Long, Double)](cells) {
       (_, skey, ids, aux, sets) =>
         val z = java.lang.Long.numberOfTrailingZeros(skey)
@@ -426,7 +541,7 @@ object MinHashDedup {
           { (i, j) =>
             val (ti, tj) = (aux(i)(0), aux(j)(0))
             aux(i)(1) != aux(j)(1) &&
-              z >= math.min(ti, tj) && math.abs(ti - tj) <= StrataSpan
+              z >= math.min(ti, tj) && math.abs(ti - tj) <= span
           },
           { (i, j) =>
             val inter = sortedIntersect(sets(i), sets(j))
@@ -503,38 +618,82 @@ object MinHashDedup {
       .distinct().as[Int].collect().sorted
   }
 
+  /** The exists-an-active-level keep predicate over (`keyRef`, `tRef`)
+    * columns — ONE rendering shared by the inline emission filter and
+    * the sidecar reader's superset filter, so the two can never
+    * disagree on which shingles qualify. */
+  private def activeKeepSql(keyRef: String, tRef: String,
+      active: Array[Int], span: Int): String =
+    active.map(a =>
+      s"($a >= greatest($tRef - $span, 0) AND $a <= $tRef " +
+        s"AND ($keyRef & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
+
   /** The slim index emission over one document frame — one scan, ONE
     * filter pass per document (no per-level HOF re-scan: a shingle is
     * kept iff its trailing zeros reach some active level inside the
-    * document's [t − StrataSpan, t] window, a handful of bit tests).
+    * document's [t − span, t] window, a handful of bit tests).
     * Rows are (doc_id, t, skey) with skey the unsigned 32-bit shingle. */
   private def sampledEmission(docs: DataFrame, idCol: String,
-      textCol: String, active: Array[Int]): DataFrame = {
+      textCol: String, active: Array[Int], span: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val keep = active.map(a =>
-      s"($a >= greatest(t - $StrataSpan, 0) AND $a <= t " +
-        s"AND (u & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
     docs.filter(length(col(textCol)) >= ShingleK)
       .select(col(idCol).as("doc_id"),
         GraftFunctions.shingleSet(col(textCol)).as("shingles"),
         expr(stratumSqlFor(textCol)).as("t"))
       .select(col("doc_id"), col("t"), explode(expr(
         s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
-          s"u -> $keep)")).as("skey"))
+          s"u -> ${activeKeepSql("u", "t", active, span)})")).as("skey"))
   }
 
+  /** The ACTIVE-LEVEL-INDEPENDENT floor emission — every shingle with
+    * trailing zeros ≥ max(t − span, 0): the stored-sidecar superset
+    * ([[CorpusWriter.writeStratifiedIndex]]). For any active set, the
+    * reader's [[activeKeepSql]] filter over these rows equals
+    * [[sampledEmission]] exactly (an active a in [max(t−span,0), t]
+    * forces z ≥ a ≥ the floor), which is the q67 bit-equality
+    * argument. Same (doc_id, t, skey) shape. */
+  private[pipeline] def floorEmission(docs: DataFrame, idCol: String,
+      textCol: String, span: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.filter(length(col(textCol)) >= ShingleK)
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.shingleSet(col(textCol)).as("shingles"),
+        expr(stratumSqlFor(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
+          s"u -> (u & (shiftleft(CAST(1 AS BIGINT), greatest(t - $span, 0)) - 1)) = 0)"))
+        .as("skey"))
+  }
+
+  /** Corpus strata + doc-level shingle payloads for the sidecar writer:
+    * (`levels`, `payload`) — the other two stored tables. */
+  private[pipeline] def sidecarAuxFrames(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    GraftFunctions.register(docs.sparkSession)
+    val levels = docs.filter(length(col(textCol)) >= ShingleK)
+      .select(expr(stratumSqlFor(textCol)).as("t")).distinct()
+    (levels, shingled(docs, idCol, textCol))
+  }
+
+  /** The stratified index + gather: (0, shingle-key, doc_id, [stratum],
+    * shingles) memberships of HOT (2..MaxKeyDf members, ≥1 possible
+    * probe) sampled-shingle cells, [[scoredCellGroups]]-shaped. Keys are
+    * the UNSIGNED 32-bit shingle values (low 32 bits of the rolling
+    * hash), so the oracle's [0, 2^32) values match them verbatim and
+    * trailing zeros read the sampling level directly. `None` on an
+    * empty corpus (no strata to index). */
   private def stratifiedCells(docs: DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])] = {
+      textCol: String, span: Int): Option[org.apache.spark.sql.Dataset[(Int, Long, Long, Array[Long], Array[Int])]] = {
     val spark = docs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
     val active = activeLevels(docs, textCol)
-    if (active.isEmpty) return null
+    if (active.isEmpty) return None
     // Barriered: the emission feeds the hot-cell aggregate AND the
     // membership join, and an uncached shared frame would re-shingle
     // the corpus per branch.
     val mem = graft.ops.Materialize.barrier(
-      sampledEmission(docs, idCol, textCol, active))
+      sampledEmission(docs, idCol, textCol, active, span))
     // Hot cells: ≥2 members (a pair exists), ≤ MaxKeyDf (stop-shingle
     // drop), and ≥1 member that can PROBE through this shingle (its own
     // stratum sampled here: skey mod 2^t = 0) — a cell of pure hosts can
@@ -553,10 +712,10 @@ object MinHashDedup {
     val payload = shingled(
       docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
       idCol, textCol).hint("merge")
-    hotMem.join(payload, "doc_id")
+    Some(hotMem.join(payload, "doc_id")
       .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
         array(col("t").cast("long")).as("aux"), col("shingles"))
-      .as[(Int, Long, Long, Array[Long], Array[Int])]
+      .as[(Int, Long, Long, Array[Long], Array[Int])])
   }
 
   /** The shared verify-stage skeleton ([[jaccardPairs]],

@@ -56,6 +56,21 @@ class StratifiedContainmentSpec extends AnyFunSuite {
       MinHashDedup.stratifiedContainmentPairs(docs, "doc_id", "text", 0.0)
         .count()
     } == 0L)
+    // The span knob (VERDICT r11 item 2): the SAME fixture flips to
+    // found at span = 8 — the gap-7 pair is in scope, the quote's full
+    // containment scores 1.0, and the widened index agrees with the
+    // span-parameterized reference generator. Cost model: only the page
+    // (t=9 > span) pays the wider floor; the quote's emission is
+    // unchanged.
+    val wide = released {
+      MinHashDedup.stratifiedContainmentPairs(docs, "doc_id", "text", 0.9, span = 8)
+        .collect()
+    }
+    assert(wide.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(4) == 1.0), wide.mkString(","))
+    val expect = referencePairs(Seq((1L, page), (2L, quote)), 0.9, span = 8)
+    assert(wide.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSet == expect)
   }
 
   test("same-stratum prefix pair: stratified and symmetric agree to the bit") {
@@ -141,9 +156,9 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     * all re-derived from the scaladoc in plain driver Scala. The
     * randomized gate below plays the role the band path's join-mirror
     * equivalence tests play for q22/q27. */
-  private def referencePairs(docs: Seq[(Long, String)],
-      minCont: Double): Set[(Long, Long, Long, Long, Double)] =
-    referenceCore(docs, minCont, None)
+  private def referencePairs(docs: Seq[(Long, String)], minCont: Double,
+      span: Int = MinHashDedup.StrataSpan): Set[(Long, Long, Long, Long, Double)] =
+    referenceCore(docs, minCont, None, span)
 
   /** Two-sided variant — the reference for
     * [[MinHashDedup.incrementalContainmentPairs]]: the hot filter adds
@@ -151,12 +166,11 @@ class StratifiedContainmentSpec extends AnyFunSuite {
     * (inc, corp). */
   private def referenceCross(docs: Seq[(Long, String)], incIds: Set[Long],
       minCont: Double): Set[(Long, Long, Long, Long, Double)] =
-    referenceCore(docs, minCont, Some(incIds))
+    referenceCore(docs, minCont, Some(incIds), MinHashDedup.StrataSpan)
 
   private def referenceCore(docs: Seq[(Long, String)], minCont: Double,
-      incIds: Option[Set[Long]]): Set[(Long, Long, Long, Long, Double)] = {
+      incIds: Option[Set[Long]], span: Int): Set[(Long, Long, Long, Long, Double)] = {
     val k = MinHashDedup.ShingleK
-    val span = MinHashDedup.StrataSpan
     def rh(s: String): Long = {
       var h = 0L
       s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) & 0xFFFFFFFFL)
@@ -244,7 +258,58 @@ class StratifiedContainmentSpec extends AnyFunSuite {
       }
       assert(gotX == expectX,
         s"seed $seed cross: extra=${gotX -- expectX} missing=${expectX -- gotX}")
+
+      // The stored-sidecar overload (q67) on the same split: write the
+      // corpus index, admit the same increment, and require the answer
+      // BIT-EQUAL to the text form — the superset→filter identity under
+      // randomized corpora.
+      val tbl = s"graft_test_sc_$seed"
+      CorpusWriter.writeStratifiedIndex(
+        corpus.filterNot(d => incIds(d._1)).toDF("doc_id", "text"),
+        "doc_id", "text", tbl, buckets = 4)
+      val gotS = released {
+        MinHashDedup.incrementalContainmentPairs(spark, tbl,
+          corpus.filter(d => incIds(d._1)).toDF("doc_id", "text"),
+          "doc_id", "text", 0.3, MinHashDedup.StrataSpan)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      }
+      assert(gotS == expectX,
+        s"seed $seed sidecar: extra=${gotS -- expectX} missing=${expectX -- gotS}")
     }
+  }
+
+  test("sidecar admission survives an increment stratum the corpus lacks") {
+    // Corpus strata = {5} only; the increment's tiny quote (t = 2) adds
+    // an active level the stored `_levels` table has never seen. The
+    // reader must form the active set from the UNION, which activates
+    // stored floor rows a corpus-only view would filter out — the edge
+    // that forces the sidecar to store the superset, not the filtered
+    // emission.
+    val page = randText(51, 500)
+    val corpus = Seq((1L, page), (2L, randText(53, 450))).toDF("doc_id", "text")
+    val increment = Seq((10L, page.substring(100, 160))).toDF("doc_id", "text")
+    val tbl = "graft_test_sc_newlevel"
+    CorpusWriter.writeStratifiedIndex(corpus, "doc_id", "text", tbl, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val stored = released { rows(
+      MinHashDedup.incrementalContainmentPairs(spark, tbl, increment,
+        "doc_id", "text", 0.9, MinHashDedup.StrataSpan)) }
+    val inline = released { rows(
+      MinHashDedup.incrementalContainmentPairs(corpus, increment,
+        "doc_id", "text", 0.9)) }
+    assert(stored == inline, s"stored=$stored inline=$inline")
+    assert(stored.exists(p => p._1 == 10L && p._2 == 1L && p._5 == 1.0),
+      stored.mkString(","))
+    // The meta contract fails loudly on a span mismatch instead of
+    // silently answering a differently-indexed question.
+    val err = intercept[IllegalArgumentException] {
+      MinHashDedup.incrementalContainmentPairs(spark, tbl, increment,
+        "doc_id", "text", 0.9, span = 3)
+    }
+    assert(err.getMessage.contains("writeStratifiedIndex"))
   }
 
   test("reported scores match driver-side brute force on a random corpus") {
