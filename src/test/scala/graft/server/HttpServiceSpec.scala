@@ -12,7 +12,12 @@ import graft.core.Murmur2
 /** C3–C5 route contract over the JDK server binding. */
 class HttpServiceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private lazy val svc = new HttpService(spark, port = 0).start()
+  // The fixture dir is a CONFIGURED cluster ("sandbox"): /pipeline resolves
+  // `dir` through this map — names resolve, configured raw locations pass,
+  // anything else is 400 (VERDICT r11 item 4).
+  private lazy val svc = new HttpService(spark, port = 0,
+    graft.core.Config.Defaults.copy(
+      kafkaBootstrapServers = Map("sandbox" -> TestSpark.Sf))).start()
   private val mapper = new ObjectMapper()
 
   private def get(path: String): (Int, String) = {
@@ -226,12 +231,34 @@ class HttpServiceSpec extends AnyFunSuite {
     assert(s1 == 400 && b1.contains("unknown query: no_such_query"), b1)
     val (s2, b2) = get("/pipeline?name=q01_scan")
     assert(s2 == 400 && b2.contains("dir required"), b2)
-    // A bad dir fails at build/analysis time — still 400, and the
-    // half-built query's caches are swept (request-scoped: identity
-    // delta, not a zero-count on the shared session).
+    // An unconfigured dir is rejected by the allowlist before any build
+    // work runs — no caches to sweep, and no arbitrary-path reads.
     val before = graft.ops.Materialize.liveSnapshot(spark)
-    val (s3, _) = get("/pipeline?name=q51_tfidf&dir=/no/such/dir")
-    assert(s3 == 400)
+    val (s3, b3) = get("/pipeline?name=q51_tfidf&dir=/no/such/dir")
+    assert(s3 == 400 && b3.contains("unknown dir"), b3)
     assert((graft.ops.Materialize.liveSnapshot(spark) -- before).isEmpty)
+  }
+
+  test("/pipeline resolves a configured cluster NAME to its location") {
+    val (status, body) = get("/pipeline?name=q24_text_stats&dir=sandbox")
+    assert(status == 200)
+    val arr = mapper.readTree(body)
+    assert(arr.isArray && arr.size() > 1, body.take(200))
+    assert(arr.get(0).get("type").asText() == "pioneer")
+  }
+
+  test("/pipeline rejects paths outside the configured map (allowlist)") {
+    // An absolute path that exists and is Spark-readable but is not a
+    // configured value must still be 400 — the ADVICE r11 surface.
+    val (status, body) = get("/pipeline?name=q01_scan&dir=/root/testdata/sf0.01")
+    assert(status == 400 && body.contains("unknown dir"), body)
+  }
+
+  test("/cached replays a completed pipeline result byte-for-byte (S7 parity)") {
+    val qs = s"name=q24_text_stats&dir=${TestSpark.Sf}"
+    val (_, direct) = get(s"/pipeline?$qs")
+    val (status, cached) = get(s"/cached?$qs")
+    assert(status == 200)
+    assert(cached.nonEmpty && cached == direct)
   }
 }
