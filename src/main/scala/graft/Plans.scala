@@ -16,7 +16,7 @@ object Plans {
     "q56_incremental_dedup", "q57_temperature_mix", "q58_overlap_matrix",
     "q62_containment_stratified", "q63_dedup_manifest",
     "q64_waterfill_mix", "q65_incremental_containment",
-    "q66_canonical_best")
+    "q66_canonical_best", "q67_sidecar_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -25,6 +25,9 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // q67 writes its sidecar tables via saveAsTable — keep them out of
+      // a cwd-relative spark-warehouse (the Bench/Verify convention).
+      .config("spark.sql.warehouse.dir", "/tmp/graft-plans-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

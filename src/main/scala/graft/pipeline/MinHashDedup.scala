@@ -489,15 +489,22 @@ object MinHashDedup {
           1L).otherwise(0L)).as("probes"))
     // Hot = inner join of the per-side aggregates (both sides present ⇒
     // df ≥ 2, incs ≥ 1, incs < df), bounded by the increment's cells.
-    val hot = broadcast(
+    // Barriered: `hot` and `hotMem` each feed TWO consumers, and an
+    // uncached subtree would re-run its bucketed `_mem` scan per branch
+    // (measured 8 scans per admission at sf0.1) — cached, the corpus
+    // side costs exactly the scaladoc's two bucketed scans: one under
+    // the cell aggregate, one under the hot-membership gather. Both
+    // frames are small by contract (≤ increment cells, × MaxKeyDf).
+    val hot = graft.ops.Materialize.barrier(
       cellAgg(corpMem).select(col("skey"), col("df").as("df0"), col("probes").as("pr0"))
         .join(cellAgg(incMem).select(col("skey"), col("df").as("df1"), col("probes").as("pr1")),
           Seq("skey"))
         .filter(col("df0") + col("df1") <= MaxKeyDf &&
           col("pr0") + col("pr1") >= 1)
         .select("skey"))
-    val hotMem = corpMem.join(hot, Seq("skey")).withColumn("side", lit(0))
-      .unionAll(incMem.join(hot, Seq("skey")).withColumn("side", lit(1)))
+    val hotMem = graft.ops.Materialize.barrier(
+      corpMem.join(broadcast(hot), Seq("skey")).withColumn("side", lit(0))
+        .unionAll(incMem.join(broadcast(hot), Seq("skey")).withColumn("side", lit(1))))
     val hotIds = broadcast(hotMem.select(col("doc_id")).distinct())
     // array_compact: parquet round-trips array<int> with nullable
     // elements; compact is a data no-op restoring the non-null element

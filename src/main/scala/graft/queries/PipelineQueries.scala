@@ -447,9 +447,13 @@ object PipelineQueries {
     "q67_sidecar_containment" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
       val tbl = s"graft_q67_sidecar_${Integer.toHexString(sf.hashCode)}"
+      // Bucket count sizes to the corpus (the deployment knob scales
+      // with data; 256 buckets over a fixture-scale corpus is 4×256
+      // near-empty files whose open cost dominates the probe).
       if (!s.catalog.tableExists(s"${tbl}_meta"))
         graft.pipeline.CorpusWriter.writeStratifiedIndex(
-          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tbl)
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", tbl,
+          buckets = 32)
       MinHashDedup.incrementalContainmentPairs(s, tbl,
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6,
         MinHashDedup.StrataSpan)

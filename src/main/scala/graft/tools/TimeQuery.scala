@@ -19,6 +19,8 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // q67 sidecar tables land here (the Bench/Verify convention).
+      .config("spark.sql.warehouse.dir", "/tmp/graft-timequery-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,7 +30,13 @@ object TimeQuery {
     spark.conf.set("spark.graft.recordSource", "archive")
     spark.conf.set("spark.graft.archiveDir", archiveDir)
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
+    // For queries with a build-time side effect (q67 writes its sidecar
+    // once per session), the first build's cost is the landing cost —
+    // report it separately from the steady-state passes.
+    val b0 = System.nanoTime()
+    val first = fn(spark, sfDir)
+    println(f"[timequery] $name build (incl. one-time landing work): ${(System.nanoTime() - b0) / 1e9}%.3f s")
+    first.explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -202,6 +202,32 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.Materialize.release(frames)
   }
 
+  test("q67: sidecar admission never goes cartesian; the bucketed corpus scan aggregates exchange-free") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q67_sidecar_containment")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // Payload attach keeps the merge hint (corpus-sized both sides at
+      // scale); the hot-cell probe and hot-id prune ride broadcasts.
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // The deployment payoff of bucketing `_mem` by skey (the q56
+      // sidecar convention): the corpus-side per-cell aggregate — the
+      // one corpus-scale step of every admission — consumes the bucketed
+      // scan's partitioning directly, NO exchange.
+      val tbl = s"graft_q67_sidecar_${Integer.toHexString(TestSpark.Sf.hashCode)}"
+      val agg = spark.table(s"${tbl}_mem").groupBy("skey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!agg.contains("Exchange"), agg)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("q58: overlap matrix is one corpus scan and zero joins") {
     // The pair emission is array-side from each gram's source set — a
     // fp-keyed self-join would show up here as a second documents scan
