@@ -114,10 +114,66 @@ object CorpusWriter {
     levels.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}_levels")
     import spark.implicits._
+    // `buckets` rides in the meta so a later APPEND can match the
+    // existing bucket spec without re-deriving it from the catalog.
     Seq((MinHashDedup.ShingleK, MinHashDedup.SampleTarget, span,
-        MinHashDedup.MaxKeyDf))
-      .toDF("shingle_k", "sample_target", "strata_span", "max_key_df")
+        MinHashDedup.MaxKeyDf, buckets))
+      .toDF("shingle_k", "sample_target", "strata_span", "max_key_df",
+        "buckets")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}_meta")
+  }
+
+  /** INCREMENTAL corpus landing (round 12): fold newly landed documents
+    * into an existing stratified sidecar without rewriting it — at
+    * 100 TB the full [[writeStratifiedIndex]] pass is a corpus-scale
+    * job, while each landing batch is increment-sized. Because every
+    * sidecar table is a PER-DOCUMENT emission (`_mem` floor rows and
+    * `_payload` shingle sets are functions of one document; `_levels`
+    * is the distinct per-document strata, and the reader re-distincts),
+    * append(A, B) ≡ writeStratifiedIndex(A ∪ B) row-set-for-row-set —
+    * the identity StratifiedContainmentSpec pins on randomized splits.
+    *
+    * The appended partitions land with the SAME bucket spec (count from
+    * `_meta`), so the reader's exchange-free bucketed aggregates hold
+    * across landings. The meta contract is `require`d first: folding
+    * documents into an index written under different constants would
+    * silently mix incompatible emissions.
+    *
+    * Ordering note: admission of a batch and its landing are separate
+    * steps by design (admit first, land the keepers) — the sidecar's
+    * membership mutates only here, which is what keeps
+    * [[graft.streaming.StreamContainment]]'s per-batch admission
+    * arrival-order independent. */
+  def appendToStratifiedIndex(landing: DataFrame, idCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = landing.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed sidecar meta: ${meta.length} rows")
+    val m = meta(0)
+    require(m.getAs[Int]("shingle_k") == MinHashDedup.ShingleK &&
+      m.getAs[Int]("sample_target") == MinHashDedup.SampleTarget &&
+      m.getAs[Int]("max_key_df") == MinHashDedup.MaxKeyDf,
+      s"sidecar $table was written under different index constants: " +
+        "rebuild it with writeStratifiedIndex")
+    val span = m.getAs[Int]("strata_span")
+    val buckets = m.getAs[Int]("buckets")
+    MinHashDedup.floorEmission(landing, idCol, textCol, span)
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "skey")
+      .sortBy("skey")
+      .format("parquet")
+      .saveAsTable(s"${table}_mem")
+    val (levels, payload) = MinHashDedup.sidecarAuxFrames(landing, idCol, textCol)
+    payload
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .format("parquet")
+      .saveAsTable(s"${table}_payload")
+    // Duplicate level rows across landings are fine: the reader
+    // distincts the union when forming the active set.
+    levels.write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${table}_levels")
   }
 }

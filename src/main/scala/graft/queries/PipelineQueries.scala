@@ -459,6 +459,27 @@ object PipelineQueries {
         MinHashDedup.StrataSpan)
     }),
 
+    // INCREMENTAL corpus landing (r12): the same admission against a
+    // sidecar built in TWO landings — an initial write (residues 1, 2)
+    // and an append (residues 3, 4). Per-document emissions make
+    // write+append ≡ one write over the union, so this must be
+    // bit-equal to q65/q67; the appended partitions keep the bucket
+    // spec, so the reader's exchange-free aggregates hold.
+    "q68_landed_containment" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q68_landed_${Integer.toHexString(sf.hashCode)}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeStratifiedIndex(
+          docs.filter(col("doc_id") % 5 isin (1, 2)), "doc_id", "text",
+          tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToStratifiedIndex(
+          docs.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text", tbl)
+      }
+      MinHashDedup.incrementalContainmentPairs(s, tbl,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6,
+        MinHashDedup.StrataSpan)
+    }),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -604,6 +625,11 @@ object PipelineQueries {
     // q67 answers the SAME question as q65 through the stored sidecar —
     // one oracle, two code paths, bit-equality is the whole point.
     "q67_sidecar_containment" ->
+      MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
+
+    // q68 answers it through a sidecar built in TWO landings (write +
+    // append) — same oracle again: three code paths, one truth.
+    "q68_landed_containment" ->
       MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),

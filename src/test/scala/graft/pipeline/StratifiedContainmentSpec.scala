@@ -276,6 +276,27 @@ class StratifiedContainmentSpec extends AnyFunSuite {
       }
       assert(gotS == expectX,
         s"seed $seed sidecar: extra=${gotS -- expectX} missing=${expectX -- gotS}")
+
+      // Incremental landing (r12): the same sidecar built in TWO
+      // landings — write half the corpus, append the other half — must
+      // admit bit-identically (per-document emissions: write+append ≡
+      // one write over the union; the reader re-distincts `_levels`).
+      val tblA = s"graft_test_sc_append_$seed"
+      val corpusDocs = corpus.filterNot(d => incIds(d._1))
+      val (landA, landB) = corpusDocs.partition(_._1 % 2 == 0)
+      CorpusWriter.writeStratifiedIndex(
+        landA.toDF("doc_id", "text"), "doc_id", "text", tblA, buckets = 4)
+      CorpusWriter.appendToStratifiedIndex(
+        landB.toDF("doc_id", "text"), "doc_id", "text", tblA)
+      val gotA = released {
+        MinHashDedup.incrementalContainmentPairs(spark, tblA,
+          corpus.filter(d => incIds(d._1)).toDF("doc_id", "text"),
+          "doc_id", "text", 0.3, MinHashDedup.StrataSpan)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      }
+      assert(gotA == expectX,
+        s"seed $seed append: extra=${gotA -- expectX} missing=${expectX -- gotA}")
     }
   }
 
