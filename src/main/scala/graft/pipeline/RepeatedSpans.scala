@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repeated-substring span detection — the exact-substring-dedup report
+  * (the Lee et al. 2021 "Deduplicating Training Data Makes Language
+  * Models Better" shape, re-expressed over word windows): find every
+  * maximal token span of a document whose constituent `window`-token
+  * substrings each occur in at least `minDocs` DISTINCT documents, and
+  * report it as a removal span `(start_tok, end_tok)`. This is finer
+  * than passage dedup ([[Passages.dedupPassages]]): chunking at fixed
+  * boundaries misses a duplicated run that straddles a chunk edge,
+  * while overlapping windows at stride 1 localize the repeated run
+  * exactly, so the downstream rewrite can cut the quote and keep the
+  * page.
+  *
+  * Scale shape: windows cross the plan as 63-bit FINGERPRINTS
+  * ([[graft.functions.WordGramHashesExpr]], codegen'd scan-side) — one
+  * long per token position, never the window strings. The frequency
+  * pass shuffles `(fp, doc_id)` once; the matched-window semi-join
+  * output is only the corpus-REPEATED windows (boilerplate and quotes,
+  * a small fraction of corpus tokens at a sane `window`), so the
+  * span-merge window function runs over that small frame, partitioned
+  * by document — never a corpus-wide window. Like
+  * [[Passages.dedupPassages]], the exploded frame is deliberately NOT
+  * cache-barriered: both consumers re-derive it from the codegen'd
+  * scan (two cheap passes) rather than materializing a
+  * corpus-token-scale cache.
+  *
+  * Within-doc-only repetition does NOT flag (the frequency gate counts
+  * distinct documents): the cross-document notion is the dedup one —
+  * within-doc repetition is a quality signal and already scored by
+  * [[TextStats.repetitionStats]] (q46).
+  */
+object RepeatedSpans {
+
+  /** (doc_id, start_tok, end_tok, n_windows) for every maximal span of
+    * corpus-repeated `window`-token substrings; token indices are
+    * 0-based positions into the lowercased whitespace tokenization
+    * (the [[graft.functions.WordGramsExpr]] walk). Two matched windows
+    * merge into one span when their coverage overlaps or is adjacent
+    * (start gap ≤ `window`). Documents with no repeated window are
+    * absent — a removal-span report, not a corpus rewrite. */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2): DataFrame = {
+    require(window > 0 && minDocs > 1,
+      s"need window > 0 and minDocs > 1: $window, $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val wins = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.GraftFunctions.wordGramHashes(
+        col(textCol), window)).as(Seq("pos", "fp")))
+    val hot = wins.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("fp")
+    val matched = wins.join(hot, Seq("fp"), "left_semi")
+    // Span merge: windows sorted by position within a doc chain into one
+    // span while each start is within `window` of the previous (coverage
+    // [p, p+window-1] overlapping or adjacent). Runs over matched rows
+    // only, partitioned by doc — small and parallel by construction.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    matched
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > window, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("start_tok"),
+        (max("pos") + lit(window - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+      .orderBy("doc_id", "start_tok")
+  }
+
+  /** DuckDB oracle for [[spans]] over table `documents`: window strings
+    * built by slicing the same lowercased tokenization, folded through
+    * the SAME 63-bit byte hash the native expression computes
+    * ([[graft.oracle.Duck.gramHash63Sql]]), then the same
+    * lag/sum/group span merge as a window-function chain. */
+  def oracleSql(window: Int, minDocs: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${graft.oracle.Duck.gramHash63Sql("g")} AS fp
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(range(1, greatest(len(t) - ${window - 1}, 0) + 1)) AS i,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${window - 1}, 0) + 1),
+       |        __wi -> array_to_string(t[__wi:__wi+${window - 1}], ' '))) AS g
+       |    FROM toks)),
+       |hot AS (SELECT fp FROM wins GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) >= $minDocs),
+       |m AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (fp)),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           > $window THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM g)
+       |SELECT doc_id, MIN(pos) AS start_tok,
+       |       CAST(MAX(pos) + ${window - 1} AS INTEGER) AS end_tok,
+       |       COUNT(*) AS n_windows
+       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, start_tok""".stripMargin
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
+import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -226,6 +226,14 @@ object PipelineQueries {
     "q43_passage_dedup" -> ((s, sf) =>
       Passages.dedupPassages(Tables.load(s, sf, "documents"), "doc_id",
         "text", chunkTokens = 8, maxDocs = 2)),
+
+    // Repeated-substring spans (r12): maximal token spans whose 8-token
+    // windows each occur in ≥ 2 distinct docs — the exact-substring-dedup
+    // report, localizing the duplicated run chunk-boundary-free where
+    // q43 can only drop whole fixed chunks.
+    "q69_repeated_spans" -> ((s, sf) =>
+      RepeatedSpans.spans(Tables.load(s, sf, "documents"), "doc_id",
+        "text", window = 8, minDocs = 2)),
 
     // Gopher-style quality flags: token-count bounds, mean-token-length
     // bounds, stopword presence → keep decision. Narrow scan, no shuffle.
@@ -589,6 +597,8 @@ object PipelineQueries {
     "q42_decontam" -> Decontam.oracleSql("doc_id % 97 = 0", n = 4),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
+
+    "q69_repeated_spans" -> RepeatedSpans.oracleSql(window = 8, minDocs = 2),
 
     "q44_quality_flags" -> TextStats.qualityFlagsOracleSql(),
 

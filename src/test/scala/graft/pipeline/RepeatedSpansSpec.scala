@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[RepeatedSpans.spans]]: planted-fixture span boundaries, the merge
+  * rule, the cross-document frequency gate, and partitioning
+  * invariance. */
+class RepeatedSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], window: Int, minDocs: Int = 2) =
+    RepeatedSpans.spans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        window, minDocs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+
+  // A 12-token run shared verbatim by two docs; 8-token windows fully
+  // inside it start at 5 offsets (12 - 8 + 1), so each doc reports ONE
+  // merged span covering exactly the run.
+  private val sharedRun = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+
+  test("a shared run merges its overlapping windows into one exact span") {
+    val got = run(Seq(
+      (1L, s"a1 a2 a3 a4 $sharedRun z1 z2"),
+      (2L, s"$sharedRun b1 b2 b3")), window = 8)
+    // doc 1: run occupies tokens 4..15; matched window starts 4..8.
+    // doc 2: run occupies tokens 0..11; matched window starts 0..4.
+    assert(got == Seq((1L, 4, 15, 5L), (2L, 0, 11, 5L)))
+  }
+
+  test("runs separated by more than a window apart stay separate spans") {
+    // Two shared runs of 8 tokens each; doc 3 separates them with 9
+    // unique tokens (start gap 17 > window 8) -> two spans; doc 4 holds
+    // them back-to-back (start gap 8 <= window) -> merged into one.
+    val runA = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val runB = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val got = run(Seq(
+      (3L, s"$runA u1 u2 u3 u4 u5 u6 u7 u8 u9 $runB"),
+      (4L, s"$runA $runB")), window = 8)
+    assert(got == Seq((3L, 0, 7, 1L), (3L, 17, 24, 1L), (4L, 0, 15, 2L)))
+  }
+
+  test("within-doc-only repetition does not flag (cross-document gate)") {
+    val got = run(Seq(
+      (5L, s"$sharedRun x1 x2 $sharedRun"),
+      (6L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")), window = 8)
+    assert(got.isEmpty)
+  }
+
+  test("minDocs raises the frequency bar") {
+    val docs = Seq(
+      (7L, s"$sharedRun c1"),
+      (8L, s"c2 $sharedRun"),
+      (9L, s"c3 c4 $sharedRun"))
+    assert(run(docs, window = 8, minDocs = 3).size == 3)
+    assert(run(docs, window = 8, minDocs = 4).isEmpty)
+  }
+
+  test("tokenization is case-folded, matching the gram expression walk") {
+    val got = run(Seq(
+      (10L, "Alpha BETA gamma DELTA epsilon zeta ETA theta tail1"),
+      (11L, "alpha beta GAMMA delta EPSILON zeta eta THETA tail2")),
+      window = 8)
+    assert(got == Seq((10L, 0, 7, 1L), (11L, 0, 7, 1L)))
+  }
+
+  test("result is invariant to input partitioning") {
+    val docs = (0L until 40L).map { i =>
+      val tail = s"t${i}a t${i}b t${i}c t${i}d t${i}e"
+      (i, if (i % 3 == 0) s"$sharedRun $tail" else s"$tail $sharedRun")
+    }
+    val one = RepeatedSpans.spans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", 8).collect().toSeq
+    val many = RepeatedSpans.spans(docs.toDF("doc_id", "text").repartition(7),
+      "doc_id", "text", 8).collect().toSeq
+    assert(one == many && one.nonEmpty)
+  }
+}
