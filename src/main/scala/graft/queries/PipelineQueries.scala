@@ -240,6 +240,17 @@ object PipelineQueries {
     "q44_quality_flags" -> ((s, sf) =>
       TextStats.qualityFlags(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
+    // Fixed-context sequence manifest (r12): documents concatenated in
+    // id order and cut into 512-token training sequences; one row per
+    // (sequence, document) incidence with in-doc/in-seq offsets — the
+    // packed-pretraining sample map. Straddling docs split across
+    // sequences, unlike q38's never-split shards.
+    "q70_sequence_pack" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      ShardPack.sequenceManifest(Tables.load(s, sf, "documents"), "doc_id",
+        TextStats.tokenCount(col("text")), ctxLen = 512L)
+    }),
+
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
     "q45_epoch_shuffle" -> ((s, sf) =>
@@ -587,6 +598,8 @@ object PipelineQueries {
     "q37_dup_clusters" -> DupClusters.clustersOracleSql(0.5),
 
     "q38_shard_pack" -> ShardPack.oracleSql(4096L),
+
+    "q70_sequence_pack" -> ShardPack.sequenceOracleSql(512L),
 
     "q39_stratified_sample" -> Sampling.oracleSql(20),
 
