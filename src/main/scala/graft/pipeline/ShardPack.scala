@@ -48,8 +48,11 @@ object ShardPack {
     * [[assign]] (no one-partition window), then a map-side explode of
     * `n_tokens/ctxLen + 1` rows per document — output is linear in
     * corpus tokens over `ctxLen`, and nothing reshuffles after the
-    * cumsum's range partition. Zero-token documents are excluded up
-    * front (they occupy no stream positions).
+    * cumsum's range partition; the manifest comes back unordered, and
+    * callers that need a deterministic listing order it themselves (the
+    * conformance harness sorts by (seq_id, doc_id) for the oracle
+    * compare). Zero-token documents are excluded up front (they occupy
+    * no stream positions).
     *
     * Output: (seq_id, doc_id, doc_off, seq_off, len) — tokens
     * `[doc_off, doc_off+len)` of the document land at
@@ -72,7 +75,6 @@ object ShardPack {
         greatest(col("start_tok") - col("seq_id") * ctxLen, lit(0L)).as("seq_off"),
         (least((col("seq_id") + 1) * ctxLen, col("start_tok") + col("n_tokens"))
           - greatest(col("seq_id") * ctxLen, col("start_tok"))).as("len"))
-      .orderBy("seq_id", "doc_id")
   }
 
   /** DuckDB oracle for [[sequenceManifest]] over table `documents` with

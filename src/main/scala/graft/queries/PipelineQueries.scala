@@ -247,8 +247,12 @@ object PipelineQueries {
     // sequences, unlike q38's never-split shards.
     "q70_sequence_pack" -> ((s, sf) => {
       GraftFunctions.register(s)
+      // The orderBy is the conformance harness's deterministic listing
+      // order (matching the oracle's ORDER BY), not part of the
+      // operator — sequenceManifest itself never resorts the manifest.
       ShardPack.sequenceManifest(Tables.load(s, sf, "documents"), "doc_id",
         TextStats.tokenCount(col("text")), ctxLen = 512L)
+        .orderBy("seq_id", "doc_id")
     }),
 
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
