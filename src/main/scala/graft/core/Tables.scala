@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). All
   * reads go through here so filters/projections stay directly above the
@@ -13,24 +13,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as a long
-    * (`nanosAsLong`, runtime-settable) and truncate to microseconds — the
-    * fixture's values are µs-aligned (verified: epoch_ns % 1000 == 0
-    * everywhere), and DuckDB's parquet reader performs the same ns→µs
-    * truncation, so both engines see identical timestamps.
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) — which Spark 4 refuses to read as a timestamp
+    * ([PARQUET_TYPE_ILLEGAL]), so it arrives as a long under `nanosAsLong`
+    * and is truncated to microseconds here — and native TIMESTAMP(MICROS),
+    * which arrives as TIMESTAMP_NTZ and only needs the generic LTZ cast
+    * below. [[normalizeEventsTs]] dispatches on the READ type so both
+    * generations produce the identical normalized schema; DuckDB's parquet
+    * reader performs the same ns→µs truncation on the old layout, so both
+    * engines see identical timestamps either way.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
-    // The other fixtures' ms timestamps arrive as TIMESTAMP_NTZ (parquet
-    // isAdjustedToUTC=false); normalize to TIMESTAMP — the session runs in
-    // UTC, so the instant is unchanged, and downstream epoch-millis /
-    // window functions expect the LTZ type.
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+    normalizeEventsTs(df)
+  }
+
+  /** Normalize a raw fixture frame to the engine-facing schema: a long
+    * `ts` (the TIMESTAMP(NANOS) generation read under `nanosAsLong`) is
+    * µs-truncated into a timestamp; then every TIMESTAMP_NTZ column
+    * (parquet isAdjustedToUTC=false) is cast to TIMESTAMP — the session
+    * runs in UTC, so the instant is unchanged, and downstream
+    * epoch-millis / window functions expect the LTZ type. Shared by the
+    * batch loader and the streaming readers so the stream sees the exact
+    * batch schema. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    val tsFixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+    tsFixed.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(tsFixed) {
       (d, f) => d.withColumn(f.name, col(f.name).cast("timestamp"))
     }
   }

@@ -157,13 +157,8 @@ object Sessionize {
   def replayCounts(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       name: String): DataFrame = {
     import spark.implicits._
-    val schema = graft.core.Tables.load(spark, sfDir, "events").schema
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        schema.fields.map(f => if (f.name == "ts")
-          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .parquet(StreamingLog.streamDir(sfDir))
-      .select(col("user_id").as[Long], expr("ts div 1000000").as[Long]) // ns → ms
+    val raw = StreamingLog.eventsStream(spark, sfDir)
+      .select(col("user_id").as[Long], unix_millis(col("ts")).as[Long])
     val counted = streamingCounts(raw.as[(Long, Long)])
     val q = counted.toDF().writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Update())

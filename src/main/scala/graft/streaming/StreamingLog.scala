@@ -39,11 +39,7 @@ object StreamingLog {
       throw new IllegalArgumentException(
         "--relative-offset needs a seekable source; not supported in follow mode here")
     graft.functions.GraftFunctions.register(spark)
-    val schema = Tables.load(spark, sfDir, "events").schema
-    // Schema must be supplied explicitly (streaming sources cannot infer);
-    // ts arrives as the nanos long (nanosAsLong is already set by the
-    // batch load above) and goes through the same µs conversion.
-    val raw = eventsStream(spark, sfDir, schema)
+    val raw = eventsStream(spark, sfDir)
     val recs = raw.select(
       lit("events").as("topic"),
       graft.functions.GraftFunctions.kafkaPartition(col("user_id").cast("string"),
@@ -73,8 +69,7 @@ object StreamingLog {
   /** Q17's tumbling aggregation as a bounded streaming replay — asserts
     * the batch plan and the incremental plan agree (FIXTURES.md §C Q17). */
   def tumblingReplay(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val agg = graft.queries.Conformance.tumblingAgg(eventsStream(spark, sfDir, schema))
+    val agg = graft.queries.Conformance.tumblingAgg(eventsStream(spark, sfDir))
     replayAvailableNow(agg, name, outputMode = "complete")
   }
 
@@ -95,14 +90,15 @@ object StreamingLog {
     dir.toString
   }
 
-  private def eventsStream(spark: SparkSession, sfDir: String,
-      batchSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = streamDir(sfDir)
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(
-        batchSchema.fields.map(f => if (f.name == "ts")
-          f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // The stream source needs an explicit schema declaring what's ON DISK
+    // (it cannot infer, and the fixture's ts physical type has varied
+    // across generations — nanos-as-long vs native micros). Probe the raw
+    // file schema with a batch read, then apply the shared normalization
+    // so the stream sees the exact batch schema.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema
+    Tables.normalizeEventsTs(spark.readStream.schema(rawSchema).parquet(dir))
   }
 }
