@@ -16,7 +16,8 @@ object Plans {
     "q56_incremental_dedup", "q57_temperature_mix", "q58_overlap_matrix",
     "q62_containment_stratified", "q63_dedup_manifest",
     "q64_waterfill_mix", "q65_incremental_containment",
-    "q66_canonical_best", "q67_sidecar_containment")
+    "q66_canonical_best", "q67_sidecar_containment",
+    "q71_bloom_decontam", "q72_term_commonness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

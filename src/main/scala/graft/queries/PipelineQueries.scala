@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TextStats, TfIdf}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -254,6 +254,21 @@ object PipelineQueries {
         TextStats.tokenCount(col("text")), ctxLen = 512L)
         .orderBy("seq_id", "doc_id")
     }),
+
+    // Bloom-filter decontamination (r14): the approximate-membership
+    // variant of q42 — eval grams compressed to a 3-slice partitioned
+    // Bloom filter (fixed 3·16 KiB regardless of eval size), per-doc
+    // acceptance counts over the non-eval corpus. Same eval split as
+    // q42 so the two reports triage the same partition.
+    "q71_bloom_decontam" -> ((s, sf) =>
+      BloomDecontam.bloomReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", evalPred = col("doc_id") % 97 === 0, n = 4)),
+
+    // Corpus-frequency quality score (r14): the self-trained unigram-LM
+    // proxy — average corpus-wide occurrence count of each doc's tokens
+    // (log-free ratio form; see TermCommonness scaladoc).
+    "q72_term_commonness" -> ((s, sf) =>
+      TermCommonness.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
@@ -612,6 +627,10 @@ object PipelineQueries {
     "q41_ann_batch" -> Similarity.batchTopKOracleSql(Seq(0L, 1L, 2L, 3L, 4L), 10),
 
     "q42_decontam" -> Decontam.oracleSql("doc_id % 97 = 0", n = 4),
+
+    "q71_bloom_decontam" -> BloomDecontam.oracleSql("doc_id % 97 = 0", n = 4),
+
+    "q72_term_commonness" -> TermCommonness.oracleSql,
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 

@@ -65,6 +65,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
   }
 
+  test("q71: bloom probe broadcasts the set-bit table; both branches scan predicate-pushed") {
+    val df = SparkEntry.queries("q71_bloom_decontam")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // q42's discipline: the eval branch reads only eval rows, the corpus
+    // branch only the rest — each scan carries its doc_id predicate.
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
+  }
+
+  test("q72: the corpus is scanned and tokenized exactly once") {
+    val df = SparkEntry.queries("q72_term_commonness")(spark, TestSpark.Sf)
+    assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+  }
+
   test("q48: k-means assignment is one argmax_dot call, not k dot-product nodes") {
     val p = plan("q48_kmeans")
     assert(p.contains("argmax_dot"), p)
