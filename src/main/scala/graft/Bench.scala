@@ -34,19 +34,32 @@ object Bench {
     // oracle-checked (q08b) and the archive is built from the same
     // synthesis the live path uses.
     val archiveDir = s"/tmp/graft-bench-archive-${Integer.toHexString(sfDir.hashCode)}"
-    // Both archives must be materialized while the record source is still
-    // the live parquet layout: materialize itself reads via RecordLog.topic,
-    // which with recordSource=archive would demand the (not yet existing)
-    // archive it is trying to build (ADVICE r4, broke BENCH_r04).
-    if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
-      graft.log.LogStore.materialize(spark, sfDir, archiveDir)
     val warmSf = "/root/testdata/sf0.001"
     val warmDistinct = new java.io.File(warmSf).isDirectory &&
       new java.io.File(warmSf).getCanonicalPath != new java.io.File(sfDir).getCanonicalPath
     val warmArchive = s"/tmp/graft-bench-archive-${Integer.toHexString(warmSf.hashCode)}"
-    if (warmDistinct && !new java.io.File(s"$warmArchive/clicks/_SUCCESS").exists())
-      graft.log.LogStore.materialize(spark, warmSf, warmArchive)
-    spark.conf.set("spark.graft.recordSource", "archive")
+    // Both archives must be materialized while the record source is still
+    // the live parquet layout: materialize itself reads via RecordLog.topic,
+    // which with recordSource=archive would demand the (not yet existing)
+    // archive it is trying to build (ADVICE r4, broke BENCH_r04).
+    // ensureMaterialized rebuilds when the fixture generation changed
+    // (source-fingerprint marker — a bare _SUCCESS check served stale
+    // archives after the round-13 testdata regeneration). NON-FATAL
+    // (r13's other bench lesson): an archive build failure must degrade
+    // to timing the live layout, not kill the whole bench with rc=1 —
+    // BENCH_r13 reported nothing because one analysis error in this
+    // pre-timing step aborted the run before any query was measured.
+    val layout = try {
+      graft.log.LogStore.ensureMaterialized(spark, sfDir, archiveDir)
+      if (warmDistinct)
+        graft.log.LogStore.ensureMaterialized(spark, warmSf, warmArchive)
+      "archive"
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] archive materialization failed; " +
+        s"falling back to the live record layout: $e")
+      "live"
+    }
+    if (layout == "archive") spark.conf.set("spark.graft.recordSource", "archive")
     // Steady-state measurement: run every query once at the smallest SF
     // (untimed) so JIT + whole-stage-codegen compilation of each query's
     // operator chain is not charged to the timed pass. BENCH_r03 recorded
@@ -126,7 +139,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val cal = s"""{"start":$calStart,"end":$calEnd}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir","layout":"archive"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir","layout":"$layout"}""")
     spark.stop()
   }
 }

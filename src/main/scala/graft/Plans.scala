@@ -42,8 +42,7 @@ object Plans {
     // predicates become PartitionFilters (directory pruning) instead of a
     // post-scan Filter over a computed column.
     val archiveDir = s"/tmp/graft-plans-archive-${Integer.toHexString(sfDir.hashCode)}"
-    if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
-      graft.log.LogStore.materialize(spark, sfDir, archiveDir)
+    graft.log.LogStore.ensureMaterialized(spark, sfDir, archiveDir)
     spark.conf.set("spark.graft.recordSource", "archive")
     spark.conf.set("spark.graft.archiveDir", archiveDir)
     Seq("q01_scan", "q08_partitions").foreach(dump(_, " [archive layout]"))

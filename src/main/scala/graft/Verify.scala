@@ -22,16 +22,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that fails must surface as a RED row in the driver's
+        // correctness report, not silently vanish from it: round 13's
+        // fixture break left 22 queries absent and the remaining 51 all
+        // green, which reads as a clean gate unless the row COUNT is
+        // checked. Dump a sentinel frame whose schema can never match
+        // any oracle, so the comparison fails loudly for this query.
+        try {
+          import spark.implicits._
+          Seq(s"$name: ${e.getMessage}".take(500)).toDF("__query_failed")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // Result fully consumed (written) — release this query's
       // registered query-lifetime caches (graft.ops.Materialize).
       finally graft.ops.Materialize.releaseAll(spark)
     }
+    System.err.println(
+      s"[verify] dumped ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries ($failed failed)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -82,8 +82,7 @@ object Conformance {
     // post-scan filter; results must be layout-independent.
     "q08b_archive_partitions" -> ((s, sf) => {
       val store = s"/tmp/graft-archive-${Integer.toHexString(sf.hashCode)}"
-      val marker = new java.io.File(s"$store/events/_SUCCESS")
-      if (!marker.exists()) LogStore.materialize(s, sf, store, Seq("events"))
+      LogStore.ensureMaterialized(s, sf, store, Seq("events"))
       val o = base().copy(partitions = Some(Seq(3, 5)))
       LogQuery.canonical(LogQuery.resultsFrom(
         LogQuery.consumedFrom(LogStore.topic(s, store, "events"), o), o))

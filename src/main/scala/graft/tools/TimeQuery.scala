@@ -25,8 +25,7 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val archiveDir = s"/tmp/graft-bench-archive-${Integer.toHexString(sfDir.hashCode)}"
-    if (!new java.io.File(s"$archiveDir/clicks/_SUCCESS").exists())
-      graft.log.LogStore.materialize(spark, sfDir, archiveDir)
+    graft.log.LogStore.ensureMaterialized(spark, sfDir, archiveDir)
     spark.conf.set("spark.graft.recordSource", "archive")
     spark.conf.set("spark.graft.archiveDir", archiveDir)
     val fn = graft.SparkEntry.queries(name)

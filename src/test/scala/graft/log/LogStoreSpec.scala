@@ -45,6 +45,26 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureMaterialized rebuilds when the fixture generation changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ensure").toString
+    LogStore.ensureMaterialized(spark, TestSpark.Sf, dir, Seq("events"))
+    val marker = java.nio.file.Paths.get(dir, ".source-fingerprint")
+    assert(java.nio.file.Files.exists(marker), "first build writes the marker")
+    val success = new java.io.File(s"$dir/events/_SUCCESS")
+    val t0 = success.lastModified()
+    // Same fixture → reuse (the archive is not rewritten).
+    Thread.sleep(1100) // _SUCCESS mtime granularity can be 1s
+    LogStore.ensureMaterialized(spark, TestSpark.Sf, dir, Seq("events"))
+    assert(success.lastModified() == t0, "unchanged fixture must not rebuild")
+    // Simulate a regenerated fixture: corrupt the marker (the recorded
+    // size+mtime no longer matches) → rebuild.
+    java.nio.file.Files.write(marker, "0:0".getBytes("UTF-8"))
+    LogStore.ensureMaterialized(spark, TestSpark.Sf, dir, Seq("events"))
+    assert(success.lastModified() > t0, "stale marker must force a rebuild")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != "0:0",
+      "rebuild refreshes the marker")
+  }
+
   test("partition predicates prune DIRECTORIES on the archive scan") {
     val df = LogQuery.consumedFrom(LogStore.topic(spark, store, "events"), opts)
     val plan = df.queryExecution.executedPlan.toString
