@@ -185,6 +185,70 @@ object Similarity {
     * heap per (partition, query) prunes to ≤ k rows before ANY shuffle,
     * so the ranking window sees ≤ k×P rows per query, never the corpus.
     * Same two-phase top-k shape as [[graft.pipeline.Sampling]]. */
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * similarity-side complement of [[Decontam]]/[[BloomDecontam]]'s exact
+    * n-gram overlap: paraphrased or lightly-edited eval material shares
+    * few exact n-grams but stays close in embedding space, so production
+    * pipelines run BOTH checks. Every non-eval vector is annotated with
+    * its nearest eval neighbor (max cosine, ties to the smallest eval
+    * id) and flagged when that cosine reaches `tau`.
+    *
+    * Scale shape: q41's exactly — the eval matrix broadcasts (an eval
+    * suite is MBs of vectors, the [[Decontam.overlapReport]] held-out-set
+    * contract), every corpus partition scores map-side via the codegen'd
+    * `vec_dot`, and the per-corpus-vector max runs through the same
+    * bounded-heap prune ([[topKPerQid]] at k=1: ≤ 1×P rows per corpus id
+    * reach the ranking shuffle, the roles of query and corpus swapped —
+    * here the CORPUS side is the partition key, so parallelism follows
+    * the corpus). The corpus is scanned once; nothing quadratic
+    * materializes. */
+  def semanticDecontam(emb: DataFrame, idCol: String, embCol: String,
+      evalPred: org.apache.spark.sql.Column, tau: Double): DataFrame =
+    topKPerQid(semanticScores(emb, idCol, embCol, evalPred), 1)
+      .select(col("qid").as("vec_id"), col("vec_id").as("eval_id"), col("cos"),
+        (col("cos") >= lit(tau)).as("contaminated"))
+      .orderBy("vec_id")
+
+  /** The scoring stage of [[semanticDecontam]] before the bounded-heap
+    * max: (qid = corpus vec_id, vec_id = eval id, cos). Exposed so
+    * PlanAuditSpec can pin the join shape — [[topKPerQid]]'s
+    * mapPartitions heap severs lineage, hiding this subplan from the
+    * operator's executed plan. */
+  private[graft] def semanticScores(emb: DataFrame, idCol: String,
+      embCol: String, evalPred: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"), evalPred.as("is_eval"))
+    val q = e.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("emb").as("qv"),
+        expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
+    e.filter(!col("is_eval"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("qid"), col("eval_id").as("vec_id"),
+        expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
+  }
+
+  /** DuckDB oracle for [[semanticDecontam]] over table `embeddings`:
+    * `evalPredSql` renders the SAME predicate (over column `vec_id`)
+    * passed as `evalPred`; folds are the sequential left-folds `vec_dot`
+    * computes, so cos is bit-exact. */
+  def semanticDecontamOracleSql(evalPredSql: String, tau: Double): String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.qv[i])")
+    val na = fold("list_transform(e.emb, v -> v * v)")
+    val nb = fold("list_transform(q.qv, v -> v * v)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS eval_id, emb AS qv FROM e WHERE ($evalPredSql)),
+       |s AS (SELECT e.vec_id, q.eval_id, $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |      FROM e CROSS JOIN q WHERE NOT ($evalPredSql)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+       |      FROM s)
+       |SELECT vec_id, eval_id, cos, cos >= CAST($tau AS DOUBLE) AS contaminated
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   def batchTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

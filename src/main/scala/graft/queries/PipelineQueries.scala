@@ -270,6 +270,14 @@ object PipelineQueries {
     "q72_term_commonness" -> ((s, sf) =>
       TermCommonness.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
+    // Semantic decontamination (r14): embedding-space eval overlap — the
+    // similarity-side complement of q42/q71's exact n-gram checks
+    // (paraphrases share few n-grams but stay close in embedding space).
+    // Same modulus split as the text decontam pair.
+    "q73_semantic_decontam" -> ((s, sf) =>
+      Similarity.semanticDecontam(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", evalPred = col("vec_id") % 97 === 0, tau = 0.35)),
+
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
     "q45_epoch_shuffle" -> ((s, sf) =>
@@ -631,6 +639,9 @@ object PipelineQueries {
     "q71_bloom_decontam" -> BloomDecontam.oracleSql("doc_id % 97 = 0", n = 4),
 
     "q72_term_commonness" -> TermCommonness.oracleSql,
+
+    "q73_semantic_decontam" ->
+      Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 

@@ -282,6 +282,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontam: planted eval near-copy flags; best eval match ≡ brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Plant a scaled copy of eval vector 0 as corpus id 900001: cosine is
+    // scale-invariant, so its nearest eval neighbor is exact (cos = 1
+    // up to float error) and it must flag at any sane tau.
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") === 0L)
+        .select(lit(900001L).as("vec_id"), expr("transform(emb, x -> x * 2.0d)").as("emb")))
+    val r = Similarity.semanticDecontam(planted, "vec_id", "emb",
+        col("vec_id") % 97 === 0, tau = 0.95)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    val (evalId, cos, flagged) = r(900001L)
+    assert(evalId === 0L && cos > 0.999 && flagged)
+    // Every non-eval vector reports exactly once (annotation form).
+    assert(r.size === planted.filter(col("vec_id") % 97 =!= 0).count())
+    // Spot-check a corpus vector's best match against per-pair brute force.
+    val some = 1L
+    val best = planted.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("emb").as("qv"))
+      .crossJoin(planted.filter(col("vec_id") === some).select(col("emb")))
+      .selectExpr("eval_id",
+        "vec_dot(emb, qv) / (sqrt(vec_dot(emb, emb)) * sqrt(vec_dot(qv, qv))) AS cos")
+      .orderBy(desc("cos"), col("eval_id")).head()
+    assert(r(some)._1 === best.getLong(0) && r(some)._2 === best.getDouble(1))
+  }
+
   test("langId picks the dominant stopword profile") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

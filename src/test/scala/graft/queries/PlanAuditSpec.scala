@@ -82,6 +82,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
   }
 
+  test("q73: the eval matrix broadcasts; the corpus streams through the cross product") {
+    import org.apache.spark.sql.functions.col
+    // The scoring stage is pinned directly: the bounded-heap max severs
+    // lineage (Scan ExistingRDD), so the join shape is invisible in the
+    // registered query's executed plan.
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val p = graft.pipeline.Similarity.semanticScores(emb, "vec_id", "embedding",
+      col("vec_id") % 97 === 0).queryExecution.executedPlan.toString
+    // The cross product IS the operator here (every corpus vector scores
+    // every eval vector) — what must hold is that the SMALL side is the
+    // broadcast build side, so the corpus never shuffles for the join.
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q48: k-means assignment is one argmax_dot call, not k dot-product nodes") {
     val p = plan("q48_kmeans")
     assert(p.contains("argmax_dot"), p)
