@@ -203,27 +203,42 @@ object Similarity {
     * the corpus). The corpus is scanned once; nothing quadratic
     * materializes. */
   def semanticDecontam(emb: DataFrame, idCol: String, embCol: String,
-      evalPred: org.apache.spark.sql.Column, tau: Double): DataFrame =
-    topKPerQid(semanticScores(emb, idCol, embCol, evalPred), 1)
+      evalPred: org.apache.spark.sql.Column, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"), evalPred.as("is_eval"))
+    semanticDecontamAgainst(
+      e.filter(!col("is_eval")).drop("is_eval"),
+      e.filter(col("is_eval")).drop("is_eval"),
+      "vec_id", "emb", tau)
+  }
+
+  /** The two-frame core of [[semanticDecontam]]: annotate every `corpus`
+    * vector with its nearest `evalVecs` neighbor. Separate frames so the
+    * streaming admission form ([[graft.streaming.StreamSemantic]]) can
+    * pass each micro-batch as the corpus against a standing eval set —
+    * the single-frame overload above is this with a predicate split. */
+  def semanticDecontamAgainst(corpus: DataFrame, evalVecs: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame =
+    topKPerQid(semanticScores(corpus, evalVecs, idCol, embCol), 1)
       .select(col("qid").as("vec_id"), col("vec_id").as("eval_id"), col("cos"),
         (col("cos") >= lit(tau)).as("contaminated"))
       .orderBy("vec_id")
 
-  /** The scoring stage of [[semanticDecontam]] before the bounded-heap
-    * max: (qid = corpus vec_id, vec_id = eval id, cos). Exposed so
-    * PlanAuditSpec can pin the join shape — [[topKPerQid]]'s
+  /** The scoring stage of [[semanticDecontamAgainst]] before the
+    * bounded-heap max: (qid = corpus vec_id, vec_id = eval id, cos).
+    * Exposed so PlanAuditSpec can pin the join shape — [[topKPerQid]]'s
     * mapPartitions heap severs lineage, hiding this subplan from the
     * operator's executed plan. */
-  private[graft] def semanticScores(emb: DataFrame, idCol: String,
-      embCol: String, evalPred: org.apache.spark.sql.Column): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vec_id"),
-      col(embCol).cast("array<double>").as("emb"), evalPred.as("is_eval"))
-    val q = e.filter(col("is_eval"))
-      .select(col("vec_id").as("eval_id"), col("emb").as("qv"),
-        expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
-    e.filter(!col("is_eval"))
-      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+  private[graft] def semanticScores(corpus: DataFrame, evalVecs: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val q = evalVecs.select(col(idCol).as("eval_id"),
+        col(embCol).cast("array<double>").as("qv"))
+      .withColumn("qnrm", expr("sqrt(vec_dot(qv, qv))"))
+    e.withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
       .crossJoin(broadcast(q))
       .select(col("vec_id").as("qid"), col("eval_id").as("vec_id"),
         expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))

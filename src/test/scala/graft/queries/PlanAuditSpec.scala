@@ -88,8 +88,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // lineage (Scan ExistingRDD), so the join shape is invisible in the
     // registered query's executed plan.
     val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
-    val p = graft.pipeline.Similarity.semanticScores(emb, "vec_id", "embedding",
-      col("vec_id") % 97 === 0).queryExecution.executedPlan.toString
+    val p = graft.pipeline.Similarity.semanticScores(
+        emb.filter(col("vec_id") % 97 =!= 0), emb.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding").queryExecution.executedPlan.toString
     // The cross product IS the operator here (every corpus vector scores
     // every eval vector) — what must hold is that the SMALL side is the
     // broadcast build side, so the corpus never shuffles for the join.
