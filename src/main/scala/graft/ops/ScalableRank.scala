@@ -103,4 +103,74 @@ object ScalableRank {
     }
     spark.createDataFrame(ranked, schema.add(outCol, LongType, nullable = false))
   }
+
+  /** Exclusive per-group running sum of `valueCol` — [[addRank]] with the
+    * per-row contribution generalized from 1 to a long value column
+    * (rank IS the cumsum of the constant 1). Same two-scan + routed-base
+    * structure, same contracts: `orderCols` must totally order each group
+    * ([[graft.ops.ScalableCumSum]]'s determinism contract — tied rows may
+    * swap prefix values between the passes), parallelism follows data
+    * size because a hot group spans many range partitions. `valueCol`
+    * must be a non-null LONG. Production caller:
+    * [[graft.pipeline.Sampling.tokenBudgetMix]] (per-stratum token
+    * prefix sums — a stratum is corpus-sized, so the one-task-per-group
+    * window form is the same 10-way skew wall addRank retires). */
+  def addGroupedCumSum(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, outCol: String, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols: Seq[Column] = (groupCol +: orderCols).map(col)
+    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+
+    // Pass 1: per-(sparkPartition, group) value totals (clustered runs).
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val runs = ArrayBuffer.empty[(Int, (Any, Long))]
+      var cur: Any = null; var s = 0L; var started = false
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          if (started) runs += ((pid, (cur, s)))
+          cur = g; s = r.getLong(vIdx); started = true
+        } else s += r.getLong(vIdx)
+      }
+      if (started) runs += ((pid, (cur, s)))
+      runs.iterator
+    }
+
+    val bases = totals
+      .map { case (pid, (g, s)) => (g, (pid, s)) }
+      .groupByKey()
+      .flatMap { case (g, runs) =>
+        var acc = 0L
+        runs.toSeq.sortBy(_._1).map { case (pid, s) =>
+          val base = acc; acc += s; (pid, (g, base))
+        }
+      }
+
+    val parts = rdd.getNumPartitions
+    val basesByPid = bases.partitionBy(new Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+
+    val summed = rdd.zipPartitions(basesByPid) { (it, baseIt) =>
+      val baseMap = scala.collection.mutable.HashMap.empty[Any, Long]
+      baseIt.foreach { case (g, b) => baseMap(g) = b }
+      var cur: Any = null; var acc = 0L; var started = false
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          cur = g; acc = baseMap.getOrElse(g, 0L); started = true
+        }
+        val out = Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(summed, schema.add(outCol, LongType, nullable = false))
+  }
 }

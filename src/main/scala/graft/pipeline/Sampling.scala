@@ -185,6 +185,73 @@ object Sampling {
     drawByQuota(keyed, quotas)
   }
 
+  /** Token-budget mixture: draw each stratum's md5-ordered prefix whose
+    * TOKEN total fits its budget — the units real training recipes are
+    * written in ("300B tokens of web, 50B of code"), where
+    * [[temperatureMix]]/[[targetMix]]/[[waterfillMix]] draw document
+    * COUNTS. A document is kept iff its stratum's exclusive running
+    * token sum plus its own tokens stays ≤ the budget (never-exceed:
+    * the straddling document is excluded, deterministically — both
+    * engines evaluate the same integer comparison). Unlisted strata
+    * draw zero; a budget smaller than the first document's tokens
+    * draws zero from that stratum.
+    *
+    * Scale shape: the count-quota mixes rank through a bounded heap
+    * because their quotas are driver-small; a TOKEN budget can cover an
+    * arbitrary fraction of a corpus-sized stratum, so the prefix sum
+    * must scale — [[graft.ops.ScalableRank.addGroupedCumSum]] (the
+    * grouped two-pass exclusive sum: range partitions cut THROUGH a hot
+    * stratum, per-(partition, stratum) totals prefix-scan distributedly,
+    * bases route back, the big side never reshuffles). The budget frame
+    * broadcasts; tokens come from a codegen'd count on the scan
+    * ([[TextStats.tokenCount]] at the registration). Ordering is the
+    * family's (md5(id), doc_id) draw, so the kept prefix is the same
+    * stable pseudo-random sample the count mixes draw from. */
+  def tokenBudgetMix(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      s"token budgets must be positive: $budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(strataCol).cast("string").as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      tokensCol.cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("pick"))
+    val budgetDf = budgets.toSeq.toDF("stratum", "token_budget")
+    val cum = graft.ops.ScalableRank.addGroupedCumSum(
+      keyed.join(broadcast(budgetDf), "stratum"), // inner: unlisted drop
+      "stratum", Seq("pick", "doc_id"), "n_tokens", "cum_tokens",
+      spark.sessionState.conf.numShufflePartitions)
+    cum.filter(col("cum_tokens") + col("n_tokens") <= col("token_budget"))
+      .select("stratum", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("stratum", "doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenBudgetMix]] over `documents`, strata =
+    * `lang`, tokens = the whitespace token count (the
+    * [[TextStats.tokenCount]] walk): the one-partition window form of
+    * the same exclusive prefix + never-exceed comparison. */
+  def tokenBudgetMixOracleSql(budgets: Map[String, Long]): String = {
+    val values = budgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"('${s}', ${b}::BIGINT)" }.mkString(", ")
+    s"""WITH b(stratum, token_budget) AS (VALUES $values),
+       |keyed AS (
+       |  SELECT lang AS stratum, doc_id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS pick
+       |  FROM documents),
+       |cum AS (
+       |  SELECT k.stratum, k.doc_id, k.n_tokens, b.token_budget,
+       |         coalesce(sum(k.n_tokens) OVER (
+       |           PARTITION BY k.stratum ORDER BY k.pick, k.doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_tokens
+       |  FROM keyed k JOIN b USING (stratum))
+       |SELECT stratum, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens + n_tokens <= token_budget
+       |ORDER BY stratum, doc_id""".stripMargin
+  }
+
   /** Redistribution rounds for [[waterfillMix]] — each round can absorb
     * one saturation cascade, so K rounds settle any recipe whose
     * saturations chain at most K deep; whatever integer flooring leaves

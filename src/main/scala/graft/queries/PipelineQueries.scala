@@ -270,6 +270,17 @@ object PipelineQueries {
     "q72_term_commonness" -> ((s, sf) =>
       TermCommonness.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
+    // Token-budget mixture (r14): draw each language's md5-ordered
+    // prefix whose TOKEN total fits its budget — recipe units are
+    // tokens, not document counts (contrast q57/q61/q64); es/zh are
+    // deliberately unlisted and draw zero.
+    "q74_token_budget_mix" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      Sampling.tokenBudgetMix(Tables.load(s, sf, "documents"), "lang",
+        "doc_id", TextStats.tokenCount(col("text")),
+        budgets = Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L))
+    }),
+
     // Semantic decontamination (r14): embedding-space eval overlap — the
     // similarity-side complement of q42/q71's exact n-gram checks
     // (paraphrases share few n-grams but stay close in embedding space).
@@ -642,6 +653,9 @@ object PipelineQueries {
 
     "q73_semantic_decontam" ->
       Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),
+
+    "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
+      Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 

@@ -36,4 +36,26 @@ class ScalableCumSumSpec extends AnyFunSuite {
     assert(ScalableCumSum.addCumSum(one, Seq("k"), "v", "c", 4)
       .select("c").as[Long].collect().toSeq == Seq(0L))
   }
+
+  test("grouped prefix sum ≡ per-group window form, incl. a hot group") {
+    // Group "hot" holds 80% of rows — range partitions must cut through
+    // it (the skew case the one-task-per-group window serializes on).
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 4000L).map { k =>
+      val g = if (k % 5 != 0) "hot" else s"g${k % 7}"
+      (g, k, rnd.nextInt(500).toLong)
+    }
+    val df = rows.toDF("g", "k", "v")
+    val expect = df.withColumn("c", coalesce(sum("v").over(
+        Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("g", "k").select("g", "k", "c")
+      .as[(String, Long, Long)].collect().toSeq
+    for (p <- Seq(1, 3, 8, 32)) {
+      val got = ScalableRank.addGroupedCumSum(df, "g", Seq("k"), "v", "c", p)
+        .orderBy("g", "k").select("g", "k", "c")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == expect, s"numPartitions=$p")
+    }
+  }
 }

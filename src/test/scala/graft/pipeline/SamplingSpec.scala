@@ -160,6 +160,45 @@ class SamplingSpec extends AnyFunSuite {
     q
   }
 
+  test("tokenBudgetMix ≡ naive window form; never exceeds; drops unlisted strata") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+    val budgets = Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)
+    val naiveForm = {
+      val keyed = docs.select(col("lang").as("stratum"), col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("pick"))
+        .filter(col("stratum").isin(budgets.keys.toSeq: _*))
+      val b = budgets.toSeq.toDF("stratum", "token_budget")
+      keyed.withColumn("cum_tokens", coalesce(sum("n_tokens").over(
+          Window.partitionBy("stratum").orderBy("pick", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(b, "stratum")
+        .filter(col("cum_tokens") + col("n_tokens") <= col("token_budget"))
+        .orderBy("stratum", "doc_id")
+        .select("stratum", "doc_id", "n_tokens", "cum_tokens")
+        .as[(String, Long, Long, Long)].collect().toSeq
+    }
+    assert(naiveForm.nonEmpty)
+    for (p <- Seq(1, 7)) {
+      val got = Sampling.tokenBudgetMix(docs.repartition(p), "lang", "doc_id",
+          TextStats.tokenCount(col("text")), budgets)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == naiveForm, s"repartition=$p")
+    }
+    // Budget holds as a hard cap per stratum, and the cut is TIGHT: the
+    // next md5-ordered document would overflow it.
+    val byStratum = naiveForm.groupBy(_._1)
+    budgets.foreach { case (s, b) =>
+      val drawn = byStratum.get(s).map(_.map(_._3).sum).getOrElse(0L)
+      assert(drawn <= b, s"$s drew $drawn > $b")
+    }
+    val en = byStratum("en")
+    assert(en.map(_._3).sum <= 5000L && en.nonEmpty)
+    // es/zh unlisted → absent.
+    assert(!naiveForm.exists(r => r._1 == "es" || r._1 == "zh"))
+  }
+
   test("waterfillMix redistributes saturated shortfall; ≡ naive round replay") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
     val sizes = docs.groupBy("lang").count().collect()
