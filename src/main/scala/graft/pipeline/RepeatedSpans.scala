@@ -44,6 +44,17 @@ object RepeatedSpans {
     * (start gap ≤ `window`). Documents with no repeated window are
     * absent — a removal-span report, not a corpus rewrite. */
   def spans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2): DataFrame =
+    // The ordered REPORT form; the trailing sort is presentation only.
+    spansUnordered(docs, idCol, textCol, window, minDocs)
+      .orderBy("doc_id", "start_tok")
+
+  /** [[spans]] without the final listing sort — the form internal
+    * consumers aggregate from ([[scrub]]'s collect_list is
+    * order-sensitive to Catalyst, so EliminateSorts cannot drop an
+    * upstream orderBy itself: at the 64× probe the wasted range
+    * exchange + sort of the corpus-sized span table was measurable). */
+  private[graft] def spansUnordered(docs: DataFrame, idCol: String, textCol: String,
       window: Int, minDocs: Int = 2): DataFrame = {
     require(window > 0 && minDocs > 1,
       s"need window > 0 and minDocs > 1: $window, $minDocs")
@@ -70,16 +81,44 @@ object RepeatedSpans {
         (max("pos") + lit(window - 1)).as("end_tok"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "start_tok", "end_tok", "n_windows")
-      .orderBy("doc_id", "start_tok")
   }
 
-  /** DuckDB oracle for [[spans]] over table `documents`: window strings
-    * built by slicing the same lowercased tokenization, folded through
-    * the SAME 63-bit byte hash the native expression computes
-    * ([[graft.oracle.Duck.gramHash63Sql]]), then the same
-    * lag/sum/group span merge as a window-function chain. */
-  def oracleSql(window: Int, minDocs: Int): String =
-    s"""WITH toks AS (
+  /** Rewrite the corpus with the repeated spans REMOVED — the "apply"
+    * side of [[spans]], the way [[DupClusters.canonicalize]] applies
+    * q37's clusters: every document's tokens outside any repeated span
+    * are rejoined with single spaces (whitespace normalized, original
+    * case kept — span positions index token BOUNDARIES, which lowercasing
+    * never moves), and the removal is reported as a token count. Docs
+    * with no repeated span pass through (normalized) with n_removed = 0.
+    *
+    * Scale shape: the span table is GRAPH-sized (docs with corpus-
+    * repeated runs × few spans each), so its per-doc collect_list
+    * aggregate is small and the corpus join is AQE-broadcast-eligible
+    * with no static hint (the q43 discipline); the cut itself is one
+    * codegen'd higher-order filter per row — the corpus text is scanned,
+    * rewritten map-side, and never shuffles. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2): DataFrame = {
+    val sp = spansUnordered(docs, idCol, textCol, window, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("sp"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("toks", regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      .withColumn("kept", when(col("sp").isNull, col("toks"))
+        .otherwise(filter(col("toks"), (_, i) =>
+          !exists(col("sp"), s =>
+            i >= s.getField("start_tok") && i <= s.getField("end_tok")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** The span-derivation CTE chain shared by [[oracleSql]] and
+    * [[scrubOracleSql]]: leaves `spr` = the q69 result rows. */
+  private def spansCtes(window: Int, minDocs: Int): String =
+    s"""toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
        |  FROM documents),
        |wins AS (
@@ -102,9 +141,45 @@ object RepeatedSpans {
        |sp AS (
        |  SELECT doc_id, pos,
        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-       |  FROM g)
-       |SELECT doc_id, MIN(pos) AS start_tok,
+       |  FROM g),
+       |spr AS (
+       |  SELECT doc_id, MIN(pos) AS start_tok,
        |       CAST(MAX(pos) + ${window - 1} AS INTEGER) AS end_tok,
        |       COUNT(*) AS n_windows
-       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, start_tok""".stripMargin
+       |  FROM sp GROUP BY doc_id, span_id)""".stripMargin
+
+  /** DuckDB oracle for [[spans]] over table `documents`: window strings
+    * built by slicing the same lowercased tokenization, folded through
+    * the SAME 63-bit byte hash the native expression computes
+    * ([[graft.oracle.Duck.gramHash63Sql]]), then the same
+    * lag/sum/group span merge as a window-function chain. */
+  def oracleSql(window: Int, minDocs: Int): String =
+    s"""WITH ${spansCtes(window, minDocs)}
+       |SELECT doc_id, start_tok, end_tok, n_windows
+       |FROM spr ORDER BY doc_id, start_tok""".stripMargin
+
+  /** DuckDB oracle for [[scrub]] over table `documents`: the same span
+    * chain, collected per doc, applied with the same 0-based
+    * position-in-span cut (DuckDB lambdas index 1-based, hence i-1)
+    * over the ORIGINAL-case tokens. */
+  def scrubOracleSql(window: Int, minDocs: Int): String =
+    s"""WITH ${spansCtes(window, minDocs)},
+       |spa AS (
+       |  SELECT doc_id, list((start_tok, end_tok)) AS sp
+       |  FROM spr GROUP BY doc_id),
+       |cut AS (
+       |  SELECT d.doc_id,
+       |    regexp_extract_all(d.text, '\\S+') AS ot,
+       |    CASE WHEN spa.sp IS NULL THEN regexp_extract_all(d.text, '\\S+')
+       |         ELSE list_filter(regexp_extract_all(d.text, '\\S+'),
+       |           (x, i) -> NOT list_bool_or(list_transform(spa.sp,
+       |             s -> i - 1 >= s[1] AND i - 1 <= s[2])))
+       |    END AS kept
+       |  FROM documents d LEFT JOIN spa ON d.doc_id = spa.doc_id)
+       |-- array_to_string of an EMPTY list is NULL in DuckDB where
+       |-- Spark's array_join gives '' — a fully-scrubbed doc must
+       |-- compare as the empty string in both engines.
+       |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+       |       CAST(len(ot) - len(kept) AS BIGINT) AS n_removed
+       |FROM cut ORDER BY doc_id""".stripMargin
 }

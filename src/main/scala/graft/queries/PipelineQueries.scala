@@ -270,6 +270,15 @@ object PipelineQueries {
     "q72_term_commonness" -> ((s, sf) =>
       TermCommonness.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
+    // Span-scrubbed corpus (r14): q69's removal spans APPLIED — tokens
+    // inside any corpus-repeated span are cut, the rewrite q40/q43 are
+    // for their respective dedup reports.
+    "q75_span_scrub" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      RepeatedSpans.scrub(Tables.load(s, sf, "documents"), "doc_id",
+        "text", window = 8, minDocs = 2)
+    }),
+
     // Token-budget mixture (r14): draw each language's md5-ordered
     // prefix whose TOKEN total fits its budget — recipe units are
     // tokens, not document counts (contrast q57/q61/q64); es/zh are
@@ -656,6 +665,8 @@ object PipelineQueries {
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
+
+    "q75_span_scrub" -> RepeatedSpans.scrubOracleSql(window = 8, minDocs = 2),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 

@@ -68,6 +68,43 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got == Seq((10L, 0, 7, 1L), (11L, 0, 7, 1L)))
   }
 
+  test("scrub cuts exactly the spanned tokens, keeps case, normalizes whitespace") {
+    val docs = Seq(
+      (1L, s"A1 a2  a3\ta4 $sharedRun Z1 z2"), // case + odd whitespace
+      (2L, s"$sharedRun b1 b2 b3"),
+      (3L, "all unique tokens nothing repeated here at all ok")).toDF("doc_id", "text")
+    val got = RepeatedSpans.scrub(docs, "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: span covers tokens 4..15 (the run); survivors keep ORIGINAL
+    // case and are single-space joined.
+    assert(got(1L) == ("A1 a2 a3 a4 Z1 z2", 12L))
+    assert(got(2L) == ("b1 b2 b3", 12L))
+    // untouched doc: normalized join only, zero removed.
+    assert(got(3L) == ("all unique tokens nothing repeated here at all ok", 0L))
+  }
+
+  test("scrub n_removed ≡ the union size of the doc's q69 spans, fixture-wide") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val spanCover = RepeatedSpans.spans(docs, "doc_id", "text", 8)
+      .groupBy("doc_id")
+      // spans are maximal and merged, so they are disjoint: the union
+      // size is the plain sum of widths.
+      .agg(sum(col("end_tok") - col("start_tok") + 1).as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scrubbed = RepeatedSpans.scrub(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrubbed.nonEmpty && spanCover.nonEmpty)
+    scrubbed.foreach { case (id, removed) =>
+      assert(removed == spanCover.getOrElse(id, 0L), s"doc $id")
+    }
+    // A fully-repeated doc scrubs to the empty string (the DuckDB
+    // array_to_string(empty) NULL vs Spark '' seam is oracle-handled).
+    val fully = RepeatedSpans.scrub(docs, "doc_id", "text", 8)
+      .filter(col("text") === "").count()
+    assert(fully > 0, "the dup-dense fixture plants fully-repeated docs")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = (0L until 40L).map { i =>
       val tail = s"t${i}a t${i}b t${i}c t${i}d t${i}e"
