@@ -17,7 +17,7 @@ object Plans {
     "q62_containment_stratified", "q63_dedup_manifest",
     "q64_waterfill_mix", "q65_incremental_containment",
     "q66_canonical_best", "q67_sidecar_containment",
-    "q71_bloom_decontam", "q72_term_commonness")
+    "q71_bloom_decontam", "q72_term_commonness", "q75_span_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
