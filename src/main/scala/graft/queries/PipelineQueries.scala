@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -269,6 +269,21 @@ object PipelineQueries {
     // (log-free ratio form; see TermCommonness scaladoc).
     "q72_term_commonness" -> ((s, sf) =>
       TermCommonness.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
+
+    // Corpus snapshot diff (r14): two versions derived deterministically
+    // from the fixture — v1 drops doc_id % 17 == 3 (added in v2), v2
+    // drops doc_id % 17 == 5 (removed), and doc_id % 13 == 0 carries an
+    // edited text in v2 (changed). Report is change-sized; fingerprints,
+    // not text, cross the join.
+    "q76_corpus_diff" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      val docs = Tables.load(s, sf, "documents")
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 17 =!= 5)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      CorpusDiff.diff(v1, v2, "doc_id", "text")
+    }),
 
     // Span-scrubbed corpus (r14): q69's removal spans APPLIED — tokens
     // inside any corpus-repeated span are cut, the rewrite q40/q43 are
@@ -667,6 +682,10 @@ object PipelineQueries {
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
 
     "q75_span_scrub" -> RepeatedSpans.scrubOracleSql(window = 8, minDocs = 2),
+
+    "q76_corpus_diff" -> CorpusDiff.oracleSql(
+      aPredSql = "doc_id % 17 <> 3", bPredSql = "doc_id % 17 <> 5",
+      bEditPredSql = "doc_id % 13 = 0"),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 
