@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -312,6 +312,14 @@ object PipelineQueries {
     "q73_semantic_decontam" -> ((s, sf) =>
       Similarity.semanticDecontam(Tables.load(s, sf, "embeddings"), "vec_id",
         "embedding", evalPred = col("vec_id") % 97 === 0, tau = 0.35)),
+
+    // Trained quality classifier (r14): 4 batch-perceptron rounds on
+    // integer text features against an en-vs-rest label, corpus scored
+    // under the learned weights — training itself is the oracle-gated
+    // op (integer updates, bit-reproducible; see QualityClassifier).
+    "q77_perceptron_quality" -> ((s, sf) =>
+      QualityClassifier.trainAndScore(Tables.load(s, sf, "documents"),
+        "doc_id", "lang", "text", "n_chars", posLang = "en", rounds = 4)),
 
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
@@ -677,6 +685,8 @@ object PipelineQueries {
 
     "q73_semantic_decontam" ->
       Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),
+
+    "q77_perceptron_quality" -> QualityClassifier.oracleSql("en", rounds = 4),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
