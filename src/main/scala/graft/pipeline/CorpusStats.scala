@@ -168,4 +168,127 @@ object CorpusStats {
        |FROM grams a JOIN grams b
        |  ON a.gram_fp = b.gram_fp AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Source-pair Jaccard similarity from k-minimum-values sketches —
+    * the BOUNDED-MEMORY companion to [[overlapMatrix]]. The exact
+    * matrix distinct-s every gram corpus-wide before counting; at
+    * 100 TB the distinct is a full gram-fingerprint exchange. The KMV
+    * estimator instead reduces each source to its `k` smallest DISTINCT
+    * gram fingerprints — a fixed-size profile a 63-bit hash makes
+    * uniform — and estimates every pair's Jaccard from the sketches
+    * alone: with `U` = the k smallest values of the union of two
+    * sketches, J ≈ |U ∩ A ∩ B| / |U| (Beyer et al.'s k-min estimator,
+    * ±O(1/√k)). Everything after the sketch is arithmetic on S·k longs.
+    *
+    * Estimates are still bit-REPRODUCIBLE: the sketch content is a
+    * deterministic function of the data (k smallest distinct values —
+    * no RNG), so both engines compute identical sketches, identical
+    * integer counts, and one final IEEE division.
+    *
+    * Scale shape: the prune never distinct-s the corpus — a typed
+    * mapPartitions keeps one ≤k TreeSet per source per partition
+    * (duplicate-safe: Set add, evict max), so each partition forwards
+    * ≤ S·k longs and the ONE exchange carries ≤ S·k·P survivor rows,
+    * never the gram stream. The survivor distinct + rank runs on that
+    * sketch-sized frame. Pair scoring joins the S-row sketch-array
+    * table to itself under `src_a < src_b` — S²/2 rows of 2k longs,
+    * driver-free; the [[DefaultMaxSources]]-style cap (`maxSources`,
+    * enforced on the materialized S) keeps the matrix a report. */
+  def kmvSourceSimilarity(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int, k: Int, maxSources: Int = 1024): DataFrame = {
+    require(n > 0, s"n-gram size must be positive: $n")
+    require(k > 0, s"sketch size must be positive: $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs.select(col(srcCol).cast("string").as("source"),
+      explode(graft.functions.GraftFunctions.wordGramHashes(
+        col(textCol), n)).as("gram_fp"))
+    val arrs = graft.ops.Materialize.barrier(
+      kminSketch(grams, k)
+        .groupBy("source")
+        .agg(array_sort(collect_list("gram_fp")).as("fps")))
+    val nSrc = arrs.count()
+    require(nSrc <= maxSources,
+      s"kmv similarity: $nSrc sources exceed maxSources=$maxSources — " +
+        "past that breadth the S-squared pair matrix is no longer a " +
+        "consumable report; raise maxSources only with a matching budget")
+    val a = arrs.select(col("source").as("src_a"), col("fps").as("fps_a"))
+    val b = arrs.select(col("source").as("src_b"), col("fps").as("fps_b"))
+    val u = array_sort(array_union(col("fps_a"), col("fps_b")))
+    val kUsed = least(size(u), lit(k)).cast("long")
+    val shared = size(array_intersect(
+      array_intersect(slice(u, 1, k), col("fps_a")), col("fps_b"))).cast("long")
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        kUsed.as("k_used"), shared.as("shared_kmin"),
+        (shared.cast("double") / kUsed.cast("double")).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** The `k` smallest DISTINCT `gram_fp` per `source`, without ever
+    * distinct-ing the input: per-partition ≤k TreeSets (a Set, so
+    * duplicates cannot crowd out a value that belongs in the global
+    * k-min — the [[graft.pipeline.Sampling.heapRank]] prune is NOT
+    * reusable here exactly because its heap ranks rows, not values),
+    * then exact distinct + rank over the ≤ S·k·P survivors. */
+  private[pipeline] def kminSketch(grams: DataFrame, k: Int): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val pruned = grams.as[(String, Long)].mapPartitions { it =>
+      val sets = scala.collection.mutable.HashMap
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      it.foreach { case (src, fp) =>
+        val s = sets.getOrElseUpdate(src, new java.util.TreeSet[java.lang.Long]())
+        if (s.size < k) { s.add(fp); () }
+        else if (fp < s.last && s.add(fp)) { s.pollLast(); () }
+      }
+      sets.iterator.flatMap { case (src, s) =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(v => (src, v.longValue))
+      }
+    }.toDF("source", "gram_fp")
+    val w = Window.partitionBy("source").orderBy("gram_fp")
+    pruned.distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** DuckDB oracle for [[kmvSourceSimilarity]] over `documents` — the
+    * sketch via a plain window rank over the distinct grams (correct,
+    * just not the bounded-prune shape), then identical list math. */
+  def kmvOracleSql(n: Int, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT source,
+       |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT source,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toks)),
+       |kmin AS (
+       |  SELECT source, gram_fp FROM (
+       |    SELECT source, gram_fp,
+       |      row_number() OVER (PARTITION BY source ORDER BY gram_fp) AS rn
+       |    FROM grams) WHERE rn <= $k),
+       |sk AS (
+       |  SELECT source, list(gram_fp ORDER BY gram_fp) AS fps
+       |  FROM kmin GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.fps AS fps_a, b.fps AS fps_b,
+       |    list_sort(list_distinct(list_concat(a.fps, b.fps))) AS u
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |scored AS (
+       |  SELECT src_a, src_b,
+       |    CAST(least(len(u), $k) AS BIGINT) AS k_used,
+       |    CAST(len(list_filter(u[1:$k], x ->
+       |      list_contains(fps_a, x) AND list_contains(fps_b, x))) AS BIGINT)
+       |      AS shared_kmin
+       |  FROM pairs)
+       |SELECT src_a, src_b, k_used, shared_kmin,
+       |  CAST(shared_kmin AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est
+       |FROM scored ORDER BY src_a, src_b""".stripMargin
 }

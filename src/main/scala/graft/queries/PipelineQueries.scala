@@ -321,6 +321,14 @@ object PipelineQueries {
       QualityClassifier.trainAndScore(Tables.load(s, sf, "documents"),
         "doc_id", "lang", "text", "n_chars", posLang = "en", rounds = 4)),
 
+    // KMV-sketched source similarity (r14): every source pair's Jaccard
+    // estimated from fixed k=128 minimum-value sketches over word
+    // 3-gram fingerprints — the bounded-memory companion to q58's exact
+    // shared-gram matrix (same gram stream, no corpus-wide distinct).
+    "q78_kmv_source_sim" -> ((s, sf) =>
+      CorpusStats.kmvSourceSimilarity(Tables.load(s, sf, "documents"),
+        "source", "text", n = 3, k = 128)),
+
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
     "q45_epoch_shuffle" -> ((s, sf) =>
@@ -687,6 +695,8 @@ object PipelineQueries {
       Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),
 
     "q77_perceptron_quality" -> QualityClassifier.oracleSql("en", rounds = 4),
+
+    "q78_kmv_source_sim" -> CorpusStats.kmvOracleSql(n = 3, k = 128),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
