@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -328,6 +328,14 @@ object PipelineQueries {
     "q78_kmv_source_sim" -> ((s, sf) =>
       CorpusStats.kmvSourceSimilarity(Tables.load(s, sf, "documents"),
         "source", "text", n = 3, k = 128)),
+
+    // Vocabulary + OOV coverage (r14): fix the top-512 corpus word
+    // vocabulary (count desc, term asc — deterministic boundary) and
+    // report each doc's out-of-vocabulary token rate, the tokenizer-prep
+    // coverage signal.
+    "q79_vocab_oov" -> ((s, sf) =>
+      Vocabulary.oovReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", v = 512)),
 
     // Deterministic epoch-3 reshuffle into 16 shards: shard + in-shard
     // position are pure functions of (epoch, doc_id) — md5 is the draw.
@@ -697,6 +705,8 @@ object PipelineQueries {
     "q77_perceptron_quality" -> QualityClassifier.oracleSql("en", rounds = 4),
 
     "q78_kmv_source_sim" -> CorpusStats.kmvOracleSql(n = 3, k = 128),
+
+    "q79_vocab_oov" -> Vocabulary.oracleSql(v = 512),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),
