@@ -146,7 +146,7 @@ object Clustering {
     * assignment used (the trained coarse-quantizer codebook — what
     * [[ivfTopK]] probes). Seeds: the k lowest-id vectors, cluster id =
     * 0-based rank in that order. */
-  private def trainAssign(e: DataFrame, k: Int,
+  private[pipeline] def trainAssign(e: DataFrame, k: Int,
       rounds: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     val seedRows = e.orderBy("vec_id").limit(k).select("fxd").collect()
@@ -332,10 +332,10 @@ object Clustering {
 
   // ---------------------------------------------------------------- oracle
 
-  private def fold(items: String): String =
+  private[pipeline] def fold(items: String): String =
     s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
 
-  private def dotSql(a: String, b: String, dim: Int): String =
+  private[pipeline] def dotSql(a: String, b: String, dim: Int): String =
     fold(s"list_transform(range(1, ${dim + 1}), __i -> $a[__i] * $b[__i])")
 
   /** The default oracle corpus: the embeddings table, components as
@@ -345,32 +345,36 @@ object Clustering {
 
   /** The `e` CTE body + one assignment/update CTE pair per round,
     * mirroring [[assignWithEmb]] op for op. Returns the full WITH-chain
-    * prefix ending at assignment CTE `a$rounds`. */
-  private def kmeansCtes(k: Int, rounds: Int, dim: Int, corpusSql: String): String = {
+    * prefix ending at assignment CTE `a$rounds`. `prefix` namespaces
+    * every CTE (e → ${prefix}e etc.) so multiple chains can share one
+    * WITH — [[ProductQuant]] unrolls one chain per subspace. */
+  private[pipeline] def kmeansCtes(k: Int, rounds: Int, dim: Int,
+      corpusSql: String, prefix: String = ""): String = {
+    val p = prefix
     val lift = s"list_transform(emb, v -> CAST(floor(v * $Scale + 0.5) AS BIGINT))"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, emb, $lift AS fx,
+    sb ++= s"""WITH ${p}e AS (SELECT vec_id, emb, $lift AS fx,
                |    list_transform($lift, v -> CAST(v AS DOUBLE)) AS fxd
                |  FROM $corpusSql),
-               |c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, fxd AS c
-               |  FROM e ORDER BY vec_id LIMIT $k)""".stripMargin
+               |${p}c1 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, fxd AS c
+               |  FROM ${p}e ORDER BY vec_id LIMIT $k)""".stripMargin
     for (t <- 1 to rounds) {
       sb ++= s""",
-                 |a$t AS (SELECT vec_id, cid AS cluster, score FROM (
+                 |${p}a$t AS (SELECT vec_id, cid AS cluster, score FROM (
                  |    SELECT vec_id, cid, score,
                  |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
                  |    FROM (SELECT e.vec_id, c.cid,
                  |            ${dotSql("e.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} AS score
-                 |          FROM e CROSS JOIN c$t c))
+                 |          FROM ${p}e e CROSS JOIN ${p}c$t c))
                  |  WHERE rn = 1)""".stripMargin
       if (t < rounds) {
         sb ++= s""",
-                   |s$t AS (SELECT a.cluster AS cid, t.i AS pos,
+                   |${p}s$t AS (SELECT a.cluster AS cid, t.i AS pos,
                    |    CAST(sum(e.fx[t.i]) AS BIGINT) AS s, count(*) AS n
-                   |  FROM a$t a JOIN e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+                   |  FROM ${p}a$t a JOIN ${p}e e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
                    |  GROUP BY a.cluster, t.i),
-                   |c${t + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
-                   |  FROM s$t GROUP BY cid)""".stripMargin
+                   |${p}c${t + 1} AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+                   |  FROM ${p}s$t GROUP BY cid)""".stripMargin
       }
     }
     sb.result()

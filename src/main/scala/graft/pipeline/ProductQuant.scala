@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the embedding-COMPRESSION half of the ANN
+  * family. [[Clustering.ivfTopK]] cuts the SCAN (probe few cells);
+  * PQ cuts the BYTES: the d-dim vector becomes `m` small codes (one
+  * per d/m-dim subspace, each the id of the nearest subspace centroid),
+  * so a 64-dim float vector compresses to `m` bytes and retrieval
+  * scores CODES against a per-query lookup table instead of vectors —
+  * the standard IVF-PQ decomposition (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Training reuses [[Clustering]]'s deterministic fixed-point Lloyd's
+  * machinery verbatim, once per subspace over the SLICED lifted frame
+  * (same seeds rule per subspace: the k lowest-id vectors' subvectors;
+  * same argmax_dot assignment; same exact integer centroid sums), so
+  * codes are bit-reproducible and the oracle replays one unrolled CTE
+  * chain per subspace. At 100 TB the codebook pass would train on a
+  * sample (a [[Clustering.MaxCentroidCells]]-bounded draw) — here it
+  * trains on the full corpus so the oracle can replay it exactly; the
+  * ENCODE pass is the full-corpus scan either way, and is the part that
+  * must scale: m zero-shuffle `argmax_dot` scans of the cached lifted
+  * frame, each reading only its slice.
+  *
+  * Retrieval ([[adcTopK]]) is asymmetric distance computation: the
+  * query stays uncompressed; its dot product against every corpus
+  * vector is approximated by Σ_m LUT[m][code_m] where LUT[m][j] =
+  * ⟨q_m, centroid_{m,j}⟩ — m×k driver-computed doubles per query
+  * ([[VecOps.dot]], the oracle's exact fold), riding the plan as a
+  * literal array. The corpus-side scan touches only the m-long code
+  * arrays: no vector math, no shuffle until the [[Similarity
+  * .topKPerQid]] bounded-heap rank. Scores sum the m partial terms in
+  * ascending-m order (one `aggregate` HOF ≡ the oracle's ordered
+  * `list_reduce`), keeping the approximation bit-reproducible too. */
+object ProductQuant {
+
+  /** PQ codes: (vec_id, m ∈ [0, m), code ∈ [0, k)) — one row per
+    * (vector, subspace), ordered. `dim` must split evenly into `m`
+    * subspaces. */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, rounds: Int, dim: Int): DataFrame =
+    encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim)._1
+      .orderBy("vec_id", "m")
+
+  /** The exploded code frame (unordered) plus the per-subspace
+    * codebooks the final assignment used. */
+  private[pipeline] def encodeWithBooks(corpus: DataFrame, idCol: String,
+      embCol: String, m: Int, k: Int, rounds: Int, dim: Int)
+      : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
+    require(m >= 1 && dim % m == 0,
+      s"dim=$dim must split evenly into m=$m subspaces")
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val d = dim / m
+    val per = (0 until m).map { mi =>
+      val lo = mi * d + 1
+      val em = e.select(col("vec_id"),
+        slice(col("emb"), lo, d).as("emb"),
+        slice(col("fx"), lo, d).as("fx"),
+        slice(col("fxd"), lo, d).as("fxd"))
+      val (assigned, cents) = Clustering.trainAssign(em, k, rounds)
+      (assigned.select(col("vec_id"), lit(mi).as("m"),
+        col("cluster").as("code")), cents)
+    }
+    (per.map(_._1).reduce(_ unionAll _), per.map(_._2))
+  }
+
+  /** ADC top-`topK` retrieval: (qid, vec_id, score, rn) per query id,
+    * score = the PQ-approximated lifted-domain dot product, ranked
+    * score-desc / vec_id-asc, self excluded. Query batch is bounded
+    * (the [[Similarity.batchTopK]] broadcast contract). */
+  def adcTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], m: Int, k: Int, rounds: Int, dim: Int,
+      topK: Int): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract")
+    val (codeRows, books) =
+      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim)
+    // One m-long code array per vector, ascending-subspace order.
+    // Materialized: every query branch below re-consumes it, and without
+    // the barrier each branch would re-run all m assignment scans.
+    val codes = graft.ops.Materialize.barrier(codeRows.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes")))
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val d = dim / m
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+      // Flat LUT, lut[mi*k + j] = ⟨q_mi, centroid_{mi,j}⟩ — positions of
+      // empty (dropped) clusters stay 0.0 and are never referenced,
+      // since no vector is assigned to a dropped cluster.
+      val flat = new Array[Double](m * k)
+      for (mi <- 0 until m; (cid, c) <- books(mi)) {
+        val qSub = java.util.Arrays.copyOfRange(fxd, mi * d, mi * d + d)
+        flat(mi * k + cid.toInt) = VecOps.dot(qSub, c)
+      }
+      codes.select(lit(qid).as("qid"), col("vec_id"),
+          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
+        .filter(col("vec_id") =!= qid)
+    }
+    // topKPerQid is positional+named on (qid, vec_id, cos) — the score
+    // rides its cos slot through the heap prune, renamed on the way out.
+    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Σ_{mi=0}^{m-1} lut[mi·k + codes[mi]] as an ascending-`mi` HOF fold
+    * — the exact addition order of the oracle's `list_reduce`. */
+  private def adcScore(lut: Column, m: Int, k: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, mi) => acc + element_at(lut,
+        (mi * lit(k) + element_at(col("codes"), mi + lit(1)).cast("int") +
+          lit(1)).cast("int")))
+
+  /** The sliced oracle corpus for subspace `mi` (1-based list slice of
+    * the double-lifted embedding). */
+  private def sliceSql(mi: Int, d: Int): String = {
+    val lo = mi * d + 1
+    val hi = lo + d - 1
+    "(SELECT vec_id, (list_transform(embedding, x -> x::DOUBLE))" +
+      s"[$lo:$hi] AS emb FROM embeddings)"
+  }
+
+  /** One prefixed k-means CTE chain per subspace, merged under a single
+    * WITH. */
+  private def chainsSql(m: Int, k: Int, rounds: Int, d: Int): String = {
+    val chains = (0 until m).map { mi =>
+      Clustering.kmeansCtes(k, rounds, d, sliceSql(mi, d), s"m${mi}_")
+        .stripPrefix("WITH ")
+    }
+    "WITH " + chains.mkString(",\n")
+  }
+
+  private def codesSql(m: Int, rounds: Int): String =
+    (0 until m).map { mi =>
+      s"SELECT vec_id, CAST($mi AS INTEGER) AS m, cluster AS code FROM m${mi}_a$rounds"
+    }.mkString("\n  UNION ALL ")
+
+  /** DuckDB oracle for [[encode]] over table `embeddings`. */
+  def encodeOracleSql(m: Int, k: Int, rounds: Int, dim: Int): String =
+    s"""${chainsSql(m, k, rounds, dim / m)},
+       |codes AS (${codesSql(m, rounds)})
+       |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin
+
+  /** DuckDB oracle for [[adcTopK]] over table `embeddings`: replays the
+    * per-subspace chains, builds the same LUT relationally, and sums
+    * each (query, vector)'s m partial terms with an ordered list fold. */
+  def adcOracleSql(queryIds: Seq[Long], m: Int, k: Int, rounds: Int,
+      dim: Int, topK: Int): String = {
+    val d = dim / m
+    val lift = "list_transform(list_transform(embedding, x -> x::DOUBLE), " +
+      s"v -> CAST(CAST(floor(v * ${Clustering.Scale} + 0.5) AS BIGINT) AS DOUBLE))"
+    val booksSql = (0 until m).map { mi =>
+      s"SELECT CAST($mi AS INTEGER) AS m, cid, c FROM m${mi}_c$rounds"
+    }.mkString("\n  UNION ALL ")
+    val qSubDot = (0 until m).map { mi =>
+      val lo = mi * d + 1
+      val hi = lo + d - 1
+      s"WHEN cm.m = $mi THEN ${Clustering.dotSql(s"(q.fxd[$lo:$hi])", "cm.c", d)}"
+    }.mkString("\n      ")
+    s"""${chainsSql(m, k, rounds, d)},
+       |codes AS (${codesSql(m, rounds)}),
+       |q AS (SELECT vec_id AS qid, $lift AS fxd FROM embeddings
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |lut AS (SELECT q.qid, cm.m, cm.cid,
+       |    CASE $qSubDot END AS part
+       |  FROM q CROSS JOIN ($booksSql) cm),
+       |scored AS (SELECT lut.qid, c.vec_id,
+       |    ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
+       |  FROM codes c JOIN lut ON lut.m = c.m AND lut.cid = c.code
+       |  WHERE c.vec_id <> lut.qid
+       |  GROUP BY lut.qid, c.vec_id)
+       |SELECT qid, vec_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+}

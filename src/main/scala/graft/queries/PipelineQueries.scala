@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -328,6 +328,22 @@ object PipelineQueries {
     "q78_kmv_source_sim" -> ((s, sf) =>
       CorpusStats.kmvSourceSimilarity(Tables.load(s, sf, "documents"),
         "source", "text", n = 3, k = 128)),
+
+    // Product quantization (r14): each 64-dim embedding compressed to 8
+    // subspace codes via per-subspace deterministic Lloyd's — the
+    // byte-compression half of the ANN family (q50 IVF cuts the scan;
+    // PQ cuts the bytes).
+    "q80_pq_encode" -> ((s, sf) =>
+      ProductQuant.encode(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", m = 8, k = 16, rounds = 2, dim = 64)),
+
+    // PQ asymmetric-distance retrieval (r14): per-query LUT of subspace
+    // partial dots, corpus scored over CODES only (no vector math in the
+    // scan), bounded-heap top-10.
+    "q81_pq_adc_topk" -> ((s, sf) =>
+      ProductQuant.adcTopK(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L), m = 8, k = 16, rounds = 2,
+        dim = 64, topK = 10)),
 
     // Vocabulary + OOV coverage (r14): fix the top-512 corpus word
     // vocabulary (count desc, term asc — deterministic boundary) and
@@ -707,6 +723,12 @@ object PipelineQueries {
     "q78_kmv_source_sim" -> CorpusStats.kmvOracleSql(n = 3, k = 128),
 
     "q79_vocab_oov" -> Vocabulary.oracleSql(v = 512),
+
+    "q80_pq_encode" -> ProductQuant.encodeOracleSql(m = 8, k = 16,
+      rounds = 2, dim = 64),
+
+    "q81_pq_adc_topk" -> ProductQuant.adcOracleSql(Seq(0L, 1L, 2L), m = 8,
+      k = 16, rounds = 2, dim = 64, topK = 10),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),

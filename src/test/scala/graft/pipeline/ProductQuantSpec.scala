@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** PQ: code shape/determinism, subspace-0 ≡ k-means on the sliced
+  * corpus, ADC ≡ dot against the reconstruction, and the k=1 edge. */
+class ProductQuantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+
+  test("encode shape: one code per (vector, subspace), codes within [0, k)") {
+    val codes = ProductQuant.encode(emb, "vec_id", "embedding",
+      m = 8, k = 16, rounds = 2, dim = 64)
+    val n = emb.count()
+    assert(codes.count() === n * 8)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() === 0)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 8)
+      .count() === 0)
+  }
+
+  test("subspace 0 codes ≡ k-means over the sliced corpus") {
+    import spark.implicits._
+    val sliced = emb.select(col("vec_id"),
+      slice(col("embedding").cast("array<double>"), 1, 8).as("embedding"))
+    val km = Clustering.kmeans(sliced, "vec_id", "embedding", k = 16,
+        rounds = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val pq = ProductQuant.encode(emb, "vec_id", "embedding",
+        m = 8, k = 16, rounds = 2, dim = 64)
+      .filter(col("m") === 0)
+      .select("vec_id", "code").as[(Long, Long)].collect().toMap
+    assert(pq === km)
+  }
+
+  test("ADC score ≡ lifted dot against the code reconstruction") {
+    import spark.implicits._
+    val (codeRows, books) = ProductQuant.encodeWithBooks(emb, "vec_id",
+      "embedding", m = 8, k = 16, rounds = 2, dim = 64)
+    val codes = codeRows.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val lifted = emb.select(col("vec_id"),
+        expr(s"transform(cast(embedding as array<double>), " +
+          s"v -> CAST(floor(v * ${Clustering.Scale}D + 0.5D) AS DOUBLE))")
+          .as("fxd"))
+      .as[(Long, Array[Double])].collect().toMap
+    val r = ProductQuant.adcTopK(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L), m = 8, k = 16, rounds = 2, dim = 64,
+        topK = 5)
+      .collect()
+    assert(r.length === 10)
+    r.foreach { row =>
+      val qid = row.getLong(0); val vid = row.getLong(1)
+      val score = row.getDouble(2)
+      // Reconstruction = per-subspace centroid of the assigned code;
+      // ⟨q, recon⟩ must match the LUT sum up to FP regrouping (the two
+      // sum the same 64 products in different association orders).
+      val recon = new Array[Double](64)
+      codes(vid).zipWithIndex.foreach { case (code, mi) =>
+        val cent = books(mi).find(_._1 == code).get._2
+        cent.copyToArray(recon, mi * 8)
+      }
+      val exact = VecOps.dot(lifted(qid), recon)
+      assert(math.abs(score - exact) <= math.abs(exact) * 1e-9 + 1e-6,
+        s"qid=$qid vid=$vid adc=$score recon-dot=$exact")
+    }
+  }
+
+  test("k=1 degenerates to a single all-zeros codebook column") {
+    val codes = ProductQuant.encode(emb.limit(50), "vec_id", "embedding",
+      m = 4, k = 1, rounds = 1, dim = 64)
+    assert(codes.filter(col("code") =!= 0L).count() === 0)
+  }
+
+  test("dim must split evenly") {
+    intercept[IllegalArgumentException] {
+      ProductQuant.encode(emb, "vec_id", "embedding", m = 7, k = 4,
+        rounds = 1, dim = 64)
+    }
+  }
+}
