@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -344,6 +344,13 @@ object PipelineQueries {
       ProductQuant.adcTopK(Tables.load(s, sf, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L), m = 8, k = 16, rounds = 2,
         dim = 64, topK = 10)),
+
+    // Signed random projection (r14): JL reduction 64→16 dims through
+    // the q33 sign-matrix LCG — exact integer sums in the lifted domain,
+    // one codegen'd scan, zero shuffle.
+    "q82_jl_projection" -> ((s, sf) =>
+      Projection.project(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", dim = 64, outDim = 16)),
 
     // Vocabulary + OOV coverage (r14): fix the top-512 corpus word
     // vocabulary (count desc, term asc — deterministic boundary) and
@@ -723,6 +730,8 @@ object PipelineQueries {
     "q78_kmv_source_sim" -> CorpusStats.kmvOracleSql(n = 3, k = 128),
 
     "q79_vocab_oov" -> Vocabulary.oracleSql(v = 512),
+
+    "q82_jl_projection" -> Projection.oracleSql(dim = 64, outDim = 16),
 
     "q80_pq_encode" -> ProductQuant.encodeOracleSql(m = 8, k = 16,
       rounds = 2, dim = 64),
