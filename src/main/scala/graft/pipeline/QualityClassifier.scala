@@ -91,9 +91,44 @@ object QualityClassifier {
   def trainAndScore(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, nCharsCol: String, posLang: String,
       rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
     val feats = Materialize.barrier(
       features(docs, idCol, langCol, textCol, nCharsCol, posLang))
+    scoreSelect(feats, trainOn(feats, rounds))
+  }
+
+  /** Train only: the final weight vector (d = [[Dim]] longs), feature
+    * cache released before returning — for deployments that train once
+    * on a labeled corpus and score elsewhere ([[scoreWith]], the
+    * [[graft.streaming.StreamQuality]] micro-batch form). */
+  def train(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, nCharsCol: String, posLang: String,
+      rounds: Int): Array[Long] = {
+    val feats = Materialize.barrier(
+      features(docs, idCol, langCol, textCol, nCharsCol, posLang))
+    val w = trainOn(feats, rounds)
+    Materialize.release(Seq(feats))
+    w
+  }
+
+  /** Score `docs` under FIXED weights — one uncached pass building the
+    * identical columns as [[trainAndScore]]'s final select, so scoring
+    * the training corpus with [[train]]'s weights is bit-equal to
+    * `trainAndScore` (StreamQualitySpec pins it). */
+  def scoreWith(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, nCharsCol: String, posLang: String,
+      w: Array[Long]): DataFrame = {
+    require(w.length == Dim, s"weight vector must have $Dim components")
+    scoreSelect(features(docs, idCol, langCol, textCol, nCharsCol, posLang), w)
+  }
+
+  private def scoreSelect(feats: DataFrame, w: Array[Long]): DataFrame =
+    feats.select(col("doc_id"), col("y"),
+      dot(w).as("score"),
+      when(dot(w) > 0, 1L).otherwise(-1L).as("pred"))
+      .orderBy("doc_id")
+
+  private def trainOn(feats: DataFrame, rounds: Int): Array[Long] = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64]: $rounds")
     val w = Array.fill(Dim)(0L)
     for (_ <- 1 to rounds) {
       // Round k: the misclassified set under the CURRENT weights (w·x
@@ -106,10 +141,7 @@ object QualityClassifier {
       for (j <- 0 until Dim)
         w(j) += (if (sums.isNullAt(j)) 0L else sums.getLong(j))
     }
-    feats.select(col("doc_id"), col("y"),
-      dot(w).as("score"),
-      when(dot(w) > 0, 1L).otherwise(-1L).as("pred"))
-      .orderBy("doc_id")
+    w
   }
 
   /** DuckDB oracle for [[trainAndScore]] over table `documents`: the K
