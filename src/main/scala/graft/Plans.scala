@@ -17,7 +17,9 @@ object Plans {
     "q62_containment_stratified", "q63_dedup_manifest",
     "q64_waterfill_mix", "q65_incremental_containment",
     "q66_canonical_best", "q67_sidecar_containment",
-    "q71_bloom_decontam", "q72_term_commonness", "q75_span_scrub")
+    "q71_bloom_decontam", "q72_term_commonness", "q75_span_scrub",
+    "q77_perceptron_quality", "q78_kmv_source_sim", "q79_vocab_oov",
+    "q80_pq_encode", "q81_pq_adc_topk", "q82_jl_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -277,4 +277,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readSchema.contains("user_id") && readSchema.contains("event_type"))
     assert(!readSchema.contains("props"), readSchema) // untouched column pruned
   }
+
+  test("q77: trained scoring is join-free — weights ride as plan literals") {
+    // Training collects d=5 longs per round; the final scoring pass must
+    // be a bare scan+project over the cached feature frame. Any Join here
+    // means weights stopped being literals.
+    val p = plan("q77_perceptron_quality")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q78: only the S-row sketch table is ever joined") {
+    // The pair join is a bounded S×S nested-loop over cached sketch
+    // ARRAYS; the gram stream must never reach a shuffle join.
+    val p = plan("q78_kmv_source_sim")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q79: top-V vocabulary is TakeOrderedAndProject and broadcasts back") {
+    val p = plan("q79_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q80: PQ encode is m zero-join scans of the cached lifted frame") {
+    val p = plan("q80_pq_encode")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q82: JL projection is one scan, no joins, no hash exchange") {
+    val p = plan("q82_jl_projection")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }
