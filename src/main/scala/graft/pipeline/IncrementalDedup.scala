@@ -128,8 +128,24 @@ object IncrementalDedup {
     * shared banding derivation) and re-renders the same partner rule. */
   def oracleSql(incPredSql: String, minSim: Double): String =
     s"""${MinHashDedup.ctePrefixSql},
-       |fp AS (SELECT doc_id, ${Duck.rollingHashSql("text")} AS fp,
-       |  ($incPredSql) AS is_inc FROM documents),
+       |${admissionCtesSql(
+           s"SELECT doc_id, ${Duck.rollingHashSql("text")} AS fp, " +
+             s"($incPredSql) AS is_inc FROM documents", minSim)}
+       |SELECT i.doc_id,
+       |  i.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       |  i.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+       |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
+       |    OR i.doc_id IN (SELECT doc_id FROM near)) AS admitted
+       |FROM fp i WHERE i.is_inc ORDER BY i.doc_id""".stripMargin
+
+  /** The admission CTE block (fp → banded candidates → near → exact),
+    * parameterized on the `(doc_id, fp, is_inc)` source select so
+    * [[SnapshotLanding]] can run it over a composed relation. Assumes
+    * the [[MinHashDedup.ctePrefixSql]] CTEs (`bands`, `sig`) precede it;
+    * exposes CTEs `fp`, `near`, `ex` to the caller's final select. */
+  private[pipeline] def admissionCtesSql(fpSelect: String,
+      minSim: Double): String =
+    s"""fp AS ($fpSelect),
        |icand AS (
        |  SELECT DISTINCT l.doc_id AS i, r.doc_id AS p
        |  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey
@@ -148,11 +164,5 @@ object IncrementalDedup {
        |  SELECT i.doc_id FROM fp i WHERE i.is_inc AND (
        |    EXISTS (SELECT 1 FROM fp c WHERE NOT c.is_inc AND c.fp = i.fp)
        |    OR EXISTS (SELECT 1 FROM fp j WHERE j.is_inc AND j.fp = i.fp
-       |      AND j.doc_id < i.doc_id)))
-       |SELECT i.doc_id,
-       |  i.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
-       |  i.doc_id IN (SELECT doc_id FROM near) AS near_dup,
-       |  NOT (i.doc_id IN (SELECT doc_id FROM ex)
-       |    OR i.doc_id IN (SELECT doc_id FROM near)) AS admitted
-       |FROM fp i WHERE i.is_inc ORDER BY i.doc_id""".stripMargin
+       |      AND j.doc_id < i.doc_id)))""".stripMargin
 }

@@ -966,7 +966,12 @@ object MinHashDedup {
   /** Shared DuckDB CTE prefix: shingles → signatures → bands → candidates.
     * `private[pipeline]` so [[DupClusters]] can build its cluster oracle on
     * the same pair derivation. */
-  private[pipeline] def ctePrefixSql: String = {
+  private[pipeline] def ctePrefixSql: String = ctePrefixSql("documents")
+
+  /** [[ctePrefixSql]] over an arbitrary `(doc_id, text)` relation —
+    * [[SnapshotLanding]] runs the derivation over a composed
+    * standing-corpus ∪ increment CTE instead of the raw table. */
+  private[pipeline] def ctePrefixSql(from: String): String = {
     val sh = Duck.rollingHashSql(s"substr(text, i::INT, $ShingleK)")
     val sigList = (0 until NumHashes)
       .map(j => s"list_min(list_transform(shingles, s -> (s * ${A(j)} + ${B(j)}) % $P))")
@@ -974,7 +979,7 @@ object MinHashDedup {
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, length(text) - ${ShingleK - 2}), i -> $sh)) AS shingles
-       |  FROM documents WHERE length(text) >= $ShingleK),
+       |  FROM $from WHERE length(text) >= $ShingleK),
        |sig AS (SELECT doc_id, $sigList AS sig FROM sh),
        |bands AS (
        |  SELECT doc_id, b, list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand) AS bkey

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -283,6 +283,20 @@ object PipelineQueries {
         .withColumn("text", when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" edited"))).otherwise(col("text")))
       CorpusDiff.diff(v1, v2, "doc_id", "text")
+    }),
+
+    // Snapshot landing (r14): q76's diff COMPOSED with q56's admission —
+    // stale index rows (removed/changed) retire, then exactly the
+    // added∪changed slice admits against the surviving corpus; same v1/v2
+    // fixture derivation as q76.
+    "q83_snapshot_landing" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      val docs = Tables.load(s, sf, "documents")
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 17 =!= 5)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      SnapshotLanding.landingAdmissions(v1, v2, "doc_id", "text", minSim = 0.5)
     }),
 
     // Span-scrubbed corpus (r14): q69's removal spans APPLIED — tokens
@@ -747,6 +761,10 @@ object PipelineQueries {
     "q76_corpus_diff" -> CorpusDiff.oracleSql(
       aPredSql = "doc_id % 17 <> 3", bPredSql = "doc_id % 17 <> 5",
       bEditPredSql = "doc_id % 13 = 0"),
+
+    "q83_snapshot_landing" -> SnapshotLanding.oracleSql(
+      aPredSql = "doc_id % 17 <> 3", bPredSql = "doc_id % 17 <> 5",
+      bEditPredSql = "doc_id % 13 = 0", minSim = 0.5),
 
     "q43_passage_dedup" -> Passages.oracleSql(chunkTokens = 8, maxDocs = 2),
 
