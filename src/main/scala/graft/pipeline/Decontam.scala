@@ -115,6 +115,82 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination FRACTION — the annotation form of
+    * [[overlapReport]] with a denominator: for every non-eval document,
+    * its distinct-gram count, how many of those grams the eval set
+    * contains, the ratio, and the `tau` drop flag. This is the form
+    * decontamination POLICIES consume ("drop when >X% of 13-grams hit a
+    * benchmark" — the report form only lists matched docs and cannot
+    * express a percentage).
+    *
+    * Scale shape: the eval side is [[overlapReport]]'s broadcast
+    * contract verbatim. The corpus side differs by necessity: the
+    * denominator needs every document's distinct gram count, so the one
+    * exchange carries each doc's DISTINCT (doc_id, fp) pairs (map-side
+    * combine collapses repeats) rather than only matched ones — the
+    * inherent price of annotating all documents, linear and slim (two
+    * longs per distinct gram), with the match flag resolved map-side
+    * against the broadcast before the exchange. */
+  def overlapFraction(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int, tau: Double,
+      maxEvalGrams: Long = DefaultMaxEvalGrams): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
+      .select(explode(gramHashes).as("gram_fp"))
+      .distinct())
+    val nEval = evalGrams.count()
+    if (nEval > maxEvalGrams) {
+      graft.ops.Materialize.release(Seq(evalGrams))
+      throw new IllegalArgumentException(
+        s"requirement failed: decontam eval side has $nEval distinct " +
+          s"$n-gram fingerprints, over the broadcast contract bound " +
+          s"$maxEvalGrams — see Decontam.overlapReport's evalPred contract")
+    }
+    docs.filter(!evalPred)
+      .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
+      .distinct()
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))),
+        Seq("gram_fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("__hit"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_frac"))
+      .withColumn("contaminated", col("overlap_frac") >= tau)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[overlapFraction]] over table `documents`. */
+  def fractionOracleSql(evalPredSql: String, n: Int, tau: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
+       |         ($evalPredSql) AS is_eval
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_eval,
+       |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT doc_id, is_eval,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toks)),
+       |eval_grams AS (SELECT DISTINCT gram_fp FROM grams WHERE is_eval),
+       |dg AS (SELECT DISTINCT doc_id, gram_fp FROM grams WHERE NOT is_eval),
+       |cnt AS (
+       |  SELECT dg.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(coalesce(sum(CASE WHEN e.gram_fp IS NOT NULL THEN 1 END), 0)
+       |      AS BIGINT) AS n_overlap
+       |  FROM dg LEFT JOIN eval_grams e USING (gram_fp)
+       |  GROUP BY dg.doc_id)
+       |SELECT doc_id, n_grams, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+       |  (CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)) >= $tau
+       |    AS contaminated
+       |FROM cnt ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for [[overlapReport]] over table `documents`:
     * `evalPredSql` must be the SQL rendering of the SAME predicate passed
     * as `evalPred` (kept adjacent at the registration site). Grams are

@@ -285,6 +285,13 @@ object PipelineQueries {
       CorpusDiff.diff(v1, v2, "doc_id", "text")
     }),
 
+    // Contamination fraction (r14): q42's check in the form policies
+    // consume — per non-eval doc, what FRACTION of its distinct 4-grams
+    // the eval set contains, plus the 5% drop flag; same modulus split.
+    "q84_overlap_fraction" -> ((s, sf) =>
+      Decontam.overlapFraction(Tables.load(s, sf, "documents"), "doc_id",
+        "text", evalPred = col("doc_id") % 97 === 0, n = 4, tau = 0.05)),
+
     // Snapshot landing (r14): q76's diff COMPOSED with q56's admission —
     // stale index rows (removed/changed) retire, then exactly the
     // added∪changed slice admits against the surviving corpus; same v1/v2
@@ -733,6 +740,9 @@ object PipelineQueries {
     "q42_decontam" -> Decontam.oracleSql("doc_id % 97 = 0", n = 4),
 
     "q71_bloom_decontam" -> BloomDecontam.oracleSql("doc_id % 97 = 0", n = 4),
+
+    "q84_overlap_fraction" -> Decontam.fractionOracleSql("doc_id % 97 = 0",
+      n = 4, tau = 0.05),
 
     "q72_term_commonness" -> TermCommonness.oracleSql,
 
