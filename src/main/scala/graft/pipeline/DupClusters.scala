@@ -237,6 +237,60 @@ object DupClusters {
     * [[MinHashDedup.nearDupPairs]] edges on table `documents`, computed
     * by a recursive reachability CTE + min aggregate (fine at oracle
     * scale; quadratic in cluster size). */
+  /** Per-source duplication telemetry — the provenance report mixing
+    * decisions read: for every source, how many documents it
+    * contributes, how many are non-canonical duplicates (what
+    * [[canonicalize]] would drop), how many duplicate CONTENT whose
+    * cluster root lives in a DIFFERENT source (cross-source copying —
+    * syndication, mirrors, scraped re-posts), and the duplicate rate.
+    *
+    * Scale shape: the CC chain is q37's (the dominant term, linear in
+    * true edges); everything after is slim — the corpus joins the
+    * graph-sized cluster table on id (AQE-broadcastable: the cluster
+    * table is dup-sized, not corpus-sized), the root's source attaches
+    * through one (root → source) long/string join, and the rollup is
+    * one S-row aggregate. Text never moves past the pair generation. */
+  def sourceDupReport(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, minSim: Double): DataFrame = {
+    val pairs = MinHashDedup.nearDupPairs(docs, idCol, textCol, minSim)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).cast("string").as("source"))
+    val withRoot = keyed
+      .join(cc.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("cluster"), col("doc_id")))
+    val rootSrc = keyed.select(col("doc_id").as("root"),
+      col("source").as("root_source"))
+    withRoot.join(rootSrc, "root")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("root"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("root_source") =!= col("source"), 1L).otherwise(0L))
+          .as("n_cross"))
+      .select(col("source"), col("n_docs"), col("n_dup"), col("n_cross"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sourceDupReport]] on table `documents`. */
+  def sourceDupOracleSql(minSim: Double): String =
+    s"""${ccCtesSql(minSim)},
+       |j AS (SELECT d.doc_id, d.source,
+       |    coalesce(cc.cluster, d.doc_id) AS root
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |rs AS (SELECT doc_id AS root, source AS root_source FROM documents)
+       |SELECT j.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN j.doc_id <> j.root THEN 1 END), 0)
+       |    AS BIGINT) AS n_dup,
+       |  CAST(coalesce(sum(CASE WHEN rs.root_source <> j.source THEN 1 END), 0)
+       |    AS BIGINT) AS n_cross,
+       |  CAST(CAST(coalesce(sum(CASE WHEN j.doc_id <> j.root THEN 1 END), 0)
+       |      AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+       |FROM j JOIN rs ON rs.root = j.root
+       |GROUP BY j.source ORDER BY j.source""".stripMargin
+
   private def ccCtesSql(minSim: Double): String = {
     val prefix = MinHashDedup.ctePrefixSql.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$prefix,

@@ -285,6 +285,13 @@ object PipelineQueries {
       CorpusDiff.diff(v1, v2, "doc_id", "text")
     }),
 
+    // Per-source duplication telemetry (r14): q37's clusters rolled up
+    // by provenance — per source: docs, canonicalize-droppable dups,
+    // cross-source copies (root in another source), dup rate.
+    "q85_source_dup_report" -> ((s, sf) =>
+      DupClusters.sourceDupReport(Tables.load(s, sf, "documents"),
+        "doc_id", "source", "text", minSim = 0.5)),
+
     // Contamination fraction (r14): q42's check in the form policies
     // consume — per non-eval doc, what FRACTION of its distinct 4-grams
     // the eval set contains, plus the 5% drop flag; same modulus split.
@@ -726,6 +733,8 @@ object PipelineQueries {
          |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q37_dup_clusters" -> DupClusters.clustersOracleSql(0.5),
+
+    "q85_source_dup_report" -> DupClusters.sourceDupOracleSql(0.5),
 
     "q38_shard_pack" -> ShardPack.oracleSql(4096L),
 

@@ -214,4 +214,32 @@ class DupClustersSpec extends AnyFunSuite {
       }
     } finally graft.ops.Materialize.release(Seq(pairs))
   }
+
+  test("sourceDupReport: planted cross-source copy and within-source dup") {
+    import org.apache.spark.sql.functions.col
+    val body = Array.tabulate(30)(i => s"tok$i word$i item$i").mkString(" ")
+    val other = Array.tabulate(30)(i => s"aaa$i bbb$i ccc$i").mkString(" ")
+    // srcA: 1 (root) + 2 (its within-source dup). srcB: 3 copies srcA's
+    // content (cross-source dup, root 1 lives in srcA); 4 is unique.
+    val docs = Seq(
+      (1L, "srcA", body), (2L, "srcA", body + " x"),
+      (3L, "srcB", body + " y"), (4L, "srcB", other))
+      .toDF("doc_id", "source", "text")
+    val r = DupClusters.sourceDupReport(docs, "doc_id", "source", "text", 0.5)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r("srcA") === ((2L, 1L, 0L, 0.5)))
+    assert(r("srcB") === ((2L, 1L, 1L, 0.5)))
+  }
+
+  test("sourceDupReport fixture invariants: totals add up, rates in [0,1]") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val r = DupClusters.sourceDupReport(docs, "doc_id", "source", "text", 0.5)
+      .collect()
+    assert(r.map(_.getLong(1)).sum === docs.count())
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1))
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+    }
+  }
 }
