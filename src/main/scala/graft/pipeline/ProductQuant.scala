@@ -66,6 +66,34 @@ object ProductQuant {
     (per.map(_._1).reduce(_ unionAll _), per.map(_._2))
   }
 
+  /** One m-long code array per vector, ascending-subspace order, plus
+    * the codebooks. Materialized: every query branch re-consumes it, and
+    * without the barrier each branch would re-run all m assignment
+    * scans. */
+  private def codeArrays(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, rounds: Int, dim: Int)
+      : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
+    val (codeRows, books) =
+      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim)
+    val codes = graft.ops.Materialize.barrier(codeRows.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes")))
+    (codes, books)
+  }
+
+  /** Flat LUT for one query, lut[mi·k + j] = ⟨q_mi, centroid_{mi,j}⟩ —
+    * positions of empty (dropped) clusters stay 0.0 and are never
+    * referenced, since no vector is assigned to a dropped cluster. */
+  private def lutFor(fxd: Array[Double], books: Seq[Seq[(Long, Array[Double])]],
+      m: Int, k: Int, d: Int): Array[Double] = {
+    val flat = new Array[Double](m * k)
+    for (mi <- 0 until m; (cid, c) <- books(mi)) {
+      val qSub = java.util.Arrays.copyOfRange(fxd, mi * d, mi * d + d)
+      flat(mi * k + cid.toInt) = VecOps.dot(qSub, c)
+    }
+    flat
+  }
+
   /** ADC top-`topK` retrieval: (qid, vec_id, score, rn) per query id,
     * score = the PQ-approximated lifted-domain dot product, ranked
     * score-desc / vec_id-asc, self excluded. Query batch is bounded
@@ -75,35 +103,70 @@ object ProductQuant {
       topK: Int): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"query batch of ${queryIds.size} exceeds the broadcast contract")
-    val (codeRows, books) =
-      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim)
-    // One m-long code array per vector, ascending-subspace order.
-    // Materialized: every query branch below re-consumes it, and without
-    // the barrier each branch would re-run all m assignment scans.
-    val codes = graft.ops.Materialize.barrier(codeRows.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
-        .as("codes")))
+    val (codes, books) = codeArrays(corpus, idCol, embCol, m, k, rounds, dim)
     val e = Clustering.lifted(corpus, idCol, embCol)
     val d = dim / m
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("fxd")).collect()
     val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
       val qid = r.getLong(0)
-      val fxd = r.getSeq[Double](1).toArray
-      // Flat LUT, lut[mi*k + j] = ⟨q_mi, centroid_{mi,j}⟩ — positions of
-      // empty (dropped) clusters stay 0.0 and are never referenced,
-      // since no vector is assigned to a dropped cluster.
-      val flat = new Array[Double](m * k)
-      for (mi <- 0 until m; (cid, c) <- books(mi)) {
-        val qSub = java.util.Arrays.copyOfRange(fxd, mi * d, mi * d + d)
-        flat(mi * k + cid.toInt) = VecOps.dot(qSub, c)
-      }
+      val flat = lutFor(r.getSeq[Double](1).toArray, books, m, k, d)
       codes.select(lit(qid).as("qid"), col("vec_id"),
           adcScore(typedLit(flat.toSeq), m, k).as("cos"))
         .filter(col("vec_id") =!= qid)
     }
     // topKPerQid is positional+named on (qid, vec_id, cos) — the score
     // rides its cos slot through the heap prune, renamed on the way out.
+    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Composed IVF-PQ retrieval — the production ANN decomposition
+    * (IVFADC, Jégou et al. §5 without the residual refinement: codes
+    * quantize RAW vectors, which keeps one shared codebook oracle-
+    * replayable; the residual variant changes the encode input, not the
+    * plan shape): a coarse k-means blocks the corpus into `kCoarse`
+    * cells (q50's quantizer), PQ compresses every vector to `m` codes
+    * (q80), and a query ADC-scores ONLY its `nprobe` best cells' codes —
+    * the scan cut and the byte cut composed, so per-query work is
+    * (nprobe/kCoarse) × corpus CODE rows, no vector math, no full scan.
+    *
+    * Returns (qid, vec_id, score, rn), score-desc / id-asc, self
+    * excluded; probe-cell selection runs on the driver against the
+    * collected coarse centroids with the exact oracle arithmetic (the
+    * [[Clustering.ivfTopK]] discipline). */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCoarse,
+      s"nprobe must be in [1, $kCoarse]: $nprobe")
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract")
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (assigned, coarse) = Clustering.trainAssign(e, kCoarse, coarseRounds)
+    val (codes, books) = codeArrays(corpus, idCol, embCol, m, k, pqRounds, dim)
+    // (vec_id, cell, codes) — the slim retrieval table every query
+    // branch filters; at deployment this is the persisted index.
+    val base = graft.ops.Materialize.barrier(
+      assigned.select(col("vec_id"), col("cluster").as("cell"))
+        .join(codes, "vec_id"))
+    val d = dim / m
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val halfNorms = coarse.map { case (cid, c) => (cid, 0.5 * VecOps.normSq(c)) }
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+      val cells = coarse.zip(halfNorms).map { case ((cid, c), (_, hn)) =>
+        (cid, VecOps.dot(fxd, c) - hn)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+      val flat = lutFor(fxd, books, m, k, d)
+      base.filter(col("cell").isin(cells: _*))
+        .select(lit(qid).as("qid"), col("vec_id"),
+          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
+        .filter(col("vec_id") =!= qid)
+    }
     Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
       .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
       .orderBy("qid", "vec_id")
@@ -147,12 +210,10 @@ object ProductQuant {
        |codes AS (${codesSql(m, rounds)})
        |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin
 
-  /** DuckDB oracle for [[adcTopK]] over table `embeddings`: replays the
-    * per-subspace chains, builds the same LUT relationally, and sums
-    * each (query, vector)'s m partial terms with an ordered list fold. */
-  def adcOracleSql(queryIds: Seq[Long], m: Int, k: Int, rounds: Int,
-      dim: Int, topK: Int): String = {
-    val d = dim / m
+  /** The shared ADC CTE block: `codes`, `q` (lifted query vectors),
+    * `lut` (per-(query, subspace, code) partial dots). */
+  private def adcCtes(queryIds: Seq[Long], m: Int, k: Int, rounds: Int,
+      d: Int): String = {
     val lift = "list_transform(list_transform(embedding, x -> x::DOUBLE), " +
       s"v -> CAST(CAST(floor(v * ${Clustering.Scale} + 0.5) AS BIGINT) AS DOUBLE))"
     val booksSql = (0 until m).map { mi =>
@@ -163,21 +224,64 @@ object ProductQuant {
       val hi = lo + d - 1
       s"WHEN cm.m = $mi THEN ${Clustering.dotSql(s"(q.fxd[$lo:$hi])", "cm.c", d)}"
     }.mkString("\n      ")
-    s"""${chainsSql(m, k, rounds, d)},
-       |codes AS (${codesSql(m, rounds)}),
+    s"""codes AS (${codesSql(m, rounds)}),
        |q AS (SELECT vec_id AS qid, $lift AS fxd FROM embeddings
        |  WHERE vec_id IN (${queryIds.mkString(", ")})),
        |lut AS (SELECT q.qid, cm.m, cm.cid,
        |    CASE $qSubDot END AS part
-       |  FROM q CROSS JOIN ($booksSql) cm),
+       |  FROM q CROSS JOIN ($booksSql) cm)""".stripMargin
+  }
+
+  private def rankTailSql(topK: Int): String =
+    s"""SELECT qid, vec_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+
+  /** DuckDB oracle for [[adcTopK]] over table `embeddings`: replays the
+    * per-subspace chains, builds the same LUT relationally, and sums
+    * each (query, vector)'s m partial terms with an ordered list fold. */
+  def adcOracleSql(queryIds: Seq[Long], m: Int, k: Int, rounds: Int,
+      dim: Int, topK: Int): String = {
+    val d = dim / m
+    s"""${chainsSql(m, k, rounds, d)},
+       |${adcCtes(queryIds, m, k, rounds, d)},
        |scored AS (SELECT lut.qid, c.vec_id,
        |    ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
        |  FROM codes c JOIN lut ON lut.m = c.m AND lut.cid = c.code
        |  WHERE c.vec_id <> lut.qid
        |  GROUP BY lut.qid, c.vec_id)
-       |SELECT qid, vec_id, score, rn FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-       |  FROM scored)
-       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+       |${rankTailSql(topK)}""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfAdcTopK]]: the PQ chains plus one
+    * `cg_`-prefixed coarse chain; probe cells by the coarse score
+    * (desc, cid-asc ties), then the ADC scoring restricted to probed
+    * cells' members. */
+  def ivfAdcOracleSql(queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int,
+      topK: Int): String = {
+    val d = dim / m
+    val coarseChain = Clustering.kmeansCtes(kCoarse, coarseRounds, dim,
+      Clustering.EmbeddingsSql, "cg_").stripPrefix("WITH ")
+    s"""${chainsSql(m, k, pqRounds, d)},
+       |$coarseChain,
+       |${adcCtes(queryIds, m, k, pqRounds, d)},
+       |pc AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("q.fxd", "c.c", dim)} - 0.5 * ${
+               Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE prn <= $nprobe),
+       |scored AS (SELECT pc.qid, cj.vec_id,
+       |    ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
+       |  FROM pc
+       |  JOIN cg_a$coarseRounds a ON a.cluster = pc.cell
+       |  JOIN codes cj ON cj.vec_id = a.vec_id
+       |  JOIN lut ON lut.qid = pc.qid AND lut.m = cj.m AND lut.cid = cj.code
+       |  WHERE cj.vec_id <> pc.qid
+       |  GROUP BY pc.qid, cj.vec_id)
+       |${rankTailSql(topK)}""".stripMargin
   }
 }

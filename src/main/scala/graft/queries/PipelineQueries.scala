@@ -373,6 +373,15 @@ object PipelineQueries {
         "embedding", queryIds = Seq(0L, 1L, 2L), m = 8, k = 16, rounds = 2,
         dim = 64, topK = 10)),
 
+    // Composed IVF-PQ retrieval (r14): the production ANN shape — q50's
+    // coarse cells gate the scan, q81's ADC scores only the probed
+    // cells' codes (IVFADC without residual refinement).
+    "q86_ivf_pq_topk" -> ((s, sf) =>
+      ProductQuant.ivfAdcTopK(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L), kCoarse = 8,
+        coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+        nprobe = 3, topK = 10)),
+
     // Signed random projection (r14): JL reduction 64→16 dims through
     // the q33 sign-matrix LCG — exact integer sums in the lifted domain,
     // one codegen'd scan, zero shuffle.
@@ -771,6 +780,10 @@ object PipelineQueries {
 
     "q81_pq_adc_topk" -> ProductQuant.adcOracleSql(Seq(0L, 1L, 2L), m = 8,
       k = 16, rounds = 2, dim = 64, topK = 10),
+
+    "q86_ivf_pq_topk" -> ProductQuant.ivfAdcOracleSql(Seq(0L, 1L, 2L),
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+      nprobe = 3, topK = 10),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),

@@ -81,4 +81,32 @@ class ProductQuantSpec extends AnyFunSuite {
         rounds = 1, dim = 64)
     }
   }
+
+  test("IVF-PQ at nprobe = kCoarse ≡ plain ADC (the probe only gates)") {
+    // With every cell probed, the composed operator must return exactly
+    // the full ADC ranking — scores and ranks bit-identical.
+    val full = ProductQuant.adcTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), m = 8, k = 16, rounds = 2, dim = 64,
+      topK = 5).collect().map(_.toSeq)
+    val composed = ProductQuant.ivfAdcTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), kCoarse = 4, coarseRounds = 2, m = 8,
+      k = 16, pqRounds = 2, dim = 64, nprobe = 4, topK = 5)
+      .collect().map(_.toSeq)
+    assert(composed.toSeq === full.toSeq)
+  }
+
+  test("IVF-PQ results come only from probed cells; shape holds") {
+    val r = ProductQuant.ivfAdcTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8,
+      k = 16, pqRounds = 2, dim = 64, nprobe = 3, topK = 10).collect()
+    assert(r.nonEmpty && r.length <= 30)
+    val perQ = r.groupBy(_.getLong(0))
+    perQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 10)
+      assert(!rows.exists(_.getLong(1) == qid), s"self in results for $qid")
+      // Ranks are 1..n dense per query.
+      assert(rows.map(_.getLong(3)).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+    }
+  }
 }
