@@ -254,13 +254,13 @@ object ProductQuant {
        |${rankTailSql(topK)}""".stripMargin
   }
 
-  /** DuckDB oracle for [[ivfAdcTopK]]: the PQ chains plus one
-    * `cg_`-prefixed coarse chain; probe cells by the coarse score
-    * (desc, cid-asc ties), then the ADC scoring restricted to probed
-    * cells' members. */
-  def ivfAdcOracleSql(queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
-      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int,
-      topK: Int): String = {
+  /** Everything through the `scored` CTE of the composed IVF-PQ
+    * derivation (PQ chains, `cg_` coarse chain, ADC block, probe cells,
+    * cell-restricted scoring) — shared by [[ivfAdcOracleSql]] and
+    * [[recallOracleSql]]. */
+  private def ivfAdcCtesSql(queryIds: Seq[Long], kCoarse: Int,
+      coarseRounds: Int, m: Int, k: Int, pqRounds: Int, dim: Int,
+      nprobe: Int): String = {
     val d = dim / m
     val coarseChain = Clustering.kmeansCtes(kCoarse, coarseRounds, dim,
       Clustering.EmbeddingsSql, "cg_").stripPrefix("WITH ")
@@ -281,7 +281,83 @@ object ProductQuant {
        |  JOIN codes cj ON cj.vec_id = a.vec_id
        |  JOIN lut ON lut.qid = pc.qid AND lut.m = cj.m AND lut.cid = cj.code
        |  WHERE cj.vec_id <> pc.qid
-       |  GROUP BY pc.qid, cj.vec_id)
-       |${rankTailSql(topK)}""".stripMargin
+       |  GROUP BY pc.qid, cj.vec_id)""".stripMargin
   }
+
+  /** DuckDB oracle for [[ivfAdcTopK]]: the PQ chains plus one
+    * `cg_`-prefixed coarse chain; probe cells by the coarse score
+    * (desc, cid-asc ties), then the ADC scoring restricted to probed
+    * cells' members. */
+  def ivfAdcOracleSql(queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int,
+      topK: Int): String =
+    s"""${ivfAdcCtesSql(queryIds, kCoarse, coarseRounds, m, k, pqRounds,
+           dim, nprobe)}
+       |${rankTailSql(topK)}""".stripMargin
+
+  /** ANN recall@k evaluation — the "measure, don't guess" op for tuning
+    * `nprobe`/`m`/`k`: per query, how many of the EXACT top-`topK`
+    * neighbors (by the full lifted-domain dot — exact integer values in
+    * doubles, so the baseline itself is bit-deterministic) the composed
+    * IVF-PQ retrieval recovered. Returns (qid, n_exact, n_hit, recall).
+    *
+    * Scale shape: the ANN side is [[ivfAdcTopK]]; the exact side is one
+    * map-side literal-dot scan per query through the shared bounded-heap
+    * top-k (the [[Similarity.batchTopK]] discipline) — the evaluation
+    * runs on a bounded query SAMPLE by contract, so paying one exact
+    * scan per sampled query is the point, not a scale hazard. */
+  def annRecall(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
+    val ann = ivfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
+      coarseRounds, m, k, pqRounds, dim, nprobe, topK)
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val qLit = typedLit(r.getSeq[Double](1))
+      e.select(lit(qid).as("qid"), col("vec_id"),
+          call_function("vec_dot", col("fxd"), qLit).as("cos"))
+        .filter(col("vec_id") =!= qid)
+    }
+    val exact = Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(ann.select("qid", "vec_id"), Seq("qid", "vec_id"),
+        "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[annRecall]]: the composed CTEs, the ANN top-k,
+    * the exact lifted-dot top-k over the coarse chain's full-dimension
+    * `cg_e`, and the per-query intersection count. */
+  def recallOracleSql(queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int,
+      topK: Int): String =
+    s"""${ivfAdcCtesSql(queryIds, kCoarse, coarseRounds, m, k, pqRounds,
+           dim, nprobe)},
+       |ann AS (SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $topK),
+       |exact AS (SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("e.fxd", "q.fxd", dim)} DESC, e.vec_id) AS rn
+       |    FROM q CROSS JOIN cg_e e WHERE e.vec_id <> q.qid)
+       |  WHERE rn <= $topK),
+       |hit AS (SELECT exact.qid, count(*) AS n_hit
+       |  FROM exact JOIN ann USING (qid, vec_id) GROUP BY exact.qid)
+       |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(max(hit.n_hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(CAST(coalesce(max(hit.n_hit), 0) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN hit ON hit.qid = x.qid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
 }

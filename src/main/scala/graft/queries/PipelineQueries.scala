@@ -382,6 +382,15 @@ object PipelineQueries {
         coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
         nprobe = 3, topK = 10)),
 
+    // ANN recall evaluation (r14): per query, how many exact
+    // lifted-dot top-10 neighbors the composed IVF-PQ (q86 settings)
+    // recovers — the measure-don't-guess op for tuning nprobe/m/k.
+    "q87_ann_recall" -> ((s, sf) =>
+      ProductQuant.annRecall(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L), kCoarse = 8,
+        coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+        nprobe = 3, topK = 10)),
+
     // Signed random projection (r14): JL reduction 64→16 dims through
     // the q33 sign-matrix LCG — exact integer sums in the lifted domain,
     // one codegen'd scan, zero shuffle.
@@ -782,6 +791,10 @@ object PipelineQueries {
       k = 16, rounds = 2, dim = 64, topK = 10),
 
     "q86_ivf_pq_topk" -> ProductQuant.ivfAdcOracleSql(Seq(0L, 1L, 2L),
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+      nprobe = 3, topK = 10),
+
+    "q87_ann_recall" -> ProductQuant.recallOracleSql(Seq(0L, 1L, 2L),
       kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
       nprobe = 3, topK = 10),
 

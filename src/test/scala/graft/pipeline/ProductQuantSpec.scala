@@ -95,6 +95,33 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(composed.toSeq === full.toSeq)
   }
 
+  test("recall op consistency, and recall = 1 when ADC is exact (m = dim)") {
+    // Consistency at the q86 settings: one row per query,
+    // n_hit ≤ n_exact ≤ topK, recall is the exact ratio. (No probe-width
+    // monotonicity assert: a wider probe can displace a true neighbor
+    // with a higher-ADC imposter, so recall is not monotone in nprobe.)
+    val r = ProductQuant.annRecall(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8,
+      k = 16, pqRounds = 2, dim = 64, nprobe = 3, topK = 10).collect()
+    assert(r.length === 3)
+    r.foreach { row =>
+      assert(row.getLong(2) <= row.getLong(1) && row.getLong(1) <= 10L)
+      assert(row.getDouble(3) ===
+        row.getLong(2).toDouble / row.getLong(1).toDouble)
+    }
+    // Degenerate identity: with full probe AND k ≥ distinct subvector
+    // count, every vector is its own codebook entry (1-dim subspaces,
+    // k = corpus size on a small slice), ADC reproduces the exact dot,
+    // so recall must be exactly 1.
+    val small = emb.limit(20)
+    val exact = ProductQuant.annRecall(small, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), kCoarse = 1, coarseRounds = 1, m = 8,
+      k = 20, pqRounds = 2, dim = 64, nprobe = 1, topK = 5).collect()
+    exact.foreach { row =>
+      assert(row.getDouble(3) === 1.0, row.toString)
+    }
+  }
+
   test("IVF-PQ results come only from probed cells; shape holds") {
     val r = ProductQuant.ivfAdcTopK(emb, "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8,
