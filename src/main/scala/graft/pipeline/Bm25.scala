@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over the corpus — the lexical search seat of a
+  * training-data pipeline (eval-set leakage hunts by keyword, targeted
+  * corpus slicing, retrieval-augmented labeling all start with "give me
+  * the top documents for these terms"). Okapi BM25 with the standard
+  * saturation shape, k1/b parameterized.
+  *
+  * The idf factor is the RATIONAL variant `(N − df + 0.5) / (df + 0.5)`
+  * — the quantity the classic formulation takes `ln` of — for the
+  * [[TfIdf]] reason: transcendentals are not bit-reproducible across
+  * engines, and the ratio preserves the rarity ordering the log only
+  * compresses (documented divergence from the textbook constant, same
+  * rule as q51). Per-term scores are then lifted to 2^20 fixed-point
+  * integers ([[BigramModel]]'s rule: per-doc float sums are not
+  * order-stable across partitions; integer sums are), summed exactly,
+  * and divided once for the reported double.
+  *
+  * Scale shape: the query-term filter lands BEFORE any aggregate — the
+  * (doc, term) frame is posting-list-sized (docs containing a query
+  * term), never corpus-vocabulary-sized. The only corpus-wide pass is
+  * the per-doc length scan (`size(tokens)`, map-side, no explode
+  * survives it) whose rollup to (N, avgdl) is one row. The |Q|-row df
+  * table and the 1-row stats frame broadcast; the posting join is
+  * doc-keyed and AQE-sized; top-k is `orderBy.limit` —
+  * TakeOrderedAndProject's bounded per-partition heaps, never a full
+  * sort. Text never reshuffles.
+  */
+object Bm25 {
+
+  /** Fixed-point scale for per-term BM25 contributions. */
+  val Scale: Long = 1L << 20
+
+  /** Top-`k` documents for `terms` (lowercased whitespace unigrams) by
+    * BM25 with rational idf: (doc_id, n_hits, score_fp, score), ordered
+    * by (score_fp DESC, doc_id) — deterministic under ties. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(toks).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val matches = docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms.map(_.toLowerCase): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = matches.groupBy("term").agg(count(lit(1)).as("df"))
+    matches
+      .join(broadcast(dfT), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // idf_r = (N - df + 0.5) / (df + 0.5); sat = tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+        floor((((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))) *
+          lit(Scale.toDouble)).cast("long").as("s_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("s_fp").as("score_fp"))
+      .select(col("doc_id"), col("n_hits"), col("score_fp"),
+        (col("score_fp").cast("double") / lit(Scale.toDouble)).as("score"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[topK]] over table `documents` — the same IEEE
+    * op sequence per term (idf ratio, saturation, 2^20 lift, floor),
+    * integer sums cast back from HUGEINT. */
+  def oracleSql(terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS dl
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '\\S+')) > 0),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM lens),
+       |matches AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |        FROM documents)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term),
+       |df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |         FROM matches GROUP BY term),
+       |scored AS (
+       |  SELECT m.doc_id,
+       |    CAST(floor(((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+       |                 / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * ((CAST(m.tf AS DOUBLE) * ${k1 + 1.0})
+       |         / (CAST(m.tf AS DOUBLE) + $k1
+       |            * (${1.0 - b} + $b * CAST(l.dl AS DOUBLE) / s.avgdl)))
+       |      * ${Scale}.0) AS BIGINT) AS s_fp
+       |  FROM matches m
+       |  JOIN df_t d USING (term)
+       |  JOIN lens l ON m.doc_id = l.doc_id
+       |  CROSS JOIN stats s)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(sum(s_fp) AS BIGINT) AS score_fp,
+       |       CAST(CAST(sum(s_fp) AS BIGINT) AS DOUBLE) / ${Scale}.0 AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_fp DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

@@ -283,6 +283,56 @@ object Similarity {
     topKPerQid(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE prep
+    * step): for each query vector, the top-`k` most-similar corpus
+    * vectors whose `labelCol` DIFFERS from the query's — the "hardest"
+    * negatives, the near-misses a contrastive loss learns most from
+    * (same-label rows are presumed positives and excluded, which also
+    * excludes the query row itself).
+    *
+    * Shape is [[batchTopK]]'s exactly — the |Q|-row query frame
+    * broadcasts, the corpus streams through the codegen'd scorer
+    * map-side, and [[topKPerQid]]'s bounded per-partition heaps prune to
+    * ≤ k×P rows per query before the one ranking shuffle — plus one
+    * scan-side label inequality that costs nothing. At 100 TB the label
+    * filter is a selectivity WIN: fewer candidate rows reach the heaps. */
+  def hardNegatives(corpus: DataFrame, idCol: String, embCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("emb"),
+      col(labelCol).cast("long").as("lab"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qv"),
+        col("lab").as("qlab"), expr("sqrt(vec_dot(emb, emb))").as("qnrm"))
+    val scored = e
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .crossJoin(broadcast(q))
+      .filter(col("lab") =!= col("qlab"))
+      .select(col("qid"), col("vec_id"),
+        expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
+    topKPerQid(scored, k)
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] on table `embeddings`. */
+  def hardNegativesOracleSql(queryIds: Seq[Long], k: Int): String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0, $items), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.qv[i])")
+    val na = fold("list_transform(e.emb, v -> v * v)")
+    val nb = fold("list_transform(q.qv, v -> v * v)")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+       |                  CAST(label AS BIGINT) AS lab FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qv, lab AS qlab FROM e
+       |      WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |s AS (SELECT q.qid, e.vec_id, $dot / (sqrt($na) * sqrt($nb)) AS cos
+       |      FROM e CROSS JOIN q WHERE e.lab <> q.qlab)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM s)
+       |WHERE rn <= $k ORDER BY qid, vec_id""".stripMargin
+  }
+
   /** Per-query top-k over a `(qid, vec_id, cos)` frame: a bounded heap
     * per (partition, query) prunes to ≤ k rows BEFORE any shuffle, so
     * the ranking window sees ≤ k×P rows per query, never the corpus.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BloomDecontam, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -291,6 +291,33 @@ object PipelineQueries {
     "q85_source_dup_report" -> ((s, sf) =>
       DupClusters.sourceDupReport(Tables.load(s, sf, "documents"),
         "doc_id", "source", "text", minSim = 0.5)),
+
+    // BM25 retrieval (r14): the lexical-search seat — top-10 docs for a
+    // mixed-rarity query, rational idf (the TfIdf log-free rule),
+    // 2^20 fixed-point per-term scores summed exactly.
+    "q89_bm25_topk" -> ((s, sf) =>
+      Bm25.topK(Tables.load(s, sf, "documents"), "doc_id", "text",
+        terms = Seq("dup", "vector", "scan"), k = 10)),
+
+    // Hard-negative mining (r14): q41's broadcast-scan shape with the
+    // label-exclusion that turns ANN into contrastive-training prep —
+    // top-10 most-similar DIFFERENT-label vectors per query.
+    "q90_hard_negatives" -> ((s, sf) =>
+      Similarity.hardNegatives(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", "label", queryIds = Seq(0L, 1L, 2L, 3L), k = 10)),
+
+    // Per-source template report (r14): q43's passage frequency scoped
+    // WITHIN source with a relative threshold — the site-level
+    // boilerplate signal a corpus-wide absolute bar never sees.
+    "q91_source_boilerplate" -> ((s, sf) =>
+      Boilerplate.sourceTemplateReport(Tables.load(s, sf, "documents"),
+        "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
+
+    // Bigram LM scoring (r14): self-trained conditional-probability
+    // quality score — q72's unigram commonness made order-aware; the
+    // KenLM-perplexity seat, log-free via 2^20 fixed-point conditionals.
+    "q88_bigram_lm" -> ((s, sf) =>
+      BigramModel.score(Tables.load(s, sf, "documents"), "doc_id", "text")),
 
     // Contamination fraction (r14): q42's check in the form policies
     // consume — per non-eval doc, what FRACTION of its distinct 4-grams
@@ -772,6 +799,16 @@ object PipelineQueries {
       n = 4, tau = 0.05),
 
     "q72_term_commonness" -> TermCommonness.oracleSql,
+
+    "q88_bigram_lm" -> BigramModel.oracleSql,
+
+    "q89_bm25_topk" -> Bm25.oracleSql(Seq("dup", "vector", "scan"), k = 10),
+
+    "q90_hard_negatives" ->
+      Similarity.hardNegativesOracleSql(Seq(0L, 1L, 2L, 3L), k = 10),
+
+    "q91_source_boilerplate" -> Boilerplate.oracleSql(chunkTokens = 8,
+      minDocs = 2, pct = 8),
 
     "q73_semantic_decontam" ->
       Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),

@@ -282,6 +282,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: same-label rows (incl. the query) are excluded; " +
+      "rest ≡ batch top-k over the filtered corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
+    val qids = Seq(0L, 1L)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        qids, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // No returned neighbor shares its query's label.
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (qid, id, _) => labels(id) != labels(qid) })
+    // Equivalent to batchTopK where the corpus is pre-filtered per query.
+    val expect = qids.flatMap { qid =>
+      Similarity.batchTopK(
+        emb.filter(col("label").cast("long") =!= labels(qid))
+          .unionAll(emb.filter(col("vec_id") === qid)),
+        "vec_id", "embedding", Seq(qid), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.sortBy(t => (t._1, t._2))
+    assert(got === expect)
+  }
+
   test("semantic decontam: planted eval near-copy flags; best eval match ≡ brute force") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.load(spark, graft.TestSpark.Sf, "embeddings")
