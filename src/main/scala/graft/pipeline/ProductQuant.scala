@@ -323,11 +323,17 @@ object ProductQuant {
     }
     val exact = Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
       .select(col("qid"), col("vec_id"))
-    val hits = exact.join(ann.select("qid", "vec_id"), Seq("qid", "vec_id"),
-        "left_semi")
+    // Both comparison frames are ≤ |Q|·topK rows BY CONTRACT (top-k per
+    // query), but they surface behind the heap prune's typed boundary
+    // with no stats, so AQE can't see that and plans sort-merge joins.
+    // A static broadcast is provably safe here — the size bound is the
+    // operator's own contract, not a data property (the Passages OOM
+    // reasoning does NOT apply).
+    val hits = exact.join(broadcast(ann.select("qid", "vec_id")),
+        Seq("qid", "vec_id"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
       .select(col("qid"), col("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("recall",

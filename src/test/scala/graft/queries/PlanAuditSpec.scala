@@ -311,4 +311,110 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("q74: nothing shuffle-joins after the cumsum boundary; the recipe broadcast is upstream") {
+    // The budget join carries an explicit broadcast() hint, but it runs
+    // BEFORE ScalableCumSum's two-pass boundary, so the registered plan
+    // shows only the downstream — which must stay join-free.
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q74_token_budget_mix")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q76: corpus diff joins slim fingerprints full-outer — no cartesian, text pruned from the join") {
+    val df = SparkEntry.queries("q76_corpus_diff")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  for (name <- Seq("q75_span_scrub", "q83_snapshot_landing", "q85_source_dup_report"))
+    test(s"$name: composed dedup chain never degenerates into a cartesian") {
+      val (df, frames) = graft.ops.Materialize.collecting {
+        val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
+        d.collect()
+        d
+      }
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      } finally graft.ops.Materialize.release(frames)
+    }
+
+  test("q84: overlap fraction keeps q42's split discipline — every scan predicate-pushed on doc_id") {
+    val df = SparkEntry.queries("q84_overlap_fraction")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
+  }
+
+  for (name <- Seq("q81_pq_adc_topk", "q86_ivf_pq_topk", "q87_ann_recall"))
+    test(s"$name: PQ retrieval scores code arrays only — codebooks ride as literals, no shuffle join") {
+      // Training barriers sever lineage (the heap prune's typed boundary),
+      // so what must hold in the registered plan: the scored frame never
+      // sort-merge- or hash-shuffles the corpus against anything — LUTs
+      // and probe lists are literals/broadcasts.
+      val (df, frames) = graft.ops.Materialize.collecting {
+        val d = SparkEntry.queries(name)(spark, TestSpark.Sf)
+        d.collect()
+        d
+      }
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+        assert(!p.contains("CartesianProduct"), p)
+      } finally graft.ops.Materialize.release(frames)
+    }
+
+  test("q88: bigram LM scans and tokenizes the corpus exactly once") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q88_bigram_lm")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q89: BM25 top-k is TakeOrderedAndProject; stats and df broadcast; no shuffle join") {
+    val df = SparkEntry.queries("q89_bm25_topk")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // The 1-row stats frame rides the only nested-loop, as a broadcast
+    // build side; posting and length joins must not sort-merge at
+    // fixture scale (AQE broadcasts the posting-list side).
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91: template report tokenizes once; the source-totals scan reads only `source`") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q91_source_boilerplate")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // Two documents scans by design: the chunk pass (text) is
+      // materialized and consumed by both frequency and rollup; the
+      // per-source totals pass must be column-pruned to `source` alone.
+      assert(documentScans(df) == 2, p)
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.exists(s => s.contains("source") && !s.contains("text")), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
 }
