@@ -19,7 +19,10 @@ object Plans {
     "q66_canonical_best", "q67_sidecar_containment",
     "q71_bloom_decontam", "q72_term_commonness", "q75_span_scrub",
     "q77_perceptron_quality", "q78_kmv_source_sim", "q79_vocab_oov",
-    "q80_pq_encode", "q81_pq_adc_topk", "q82_jl_projection")
+    "q80_pq_encode", "q81_pq_adc_topk", "q82_jl_projection",
+    "q83_snapshot_landing", "q84_overlap_fraction", "q85_source_dup_report",
+    "q86_ivf_pq_topk", "q87_ann_recall", "q88_bigram_lm", "q89_bm25_topk",
+    "q90_hard_negatives", "q91_source_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Materialize
+
 /** BM25 keyword retrieval over the corpus — the lexical search seat of a
   * training-data pipeline (eval-set leakage hunts by keyword, targeted
   * corpus slicing, retrieval-augmented labeling all start with "give me
@@ -19,12 +21,14 @@ import org.apache.spark.sql.functions._
   * order-stable across partitions; integer sums are), summed exactly,
   * and divided once for the reported double.
   *
-  * Scale shape: the query-term filter lands BEFORE any aggregate — the
-  * (doc, term) frame is posting-list-sized (docs containing a query
-  * term), never corpus-vocabulary-sized. The only corpus-wide pass is
-  * the per-doc length scan (`size(tokens)`, map-side, no explode
-  * survives it) whose rollup to (N, avgdl) is one row. The |Q|-row df
-  * table and the 1-row stats frame broadcast; the posting join is
+  * Scale shape: ONE text scan total (PlanAuditSpec-pinned) — the scan
+  * emits per doc its token count plus ONLY its query-term occurrences
+  * (an array-side filter before anything explodes), and that slim
+  * (long, long, tiny-array) frame is MATERIALIZED because the length
+  * stats and the match aggregate both consume it. So the (doc, term)
+  * frame is posting-list-sized (docs containing a query term), never
+  * corpus-vocabulary-sized, and no branch re-reads text. The |Q|-row
+  * df table and the 1-row stats frame broadcast; the posting join is
   * doc-keyed and AQE-sized; top-k is `orderBy.limit` —
   * TakeOrderedAndProject's bounded per-partition heaps, never a full
   * sort. Text never reshuffles.
@@ -42,17 +46,25 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val qts = terms.map(_.toLowerCase)
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
-    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
-      size(toks).cast("long").as("dl"))
-      .filter(col("dl") > 0)
+    // ONE text scan: per doc, the token count plus only the query-term
+    // occurrences (an array-side filter — the posting restriction lands
+    // before anything explodes). Materialized because lengths/stats and
+    // the match aggregate both consume it; the cached frame is
+    // (long, long, tiny array) per doc — corpus-count rows, never text.
+    val base = Materialize.barrier(docs.select(
+        col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(qts: _*)).as("qt"))
+      .filter(col("dl") > 0))
+    val lens = base.select("doc_id", "dl")
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val matches = docs
-      .select(col(idCol).cast("long").as("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(terms.map(_.toLowerCase): _*))
+    val matches = base
+      .select(col("doc_id"), explode(col("qt")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = matches.groupBy("term").agg(count(lit(1)).as("df"))
     matches

@@ -387,17 +387,26 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.Materialize.release(frames)
   }
 
-  test("q89: BM25 top-k is TakeOrderedAndProject; stats and df broadcast; no shuffle join") {
-    val df = SparkEntry.queries("q89_bm25_topk")(spark, TestSpark.Sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("TakeOrderedAndProject"), p)
-    // The 1-row stats frame rides the only nested-loop, as a broadcast
-    // build side; posting and length joins must not sort-merge at
-    // fixture scale (AQE broadcasts the posting-list side).
-    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("q89: BM25 reads text once; top-k is TakeOrderedAndProject; stats broadcast; no shuffle join") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q89_bm25_topk")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      // The r14 first cut tokenized the corpus TWICE (matches + df as
+      // independent subtrees) and re-scanned text a third time for the
+      // lengths — the materialized slim base pins all of it to one scan.
+      assert(documentScans(df) == 1, df.queryExecution.executedPlan.toString)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), p)
+      // The 1-row stats frame rides the only nested-loop, as a broadcast
+      // build side; posting and length joins must not sort-merge at
+      // fixture scale (AQE broadcasts the posting-list side).
+      assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally graft.ops.Materialize.release(frames)
   }
 
   test("q91: template report tokenizes once; the source-totals scan reads only `source`") {
