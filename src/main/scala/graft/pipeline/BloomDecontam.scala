@@ -104,6 +104,70 @@ object BloomDecontam {
       .orderBy("doc_id")
   }
 
+  /** The filter as a DEPLOYMENT ARTIFACT: [[Slices]] packed bit arrays
+    * (2^[[SliceBits]] bits = 2048 longs each, 48 KiB total), built once
+    * from the eval suite. This is the form the streaming admission
+    * ([[graft.streaming.StreamBloom]]) freezes at stream start — and the
+    * zero-join batch probe [[bloomReportWith]] consumes: where
+    * [[bloomReport]] carries the set bits as a broadcast join relation,
+    * the packed form rides the plan as three LITERAL arrays, so the
+    * probe is a single codegen'd scan with no join at all. The distinct
+    * (slice, pos) aggregation runs in Spark (eval-sized work stays
+    * distributed); only the ≤ 3·2^17 set-bit rows ever reach the
+    * driver. */
+  def packedFilter(evalDocs: DataFrame, textCol: String,
+      n: Int): Array[Array[Long]] = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    val gramHashes =
+      graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    val packed = Array.fill(Slices)(new Array[Long](1 << (SliceBits - 6)))
+    evalDocs.select(explode(gramHashes).as("fp"))
+      .select(explode(positions(col("fp"))).as("sp"))
+      .select(col("sp.slice").as("slice"), col("sp.pos").as("pos"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val slice = r.getInt(0); val pos = r.getLong(1)
+        packed(slice)((pos >> 6).toInt) |= 1L << (pos & 63)
+      }
+    packed
+  }
+
+  /** True iff the packed filter accepts `fp` (all [[Slices]] probed bits
+    * set) — pure bit arithmetic against three literal arrays, codegen'd,
+    * bit-identical to the join-relation probe in [[bloomReport]]. */
+  def acceptExpr(fp: Column, packed: Array[Array[Long]]): Column = {
+    require(packed.length == Slices &&
+      packed.forall(_.length == 1 << (SliceBits - 6)),
+      s"packed filter must be $Slices x ${1 << (SliceBits - 6)} longs")
+    (0 until Slices).map { i =>
+      val pos = shiftright(fp, i * SliceBits).bitwiseAND(lit(mask))
+      val word = element_at(typedLit(packed(i).toSeq),
+        (shiftright(pos, 6) + lit(1)).cast("int"))
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** [[bloomReport]]'s per-document acceptance under a pre-built packed
+    * filter: same (doc_id, n_grams, n_bloom_hits) rows, but the probe is
+    * ONE scan → per-doc gram distinct → one aggregate — no join, no
+    * broadcast, no materialization (single consumer). The shape both the
+    * streaming admission and a stored-filter batch sweep run. */
+  def bloomReportWith(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, packed: Array[Array[Long]]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramHashes =
+      graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    docs.select(col(idCol).as("doc_id"), explode(gramHashes).as("fp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(acceptExpr(col("fp"), packed), 1L).otherwise(0L))
+          .as("n_bloom_hits"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle for [[bloomReport]] over table `documents`:
     * `evalPredSql` renders the SAME predicate passed as `evalPred`. The
     * gram fingerprints walk [[graft.oracle.Duck.gramHash63Sql]] (the

@@ -162,6 +162,94 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** The REVERSE contamination report — per EVAL document, its leakage
+    * into the training corpus: the eval-integrity audit run before
+    * trusting a benchmark number ("how much of this eval set does the
+    * corpus already contain?"), where [[overlapReport]]/[[overlapFraction]]
+    * answer the corpus-side question ("which training docs should
+    * decontamination drop?"). For every eval document:
+    * `(eval_id, n_grams, n_leaked, n_corpus_docs, leak_frac)` —
+    * distinct n-gram fingerprints, how many of them appear in ≥ 1
+    * non-eval document, how many distinct corpus documents share ≥ 1
+    * gram, and the leaked fraction (exact integers, one final IEEE
+    * division).
+    *
+    * Scale shape: the eval side carries [[overlapReport]]'s broadcast
+    * contract verbatim (enforced by the same counted-cache check). The
+    * corpus side explodes map-side, probes the broadcast eval
+    * fingerprint set, and only MATCHED (corpus_id, fp) distinct pairs
+    * survive to the attribution join — matched grams are the tiny
+    * fraction by the decontam premise, and per-eval-doc aggregation
+    * rows are bounded by (eval grams × sharing docs), never corpus
+    * size. No static hint on the attribution join: an adversarially
+    * duplicated corpus can make the matched side large, so AQE decides
+    * (the [[Passages]] reasoning). */
+  def evalLeakReport(docs: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int,
+      maxEvalGrams: Long = DefaultMaxEvalGrams): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
+      .select(col(idCol).as("eval_id"), explode(gramHashes).as("gram_fp"))
+      .distinct())
+    val nEval = evalGrams.count()
+    if (nEval > maxEvalGrams) {
+      graft.ops.Materialize.release(Seq(evalGrams))
+      throw new IllegalArgumentException(
+        s"requirement failed: eval side has $nEval distinct (doc, $n-gram) " +
+          s"pairs, over the broadcast contract bound $maxEvalGrams: " +
+          "evalPred must select a held-out eval set — see " +
+          "Decontam.overlapReport's evalPred contract")
+    }
+    val evalFps = evalGrams.select("gram_fp").distinct()
+    val matched = docs.filter(!evalPred)
+      .select(col(idCol).as("corpus_id"), explode(gramHashes).as("gram_fp"))
+      .join(broadcast(evalFps), "gram_fp")
+      .distinct()
+    evalGrams.join(matched, Seq("gram_fp"), "left")
+      .groupBy("eval_id")
+      .agg(countDistinct("gram_fp").as("n_grams"),
+        countDistinct(when(col("corpus_id").isNotNull, col("gram_fp")))
+          .as("n_leaked"),
+        countDistinct("corpus_id").as("n_corpus_docs"))
+      .select(col("eval_id"), col("n_grams"), col("n_leaked"),
+        col("n_corpus_docs"),
+        (col("n_leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_frac"))
+      .orderBy("eval_id")
+  }
+
+  /** DuckDB oracle for [[evalLeakReport]] over table `documents`. */
+  def leakOracleSql(evalPredSql: String, n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
+       |         ($evalPredSql) AS is_eval
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_eval,
+       |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT doc_id, is_eval,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM toks)),
+       |eg AS (SELECT DISTINCT doc_id AS eval_id, gram_fp FROM grams WHERE is_eval),
+       |cg AS (
+       |  SELECT DISTINCT doc_id AS corpus_id, gram_fp FROM grams
+       |  WHERE NOT is_eval
+       |    AND gram_fp IN (SELECT gram_fp FROM eg))
+       |SELECT eval_id,
+       |       CAST(count(DISTINCT eg.gram_fp) AS BIGINT) AS n_grams,
+       |       CAST(count(DISTINCT CASE WHEN corpus_id IS NOT NULL
+       |                                THEN eg.gram_fp END) AS BIGINT)
+       |         AS n_leaked,
+       |       CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_corpus_docs,
+       |       CAST(count(DISTINCT CASE WHEN corpus_id IS NOT NULL
+       |                                THEN eg.gram_fp END) AS DOUBLE)
+       |         / CAST(count(DISTINCT eg.gram_fp) AS DOUBLE) AS leak_frac
+       |FROM eg LEFT JOIN cg USING (gram_fp)
+       |GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
   /** DuckDB oracle for [[overlapFraction]] over table `documents`. */
   def fractionOracleSql(evalPredSql: String, n: Int, tau: Double): String =
     s"""WITH toks AS (

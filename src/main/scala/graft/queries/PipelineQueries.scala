@@ -313,6 +313,27 @@ object PipelineQueries {
       Boilerplate.sourceTemplateReport(Tables.load(s, sf, "documents"),
         "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
 
+    // Eval-integrity report (r14): the REVERSE of q42/q84 — per eval
+    // doc, how much of it the corpus already contains (grams leaked,
+    // sharing corpus docs, leaked fraction); the audit run before
+    // trusting a benchmark number.
+    "q93_eval_leak" -> ((s, sf) =>
+      Decontam.evalLeakReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", evalPred = col("doc_id") % 97 === 0, n = 4)),
+
+    // Packed-filter Bloom sweep (r14): q71's report through the
+    // DEPLOYMENT probe — the 48 KiB filter built once, riding the plan
+    // as three literal bit arrays; one scan, one aggregate, zero joins.
+    // Same rows as q71 (bit-identical probes), different execution path.
+    "q92_packed_bloom" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val packed = BloomDecontam.packedFilter(
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 4)
+      BloomDecontam.bloomReportWith(
+        docs.filter(!(col("doc_id") % 97 === 0)), "doc_id", "text", n = 4,
+        packed)
+    }),
+
     // Bigram LM scoring (r14): self-trained conditional-probability
     // quality score — q72's unigram commonness made order-aware; the
     // KenLM-perplexity seat, log-free via 2^20 fixed-point conditionals.
@@ -801,6 +822,10 @@ object PipelineQueries {
     "q72_term_commonness" -> TermCommonness.oracleSql,
 
     "q88_bigram_lm" -> BigramModel.oracleSql,
+
+    "q92_packed_bloom" -> BloomDecontam.oracleSql("doc_id % 97 = 0", n = 4),
+
+    "q93_eval_leak" -> Decontam.leakOracleSql("doc_id % 97 = 0", n = 4),
 
     "q89_bm25_topk" -> Bm25.oracleSql(Seq("dup", "vector", "scan"), k = 10),
 

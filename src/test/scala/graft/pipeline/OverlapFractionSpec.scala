@@ -48,6 +48,36 @@ class OverlapFractionSpec extends AnyFunSuite {
     }
   }
 
+  test("eval-leak report: planted leak attributes exactly") {
+    import spark.implicits._
+    // Eval doc 0: tokens a..f → three 4-grams. Corpus doc 10 contains
+    // "a b c d" (the first gram); doc 11 shares nothing; doc 12 repeats
+    // the SAME leaked gram (second sharing doc, same gram).
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (10L, "x y a b c d z"),
+      (11L, "p q r s t u"),
+      (12L, "a b c d w1 w2")).toDF("doc_id", "text")
+    val r = Decontam.evalLeakReport(docs, "doc_id", "text",
+      evalPred = col("doc_id") === 0L, n = 4).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 0L)
+    assert(row.getLong(1) === 3L) // n_grams
+    assert(row.getLong(2) === 1L) // n_leaked: only "a b c d"
+    assert(row.getLong(3) === 2L) // docs 10 and 12
+    assert(row.getDouble(4) === 1.0 / 3.0)
+  }
+
+  test("eval-leak report: fixture invariants") {
+    val docs = graft.core.Tables.load(spark, graft.TestSpark.Sf, "documents")
+    val evalPred = col("doc_id") % 97 === 0
+    val r = Decontam.evalLeakReport(docs, "doc_id", "text", evalPred, n = 4)
+    assert(r.count() === docs.filter(evalPred).count())
+    assert(r.filter(col("n_leaked") > col("n_grams") ||
+      col("leak_frac") < 0.0 || col("leak_frac") > 1.0).count() === 0)
+  }
+
   test("annotation completeness: every non-eval doc with ≥4 tokens present") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     graft.functions.GraftFunctions.register(spark)

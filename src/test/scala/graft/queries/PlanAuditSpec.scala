@@ -409,6 +409,29 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.Materialize.release(frames)
   }
 
+  test("q93: eval-leak attribution probes the broadcast eval set; no cartesian") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q93_eval_leak")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // Both documents branches filter before tokenizing.
+      val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+      assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q92: the packed Bloom sweep is one scan, one aggregate, zero joins") {
+    val p = plan("q92_packed_bloom")
+    assert(!p.contains("Join"), p)
+    assert(documentScans(
+      SparkEntry.queries("q92_packed_bloom")(spark, TestSpark.Sf)) == 1, p)
+  }
+
   test("q91: template report tokenizes once; the source-totals scan reads only `source`") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q91_source_boilerplate")(spark, TestSpark.Sf)
