@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -312,6 +312,16 @@ object PipelineQueries {
     "q91_source_boilerplate" -> ((s, sf) =>
       Boilerplate.sourceTemplateReport(Tables.load(s, sf, "documents"),
         "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
+
+    // Count-min commonness (r14): q72's signal through a FIXED-SIZE
+    // sketch — 384 KiB of counters replace the corpus-growing
+    // vocabulary join; scoring is one join-free map-side scan;
+    // estimates only overcount (the CMS guarantee).
+    "q94_cms_commonness" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      CountMin.commonnessReport(docs, "doc_id", "text",
+        CountMin.buildSketch(docs, "text"))
+    }),
 
     // Eval-integrity report (r14): the REVERSE of q42/q84 — per eval
     // doc, how much of it the corpus already contains (grams leaked,
@@ -826,6 +836,8 @@ object PipelineQueries {
     "q92_packed_bloom" -> BloomDecontam.oracleSql("doc_id % 97 = 0", n = 4),
 
     "q93_eval_leak" -> Decontam.leakOracleSql("doc_id % 97 = 0", n = 4),
+
+    "q94_cms_commonness" -> CountMin.oracleSql,
 
     "q89_bm25_topk" -> Bm25.oracleSql(Seq("dup", "vector", "scan"), k = 10),
 

@@ -432,6 +432,14 @@ class PlanAuditSpec extends AnyFunSuite {
       SparkEntry.queries("q92_packed_bloom")(spark, TestSpark.Sf)) == 1, p)
   }
 
+  test("q94: CMS scoring is one scan, zero joins, zero hash exchanges") {
+    val df = SparkEntry.queries("q94_cms_commonness")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(documentScans(df) == 1, p)
+  }
+
   test("q91: template report tokenizes once; the source-totals scan reads only `source`") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q91_source_boilerplate")(spark, TestSpark.Sf)
