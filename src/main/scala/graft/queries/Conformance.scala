@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{Murmur2, QueryOptions, Tables}
 import graft.log.{LogQuery, LogStore, RecordLog}
-import graft.ops.AsofJoin
+import graft.ops.{AsofJoin, IntervalJoin}
 import graft.oracle.Duck
 
 /** The canonical conformance queries Q1–Q18 (FIXTURES.md §C): every
@@ -198,6 +198,14 @@ object Conformance {
           coalesce(col("l_linestatus"), lit("<all>")).as("status"),
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // Q95 banded interval self-join (r14): same-user events within ±1 h
+    // of each other — the range-join shape done as an EQUI-join on
+    // (key, time-bucket) with a 3-cell probe cover, never a per-key
+    // nested loop; annotation form (zero-neighbor events report 0).
+    "q95_interval_join" -> ((s, sf) =>
+      IntervalJoin.nearbyCounts(Tables.load(s, sf, "events"), "user_id",
+        "event_id", "ts", "event_type", deltaMs = 3600000L)),
 
     // Q18 as-of join: latest order (by o_orderdate) at or before each event,
     // per user — single-shuffle union-window plan, not a range-join explosion.
@@ -400,6 +408,8 @@ object Conformance {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),
 
     "q18_asof_join" ->
       """SELECT e.event_id, e.user_id, b.o_orderkey, epoch_ms(b.o_orderdate) AS order_date_ms

@@ -432,6 +432,13 @@ class PlanAuditSpec extends AnyFunSuite {
       SparkEntry.queries("q92_packed_bloom")(spark, TestSpark.Sf)) == 1, p)
   }
 
+  test("q95: the interval join is an equi-join on (key, bucket) — no nested loop, no cartesian") {
+    val df = SparkEntry.queries("q95_interval_join")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q94: CMS scoring is one scan, zero joins, zero hash exchanges") {
     val df = SparkEntry.queries("q94_cms_commonness")(spark, TestSpark.Sf)
     val p = df.queryExecution.executedPlan.toString
