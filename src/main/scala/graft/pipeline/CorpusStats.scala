@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one hash exchange on lang feeds both windows (rank and
   * per-key count share the partitioning — the q29 rule), then a
-  * partial/final aggregate. Exact per-key order statistics
-  * fundamentally require the per-key sort; at 100 TB that is a real
-  * per-language sort (Spark's spill-safe sort-based window — correct,
-  * just not cheap), and a pipeline that needs this per-stage rather
-  * than per-release would swap in a mergeable sketch (t-digest /
-  * KLL) accepting approximation — that variant is deliberately NOT
-  * the oracle-checked one, since sketches are not bit-reproducible
-  * across engines. */
+  * partial/final aggregate. At 100 TB the per-key sort window is a real
+  * full-column shuffle into sorted runs (spill-safe, correct, not
+  * cheap) — the SAME exact order statistics without any sort or data
+  * shuffle are [[graft.ops.ScalableQuantiles.orderStatistics]] (q96):
+  * radix selection in a fixed number of scan+aggregate passes, oracle-
+  * checked against this query's oracle verbatim. This window form stays
+  * registered as the equivalence baseline and the right plan when the
+  * report is computed alongside other per-key windows that already pay
+  * the exchange. */
 object CorpusStats {
 
   val Percentiles: Seq[(Double, String)] =

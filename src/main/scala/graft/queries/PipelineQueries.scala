@@ -313,6 +313,15 @@ object PipelineQueries {
       Boilerplate.sourceTemplateReport(Tables.load(s, sf, "documents"),
         "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
 
+    // Radix-selection percentiles (r14): q53's exact report computed
+    // with ZERO sorts and ZERO data shuffles — fixed-count scan+agg
+    // passes narrow each rank's value prefix; same oracle as q53.
+    "q96_radix_percentiles" -> ((s, sf) =>
+      graft.ops.ScalableQuantiles.orderStatistics(
+          Tables.load(s, sf, "documents"), "lang", "n_chars",
+          CorpusStats.Percentiles)
+        .withColumnRenamed("total", "total_chars")),
+
     // Count-min commonness (r14): q72's signal through a FIXED-SIZE
     // sketch — 384 KiB of counters replace the corpus-growing
     // vocabulary join; scoring is one join-free map-side scan;
@@ -778,6 +787,9 @@ object PipelineQueries {
     "q52_ingest_dedup" -> graft.streaming.StreamDedup.oracleSql,
 
     "q53_corpus_stats" -> CorpusStats.oracleSql,
+
+    // Same exact order statistics, radix-selection execution path.
+    "q96_radix_percentiles" -> CorpusStats.oracleSql,
 
     "q54_importance" -> Importance.oracleSql("lang = 'en'"),
 
