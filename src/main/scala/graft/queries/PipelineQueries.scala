@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, EpochShuffle, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -56,6 +56,24 @@ object PipelineQueries {
     // SimHash signatures: the bitwise near-dup fingerprint family.
     "q25_simhash" -> ((s, sf) =>
       SimHash.signatures(Tables.load(s, sf, "documents"), "doc_id", "text")),
+
+    // Hamming-ball near-dup pairs (r14): the WWW'07 simhash dedup —
+    // equi-joins on 20 three-block key combinations find EVERY pair
+    // within Hamming distance 3 (pigeonhole-exact recall, verified
+    // in-cell), never an all-pairs scan. The oracle deliberately runs
+    // the quadratic self-join this operator exists to avoid.
+    "q97_hamming_pairs" -> ((s, sf) =>
+      SimHash.hammingPairs(Tables.load(s, sf, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // Exact heavy hitters through a Misra–Gries gate (r14): word
+    // bigrams above a 1/800 corpus-frequency threshold with EXACT
+    // counts — the tail dies map-side in the per-partition sketch, so
+    // the only term-keyed shuffle carries candidates, never the
+    // vocabulary. The oracle runs the full-vocabulary shuffle.
+    "q98_heavy_hitters" -> ((s, sf) =>
+      HeavyHitters.heavyHitters(Tables.load(s, sf, "documents"), "text",
+        k = 800)),
 
     // LSH-blocked TRUE n-gram Jaccard: banded candidates, exact verify.
     "q27_jaccard_pairs" -> ((s, sf) =>
@@ -753,6 +771,10 @@ object PipelineQueries {
     "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
 
     "q25_simhash" -> SimHash.oracleSql,
+
+    "q97_hamming_pairs" -> SimHash.hammingPairsOracleSql(),
+
+    "q98_heavy_hitters" -> HeavyHitters.oracleSql(800),
 
     "q27_jaccard_pairs" -> MinHashDedup.jaccardOracleSql(0.4),
 

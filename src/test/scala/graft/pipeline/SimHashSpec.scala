@@ -44,6 +44,41 @@ class SimHashSpec extends AnyFunSuite {
     }
   }
 
+  test("hammingPairs ≡ brute force over signatures (fixture + planted dups)") {
+    // Fixture slice plus planted families: exact replicas (hamming 0)
+    // and single-token edits (small nonzero hamming) — the shapes the
+    // pigeonhole guarantee must catch.
+    val base = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(150)
+    val replicas = base.filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val edited = base.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    val docs = base.unionAll(replicas).unionAll(edited).repartition(7)
+    val got = SimHash.hammingPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Brute force from the same signatures.
+    val sigs = SimHash.signatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= SimHash.DefaultMaxDist
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)
+    assert(got.toSet == want.toSet)
+    assert(got.size == got.toSet.size, "first-qualifying-combo rule must dedup")
+    assert(want.nonEmpty && want.exists(_._3 == 0L) && want.exists(_._3 > 0L))
+  }
+
+  test("hammingPairs block layout covers all bits; combos are exact-recall") {
+    val (widths, offsets) = SimHash.blockLayout(SimHash.DefaultBlocks)
+    assert(widths.sum == SimHash.Bits)
+    assert(offsets.head == 0 && offsets.last + widths.last == SimHash.Bits)
+    // any 3-bit difference leaves some combo of 3 blocks clean
+    assert(SimHash.combos(6, 3).length == 20)
+  }
+
   test("jaccardPairs verifies banded candidates with exact n-gram overlap") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 4
     val nearDup = base.replace("lazy", "idle")

@@ -447,6 +447,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(documentScans(df) == 1, p)
   }
 
+  test("q97: hamming pairs form only inside equal-(combo, key) cells — no cartesian") {
+    val df = SparkEntry.queries("q97_hamming_pairs")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair scan is the grouped-cell MapGroups, fed by the combo
+    // equi-join of the singleton-pruned hot-cell list
+    assert(p.contains("MapGroups"), p)
+    assert(documentScans(df) <= 2, p)
+  }
+
+  test("q98: heavy hitters broadcast the candidate gate; term shuffle is candidates-only") {
+    val df = SparkEntry.queries("q98_heavy_hitters")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the exact pass filters through a broadcast left-semi join BEFORE
+    // its aggregation exchange; the total is a broadcast one-row frame
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q91: template report tokenizes once; the source-totals scan reads only `source`") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q91_source_boilerplate")(spark, TestSpark.Sf)
