@@ -22,7 +22,9 @@ object Plans {
     "q80_pq_encode", "q81_pq_adc_topk", "q82_jl_projection",
     "q83_snapshot_landing", "q84_overlap_fraction", "q85_source_dup_report",
     "q86_ivf_pq_topk", "q87_ann_recall", "q88_bigram_lm", "q89_bm25_topk",
-    "q90_hard_negatives", "q91_source_boilerplate")
+    "q90_hard_negatives", "q91_source_boilerplate",
+    "q97_hamming_pairs", "q98_heavy_hitters", "q99_hamming_sig_pairs",
+    "q100_mmr_select", "q101_hamming_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

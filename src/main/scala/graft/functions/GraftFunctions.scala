@@ -37,6 +37,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash", exprs => SimHashExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash37", exprs => SimHashExpr(exprs(0), 37), "built-in")
+    reg.createOrReplaceTempFunction(
       "token_stats", exprs => TokenStatsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
@@ -95,6 +97,11 @@ object GraftFunctions {
   /** 32-bit SimHash signature of a text column in one pass. */
   def simhash(c: Column): Column =
     call_function("simhash", c.cast("string"))
+
+  /** The independent second-polynomial (mult 37) SimHash — the high
+    * half of the wide fingerprint. */
+  def simhash37(c: Column): Column =
+    call_function("simhash37", c.cast("string"))
 
   /** `[n_tokens, sum_token_chars, n_punct]` of a text column in one pass. */
   def tokenStats(c: Column): Column =

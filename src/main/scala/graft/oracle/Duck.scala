@@ -116,14 +116,18 @@ object Duck {
     * with 2-, 3- and 4-byte code points. Empty input folds to 0 (the
     * `list_prepend` seed survives an empty reduce list untouched).
     */
-  def rollingHashSql(strExpr: String): String = {
+  def rollingHashSql(strExpr: String): String = rollingHashSql(strExpr, 31)
+
+  /** [[rollingHashSql]] with an explicit polynomial multiplier (37 is
+    * the second independent hash of the wide simhash fingerprint). */
+  def rollingHashSql(strExpr: String, mult: Int): String = {
     val nib = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
     s"list_transform([lower(hex(encode($strExpr)))], __rhx -> " +
       s"list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(range(1, length(__rhx)//2 + 1), " +
       s"__rhi -> (${nib("substr(__rhx, (2*__rhi-1)::INT, 1)")} * 16 + " +
       s"${nib("substr(__rhx, (2*__rhi)::INT, 1)")})::BIGINT)), " +
-      s"(__rh, __rb) -> (__rh * 31 + __rb) & 4294967295))[1]"
+      s"(__rh, __rb) -> (__rh * $mult + __rb) & 4294967295))[1]"
   }
 
   /** DuckDB SQL computing `WordGramHashesExpr`'s 63-bit fold

@@ -58,8 +58,35 @@ object HeavyHitters {
     val toks = docs.select(
       explode(GraftFunctions.wordGrams(col(textCol), n)).as("term"))
     // Sketch pass: per-partition Misra–Gries, m = k counters.
-    val candidates = toks.as[String].mapPartitions { it =>
-      val m = k
+    val candidates = partitionSummaries(toks.as[String], k)
+      .select("term").distinct()
+    // Exact pass: candidates gate the aggregation map-side.
+    val exact = toks.join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Total n-grams: map-side array size, one-row aggregate.
+    val total = docs.select(
+      sum(size(GraftFunctions.wordGrams(col(textCol), n))).cast("long")
+        .as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
+  /** Per-partition Misra–Gries summaries over a token stream: ≤ m
+    * `(term, residual_count)` rows per partition. The residuals are the
+    * textbook MG counters — for any term, `residual ∈ [exact_p −
+    * n_p/(m+1), exact_p]` within its partition — which makes the frames
+    * MERGEABLE (Agarwal et al., PODS'12): summing summaries and
+    * re-reducing preserves the N/(m+1) global error bound. [[heavyHitters]]
+    * consumes only the keys (its second pass is exact anyway);
+    * [[graft.streaming.StreamHitters]] merges the counters across
+    * micro-batches. */
+  private[graft] def partitionSummaries(
+      toks: org.apache.spark.sql.Dataset[String], m: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.mapPartitions { it =>
       val counts = new java.util.HashMap[String, Long](m * 2)
       it.foreach { t =>
         val c = counts.getOrDefault(t, 0L)
@@ -76,19 +103,8 @@ object HeavyHitters {
           }
         }
       }
-      counts.keySet().iterator().asScala
-    }.toDF("term").distinct()
-    // Exact pass: candidates gate the aggregation map-side.
-    val exact = toks.join(broadcast(candidates), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-    // Total n-grams: map-side array size, one-row aggregate.
-    val total = docs.select(
-      sum(size(GraftFunctions.wordGrams(col(textCol), n))).cast("long")
-        .as("n_total"))
-    exact.crossJoin(broadcast(total))
-      .filter(col("cnt") * k > col("n_total"))
-      .select(col("term"), col("cnt"))
-      .orderBy(col("cnt").desc, col("term").asc)
+      counts.entrySet().iterator().asScala.map(kv => (kv.getKey, kv.getValue.longValue()))
+    }.toDF("term", "residual")
   }
 
   /** DuckDB oracle for [[heavyHitters]] over table `documents` — the

@@ -87,11 +87,11 @@ object SimHash {
     * shares at least one key — recall is EXACT, not probabilistic. */
   val DefaultBlocks = 6
 
-  /** Near-even block bit-widths summing to [[Bits]] (wider blocks
+  /** Near-even block bit-widths summing to `bits` (wider blocks
     * first); offsets are the running sums. */
-  private[graft] def blockLayout(blocks: Int): (Array[Int], Array[Int]) = {
+  private[graft] def blockLayout(bits: Int, blocks: Int): (Array[Int], Array[Int]) = {
     val widths = Array.tabulate(blocks)(i =>
-      Bits / blocks + (if (i < Bits % blocks) 1 else 0))
+      bits / blocks + (if (i < bits % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
     (widths, offsets)
   }
@@ -104,8 +104,8 @@ object SimHash {
 
   /** Per-combo XOR masks: combo c qualifies for a pair iff
     * `(sigA ^ sigB) & mask(c) == 0` (all the combo's blocks agree). */
-  private def comboMasks(blocks: Int, maxDist: Int): Array[Long] = {
-    val (widths, offsets) = blockLayout(blocks)
+  private def comboMasks(bits: Int, blocks: Int, maxDist: Int): Array[Long] = {
+    val (widths, offsets) = blockLayout(bits, blocks)
     combos(blocks, maxDist).map(_.map(b =>
       ((1L << widths(b)) - 1) << offsets(b)).reduce(_ | _))
   }
@@ -113,24 +113,26 @@ object SimHash {
   /** All document pairs within Hamming distance `maxDist` of each other
     * on the 32-bit simhash — `(doc_a < doc_b, hamming)`.
     *
-    * Scale shape (the reason this is not a self-join on nothing): each
-    * doc emits one slim row (combo, key, id, sig — ~28 B) per block
-    * combination; pairs can only form inside an equal-(combo, key)
-    * cell, and the per-cell scan is quadratic ONLY in cell population,
-    * which the key width bounds: with the defaults the key carries
-    * 15–16 signature bits, so random cells hold ~n/2^15 docs, and
-    * dup-dense cells (identical signatures) hit the same
-    * `spark.graft.maxCellMembers` loud-failure contract as the MinHash
-    * family — run exact dedup (q20) first. At 100 TB the published
-    * design widens the fingerprint (64-bit simhash → 32-bit combo
-    * keys); the combinatorics here are width-agnostic.
+    * Two-level scale shape: identical signatures collapse FIRST, so the
+    * banding/cell machinery ([[hammingSigPairs]]) runs over DISTINCT
+    * fingerprints — its quadratic cell scans are bounded by signature
+    * ENTROPY, not corpus size (a dup-dense corpus has few distinct
+    * sigs; the first cut banded documents directly and the 64× probe's
+    * hottest cell held 132k rows where the distinct-sig form holds the
+    * cell's distinct values only). Doc-level pairs then come from
+    * joining the members table onto the sig-pair frame — output-sized
+    * work, which is the irreducible cost of materializing the true
+    * answer (on a replica-dense corpus the answer itself is quadratic
+    * in cluster sizes; the sig-pair form with multiplicities is the
+    * product that stays small, which is why it is exposed separately).
     *
     * Exactness: pigeonhole guarantees every true pair shares ≥ 1 combo
     * key (see [[DefaultBlocks]]); the in-cell `hamming ≤ maxDist` check
-    * removes false candidates; and each pair is emitted from its FIRST
-    * qualifying combo only (checked from the two signatures both rows
-    * carry, the [[MinHashDedup.candidatePairs]] first-agreeing-band
-    * rule), so the output is unique without a dedup shuffle. */
+    * removes false candidates; each DISTINCT-sig pair is emitted from
+    * its FIRST qualifying combo only (the
+    * [[MinHashDedup.candidatePairs]] first-agreeing-band rule), and
+    * every document belongs to exactly one signature group, so the
+    * doc-pair expansion is unique without any dedup shuffle. */
   def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks): DataFrame =
     hammingPairsFromSignatures(
@@ -139,14 +141,58 @@ object SimHash {
   /** [[hammingPairs]] over a precomputed `(doc_id, simhash)` table —
     * the deployment entry point when signatures persist as a sidecar. */
   def hammingPairsFromSignatures(sig: DataFrame,
-      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks): DataFrame = {
+      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks,
+      bits: Int = Bits): DataFrame = {
+    val members = graft.ops.Materialize.register(
+      sig.select(col("doc_id"), col("simhash")))
+    val sigPairs = hammingSigPairs(
+      members.groupBy("simhash").agg(count(lit(1)).as("n")),
+      maxDist, blocks, bits)
+    // Cross-sig expansion: each unordered doc pair meets exactly once
+    // (one signature per doc, sig_a < sig_b unique), orientation fixed
+    // by id afterwards. AQE sizes both joins — the sig-pair frame is
+    // entropy-bounded and usually broadcasts.
+    val cross = sigPairs.filter(col("sig_a") =!= col("sig_b"))
+      .join(members.select(col("simhash").as("sig_a"), col("doc_id").as("id_a")), "sig_a")
+      .join(members.select(col("simhash").as("sig_b"), col("doc_id").as("id_b")), "sig_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    // Same-sig expansion: C(m, 2) pairs at distance 0.
+    val self = sigPairs.filter(col("sig_a") === col("sig_b"))
+      .join(members.select(col("simhash").as("sig_a"), col("doc_id").as("id_a")), "sig_a")
+      .join(members.select(col("simhash").as("sig_b"), col("doc_id").as("id_b")), "sig_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+    cross.unionAll(self)
+  }
+
+  /** The signature-group form — the product that stays small on
+    * dup-dense corpora: `(sig_a ≤ sig_b, hamming, n_a, n_b)` for every
+    * DISTINCT signature pair within `maxDist` (including the
+    * self row (s, s, 0, m, m) for groups with m ≥ 2 members, which
+    * stands for the group's C(m,2) identical-fingerprint doc pairs).
+    * `n_a·n_b` (or C(m,2)) is the doc-pair multiplicity, so cluster
+    * mass is readable without materializing the quadratic expansion.
+    *
+    * Input `sigGroups` must be `(simhash, n)` — one row per distinct
+    * signature with its member count. Each distinct sig emits one slim
+    * row per block combination; pairs form only inside equal-
+    * (combo, key) cells; the per-cell quadratic scan is over distinct
+    * signatures in the cell, capped by the shared
+    * `spark.graft.maxCellMembers` loud-failure contract (a breach now
+    * means the KEY WIDTH is exhausted — widen the fingerprint — rather
+    * than "the corpus has duplicates", which the sig-collapse absorbs
+    * structurally). */
+  def hammingSigPairs(sigGroups: DataFrame,
+      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks,
+      bits: Int = Bits): DataFrame = {
     require(blocks > maxDist && maxDist >= 0,
       s"need blocks > maxDist >= 0, got blocks=$blocks maxDist=$maxDist")
-    val spark = sig.sparkSession
+    val spark = sigGroups.sparkSession
     import spark.implicits._
-    val (widths, offsets) = blockLayout(blocks)
+    val (widths, offsets) = blockLayout(bits, blocks)
     val cs = combos(blocks, maxDist)
-    val masks = comboMasks(blocks, maxDist)
+    val masks = comboMasks(bits, blocks, maxDist)
     // One struct per combo: key = the combo's block values concatenated
     // (pure shift/mask arithmetic, codegen'd; no hashing — the key IS
     // the bits, so cell-key collisions cannot exist).
@@ -156,34 +202,39 @@ object SimHash {
         .map { case (v, sh) => s"shiftleft($v, $sh)" }.mkString(" | ")
       s"struct($ci AS combo, CAST($key AS BIGINT) AS ckey)"
     }.mkString("array(", ", ", ")")
-    val cells = sig.select(col("doc_id"), col("simhash"),
+    val distinctSigs = graft.ops.Materialize.register(
+      sigGroups.select(col("simhash").cast("long").as("simhash"),
+        col("n").cast("long").as("n")))
+    val cells = distinctSigs.select(col("simhash"), col("n"),
         explode(expr(emitSql)).as("e"))
       .select(col("e.combo").as("combo"), col("e.ckey").as("ckey"),
-        col("doc_id"), col("simhash"))
+        col("simhash"), col("n"))
     val bound = spark.conf
       .get("spark.graft.maxCellMembers", MinHashDedup.DefaultMaxCellMembers.toString).toLong
     // Singleton prune + the loud hot-cell contract, riding the same
-    // count aggregate (the MinHash hotCellMembers pattern).
-    val hot = cells.groupBy("combo", "ckey").agg(count(lit(1)).as("n"))
+    // count aggregate (the MinHash hotCellMembers pattern). Counts are
+    // DISTINCT SIGNATURES per cell.
+    val hot = cells.groupBy("combo", "ckey").agg(count(lit(1)).as("cn"))
       .filter(expr(
-        s"CASE WHEN n > ${bound}L THEN CAST(raise_error(CONCAT(" +
-          s"'simhash hot cell of ', n, ' members exceeds " +
-          s"spark.graft.maxCellMembers=$bound: a cell this size means " +
-          s"near-identical documents at mass scale — run exact dedup " +
-          s"(q20) first, or widen the fingerprint so combo keys carry " +
-          s"more bits')) AS BOOLEAN) ELSE n >= 2 END"))
+        s"CASE WHEN cn > ${bound}L THEN CAST(raise_error(CONCAT(" +
+          s"'simhash hot cell of ', cn, ' DISTINCT signatures exceeds " +
+          s"spark.graft.maxCellMembers=$bound: identical signatures are " +
+          s"already collapsed, so a cell this size means the combo key " +
+          s"width is exhausted for this corpus — widen the fingerprint " +
+          s"so combo keys carry more bits')) AS " +
+          s"BOOLEAN) ELSE cn >= 2 END"))
       .select("combo", "ckey")
-    cells.join(hot, Seq("combo", "ckey"))
-      .select(col("combo"), col("ckey"), col("doc_id"), col("simhash"))
+    val cross = cells.join(hot, Seq("combo", "ckey"))
+      .select(col("combo"), col("ckey"), col("simhash"), col("n"))
       .as[(Int, Long, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { r => ids += r._3; sigs += r._4 }
-        val n = ids.length
-        val order = Array.range(0, n).sortBy(ids(_))
-        val out = Seq.newBuilder[(Long, Long, Long)]
+        val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { r => sigs += r._3; ns += r._4 }
+        val n = sigs.length
+        val order = Array.range(0, n).sortBy(sigs(_))
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
         var oi = 0
         while (oi < n) {
           val i = order(oi)
@@ -199,7 +250,8 @@ object SimHash {
                 if ((x & masks(c)) == 0L) first = c else c += 1
               }
               if (first == key._1)
-                out += ((ids(i), ids(j), java.lang.Long.bitCount(x).toLong))
+                out += ((sigs(i), sigs(j),
+                  java.lang.Long.bitCount(x).toLong, ns(i), ns(j)))
             }
             oj += 1
           }
@@ -207,7 +259,11 @@ object SimHash {
         }
         out.result().iterator
       }
-      .toDF("doc_a", "doc_b", "hamming")
+      .toDF("sig_a", "sig_b", "hamming", "n_a", "n_b")
+    val self = distinctSigs.filter(col("n") >= 2)
+      .select(col("simhash").as("sig_a"), col("simhash").as("sig_b"),
+        lit(0L).as("hamming"), col("n").as("n_a"), col("n").as("n_b"))
+    cross.unionAll(self)
   }
 
   /** DuckDB oracle for [[hammingPairs]] on table `documents` — the
@@ -220,4 +276,85 @@ object SimHash {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Wide (62-bit) fingerprint — the "widen the fingerprint" path of the
+  // hot-cell contract, exercised rather than documented: two independent
+  // polynomial simhashes (multipliers 31 and 37) truncate to 31 bits
+  // each and concatenate, so combo keys carry ~31 signature bits
+  // (2^15× more key space than the 32-bit default) and stay positive in
+  // a BIGINT for both engines.
+  // ---------------------------------------------------------------------
+
+  /** Bit width of [[signatures62]]. */
+  val WideBits = 62
+
+  /** doc_id + 62-bit wide simhash over a documents table. */
+  def signatures62(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      (GraftFunctions.simhash(col(textCol)).bitwiseAND(lit(0x7FFFFFFFL))
+        .bitwiseOR(shiftleft(
+          GraftFunctions.simhash37(col(textCol)).bitwiseAND(lit(0x7FFFFFFFL)),
+          31))).as("simhash"))
+  }
+
+  /** [[hammingPairs]] on the wide fingerprint — same combinatorics,
+    * 31-bit combo keys. Note the Hamming BALL differs from the 32-bit
+    * form's (it is measured over different vote bits): wider keys buy
+    * both cell headroom AND discrimination (unrelated docs that collide
+    * in 32 bits separate in 62), which is why the two are distinct
+    * registered queries rather than interchangeable settings. */
+  def hammingPairsWide(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks): DataFrame =
+    hammingPairsFromSignatures(
+      signatures62(docs, idCol, textCol), maxDist, blocks, WideBits)
+
+  /** The wide-signature CTE (`sig` = doc_id, 62-bit simhash). */
+  private def sig62CteSql: String = {
+    def half(mult: Int, name: String): String = {
+      val rh = Duck.rollingHashSql("t", mult)
+      s"""$name AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 31), i ->
+         |      CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> i) & 1) = 1)) >= len(hashes)
+         |           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS s
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(regexp_extract_all(text, '\\S+'), t -> $rh) AS hashes
+         |    FROM documents))""".stripMargin
+    }
+    s"""${half(31, "lo")},
+       |${half(37, "hi")},
+       |sig AS (
+       |  SELECT doc_id, lo.s | (hi.s << 31) AS simhash
+       |  FROM lo JOIN hi USING (doc_id))""".stripMargin
+  }
+
+  /** DuckDB oracle for [[hammingPairsWide]] on table `documents`. */
+  def hammingPairsWideOracleSql(maxDist: Int = DefaultMaxDist): String =
+    s"""WITH $sig62CteSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB oracle for [[hammingSigPairs]] over the `documents`
+    * signature groups — quadratic over DISTINCT signatures. */
+  def hammingSigPairsOracleSql(maxDist: Int = DefaultMaxDist): String =
+    s"""WITH $sigCteSql,
+       |groups AS (
+       |  SELECT simhash, CAST(count(*) AS BIGINT) AS n
+       |  FROM sig GROUP BY simhash)
+       |SELECT * FROM (
+       |  SELECT a.simhash AS sig_a, b.simhash AS sig_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+       |    a.n AS n_a, b.n AS n_b
+       |  FROM groups a JOIN groups b ON a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |  UNION ALL
+       |  SELECT simhash, simhash, CAST(0 AS BIGINT), n, n
+       |  FROM groups WHERE n >= 2)
+       |ORDER BY sig_a, sig_b""".stripMargin
 }

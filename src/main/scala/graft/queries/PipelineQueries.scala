@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -65,6 +65,38 @@ object PipelineQueries {
     "q97_hamming_pairs" -> ((s, sf) =>
       SimHash.hammingPairs(Tables.load(s, sf, "documents"), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+
+    // Signature-group Hamming pairs (r14): q97's deployment-scale
+    // product — distinct-signature pairs with member multiplicities
+    // (the self row (s,s,0,m,m) stands for a group's C(m,2) identical
+    // pairs), so cluster mass is readable without the quadratic
+    // doc-pair expansion a replica-dense corpus forces on q97.
+    "q99_hamming_sig_pairs" -> ((s, sf) => {
+      GraftFunctions.register(s)
+      SimHash.hammingSigPairs(
+        SimHash.signatures(Tables.load(s, sf, "documents"), "doc_id", "text")
+          .groupBy("simhash").agg(count(lit(1)).as("n")))
+        .orderBy("sig_a", "sig_b")
+    }),
+
+    // Wide-fingerprint Hamming pairs (r14): q97 on the 62-bit
+    // two-polynomial signature — combo keys carry ~31 signature bits
+    // (2^15× the 32-bit key space), the concrete "widen the
+    // fingerprint" answer to the hot-cell contract, and sharper:
+    // 32-bit-collision pairs separate at 62 bits.
+    "q101_hamming_wide" -> ((s, sf) =>
+      SimHash.hammingPairsWide(Tables.load(s, sf, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // MMR diverse exemplar selection (r14): per label, the 3 greedy
+    // maximal-marginal-relevance picks (λ=1/2, inner-product form) on
+    // the fixed-point lift — selection math is exact Long integers end
+    // to end, so the oracle replays the greedy rounds as unrolled CTEs
+    // with BIGINT comparisons and no float parity surface at all.
+    "q100_mmr_select" -> ((s, sf) =>
+      DiverseSelect.mmrSelect(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", "label", k = 3)
+        .orderBy("grp", "rank")),
 
     // Exact heavy hitters through a Misra–Gries gate (r14): word
     // bigrams above a 1/800 corpus-frequency threshold with EXACT
@@ -775,6 +807,12 @@ object PipelineQueries {
     "q97_hamming_pairs" -> SimHash.hammingPairsOracleSql(),
 
     "q98_heavy_hitters" -> HeavyHitters.oracleSql(800),
+
+    "q99_hamming_sig_pairs" -> SimHash.hammingSigPairsOracleSql(),
+
+    "q100_mmr_select" -> DiverseSelect.oracleSql(k = 3, dim = EmbeddingDim),
+
+    "q101_hamming_wide" -> SimHash.hammingPairsWideOracleSql(),
 
     "q27_jaccard_pairs" -> MinHashDedup.jaccardOracleSql(0.4),
 

@@ -71,10 +71,60 @@ class SimHashSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._3 == 0L) && want.exists(_._3 > 0L))
   }
 
+  test("wide fingerprint: 62-bit pairs ≡ brute force; sharper than 32-bit") {
+    val base = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val replicas = base.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val docs = base.unionAll(replicas).repartition(6)
+    val got = SimHash.hammingPairsWide(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sigs = SimHash.signatures62(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(sigs.forall(_._2 >= 0L), "62-bit signatures stay positive")
+    val want = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= SimHash.DefaultMaxDist
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)
+    assert(got.toSet == want.toSet)
+    assert(want.exists(_._3 == 0L)) // replicas still collide exactly
+    // discrimination: the wide ball is a subset-scale of the 32-bit one
+    val narrow = SimHash.hammingPairs(docs, "doc_id", "text").count()
+    assert(got.size.toLong <= narrow)
+  }
+
+  test("hammingSigPairs multiplicities account exactly for the doc-pair expansion") {
+    val base = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val replicas = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val docs = base.unionAll(replicas).repartition(5)
+    graft.functions.GraftFunctions.register(spark)
+    val sigGroups = SimHash.signatures(docs, "doc_id", "text")
+      .groupBy("simhash").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val sp = SimHash.hammingSigPairs(sigGroups).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // mass check: Σ cross n_a·n_b + Σ self C(m,2) == |doc-level answer|
+    val mass = sp.map { case (a, b, _, na, nb) =>
+      if (a == b) na * (na - 1) / 2 else na * nb
+    }.sum
+    val docPairs = SimHash.hammingPairs(docs, "doc_id", "text").count()
+    assert(mass == docPairs)
+    // structural checks: unique keys, self rows only for m >= 2, ordered sigs
+    assert(sp.map(p => (p._1, p._2)).distinct.length == sp.length)
+    assert(sp.forall(p => p._1 <= p._2))
+    assert(sp.filter(p => p._1 == p._2).forall(p => p._4 >= 2 && p._3 == 0L))
+  }
+
   test("hammingPairs block layout covers all bits; combos are exact-recall") {
-    val (widths, offsets) = SimHash.blockLayout(SimHash.DefaultBlocks)
+    val (widths, offsets) = SimHash.blockLayout(SimHash.Bits, SimHash.DefaultBlocks)
     assert(widths.sum == SimHash.Bits)
     assert(offsets.head == 0 && offsets.last + widths.last == SimHash.Bits)
+    val (w62, o62) = SimHash.blockLayout(SimHash.WideBits, SimHash.DefaultBlocks)
+    assert(w62.sum == SimHash.WideBits)
+    assert(o62.last + w62.last == SimHash.WideBits)
     // any 3-bit difference leaves some combo of 3 blocks clean
     assert(SimHash.combos(6, 3).length == 20)
   }

@@ -458,6 +458,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(documentScans(df) <= 2, p)
   }
 
+  test("q99: sig-pair discovery runs over distinct signatures — no cartesian, grouped cells") {
+    val df = SparkEntry.queries("q99_hamming_sig_pairs")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("q101: wide-fingerprint pairs keep the distinct-sig cell shape — no cartesian") {
+    val df = SparkEntry.queries("q101_hamming_wide")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("q100: MMR picks gather each group once — one grouping exchange, no joins") {
+    val df = SparkEntry.queries("q100_mmr_select")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("MapGroups"), p)
+  }
+
   test("q98: heavy hitters broadcast the candidate gate; term shuffle is candidates-only") {
     val df = SparkEntry.queries("q98_heavy_hitters")(spark, TestSpark.Sf)
     df.collect()
