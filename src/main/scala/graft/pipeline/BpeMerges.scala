@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.Materialize
+
+/** Byte-pair-encoding merge training (Sennrich et al., ACL'16) — the
+  * tokenizer-TRAINING op of an LLM data pipeline: learn the first `k`
+  * BPE merges from corpus word frequencies, reporting per round the
+  * merged pair, its corpus-weighted adjacency count, and the exact
+  * corpus token count after applying the merge. [[Vocabulary]] scores
+  * coverage under a FIXED vocabulary; this op is where that vocabulary
+  * comes from.
+  *
+  * Semantics are classic BPE: words start as character sequences; each
+  * round counts every adjacent symbol pair weighted by word frequency
+  * (overlapping occurrences all count, e.g. "aaa" holds (a,a) twice),
+  * picks the global argmax — ties broken (count DESC, left ASC, right
+  * ASC) so the merge table is bit-stable across engines — and rewrites
+  * every word by greedy left-to-right replacement of that pair.
+  *
+  * The rewrite itself is a single native `replace` over a sentinel
+  * encoding: a word's symbol sequence is held as
+  * `" s1  s2  ...  sn "` — DOUBLE spaces between symbols, single
+  * sentinel spaces at the ends — so merging (a,b) is the literal
+  * replacement of `" a  b "` with `" ab "`. Each match consumes one
+  * boundary space on each side and the replacement restores them, so
+  * back-to-back occurrences (`" a  b  a  b "`) both match, while
+  * overlapping ones (`" a  a  a "`) resolve greedily left-to-right —
+  * exactly BPE's merge order — with no regex engine in the loop.
+  * Symbols never contain spaces (words come from a `\S+` tokenize,
+  * gated to `^[a-z]+$`), so the encoding is unambiguous.
+  *
+  * Scale shape: the corpus is touched exactly ONCE — the tokenize
+  * feeding the word-frequency aggregate. Every round after runs over
+  * the VOCABULARY frame (distinct words — bounded by language, not
+  * corpus size; this is why BPE trainers operate on the word-count
+  * dict). Per round: one narrow pair-explode scan, one pair-keyed
+  * count exchange over vocab-sized data, a 1-row argmax via
+  * `orderBy.limit(1)` (Catalyst's TakeOrderedAndProject — bounded
+  * per-partition heaps, never a full sort), and a broadcast-1-row
+  * crossJoin applying the codegen'd `replace`. Each round's rewritten
+  * frame is [[Materialize.barrier]]ed so round r+1 starts from
+  * materialized state instead of re-running rounds 1..r — k vocab-sized
+  * caches, released by the session owner per the Materialize contract.
+  *
+  * Reference scope note: kbrowse (`src/kbrowse/search.clj`) has no
+  * tokenizer surface — this op extends the engine toward training-data
+  * preparation per the build brief.
+  */
+object BpeMerges {
+
+  /** Learn `rounds` BPE merges from `docs(textCol)`. Returns one row
+    * per round: (round, sym_a, sym_b, pair_count, corpus_tokens) where
+    * corpus_tokens is the frequency-weighted symbol count of the whole
+    * corpus AFTER that round's merge. If the vocabulary exhausts (every
+    * word a single symbol — toy corpora only), the exhausted rounds
+    * emit no row, identically here and in the oracle's CTE chain. */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16] (plan depth grows linearly): $rounds")
+    GraftFunctions.register(docs.sparkSession)
+    val words = docs
+      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val wf = words.groupBy("word").agg(count(lit(1)).as("f"))
+    var cur = Materialize.barrier(wf.select(col("word"), col("f"),
+      concat(lit(" "),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+        lit(" ")).as("seq")))
+
+    val rows = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("seq")), "  ")
+      val n = size(syms)
+      // Spark's sequence(1, 0) counts DOWN — guard single-symbol words.
+      val idx = when(n >= 2, sequence(lit(0), n - 2))
+        .otherwise(array().cast("array<int>"))
+      val pairs = cur
+        .select(col("f"), explode(transform(idx, i =>
+          struct(element_at(syms, i + 1).as("a"),
+            element_at(syms, i + 2).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("f"))
+      val best = pairs.groupBy("a", "b").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+      cur = Materialize.barrier(cur.crossJoin(broadcast(best))
+        .withColumn("seq", call_function("replace", col("seq"),
+          concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
+          concat(lit(" "), col("a"), col("b"), lit(" "))))
+        .select("word", "f", "seq"))
+      rows += best.crossJoin(
+        cur.agg(sum(col("f") * size(split(trim(col("seq")), "  ")))
+          .as("corpus_tokens")))
+        .select(lit(r).as("round"), col("a").as("sym_a"),
+          col("b").as("sym_b"), col("cnt").as("pair_count"),
+          col("corpus_tokens"))
+    }
+    rows.result().reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** DuckDB oracle for [[merges]] over table `documents`: the same
+    * rounds unrolled as a CTE chain — the same sentinel encoding, the
+    * same literal `replace`, the same (count DESC, pair ASC) argmax. */
+  def oracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(seq), '  ') AS syms, f FROM $prev) t,
+         |       LATERAL unnest(generate_series(1, len(syms)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |s$r AS (
+         |  SELECT word, f,
+         |    replace(seq, ' '||b$r.a||'  '||b$r.b||' ', ' '||b$r.a||b$r.b||' ') AS seq
+         |  FROM $prev, b$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""  SELECT $r AS round, a AS sym_a, b AS sym_b, cnt AS pair_count,
+         |    (SELECT CAST(sum(f * len(string_split(trim(seq), '  '))) AS BIGINT)
+         |     FROM s$r) AS corpus_tokens
+         |  FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |  FROM documents),
+       |wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |s0 AS (
+       |  SELECT word, f,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+       |  FROM wf),
+       |$chain
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY round""".stripMargin
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.Materialize
+
+/** Cross-source term-distribution drift — the corpus-release QA op:
+  * for every pair of sources, the L1 distance between their word
+  * frequency distributions restricted to the corpus's top-`v` terms,
+  * in parts-per-million fixed point. This is the number a pipeline
+  * watches release-over-release ("did crawl-B's English shift away
+  * from crawl-A's?") and across sources when balancing a mixture —
+  * the distribution-level complement of q58's document-overlap matrix
+  * (shared DOCS) and q78's KMV content similarity (shared SHINGLES):
+  * two sources can share zero documents yet have near-identical term
+  * distributions, or vice versa.
+  *
+  * All arithmetic is exact integers: per-source term frequency is
+  * `c·10⁶ DIV n` (truncating division, identical in both engines), the
+  * distance is a Long sum of absolute ppm gaps — no IEEE surface.
+  * Envelope: `c·10⁶` must fit a signed 64-bit value, i.e. per-source
+  * token counts up to ~9.2·10¹² — beyond that, drop the scale to
+  * per-2¹⁶ (the engines diverge past the bound: Spark ANSI raises,
+  * DuckDB widens to HUGEINT).
+  *
+  * Scale shape: ONE corpus-scale exchange — the (source, term) count
+  * aggregate (map-side partial, then term×source-keyed). The top-`v`
+  * selection is a TakeOrderedAndProject over the term rollup; the
+  * dense (source × vocab) frequency grid is `|sources|·v` rows built
+  * from broadcast joins, and the pairwise distance is a self-join of
+  * that grid — `|sources|²·v` arithmetic on a frame that never grows
+  * with the corpus.
+  *
+  * Reference scope note: kbrowse has no distribution-diff surface —
+  * this op extends the engine toward training-data preparation per
+  * the build brief. */
+object SourceDrift {
+
+  /** (src_a, src_b, l1_ppm) for every unordered source pair
+    * (src_a < src_b), over the corpus-wide top-`v` term vocabulary
+    * (count DESC, term ASC — the q79 tie-break). */
+  def termDrift(docs: DataFrame, sourceCol: String, textCol: String,
+      v: Int): DataFrame = {
+    require(v > 0, s"vocabulary size must be positive: $v")
+    GraftFunctions.register(docs.sparkSession)
+    val st = Materialize.barrier(docs
+      .select(col(sourceCol).as("source"),
+        explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c")))
+    val vocab = st.groupBy("term").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("term").asc).limit(v)
+      .select("term")
+    val ns = st.groupBy("source").agg(sum("c").as("n"))
+    val grid = ns.crossJoin(broadcast(vocab))
+      .join(st, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        expr("coalesce(c, 0L) * 1000000L DIV n").as("f"))
+    val a = grid.select(col("source").as("src_a"), col("term"),
+      col("f").as("f_a"))
+    val b = grid.select(col("source").as("src_b"), col("term"),
+      col("f").as("f_b"))
+    a.join(b, a("term") === b("term") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(abs(col("f_a") - col("f_b"))).as("l1_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[termDrift]] over table `documents`. */
+  def oracleSql(v: Int): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term)
+       |  ORDER BY ct DESC, term ASC LIMIT $v),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+       |grid AS (
+       |  SELECT ns.source, v.term,
+       |    coalesce(st.c, 0) * 1000000 // ns.n AS f
+       |  FROM ns CROSS JOIN vocab v
+       |  LEFT JOIN st ON st.source = ns.source AND st.term = v.term)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(abs(a.f - b.f)) AS BIGINT) AS l1_ppm
+       |FROM grid a JOIN grid b
+       |  ON a.term = b.term AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+}

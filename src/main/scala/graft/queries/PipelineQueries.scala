@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, Clustering, CorpusDiff, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -43,6 +43,37 @@ object PipelineQueries {
         .selectExpr("doc_id", "rolling_hash(text) AS fp", "rolling_hash(t_mb) AS fp_mb")
         .orderBy("doc_id")
     }),
+
+    // BPE merge training (r14): learn the first 8 tokenizer merges
+    // from corpus word frequencies — the corpus is tokenized ONCE into
+    // the word-count dict; every merge round runs over the vocab-sized
+    // frame (pair-count exchange + TakeOrdered argmax + broadcast-1-row
+    // native replace). The op that PRODUCES the vocabulary q79 scores.
+    "q102_bpe_merges" -> ((s, sf) =>
+      BpeMerges.merges(Tables.load(s, sf, "documents"), "text", rounds = 8)),
+
+    // Curriculum ordering (r14): easy→hard NTILE bands over n_chars
+    // with a deterministic md5 within-band shuffle — global position
+    // WITHOUT a one-partition window: two range-partitioned
+    // ScalableCumSum passes, band index in closed form from the rank.
+    "q103_curriculum" -> ((s, sf) =>
+      Curriculum.order(Tables.load(s, sf, "documents"), "doc_id", "n_chars",
+        buckets = 7)),
+
+    // Fuzzy-dedup calibration (r14): simhash Hamming-ball capture rate
+    // banded by TRUE n-gram Jaccard decile — the composed eval that
+    // justifies a detector choice at 100 TB; pair-sized join of two
+    // bucketed discoveries, never all-pairs.
+    "q104_dedup_eval" -> ((s, sf) =>
+      DedupEval.simhashCalibration(Tables.load(s, sf, "documents"),
+        "doc_id", "text", labelMin = 0.3)),
+
+    // Source term-distribution drift (r14): pairwise L1 over top-256
+    // term ppm frequencies — ONE corpus exchange (source×term counts),
+    // then broadcast-sized grid math; exact integers end to end.
+    "q105_source_drift" -> ((s, sf) =>
+      SourceDrift.termDrift(Tables.load(s, sf, "documents"), "source",
+        "text", v = 256)),
 
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
@@ -799,6 +830,14 @@ object PipelineQueries {
          |        text || (['', 'é', '中文', '☃𝄞'])[(doc_id % 4 + 1)::INT] AS t_mb
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q102_bpe_merges" -> BpeMerges.oracleSql(rounds = 8),
+
+    "q103_curriculum" -> Curriculum.oracleSql(buckets = 7),
+
+    "q104_dedup_eval" -> DedupEval.oracleSql(labelMin = 0.3),
+
+    "q105_source_drift" -> SourceDrift.oracleSql(v = 256),
 
     "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
 

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** BPE merge training vs a local reference implementation: the textbook
+  * toy, the greedy-overlap edge, tie-break determinism, and the full
+  * fixture replayed against an in-memory BPE trainer over the same
+  * tokenization. */
+class BpeMergesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Local reference BPE: word-frequency dict in, per-round
+    * (a, b, pairCount, corpusTokens) out. Greedy left-to-right merge,
+    * overlapping adjacencies all counted, ties (count DESC, a, b). */
+  private def refBpe(wordFreq: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
+    var seqs = wordFreq.toSeq.map { case (w, f) =>
+      (w.map(_.toString).toVector, f)
+    }
+    (1 to rounds).flatMap { r =>
+      val cnt = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- seqs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        cnt(k) = cnt.getOrElse(k, 0L) + f
+      }
+      if (cnt.isEmpty) None // vocabulary exhausted: no row this round
+      else {
+        val ((a, b), c) = cnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        seqs = seqs.map { case (syms, f) => (mergeGreedy(syms, a, b), f) }
+        val toks = seqs.map { case (s, f) => s.length * f }.sum
+        Some((r, a, b, c, toks))
+      }
+    }
+  }
+
+  private def mergeGreedy(syms: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def tokenize(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .filter(_.forall(c => c >= 'a' && c <= 'z'))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def run(texts: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    BpeMerges.merges(docs, "text", rounds).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+  }
+
+  test("textbook toy corpus matches the local reference trainer") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower newest newest newest",
+      "newest newest newest widest widest widest")
+    assert(run(texts, 6) === refBpe(tokenize(texts), 6))
+  }
+
+  test("greedy left-to-right overlap: aaaa merges to (aa)(aa)") {
+    // (a,a) counts 3 in 'aaaa'; after the merge the word is two symbols.
+    val got = run(Seq("aaaa"), 1)
+    assert(got === Seq((1, "a", "a", 3L, 2L)))
+    // Odd run: aaa -> (aa)(a), three symbols total across the corpus of
+    // one word; second round merges (aa, a).
+    val odd = run(Seq("aaa"), 2)
+    assert(odd(0) === (1, "a", "a", 2L, 2L))
+    assert(odd(1) === (2, "aa", "a", 1L, 1L))
+  }
+
+  test("tie-break picks the lexicographically least pair") {
+    // 'xy' and 'ab' both appear twice; (a,b) must win round 1.
+    val got = run(Seq("xy xy ab ab"), 1)
+    assert(got.head._2 === "a" && got.head._3 === "b")
+  }
+
+  test("non-alphabetic and mixed-case tokens are gated identically") {
+    val texts = Seq("Ab AB 123 a-b ab!", "ab ab")
+    // Only the pure-lowercase forms survive: 'ab' x2 (lowercased Ab/AB
+    // also pass the gate post-lowering) — mirror the local gate exactly.
+    assert(run(texts, 2) === refBpe(tokenize(texts), 2))
+  }
+
+  test("fixture corpus: 6 rounds match the local reference trainer") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val got = run2(docs, 6)
+    assert(got === refBpe(tokenize(texts), 6))
+    // Token count must be non-increasing round over round.
+    assert(got.map(_._5) === got.map(_._5).sorted.reverse)
+  }
+
+  private def run2(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] =
+    BpeMerges.merges(docs, "text", rounds).collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+}

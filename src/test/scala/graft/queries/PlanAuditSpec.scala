@@ -509,4 +509,48 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(schemas.exists(s => s.contains("source") && !s.contains("text")), p)
     } finally graft.ops.Materialize.release(frames)
   }
+
+  test("q102: each BPE argmax is TakeOrderedAndProject; merges ride 1-row broadcasts, no cartesian") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q102_bpe_merges")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      // The per-round global argmax must be a bounded-heap top-1, never
+      // a full sort of the pair counts.
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q103: curriculum position computes with NO window operator anywhere") {
+    val df = SparkEntry.queries("q103_curriculum")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // The one-partition row_number window is exactly what ScalableCumSum
+    // exists to avoid; a Window node here means the scale path regressed.
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q104: calibration joins pair-sized frames — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("q104_dedup_eval")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
 }
