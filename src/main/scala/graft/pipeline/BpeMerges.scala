@@ -40,11 +40,12 @@ import graft.ops.Materialize
   * dict). Per round: one narrow pair-explode scan, one pair-keyed
   * count exchange over vocab-sized data, a 1-row argmax via
   * `orderBy.limit(1)` (Catalyst's TakeOrderedAndProject — bounded
-  * per-partition heaps, never a full sort), and a broadcast-1-row
-  * crossJoin applying the codegen'd `replace`. Each round's rewritten
-  * frame is [[Materialize.barrier]]ed so round r+1 starts from
-  * materialized state instead of re-running rounds 1..r — k vocab-sized
-  * caches, released by the session owner per the Materialize contract.
+  * per-partition heaps, never a full sort) collected to the driver,
+  * and the codegen'd literal `replace` applying the merge. Each
+  * round's rewritten frame is [[Materialize.barrier]]ed so round r+1
+  * starts from materialized state instead of re-running rounds 1..r —
+  * k vocab-sized caches, released by the session owner per the
+  * Materialize contract.
   *
   * Reference scope note: kbrowse (`src/kbrowse/search.clj`) has no
   * tokenizer surface — this op extends the engine toward training-data
@@ -56,12 +57,23 @@ object BpeMerges {
     * per round: (round, sym_a, sym_b, pair_count, corpus_tokens) where
     * corpus_tokens is the frequency-weighted symbol count of the whole
     * corpus AFTER that round's merge. If the vocabulary exhausts (every
-    * word a single symbol — toy corpora only), the exhausted rounds
-    * emit no row, identically here and in the oracle's CTE chain. */
+    * word a single symbol — toy corpora only), training stops early and
+    * the exhausted rounds emit no row, identically to the oracle's CTE
+    * chain (whose empty argmax CTE wipes the downstream rounds).
+    *
+    * Driver contract (the [[Clustering]] k-means convention): BPE is
+    * inherently iterative with ONE global argmax per round, so each
+    * round collects exactly two single-row frames to the driver — the
+    * winning pair and the post-merge token total. The merged pair then
+    * rides into the next round's plan as string LITERALS, keeping the
+    * plan depth linear in `rounds` (an in-plan argmax would nest the
+    * vocabulary subtree twice per round — exponential analysis cost). */
   def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 16,
-      s"rounds must be in [1,16] (plan depth grows linearly): $rounds")
-    GraftFunctions.register(docs.sparkSession)
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64] (2 driver rows + 1 cached vocab frame each): $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
     val words = docs
       .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -71,34 +83,51 @@ object BpeMerges {
         array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
         lit(" ")).as("seq")))
 
-    val rows = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
-      val syms = split(trim(col("seq")), "  ")
-      val n = size(syms)
-      // Spark's sequence(1, 0) counts DOWN — guard single-symbol words.
-      val idx = when(n >= 2, sequence(lit(0), n - 2))
-        .otherwise(array().cast("array<int>"))
-      val pairs = cur
-        .select(col("f"), explode(transform(idx, i =>
-          struct(element_at(syms, i + 1).as("a"),
-            element_at(syms, i + 2).as("b")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("f"))
-      val best = pairs.groupBy("a", "b").agg(sum("f").as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
-      cur = Materialize.barrier(cur.crossJoin(broadcast(best))
-        .withColumn("seq", call_function("replace", col("seq"),
-          concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
-          concat(lit(" "), col("a"), col("b"), lit(" "))))
-        .select("word", "f", "seq"))
-      rows += best.crossJoin(
-        cur.agg(sum(col("f") * size(split(trim(col("seq")), "  ")))
-          .as("corpus_tokens")))
-        .select(lit(r).as("round"), col("a").as("sym_a"),
-          col("b").as("sym_b"), col("cnt").as("pair_count"),
-          col("corpus_tokens"))
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // 1-row driver collect: the global argmax pair.
+      val top = bestPair(cur).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = Materialize.barrier(cur
+          .withColumn("seq", call_function("replace", col("seq"),
+            lit(s" $a  $b "), lit(s" $a$b ")))
+          .select("word", "f", "seq"))
+        // 1-row driver collect: frequency-weighted token total.
+        val toks = next
+          .agg(sum(col("f") * size(split(trim(col("seq")), "  "))))
+          .collect()(0).getLong(0)
+        rows += ((r, a, b, cnt, toks))
+        cur = next
+      }
+      r += 1
     }
-    rows.result().reduce(_ unionAll _).orderBy("round")
+    rows.result()
+      .toDF("round", "sym_a", "sym_b", "pair_count", "corpus_tokens")
+      .orderBy("round")
+  }
+
+  /** The per-round global argmax over a `(word, f, seq)` frame:
+    * adjacent-pair counts → `orderBy.limit(1)` (TakeOrderedAndProject —
+    * bounded per-partition heaps, never a full sort). Exposed for the
+    * plan audit. */
+  private[pipeline] def bestPair(cur: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), "  ")
+    val n = size(syms)
+    // Spark's sequence(1, 0) counts DOWN — guard single-symbol words.
+    val idx = when(n >= 2, sequence(lit(0), n - 2))
+      .otherwise(array().cast("array<int>"))
+    cur.select(col("f"), explode(transform(idx, i =>
+        struct(element_at(syms, i + 1).as("a"),
+          element_at(syms, i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(1)
   }
 
   /** DuckDB oracle for [[merges]] over table `documents`: the same

@@ -36,9 +36,23 @@ import graft.oracle.Duck
 object DedupEval {
 
   /** (band, n_pairs, n_pred) — band = floor(10·jaccard) for labeled
-    * pairs (10 = exact duplicates), −1 for predicted-only pairs. */
-  def simhashCalibration(docs: DataFrame, idCol: String, textCol: String,
-      labelMin: Double, maxDist: Int = SimHash.DefaultMaxDist): DataFrame = {
+    * pairs (10 = exact duplicates), −1 for predicted-only pairs.
+    *
+    * `sampleRate` < 1 gates the corpus with the deterministic md5 draw
+    * (the [[DupClusters.groupSplit]] idiom) BEFORE either detector
+    * runs — the deployment grain on a replica-dense corpus, where the
+    * full doc-pair expansion is output-bound (q97's 64× answer is
+    * 9·10⁹ pairs); detector calibration needs a representative sample,
+    * not the full pair mass. */
+  def simhashCalibration(docs0: DataFrame, idCol: String, textCol: String,
+      labelMin: Double, maxDist: Int = SimHash.DefaultMaxDist,
+      sampleRate: Double = 1.0): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0,1]: $sampleRate")
+    val docs = if (sampleRate >= 1.0) docs0
+    else docs0.filter(
+      substring(md5(concat(lit("cal:"), col(idCol).cast("string"))), 1, 4)
+        < lit(f"${(sampleRate * 65536).toInt}%04x"))
     val pred = SimHash.hammingPairs(docs, idCol, textCol, maxDist)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_pred"))
     val lab = MinHashDedup.jaccardPairs(docs, idCol, textCol, labelMin)

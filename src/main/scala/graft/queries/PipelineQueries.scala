@@ -47,8 +47,8 @@ object PipelineQueries {
     // BPE merge training (r14): learn the first 8 tokenizer merges
     // from corpus word frequencies — the corpus is tokenized ONCE into
     // the word-count dict; every merge round runs over the vocab-sized
-    // frame (pair-count exchange + TakeOrdered argmax + broadcast-1-row
-    // native replace). The op that PRODUCES the vocabulary q79 scores.
+    // frame (pair-count exchange + 1-row TakeOrdered argmax collect +
+    // literal native replace). Produces the vocabulary q79 scores.
     "q102_bpe_merges" -> ((s, sf) =>
       BpeMerges.merges(Tables.load(s, sf, "documents"), "text", rounds = 8)),
 

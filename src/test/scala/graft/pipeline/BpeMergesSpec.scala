@@ -94,6 +94,15 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(run(texts, 2) === refBpe(tokenize(texts), 2))
   }
 
+  test("per-round argmax plans as TakeOrderedAndProject, never a full sort") {
+    import spark.implicits._
+    val cur = Seq(("ab", 2L, " a  b "), ("abc", 1L, " a  b  c "))
+      .toDF("word", "f", "seq")
+    val p = BpeMerges.bestPair(cur).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("fixture corpus: 6 rounds match the local reference trainer") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq

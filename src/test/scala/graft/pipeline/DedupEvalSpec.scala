@@ -27,6 +27,19 @@ class DedupEvalSpec extends AnyFunSuite {
     assert(!r.keys.exists(b => b >= 0 && b < 10))
   }
 
+  test("sampled calibration equals full calibration on the drawn sub-corpus") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, substring}
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val sampled = DedupEval.simhashCalibration(docs, "doc_id", "text", 0.3,
+      sampleRate = 0.5).collect().map(_.toSeq)
+    val manual = docs.filter(
+      substring(md5(concat(lit("cal:"), col("doc_id").cast("string"))), 1, 4)
+        < lit(f"${(0.5 * 65536).toInt}%04x"))
+    val want = DedupEval.simhashCalibration(manual, "doc_id", "text", 0.3)
+      .collect().map(_.toSeq)
+    assert(sampled.toSeq === want.toSeq)
+  }
+
   test("fixture: per-band sanity + predicted mass balances q97") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val rep = DedupEval.simhashCalibration(docs, "doc_id", "text", 0.3)

@@ -510,21 +510,6 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.Materialize.release(frames)
   }
 
-  test("q102: each BPE argmax is TakeOrderedAndProject; merges ride 1-row broadcasts, no cartesian") {
-    val (df, frames) = graft.ops.Materialize.collecting {
-      val d = SparkEntry.queries("q102_bpe_merges")(spark, TestSpark.Sf)
-      d.collect()
-      d
-    }
-    try {
-      val p = df.queryExecution.executedPlan.toString
-      // The per-round global argmax must be a bounded-heap top-1, never
-      // a full sort of the pair counts.
-      assert(p.contains("TakeOrderedAndProject"), p)
-      assert(!p.contains("CartesianProduct"), p)
-    } finally graft.ops.Materialize.release(frames)
-  }
-
   test("q103: curriculum position computes with NO window operator anywhere") {
     val df = SparkEntry.queries("q103_curriculum")(spark, TestSpark.Sf)
     val p = df.queryExecution.executedPlan.toString
