@@ -24,7 +24,8 @@ object Plans {
     "q86_ivf_pq_topk", "q87_ann_recall", "q88_bigram_lm", "q89_bm25_topk",
     "q90_hard_negatives", "q91_source_boilerplate",
     "q97_hamming_pairs", "q98_heavy_hitters", "q99_hamming_sig_pairs",
-    "q100_mmr_select", "q101_hamming_wide")
+    "q100_mmr_select", "q101_hamming_wide", "q103_curriculum",
+    "q104_dedup_eval", "q105_source_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
