@@ -64,6 +64,33 @@ object CorpusWriter {
       .saveAsTable(table)
   }
 
+  /** Store the corpus's distinct word-n-gram fingerprint set — the
+    * [[writeAdmissionIndex]] convention applied to [[Novelty]]'s
+    * reference side, written once when the corpus lands so novelty
+    * scoring never re-tokenizes corpus text. Two tables: `{table}`
+    * (gram_fp BIGINT, bucketed+sorted by gram_fp — the reader's join
+    * runs with no corpus-side exchange) and `{table}_meta` (n) —
+    * `require`d to match the query's own n at read time. */
+  def writeGramIndex(corpus: DataFrame, textCol: String, n: Int,
+      table: String, buckets: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    dropOrphanedLocation(spark, table)
+    corpus.select(org.apache.spark.sql.functions.explode(
+        graft.functions.GraftFunctions.wordGramHashes(
+          org.apache.spark.sql.functions.col(textCol), n)).as("gram_fp"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "gram_fp")
+      .sortBy("gram_fp")
+      .format("parquet")
+      .saveAsTable(table)
+    dropOrphanedLocation(spark, s"${table}_meta")
+    import spark.implicits._
+    Seq(n).toDF("n").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
   /** Store the corpus's STRATIFIED-CONTAINMENT sidecar (VERDICT r11
     * item 1) — the [[writeAdmissionIndex]] convention applied to the
     * trailing-zero index, written ONCE when the corpus lands so

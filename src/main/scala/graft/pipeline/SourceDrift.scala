@@ -67,6 +67,50 @@ object SourceDrift {
       .orderBy("src_a", "src_b")
   }
 
+  /** The corpus reference distribution for [[graft.streaming.StreamDrift]]:
+    * the top-`v` terms with their ppm frequencies against the TOTAL
+    * corpus token count (the [[termDrift]] normalization). A `v`-row
+    * bounded driver collect — the train-time artifact the stream
+    * monitor probes, frozen like q77's weights and q92's filter. */
+  def referencePpm(docs: DataFrame, textCol: String, v: Int)
+      : Seq[(String, Long)] = {
+    require(v > 0, s"vocabulary size must be positive: $v")
+    GraftFunctions.register(docs.sparkSession)
+    val tc = docs
+      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    tc.crossJoin(broadcast(tc.agg(sum("c").as("n"))))
+      .orderBy(col("c").desc, col("term").asc).limit(v)
+      .select(col("term"), expr("c * 1000000L DIV n").as("f_ref"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** One-row drift report of a document batch against a frozen
+    * [[referencePpm]] vector: (n_docs, n_tokens, l1_ppm). Reference
+    * terms absent from the batch contribute their full reference mass;
+    * batch terms outside the reference vocabulary count only toward
+    * the normalizer — the [[termDrift]] top-`v` restriction. An empty
+    * batch reports l1 = Σ f_ref. */
+  def driftFromReference(batch: DataFrame, textCol: String,
+      ref: Seq[(String, Long)]): DataFrame = {
+    require(ref.nonEmpty, "reference distribution must be non-empty")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val refDf = ref.toDF("term", "f_ref")
+    val toks = batch
+      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+    val tot = batch.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("n_tokens")))
+    val l1 = broadcast(refDf)
+      .join(toks.groupBy("term").agg(count(lit(1)).as("c")), Seq("term"), "left")
+      .crossJoin(broadcast(tot.select(col("n_tokens").as("__n"))))
+      .select((abs(expr("coalesce(c, 0L) * 1000000L DIV greatest(__n, 1L)")
+        - col("f_ref"))).as("gap"))
+      .agg(coalesce(sum("gap"), lit(0L)).as("l1_ppm"))
+    tot.crossJoin(l1)
+  }
+
   /** DuckDB oracle for [[termDrift]] over table `documents`. */
   def oracleSql(v: Int): String =
     s"""WITH toks AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -74,6 +74,29 @@ object PipelineQueries {
     "q105_source_drift" -> ((s, sf) =>
       SourceDrift.termDrift(Tables.load(s, sf, "documents"), "source",
         "text", v = 256)),
+
+    // Increment novelty vs the standing corpus (r14): per increment
+    // doc, the fraction of its distinct 4-grams the corpus has never
+    // seen — the NON-broadcast contamination grain (the reference side
+    // IS the corpus: gram-keyed equi-join, never a broadcast contract).
+    "q106_novelty" -> ((s, sf) =>
+      Novelty.noveltyReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", incrementPred = col("doc_id") % 7 === 0, n = 4)),
+
+    // q106 through the STORED corpus gram index (r14): the sidecar
+    // deployment form (CorpusWriter.writeGramIndex, bucketed by
+    // gram_fp) — bit-equal to q106, no corpus re-tokenize; the oracle
+    // IS q106's oracle.
+    "q107_sidecar_novelty" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q107_gramidx_${Integer.toHexString(sf.hashCode)}"
+      val pred = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta"))
+        graft.pipeline.CorpusWriter.writeGramIndex(
+          docs.filter(!pred), "text", n = 4, tbl, buckets = 32)
+      Novelty.noveltyAgainstIndex(s, tbl, docs.filter(pred), "doc_id",
+        "text", n = 4)
+    }),
 
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
@@ -838,6 +861,10 @@ object PipelineQueries {
     "q104_dedup_eval" -> DedupEval.oracleSql(labelMin = 0.3),
 
     "q105_source_drift" -> SourceDrift.oracleSql(v = 256),
+
+    "q106_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
+
+    "q107_sidecar_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
     "q22_minhash_pairs" -> MinHashDedup.oracleSql(0.5),
 

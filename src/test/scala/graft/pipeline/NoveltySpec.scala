@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Novelty scoring: planted full-copy / fully-novel / half-novel docs,
+  * stored-index equivalence with the in-plan form, and the index's n
+  * contract. */
+class NoveltySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("planted increments: copy scores 0, novel scores 1, half scores between") {
+    import spark.implicits._
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, corpusText),                       // corpus
+      (2L, "iota kappa lambda mu nu xi"),     // corpus
+      (100L, corpusText),                     // increment: exact copy
+      (101L, "foo bar baz qux quux corge"),   // increment: fully novel
+      (102L, "alpha beta gamma delta foo bar baz qux")) // increment: mixed
+      .toDF("doc_id", "text")
+    val r = Novelty.noveltyReport(docs, "doc_id", "text",
+      col("doc_id") >= 100, n = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(100L)._2 === 0L)                 // every bigram already seen
+    assert(r(101L) === ((5L, 5L)))            // all 5 bigrams novel
+    // doc 102: bigrams = 7; 'alpha beta','beta gamma','gamma delta' seen
+    // (3); 'delta foo','foo bar','bar baz','baz qux' novel (4).
+    assert(r(102L) === ((7L, 4L)))
+  }
+
+  test("stored gram index reproduces the in-plan answer bit-exactly") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val pred = col("doc_id") % 7 === 0
+    val want = Novelty.noveltyReport(docs, "doc_id", "text", pred, n = 4)
+      .collect().map(_.toSeq)
+    val tbl = "graft_test_novelty_idx"
+    CorpusWriter.writeGramIndex(docs.filter(!pred), "text", n = 4, tbl,
+      buckets = 8)
+    try {
+      val got = Novelty.noveltyAgainstIndex(spark, tbl,
+        docs.filter(pred), "doc_id", "text", n = 4)
+        .collect().map(_.toSeq)
+      assert(got.toSeq === want.toSeq)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    }
+  }
+
+  test("index written under a different n fails loudly") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val tbl = "graft_test_novelty_badn"
+    CorpusWriter.writeGramIndex(docs.limit(10), "text", n = 3, tbl,
+      buckets = 2)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Novelty.noveltyAgainstIndex(spark, tbl, docs.limit(5),
+          "doc_id", "text", n = 4)
+      }
+      assert(e.getMessage.contains("n=3"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+    }
+  }
+}

@@ -526,6 +526,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("q106: novelty joins gram fingerprints — no cartesian, no broadcast contract") {
+    val df = SparkEntry.queries("q106_novelty")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // The reference side is the corpus: no static broadcast hint may
+    // force a corpus-sized build side (AQE may still choose one at
+    // runtime from actual sizes).
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      df.queryExecution.analyzed.toString)
+  }
+
+  test("q107: stored novelty reads the bucketed gram index — no corpus re-tokenize") {
+    val df = SparkEntry.queries("q107_sidecar_novelty")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // Exactly one scan tokenizes text (the increment); the corpus
+    // contributes through the index table scan.
+    assert(p.contains("graft_q107_gramidx"), p)
+    val gramScans = "word_gram_hashes".r.findAllIn(p).length
+    assert(gramScans >= 1 &&
+      !p.linesIterator.exists(l => l.contains("Scan parquet") &&
+        l.contains("documents") && l.contains("text") &&
+        !l.contains("doc_id")), p)
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
