@@ -25,7 +25,8 @@ object Plans {
     "q90_hard_negatives", "q91_source_boilerplate",
     "q97_hamming_pairs", "q98_heavy_hitters", "q99_hamming_sig_pairs",
     "q100_mmr_select", "q101_hamming_wide", "q103_curriculum",
-    "q104_dedup_eval", "q105_source_drift")
+    "q104_dedup_eval", "q105_source_drift", "q106_novelty",
+    "q107_sidecar_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
