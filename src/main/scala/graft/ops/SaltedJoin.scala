@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
-  def join(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+  def join(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame =
+    join(left, right, key, key, salts)
+
+  /** The differently-named-keys form (`l.keyLeft = r.keyRight`). */
+  def join(left: DataFrame, right: DataFrame, keyLeft: String,
+      keyRight: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val leftCols = left.columns.map(col).toSeq
     val l = left.withColumn("__salt", pmod(hash(leftCols: _*), lit(salts)))
     val r = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
-      .drop(r(key)).drop(l("__salt")).drop(r("__salt"))
+    l.join(r, l(keyLeft) === r(keyRight) && l("__salt") === r("__salt"))
+      .drop(r(keyRight)).drop(l("__salt")).drop(r("__salt"))
   }
 }

@@ -69,10 +69,20 @@ object BpeMerges {
     * plan depth linear in `rounds` (an in-plan argmax would nest the
     * vocabulary subtree twice per round — exponential analysis cost). */
   def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainMerges(docs, textCol, rounds)
+      .toDF("round", "sym_a", "sym_b", "pair_count", "corpus_tokens")
+      .orderBy("round")
+  }
+
+  /** [[merges]] as driver rows — the train-time artifact form (the
+    * q77-weights convention) consumed by [[encodeWith]]. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int)
+      : Seq[(Int, String, String, Long, Long)] = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1,64] (2 driver rows + 1 cached vocab frame each): $rounds")
     val spark = docs.sparkSession
-    import spark.implicits._
     GraftFunctions.register(spark)
     val words = docs
       .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
@@ -107,8 +117,87 @@ object BpeMerges {
       r += 1
     }
     rows.result()
-      .toDF("round", "sym_a", "sym_b", "pair_count", "corpus_tokens")
-      .orderBy("round")
+  }
+
+  /** BPE ENCODING under a frozen merge table — the apply step of the
+    * tokenizer: per document, the gated-word count and the total BPE
+    * token count under `merges` (applied in training order, each a
+    * literal sentinel replace exactly as trained). The number every
+    * budget decision downstream (q38 packing, q70 sequencing, q74
+    * token-budget mixing) actually wants: tokens under the LEARNED
+    * tokenizer, not whitespace words.
+    *
+    * Scale shape: the corpus tokenizes ONCE into a (doc, word) count
+    * aggregate; the expensive char-split + k chained replaces run over
+    * the DISTINCT-word dictionary only, and the vocab-sized encoded
+    * lengths join back (AQE-sized — a language vocabulary is usually
+    * broadcastable, but nothing forces it). */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merge table must be non-empty")
+    GraftFunctions.register(docs.sparkSession)
+    val dw = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val seq0 = concat(lit(" "),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+      lit(" "))
+    val encoded = merges.foldLeft(seq0) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val dict = dw.select("word").distinct()
+      .select(col("word"),
+        size(split(trim(encoded), "  ")).cast("long").as("n_syms"))
+    dw.join(dict, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_syms")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Train `rounds` merges on the corpus, then encode it under them —
+    * the composed q108 form. Loud failure if training exhausts before
+    * `rounds` (toy corpora only): the oracle's empty argmax CTE would
+    * silently wipe its rounds instead. */
+  def trainAndEncode(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val m = trainMerges(docs, textCol, rounds)
+    require(m.size == rounds,
+      s"training exhausted after ${m.size} of $rounds rounds")
+    encodeWith(docs, idCol, textCol, m.map(t => (t._2, t._3)))
+  }
+
+  /** DuckDB oracle for [[trainAndEncode]] over table `documents`: the
+    * [[oracleSql]] training CTE chain, then every (doc, word) count
+    * encoded under the b1..bK merge rows via the same chained literal
+    * replaces. */
+  def encodeOracleSql(rounds: Int): String = {
+    val chain = trainingCteSql(rounds)
+    val refs = (1 to rounds).map(r => s"b$r").mkString(", ")
+    val enc = (1 to rounds).foldLeft("seq") { (s, r) =>
+      s"replace($s, ' '||b$r.a||'  '||b$r.b||' ', ' '||b$r.a||b$r.b||' ')"
+    }
+    s"""$chain,
+       |dw AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY doc_id, word),
+       |dict AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim($enc), '  ')) AS BIGINT) AS n_syms
+       |  FROM (
+       |    SELECT DISTINCT word,
+       |      ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+       |    FROM dw) w, $refs)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_syms) AS BIGINT) AS n_tokens
+       |FROM dw JOIN dict USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The per-round global argmax over a `(word, f, seq)` frame:
@@ -130,10 +219,9 @@ object BpeMerges {
       .limit(1)
   }
 
-  /** DuckDB oracle for [[merges]] over table `documents`: the same
-    * rounds unrolled as a CTE chain — the same sentinel encoding, the
-    * same literal `replace`, the same (count DESC, pair ASC) argmax. */
-  def oracleSql(rounds: Int): String = {
+  /** The training CTE chain (`WITH toks ... sK`) shared by
+    * [[oracleSql]] and [[encodeOracleSql]]. */
+  private def trainingCteSql(rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""p$r AS (
@@ -147,12 +235,6 @@ object BpeMerges {
          |    replace(seq, ' '||b$r.a||'  '||b$r.b||' ', ' '||b$r.a||b$r.b||' ') AS seq
          |  FROM $prev, b$r)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map { r =>
-      s"""  SELECT $r AS round, a AS sym_a, b AS sym_b, cnt AS pair_count,
-         |    (SELECT CAST(sum(f * len(string_split(trim(seq), '  '))) AS BIGINT)
-         |     FROM s$r) AS corpus_tokens
-         |  FROM b$r""".stripMargin
-    }.mkString("\n  UNION ALL\n")
     s"""WITH toks AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
        |  FROM documents),
@@ -163,7 +245,20 @@ object BpeMerges {
        |  SELECT word, f,
        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
        |  FROM wf),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  /** DuckDB oracle for [[merges]] over table `documents`: the same
+    * rounds unrolled as a CTE chain — the same sentinel encoding, the
+    * same literal `replace`, the same (count DESC, pair ASC) argmax. */
+  def oracleSql(rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""  SELECT $r AS round, a AS sym_a, b AS sym_b, cnt AS pair_count,
+         |    (SELECT CAST(sum(f * len(string_split(trim(seq), '  '))) AS BIGINT)
+         |     FROM s$r) AS corpus_tokens
+         |  FROM b$r""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${trainingCteSql(rounds)}
        |SELECT * FROM (
        |$rows
        |) ORDER BY round""".stripMargin

@@ -121,6 +121,21 @@ object Conformance {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // Salted skew join (r14): q12's join shape through the explicit
+    // salting rewrite (ops/SaltedJoin — the static-plan hot-key tool
+    // beside AQE's adaptive splitting), oracle-checked against the
+    // plain SQL join: salting must be answer-invisible.
+    "q109_salted_join" -> ((s, sf) =>
+      graft.ops.SaltedJoin.join(
+          Tables.load(s, sf, "lineitem").select("l_orderkey", "l_quantity"),
+          Tables.load(s, sf, "orders").select("o_orderkey", "o_orderpriority"),
+          keyLeft = "l_orderkey", keyRight = "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")),
+
     // Q13 aggregation: count / exact distinct / decimal-exact sum.
     "q13_agg" -> ((s, sf) =>
       Tables.load(s, sf, "events")
@@ -357,6 +372,13 @@ object Conformance {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q109_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q13_agg" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

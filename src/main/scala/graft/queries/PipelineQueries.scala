@@ -98,6 +98,14 @@ object PipelineQueries {
         "text", n = 4)
     }),
 
+    // BPE encoding (r14): q102's apply step — per doc the token count
+    // under the LEARNED 6-merge tokenizer (the number q38/q70/q74
+    // budget math actually wants); the char-split + chained replaces
+    // run over the distinct-word dictionary only, joined back AQE-sized.
+    "q108_bpe_encode" -> ((s, sf) =>
+      BpeMerges.trainAndEncode(Tables.load(s, sf, "documents"), "doc_id",
+        "text", rounds = 6)),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -863,6 +871,8 @@ object PipelineQueries {
     "q105_source_drift" -> SourceDrift.oracleSql(v = 256),
 
     "q106_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
+
+    "q108_bpe_encode" -> BpeMerges.encodeOracleSql(rounds = 6),
 
     "q107_sidecar_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

@@ -103,6 +103,28 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("encodeWith applies merges greedily in training order") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aa"), (2L, "ab")).toDF("doc_id", "text")
+    // merges: (a,a) then (aa,aa): 'aaaa'→(aa)(aa)→(aaaa)=1 tok; 'aa'→1;
+    // 'ab' unaffected by either merge → 2 toks.
+    val r = BpeMerges.encodeWith(docs, "doc_id", "text",
+      Seq(("a", "a"), ("aa", "aa")))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) === ((2L, 2L)))
+    assert(r(2L) === ((1L, 2L)))
+  }
+
+  test("trainAndEncode token total equals training's final corpus_tokens") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val trained = BpeMerges.trainMerges(docs, "text", rounds = 4)
+    assert(trained.size === 4)
+    val enc = BpeMerges.trainAndEncode(docs, "doc_id", "text", rounds = 4)
+    val total = enc.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect()(0).getLong(0)
+    assert(total === trained.last._5)
+  }
+
   test("fixture corpus: 6 rounds match the local reference trainer") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq

@@ -526,6 +526,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("q108: BPE encode runs char-splits over the DICT; doc join is equi on word") {
+    val df = SparkEntry.queries("q108_bpe_encode")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // The chained merge replaces sit above the distinct-word aggregate,
+    // not on the doc-word stream: `replace` appears downstream of a
+    // HashAggregate in the dict branch (plan text is elided per-node, so
+    // probe the analyzed plan for the expression and the executed plan
+    // for the aggregate boundary).
+    assert(df.queryExecution.analyzed.toString.toLowerCase.contains("replace"),
+      df.queryExecution.analyzed.toString)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q109: the salted join keys on (orderkey, salt) — an equi-join, skew spread") {
+    val df = SparkEntry.queries("q109_salted_join")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__salt"), p)
+  }
+
   test("q106: novelty joins gram fingerprints — no cartesian, no broadcast contract") {
     val df = SparkEntry.queries("q106_novelty")(spark, TestSpark.Sf)
     val p = df.queryExecution.executedPlan.toString
