@@ -87,8 +87,35 @@ object CorpusWriter {
       .saveAsTable(table)
     dropOrphanedLocation(spark, s"${table}_meta")
     import spark.implicits._
-    Seq(n).toDF("n").write.mode(SaveMode.Overwrite)
+    Seq((n, buckets)).toDF("n", "buckets").write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a new batch into a [[writeGramIndex]] sidecar: only grams the
+    * index has never seen append (a gram-keyed anti-join against the
+    * bucketed table — bucket-local, no corpus exchange), so the index
+    * stays duplicate-free and write+append ≡ one write over the union
+    * (the [[appendToStratifiedIndex]] landing identity; here it needs
+    * the anti-join because the reader's probe join must see each gram
+    * once). */
+  def appendToGramIndex(landing: DataFrame, textCol: String,
+      table: String): Unit = {
+    val spark = landing.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
+    val n = meta(0).getAs[Int]("n")
+    val buckets = meta(0).getAs[Int]("buckets")
+    landing.select(org.apache.spark.sql.functions.explode(
+        graft.functions.GraftFunctions.wordGramHashes(
+          org.apache.spark.sql.functions.col(textCol), n)).as("gram_fp"))
+      .distinct()
+      .join(spark.table(table), Seq("gram_fp"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "gram_fp")
+      .sortBy("gram_fp")
+      .format("parquet")
+      .saveAsTable(table)
   }
 
   /** Store the corpus's STRATIFIED-CONTAINMENT sidecar (VERDICT r11

@@ -106,6 +106,24 @@ object PipelineQueries {
       BpeMerges.trainAndEncode(Tables.load(s, sf, "documents"), "doc_id",
         "text", rounds = 6)),
 
+    // Landed novelty (r14): the q107 gram index built in TWO landings
+    // (write + anti-join append — the q68 landing identity) must answer
+    // bit-equal to q106/q107; the oracle IS q106's oracle.
+    "q110_landed_novelty" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q110_gramidx_${Integer.toHexString(sf.hashCode)}"
+      val pred = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeGramIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 0), "text", n = 4,
+          tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToGramIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 1), "text", tbl)
+      }
+      Novelty.noveltyAgainstIndex(s, tbl, docs.filter(pred), "doc_id",
+        "text", n = 4)
+    }),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -873,6 +891,8 @@ object PipelineQueries {
     "q106_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
     "q108_bpe_encode" -> BpeMerges.encodeOracleSql(rounds = 6),
+
+    "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
     "q107_sidecar_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

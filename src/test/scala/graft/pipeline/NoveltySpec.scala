@@ -50,6 +50,36 @@ class NoveltySpec extends AnyFunSuite {
     }
   }
 
+  test("write+append ≡ one write over the union; index stays duplicate-free") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val pred = col("doc_id") % 7 === 0
+    val corpus = docs.filter(!pred)
+    val first = corpus.filter(col("doc_id") % 2 === 0)
+    val second = corpus.filter(col("doc_id") % 2 === 1)
+    val one = "graft_test_novelty_one"
+    val two = "graft_test_novelty_two"
+    CorpusWriter.writeGramIndex(corpus, "text", n = 4, one, buckets = 8)
+    CorpusWriter.writeGramIndex(first, "text", n = 4, two, buckets = 8)
+    CorpusWriter.appendToGramIndex(second, "text", two)
+    try {
+      val a = spark.table(one).collect().map(_.getLong(0))
+      val b = spark.table(two).collect().map(_.getLong(0))
+      assert(a.sorted.toSeq === b.sorted.toSeq)
+      assert(b.length === b.distinct.length)
+      // And the scored answer is identical through either index.
+      val inc = docs.filter(pred)
+      val r1 = Novelty.noveltyAgainstIndex(spark, one, inc, "doc_id", "text", 4)
+        .collect().map(_.toSeq)
+      val r2 = Novelty.noveltyAgainstIndex(spark, two, inc, "doc_id", "text", 4)
+        .collect().map(_.toSeq)
+      assert(r1.toSeq === r2.toSeq)
+    } finally Seq(one, two).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+    }
+  }
+
   test("index written under a different n fails loudly") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val tbl = "graft_test_novelty_badn"
