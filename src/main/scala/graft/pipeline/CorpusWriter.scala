@@ -44,7 +44,7 @@ object CorpusWriter {
     * LOCATION_ALREADY_EXISTS even under Overwrite. Sidecars are
     * rebuild-at-will artifacts, so an orphaned location (directory
     * present, table absent) is deleted before writing. */
-  private def dropOrphanedLocation(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def dropOrphanedLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")

@@ -136,6 +136,32 @@ object Conformance {
             .as("sum_qty"))
         .orderBy("o_orderpriority")),
 
+    // Bucketed co-located join (r14): both fact tables land bucketed by
+    // the join key (the landing-time knob the brief names for
+    // co-located joins), so the join itself needs NO exchange on either
+    // side — PlanAuditSpec asserts the only exchanges are the
+    // post-join rollup's. Oracle = the plain SQL join.
+    "q111_bucketed_join" -> ((s, sf) => {
+      val pre = s"graft_q111_${Integer.toHexString(sf.hashCode)}"
+      if (!s.catalog.tableExists(s"${pre}_li")) {
+        graft.pipeline.CorpusWriter.dropOrphanedLocation(s, s"${pre}_li")
+        graft.pipeline.CorpusWriter.dropOrphanedLocation(s, s"${pre}_or")
+        Tables.load(s, sf, "lineitem").select("l_orderkey", "l_quantity")
+          .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(s"${pre}_li")
+        Tables.load(s, sf, "orders").select("o_orderkey", "o_orderstatus")
+          .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable(s"${pre}_or")
+      }
+      s.table(s"${pre}_li").hint("merge")
+        .join(s.table(s"${pre}_or"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Q13 aggregation: count / exact distinct / decimal-exact sum.
     "q13_agg" -> ((s, sf) =>
       Tables.load(s, sf, "events")
@@ -379,6 +405,13 @@ object Conformance {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q111_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q13_agg" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

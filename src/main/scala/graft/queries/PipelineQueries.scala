@@ -124,6 +124,22 @@ object PipelineQueries {
         "text", n = 4)
     }),
 
+    // Partitioned corpus store + pruned read (r14): the dedup sink
+    // (CorpusWriter.writeDeduped, partitionBy lang) written at landing,
+    // then read back under a partition filter — PlanAuditSpec asserts
+    // the lang predicate prunes DIRECTORIES (PartitionFilters), never
+    // scanning the other languages' files. Oracle: dedup + filter in SQL.
+    "q112_partitioned_read" -> ((s, sf) => {
+      val dir = s"/tmp/graft-q112-${Integer.toHexString(sf.hashCode)}"
+      if (!new java.io.File(dir).exists())
+        graft.pipeline.CorpusWriter.writeDeduped(
+          Tables.load(s, sf, "documents"), "doc_id", "text", "lang", dir)
+      s.read.parquet(dir).filter(col("lang") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -893,6 +909,15 @@ object PipelineQueries {
     "q108_bpe_encode" -> BpeMerges.encodeOracleSql(rounds = 6),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
+
+    "q112_partitioned_read" ->
+      """WITH keep AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |  FROM documents GROUP BY text)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents JOIN keep USING (doc_id)
+        |WHERE lang = 'en' GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q107_sidecar_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

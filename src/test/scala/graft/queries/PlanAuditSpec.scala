@@ -548,6 +548,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("q111: the bucketed join needs NO exchange on either join key") {
+    val df = SparkEntry.queries("q111_bucketed_join")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // Both sides arrive pre-bucketed on the join key: no hash exchange
+    // may mention either key. The only exchanges are the post-join
+    // rollup's and the final ordering's.
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+      && (l.contains("l_orderkey") || l.contains("o_orderkey"))), p)
+    // The merge hint pins SMJ so the zero-exchange claim is about the
+    // bucketing, not an AQE broadcast of the fixture-small side.
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q112: the lang predicate prunes partitions at the directory level") {
+    val df = SparkEntry.queries("q112_partitioned_read")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("lang")), p)
+  }
+
   test("q106: novelty joins gram fingerprints — no cartesian, no broadcast contract") {
     val df = SparkEntry.queries("q106_novelty")(spark, TestSpark.Sf)
     val p = df.queryExecution.executedPlan.toString
