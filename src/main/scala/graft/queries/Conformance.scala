@@ -162,6 +162,32 @@ object Conformance {
         .orderBy("o_orderstatus")
     }),
 
+    // Multi-format source round-trip (r14): the same event slice lands
+    // once as ORC, CSV and JSON; the query reads all three back under
+    // explicit schemas and reports per-type counts + exact id sums PER
+    // FORMAT — a format that drops or mangles one row hash-mismatches
+    // its column against the oracle (which computes each column from
+    // the parquet truth).
+    "q113_multi_format" -> ((s, sf) => {
+      val dir = s"/tmp/graft-q113-${Integer.toHexString(sf.hashCode)}"
+      val base = Tables.load(s, sf, "events").select("event_id", "event_type")
+      if (!new java.io.File(s"$dir/orc").exists()) {
+        base.write.mode("overwrite").orc(s"$dir/orc")
+        base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+        base.write.mode("overwrite").json(s"$dir/json")
+      }
+      val schema = "event_id BIGINT, event_type STRING"
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as(s"n_$tag"), sum("event_id").as(s"s_$tag"))
+      agg(s.read.orc(s"$dir/orc"), "orc")
+        .join(agg(s.read.schema(schema).option("header", "true")
+          .csv(s"$dir/csv"), "csv"), Seq("event_type"))
+        .join(agg(s.read.schema(schema).json(s"$dir/json"), "json"),
+          Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Q13 aggregation: count / exact distinct / decimal-exact sum.
     "q13_agg" -> ((s, sf) =>
       Tables.load(s, sf, "events")
@@ -412,6 +438,13 @@ object Conformance {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q113_multi_format" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_orc, CAST(sum(event_id) AS BIGINT) AS s_orc,
+        |  CAST(count(*) AS BIGINT) AS n_csv, CAST(sum(event_id) AS BIGINT) AS s_csv,
+        |  CAST(count(*) AS BIGINT) AS n_json, CAST(sum(event_id) AS BIGINT) AS s_json
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q13_agg" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
