@@ -87,6 +87,148 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Self-retrieval MRR@k — the tuning meter of the lexical-retrieval
+    * family (the q87 convention applied to BM25): every `mod`-selected
+    * document poses its own first `nTerms` tokens as a query, and the
+    * report is the rank at which BM25 retrieves the source document
+    * back (0 = missed the top-k), with the reciprocal rank in 2^20
+    * fixed point — `Scale DIV rank`, exact integers, no IEEE surface
+    * beyond the q89-proven per-term score.
+    *
+    * This is the BATCH multi-query form q89's single-query shape
+    * doesn't cover: ONE text scan restricted to the UNION of all query
+    * terms, per-(query, doc) scores via broadcast joins of the
+    * (qid, term) frame (bounded: ≤ maxQueries·nTerms rows), and the
+    * per-query top-k through the [[Sampling.heapRank]] map-side
+    * bounded heaps — never a per-query corpus window (a qid-partitioned
+    * window would funnel posting-list-sized frames through ≤ maxQueries
+    * tasks). The query set itself is a bounded driver collect
+    * (≤ maxQueries rows, the q102 argmax convention). */
+  def selfRetrievalMrr(docs: DataFrame, idCol: String, textCol: String,
+      mod: Long = 997L, maxQueries: Int = 8, nTerms: Int = 5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
+    val qRows = docs.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), slice(col("t"), 1, nTerms).as("qt"))
+      .orderBy("doc_id").limit(maxQueries)
+      .as[(Long, Seq[String])].collect()
+    require(qRows.nonEmpty, s"no query documents under doc_id % $mod == 0")
+    val qterm = qRows.toSeq.flatMap { case (qid, ts) =>
+      ts.distinct.map(qid -> _)
+    }
+    val termSet = qterm.map(_._2).distinct
+
+    val base = Materialize.barrier(docs.select(
+        col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        filter(col("t"), x => x.isin(termSet: _*)).as("qt"))
+      .filter(col("dl") > 0))
+    val lens = base.select("doc_id", "dl")
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val matches = base
+      .select(col("doc_id"), explode(col("qt")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = matches.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = matches
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qterm.toDF("qid", "term")), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        // byte-identical op sequence to topK/q89's oracle
+        floor((((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))) *
+          lit(Scale.toDouble)).cast("long").as("s_fp"))
+      .groupBy("qid", "doc_id").agg(sum("s_fp").as("score_fp"))
+    val keyed = scored.select(col("qid").cast("string").as("stratum"),
+      col("doc_id"), col("score_fp"))
+    // Worst = lowest score, tie-break LARGER doc_id (the heap evicts its
+    // max), consistent with the (score DESC, doc_id ASC) rank order.
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (s, id) => (-s, id) }
+    val ranked = Sampling.heapRank[Long](keyed, k, worstFirst,
+      Seq(col("score_fp").desc, col("doc_id").asc))
+    val self = ranked
+      .filter(col("stratum") === col("doc_id").cast("string"))
+      .select(col("doc_id").as("query_id"), col("rn"))
+    qRows.map(_._1).toSeq.toDF("query_id")
+      .join(self, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rn"), lit(0L)).as("rank"),
+        coalesce(expr(s"$Scale DIV rn"), lit(0L)).as("rr_fp"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[selfRetrievalMrr]] over table `documents`: the
+    * same query derivation, the q89 per-term score verbatim, and the
+    * per-query rank as a window over the (qid, doc) aggregate. */
+  def mrrOracleSql(mod: Long = 997L, maxQueries: Int = 8, nTerms: Int = 5,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |lens AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+       |  WHERE len(t) > 0),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM lens),
+       |qd AS (
+       |  SELECT doc_id AS qid, t[1:$nTerms] AS qts FROM toks
+       |  WHERE len(t) > 0 AND doc_id % $mod = 0
+       |  ORDER BY doc_id LIMIT $maxQueries),
+       |qterm AS (SELECT DISTINCT qid, unnest(qts) AS term FROM qd),
+       |matches AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       |  WHERE term IN (SELECT term FROM qterm)
+       |  GROUP BY doc_id, term),
+       |df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |         FROM matches GROUP BY term),
+       |scored AS (
+       |  SELECT q.qid, m.doc_id,
+       |    CAST(floor(((CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+       |                 / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * ((CAST(m.tf AS DOUBLE) * ${k1 + 1.0})
+       |         / (CAST(m.tf AS DOUBLE) + $k1
+       |            * (${1.0 - b} + $b * CAST(l.dl AS DOUBLE) / s.avgdl)))
+       |      * ${Scale}.0) AS BIGINT) AS s_fp
+       |  FROM matches m
+       |  JOIN df_t d USING (term)
+       |  JOIN qterm q USING (term)
+       |  JOIN lens l ON m.doc_id = l.doc_id
+       |  CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT qid, doc_id, CAST(sum(s_fp) AS BIGINT) AS score_fp
+       |  FROM scored GROUP BY qid, doc_id),
+       |ranked AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id)
+       |      AS rnk
+       |  FROM agg),
+       |self AS (
+       |  SELECT qid, max(CASE WHEN doc_id = qid AND rnk <= $k THEN rnk END)
+       |    AS r
+       |  FROM ranked GROUP BY qid)
+       |SELECT q.qid AS query_id,
+       |  CAST(coalesce(s.r, 0) AS BIGINT) AS rank,
+       |  CAST(coalesce($Scale // s.r, 0) AS BIGINT) AS rr_fp
+       |FROM (SELECT qid FROM qd) q LEFT JOIN self s USING (qid)
+       |ORDER BY query_id""".stripMargin
+
   /** DuckDB oracle for [[topK]] over table `documents` — the same IEEE
     * op sequence per term (idf ratio, saturation, 2^20 lift, floor),
     * integer sums cast back from HUGEINT. */

@@ -140,6 +140,15 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // BM25 self-retrieval MRR (r14): the lexical-retrieval tuning
+    // meter — every 997th doc queries its own first 5 tokens; rank of
+    // the source doc in the batch top-10, reciprocal rank in 2^20
+    // fixed point. ONE scan for the union term set, per-query top-k
+    // via map-side bounded heaps, never a per-query corpus window.
+    "q114_bm25_mrr" -> ((s, sf) =>
+      Bm25.selfRetrievalMrr(Tables.load(s, sf, "documents"), "doc_id",
+        "text")),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -909,6 +918,8 @@ object PipelineQueries {
     "q108_bpe_encode" -> BpeMerges.encodeOracleSql(rounds = 6),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
+
+    "q114_bm25_mrr" -> Bm25.mrrOracleSql(),
 
     "q112_partitioned_read" ->
       """WITH keep AS (

@@ -36,6 +36,49 @@ class Bm25Spec extends AnyFunSuite {
     assert(top.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
   }
 
+  test("self-retrieval MRR: unique-content docs rank themselves first") {
+    import spark.implicits._
+    // doc 0 poses its own first 5 tokens; its content is unique, so it
+    // must rank 1 with full reciprocal mass.
+    val docs = Seq(
+      (0L, "quartz vixen jumps over zebra quickly"),
+      (1L, "common words shared by all documents here"),
+      (2L, "common words shared by all documents too"))
+      .toDF("doc_id", "text")
+    val r = Bm25.selfRetrievalMrr(docs, "doc_id", "text", mod = 1L,
+      maxQueries = 8, nTerms = 5, k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 3)
+    assert(r.head === ((0L, 1L, Bm25.Scale)))
+    // Every query doc contains its own query terms, so none can miss
+    // entirely on this tiny corpus.
+    assert(r.forall(_._2 >= 1L))
+  }
+
+  test("self rank agrees with the single-query topK replay per query") {
+    import org.apache.spark.sql.functions.{col, size, slice}
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val got = Bm25.selfRetrievalMrr(docs, "doc_id", "text", mod = 97L,
+      maxQueries = 4, nTerms = 5, k = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, rank) =>
+      val terms = docs
+        .filter(col("doc_id") === qid)
+        .select(slice(graft.functions.GraftFunctions.wordGrams(col("text"), 1),
+          1, 5))
+        .collect()(0).getSeq[String](0)
+      val top = Bm25.topK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      val want = top.indexOf(qid) match {
+        case -1 => 0L
+        case i => (i + 1).toLong
+      }
+      assert(rank === want, s"query $qid")
+      graft.ops.Materialize.releaseAll(spark)
+    }
+  }
+
   test("fixture: k bounds the result, scores ordered, hits within query size") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val r = Bm25.topK(docs, "doc_id", "text", Seq("dup", "vector", "scan"),
