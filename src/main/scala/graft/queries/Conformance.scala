@@ -266,6 +266,21 @@ object Conformance {
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // CUBE aggregation (r14): q30's ROLLUP widened to the full lattice —
+    // all four grouping-set combinations of (returnflag, linestatus) in
+    // one pass (Catalyst expands to a single Expand + one exchange).
+    "q115_cube" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          grouping("l_returnflag").cast("int").as("g_flag"),
+          grouping("l_linestatus").cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
     // Q95 banded interval self-join (r14): same-user events within ±1 h
     // of each other — the range-join shape done as an EQUI-join on
     // (key, time-bucket) with a 3-cell probe cover, never a per-key
@@ -495,6 +510,17 @@ object Conformance {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q115_cube" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),
