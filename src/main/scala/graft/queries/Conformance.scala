@@ -266,6 +266,17 @@ object Conformance {
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // Fixed-grid value histogram (r14): the batch anchor of the
+    // streaming quantile telemetry — exact bucket counts under the
+    // same grid the stream monitor merges; one map-side-combined
+    // exchange over ≤4096 groups.
+    "q116_value_histogram" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .select(graft.streaming.StreamQuantiles.bucketExpr("value",
+          graft.streaming.StreamQuantiles.Grid(0.0, 1024.0, 4096)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
     // CUBE aggregation (r14): q30's ROLLUP widened to the full lattice —
     // all four grouping-set combinations of (returnflag, linestatus) in
     // one pass (Catalyst expands to a single Expand + one exchange).
@@ -511,6 +522,12 @@ object Conformance {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q116_value_histogram" ->
+      """SELECT CAST(least(greatest(floor((value - 0.0) / 0.25), 0), 4095) AS INT)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q115_cube" ->
       """SELECT coalesce(l_returnflag, '<all>') AS flag,

@@ -29,6 +29,11 @@ object StreamQuantiles {
     val width: Double = (hi - lo) / buckets
   }
 
+  /** The grid's bucket index as a column — exposed so the batch
+    * histogram can register as an oracle-checked query (q116). */
+  def bucketExpr(valueCol: String, g: Grid): org.apache.spark.sql.Column =
+    bucketCol(valueCol, g)
+
   private def bucketCol(valueCol: String, g: Grid) =
     least(greatest(floor((col(valueCol) - lit(g.lo)) / lit(g.width)), lit(0.0)),
       lit((g.buckets - 1).toDouble)).cast("int")
