@@ -26,7 +26,8 @@ object Plans {
     "q97_hamming_pairs", "q98_heavy_hitters", "q99_hamming_sig_pairs",
     "q100_mmr_select", "q101_hamming_wide", "q103_curriculum",
     "q104_dedup_eval", "q105_source_drift", "q106_novelty",
-    "q107_sidecar_novelty")
+    "q107_sidecar_novelty", "q108_bpe_encode", "q111_bucketed_join",
+    "q112_partitioned_read", "q114_bm25_mrr", "q115_cube")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
