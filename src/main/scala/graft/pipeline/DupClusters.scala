@@ -219,6 +219,84 @@ object DupClusters {
       .orderBy("doc_id")
   }
 
+  /** Split-leakage audit — the integrity meter run AFTER the
+    * leakage-safe split: [[groupSplit]] keeps exact/near-dup CLUSTERS
+    * on one side, but partial text overlap (a quoted paragraph, shared
+    * boilerplate below the near-dup bar) can still cross the boundary;
+    * this measures that residual. For every `val` document: its
+    * distinct word n-grams, how many also occur in ANY `train`
+    * document, and the leaked fraction — the number that decides
+    * whether a benchmark built from the val side can be trusted
+    * (the q93 eval-leak question posed at the split boundary).
+    *
+    * Scale shape: the split derivation is q59's (CC chain + scan-side
+    * md5); the gram comparison is [[Novelty]]'s non-broadcast grain —
+    * both sides tokenize map-side into 63-bit fingerprints, the train
+    * side's distinct-gram frame is corpus-scale so the probe is a
+    * gram-keyed equi-join, never a broadcast contract. */
+  def splitLeakageReport(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, srcCol: String, dstCol: String, valFrac: Double,
+      n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val split = groupSplit(docs, idCol, connectedComponents(pairs, srcCol,
+      dstCol), valFrac).select("doc_id", "split")
+    val gramHashes =
+      graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(gramHashes).as("gram_fp"))
+      .join(split, "doc_id")
+    val trainGrams = grams.filter(col("split") === "train")
+      .select("gram_fp").distinct()
+    grams.filter(col("split") === "val")
+      .select("doc_id", "gram_fp").distinct()
+      .join(trainGrams.withColumn("__seen", lit(1L)), Seq("gram_fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("__seen").isNotNull, 1L)), lit(0L))
+          .as("leaked"))
+      .select(col("doc_id"), col("n_grams"), col("leaked"),
+        (col("leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[splitLeakageReport]] on table `documents`. */
+  def splitLeakageOracleSql(minSim: Double, valFrac: Double, n: Int): String = {
+    val threshold = f"${math.floor(valFrac * 65536).toLong}%04x"
+    s"""${ccCtesSql(minSim)},
+       |sp AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN substr(md5(CAST(coalesce(cc.cluster, d.doc_id) AS VARCHAR)),
+       |                     1, 4) < '$threshold'
+       |         THEN 'val' ELSE 'train' END AS split
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+       |tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+       |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
+       |    FROM tk)),
+       |tg AS (
+       |  SELECT DISTINCT g.gram_fp FROM gr g
+       |  JOIN sp ON sp.doc_id = g.doc_id WHERE sp.split = 'train'),
+       |vg AS (
+       |  SELECT DISTINCT g.doc_id, g.gram_fp FROM gr g
+       |  JOIN sp ON sp.doc_id = g.doc_id WHERE sp.split = 'val'),
+       |cnt AS (
+       |  SELECT vg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(coalesce(sum(CASE WHEN tg.gram_fp IS NOT NULL THEN 1 END), 0)
+       |      AS BIGINT) AS leaked
+       |  FROM vg LEFT JOIN tg USING (gram_fp) GROUP BY vg.doc_id)
+       |SELECT doc_id, n_grams, leaked,
+       |  CAST(leaked AS DOUBLE) / CAST(n_grams AS DOUBLE) AS leak_frac
+       |FROM cnt ORDER BY doc_id""".stripMargin
+  }
+
   /** The dedup manifest — the training-data artifact the cluster chain
     * exists to produce, from ONE connected-components run: every
     * document with its cluster root, its leakage-safe split, and

@@ -149,6 +149,17 @@ object PipelineQueries {
       Bm25.selfRetrievalMrr(Tables.load(s, sf, "documents"), "doc_id",
         "text")),
 
+    // Split-leakage audit (r14): after the leakage-safe split (q59's
+    // machinery), measure the RESIDUAL — per val doc, the fraction of
+    // its 4-grams any train doc contains (clusters can't cross the
+    // split; quoted paragraphs below the near-dup bar still can).
+    "q117_split_leakage" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      DupClusters.splitLeakageReport(docs, "doc_id", "text",
+        MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5),
+        "doc_a", "doc_b", valFrac = 0.1, n = 4)
+    }),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -1113,6 +1124,8 @@ object PipelineQueries {
     "q58_overlap_matrix" -> CorpusStats.overlapOracleSql(3),
 
     "q59_group_split" -> DupClusters.groupSplitOracleSql(0.5, 0.1),
+
+    "q117_split_leakage" -> DupClusters.splitLeakageOracleSql(0.5, 0.1, n = 4),
 
     "q60_containment" -> MinHashDedup.containmentOracleSql(0.6),
 
