@@ -39,6 +39,29 @@ object Tables {
     * epoch-millis / window functions expect the LTZ type. Shared by the
     * batch loader and the streaming readers so the stream sees the exact
     * batch schema. */
+  /** Cache key for fixture-derived session artifacts (sidecar tables,
+    * materialized /tmp layouts): a fingerprint of the source table's
+    * FILE STATE (name, length, mtime of every file under
+    * `sfDir/<table>.parquet`), not just the path. Keying on the path
+    * alone served stale sidecars after a fixture regeneration at the
+    * same location (ADVICE r14) — regenerating the data now changes the
+    * key, so the artifact rebuilds instead of silently answering from
+    * the old corpus. Pure file metadata: no Spark job, no data read. */
+  def fixtureKey(sfDir: String, table: String): String = {
+    val dir = new java.io.File(s"$sfDir/$table.parquet")
+    val files: Seq[java.io.File] =
+      if (dir.isDirectory) dir.listFiles().toSeq.sortBy(_.getName)
+      else Seq(dir)
+    val state = (sfDir +: files.map(f =>
+      s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
+    // MD5 over the metadata string: stable across JVMs (String.hashCode
+    // would be too, but 32 bits of a structured string invites
+    // accidental collisions between rounds' layouts).
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(state.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   def normalizeEventsTs(df: DataFrame): DataFrame = {
     val tsFixed = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

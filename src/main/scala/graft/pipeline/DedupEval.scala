@@ -49,10 +49,19 @@ object DedupEval {
       sampleRate: Double = 1.0): DataFrame = {
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0,1]: $sampleRate")
+    // The shared md5-gate idiom (DupClusters.groupSplit / Sampling):
+    // floor to a Long threshold, fixed-width hex compare. Granularity
+    // is 1/65536 — a rate whose threshold floors to 0 would silently
+    // sample NOTHING and report an empty calibration, so it raises
+    // loudly instead (the repo's loud-failure convention).
+    val threshold = math.floor(sampleRate * 65536).toLong
+    require(sampleRate >= 1.0 || threshold > 0,
+      s"sampleRate $sampleRate is below the md5 gate's 1/65536 " +
+        "granularity: the sample would be empty")
     val docs = if (sampleRate >= 1.0) docs0
     else docs0.filter(
       substring(md5(concat(lit("cal:"), col(idCol).cast("string"))), 1, 4)
-        < lit(f"${(sampleRate * 65536).toInt}%04x"))
+        < lit(f"$threshold%04x"))
     val pred = SimHash.hammingPairs(docs, idCol, textCol, maxDist)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_pred"))
     val lab = MinHashDedup.jaccardPairs(docs, idCol, textCol, labelMin)

@@ -142,8 +142,9 @@ object Conformance {
     // side — PlanAuditSpec asserts the only exchanges are the
     // post-join rollup's. Oracle = the plain SQL join.
     "q111_bucketed_join" -> ((s, sf) => {
-      val pre = s"graft_q111_${Integer.toHexString(sf.hashCode)}"
-      if (!s.catalog.tableExists(s"${pre}_li")) {
+      val pre = s"graft_q111_${Tables.fixtureKey(sf, "lineitem")}"
+      // _or is written last: its presence implies both tables landed.
+      if (!s.catalog.tableExists(s"${pre}_or")) {
         graft.pipeline.CorpusWriter.dropOrphanedLocation(s, s"${pre}_li")
         graft.pipeline.CorpusWriter.dropOrphanedLocation(s, s"${pre}_or")
         Tables.load(s, sf, "lineitem").select("l_orderkey", "l_quantity")
@@ -169,9 +170,11 @@ object Conformance {
     // its column against the oracle (which computes each column from
     // the parquet truth).
     "q113_multi_format" -> ((s, sf) => {
-      val dir = s"/tmp/graft-q113-${Integer.toHexString(sf.hashCode)}"
+      val dir = s"/tmp/graft-q113-${Tables.fixtureKey(sf, "events")}"
       val base = Tables.load(s, sf, "events").select("event_id", "event_type")
-      if (!new java.io.File(s"$dir/orc").exists()) {
+      // json is written LAST, so its _SUCCESS marker implies all three
+      // formats landed completely; a crashed partial write rebuilds.
+      if (!new java.io.File(s"$dir/json/_SUCCESS").exists()) {
         base.write.mode("overwrite").orc(s"$dir/orc")
         base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
         base.write.mode("overwrite").json(s"$dir/json")

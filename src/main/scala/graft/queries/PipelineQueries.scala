@@ -89,7 +89,7 @@ object PipelineQueries {
     // IS q106's oracle.
     "q107_sidecar_novelty" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q107_gramidx_${Integer.toHexString(sf.hashCode)}"
+      val tbl = s"graft_q107_gramidx_${Tables.fixtureKey(sf, "documents")}"
       val pred = col("doc_id") % 7 === 0
       if (!s.catalog.tableExists(s"${tbl}_meta"))
         graft.pipeline.CorpusWriter.writeGramIndex(
@@ -111,7 +111,7 @@ object PipelineQueries {
     // bit-equal to q106/q107; the oracle IS q106's oracle.
     "q110_landed_novelty" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q110_gramidx_${Integer.toHexString(sf.hashCode)}"
+      val tbl = s"graft_q110_gramidx_${Tables.fixtureKey(sf, "documents")}"
       val pred = col("doc_id") % 7 === 0
       if (!s.catalog.tableExists(s"${tbl}_meta")) {
         graft.pipeline.CorpusWriter.writeGramIndex(
@@ -130,8 +130,10 @@ object PipelineQueries {
     // the lang predicate prunes DIRECTORIES (PartitionFilters), never
     // scanning the other languages' files. Oracle: dedup + filter in SQL.
     "q112_partitioned_read" -> ((s, sf) => {
-      val dir = s"/tmp/graft-q112-${Integer.toHexString(sf.hashCode)}"
-      if (!new java.io.File(dir).exists())
+      val dir = s"/tmp/graft-q112-${Tables.fixtureKey(sf, "documents")}"
+      // _SUCCESS, not bare existence: a crashed partial write leaves the
+      // directory without the marker and must be repaired (overwrite).
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
         graft.pipeline.CorpusWriter.writeDeduped(
           Tables.load(s, sf, "documents"), "doc_id", "text", "lang", dir)
       s.read.parquet(dir).filter(col("lang") === "en")
@@ -853,7 +855,7 @@ object PipelineQueries {
     // q65's oracle.
     "q67_sidecar_containment" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q67_sidecar_${Integer.toHexString(sf.hashCode)}"
+      val tbl = s"graft_q67_sidecar_${Tables.fixtureKey(sf, "documents")}"
       // Bucket count sizes to the corpus (the deployment knob scales
       // with data; 256 buckets over a fixture-scale corpus is 4×256
       // near-empty files whose open cost dominates the probe).
@@ -874,7 +876,7 @@ object PipelineQueries {
     // spec, so the reader's exchange-free aggregates hold.
     "q68_landed_containment" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q68_landed_${Integer.toHexString(sf.hashCode)}"
+      val tbl = s"graft_q68_landed_${Tables.fixtureKey(sf, "documents")}"
       if (!s.catalog.tableExists(s"${tbl}_meta")) {
         graft.pipeline.CorpusWriter.writeStratifiedIndex(
           docs.filter(col("doc_id") % 5 isin (1, 2)), "doc_id", "text",

@@ -39,10 +39,14 @@ object StreamQuantiles {
       lit((g.buckets - 1).toDouble)).cast("int")
 
   /** The batch histogram as a dense Long array (a ≤`buckets`-row
-    * bounded driver collect). */
+    * bounded driver collect). Null values carry no distribution
+    * information and are dropped before bucketing (a null bucket index
+    * would otherwise surface as a null group row and NPE the collect,
+    * killing the streaming query on the first null-bearing batch). */
   def histogram(batch: DataFrame, valueCol: String, g: Grid): Array[Long] = {
     val out = Array.fill(g.buckets)(0L)
-    batch.select(bucketCol(valueCol, g).as("b"))
+    batch.filter(col(valueCol).isNotNull)
+      .select(bucketCol(valueCol, g).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))
       .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
     out
