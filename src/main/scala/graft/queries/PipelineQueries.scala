@@ -162,6 +162,30 @@ object PipelineQueries {
         "doc_a", "doc_b", valFrac = 0.1, n = 4)
     }),
 
+    // Incremental cluster maintenance (r15): the standing corpus's
+    // duplicate clusters land ONCE as a bucketed sidecar
+    // (CorpusWriter.writeClusters over CC of the corpus-only pairs);
+    // the increment's pairs (any edge touching a doc_id % 5 == 0 doc —
+    // the q56/q65 landing split) then fold in via updateClusters
+    // (contract → CC over new edges only → relabel), never re-running
+    // CC over the full pair set. Must be bit-equal to full CC over ALL
+    // pairs — the oracle IS q37's.
+    "q118_incremental_clusters" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q118_clusters_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        val pairs = MinHashDedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+        val inc = col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0
+        graft.pipeline.CorpusWriter.writeClusters(
+          DupClusters.connectedComponents(pairs.filter(!inc), "doc_a", "doc_b"),
+          tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.updateClusters(s, tbl,
+          pairs.filter(inc), "doc_a", "doc_b")
+      }
+      s.table(tbl).select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -1026,6 +1050,11 @@ object PipelineQueries {
          |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q37_dup_clusters" -> DupClusters.clustersOracleSql(0.5),
+
+    // q118 answers the SAME question as q37 through the stored cluster
+    // sidecar + incremental landing — bit-equal by the contract-CC-
+    // relabel identity, so the oracle IS q37's.
+    "q118_incremental_clusters" -> DupClusters.clustersOracleSql(0.5),
 
     "q85_source_dup_report" -> DupClusters.sourceDupOracleSql(0.5),
 

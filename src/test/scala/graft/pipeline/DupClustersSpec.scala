@@ -242,4 +242,73 @@ class DupClustersSpec extends AnyFunSuite {
       assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
     }
   }
+
+  private def incCc(stored: Map[Long, Long],
+      pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DupClusters.incrementalClusters(
+      stored.toSeq.toDF("id", "cluster"), pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incrementalClusters: merge, extend, new-vertex and no-op landings") {
+    // Standing: {1,2,3} rooted 1; {10,11} rooted 10; singleton graph only
+    // tracks paired vertices, so 20 is absent.
+    val stored = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // Landing: (3,10) merges the two components; (11,20) extends with a
+    // new vertex; (30,31) is a brand-new component; (1,2) is a no-op
+    // edge inside an existing cluster.
+    val got = incCc(stored, Seq((3L, 10L), (11L, 20L), (30L, 31L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("incrementalClusters: empty landing leaves the assignment unchanged") {
+    val stored = Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L)
+    assert(incCc(stored, Seq.empty) == stored)
+  }
+
+  test("incrementalClusters ≡ full CC over the union on randomized landings") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val all = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      // Split edges into an initial corpus landing plus two increments.
+      val tagged = all.map(p => (p, rnd.nextInt(3)))
+      val base = tagged.collect { case (p, 0) => p }
+      val inc1 = tagged.collect { case (p, 1) => p }
+      val inc2 = tagged.collect { case (p, 2) => p }
+      var state = cc(base)
+      state = incCc(state, inc1)
+      state = incCc(state, inc2)
+      assert(state == expected(all), s"trial $trial diverged")
+    }
+  }
+
+  test("cluster sidecar: write + two update landings ≡ full CC, bucket spec survives") {
+    import graft.pipeline.CorpusWriter
+    val tbl = "graft_test_clusters_sidecar"
+    Seq("", "_meta", "__swap").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s")
+      CorpusWriter.dropOrphanedLocation(spark, tbl + s)
+    }
+    val rnd = new scala.util.Random(11)
+    val all = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val (base, rest) = all.splitAt(40)
+    val (inc1, inc2) = rest.splitAt(40)
+    CorpusWriter.writeClusters(
+      DupClusters.connectedComponents(base.toDF("a", "b"), "a", "b"),
+      tbl, buckets = 4)
+    CorpusWriter.updateClusters(spark, tbl, inc1.toDF("a", "b"), "a", "b")
+    CorpusWriter.updateClusters(spark, tbl, inc2.toDF("a", "b"), "a", "b")
+    val got = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected(all))
+    // The swap-and-rename must keep the bucket layout: consumers rely on
+    // the id-bucketed scan for exchange-free joins across landings.
+    val catalogTable = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(catalogTable.bucketSpec.exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("id")), catalogTable.bucketSpec)
+    assert(!spark.catalog.tableExists(s"${tbl}__swap"))
+  }
 }
