@@ -45,9 +45,14 @@ object ProductQuant {
       .orderBy("vec_id", "m")
 
   /** The exploded code frame (unordered) plus the per-subspace
-    * codebooks the final assignment used. */
+    * codebooks the final assignment used. `sampleFrac < 1` trains each
+    * subspace's Lloyd's on the md5-gated sample
+    * ([[Clustering.sampleGate]]) and assigns the FULL corpus under the
+    * sample-trained codebooks — the 100 TB codebook discipline
+    * ([[Clustering.kmeansSampled]]'s scaladoc) applied per subspace. */
   private[pipeline] def encodeWithBooks(corpus: DataFrame, idCol: String,
-      embCol: String, m: Int, k: Int, rounds: Int, dim: Int)
+      embCol: String, m: Int, k: Int, rounds: Int, dim: Int,
+      sampleFrac: Double = 1.0)
       : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split evenly into m=$m subspaces")
@@ -59,22 +64,38 @@ object ProductQuant {
         slice(col("emb"), lo, d).as("emb"),
         slice(col("fx"), lo, d).as("fx"),
         slice(col("fxd"), lo, d).as("fxd"))
-      val (assigned, cents) = Clustering.trainAssign(em, k, rounds)
+      val (assigned, cents) =
+        if (sampleFrac >= 1.0) Clustering.trainAssign(em, k, rounds)
+        else {
+          val (_, c) = Clustering.trainAssign(
+            em.filter(Clustering.sampleGate(sampleFrac)), k, rounds)
+          (Clustering.withCluster(em, c), c)
+        }
       (assigned.select(col("vec_id"), lit(mi).as("m"),
         col("cluster").as("code")), cents)
     }
     (per.map(_._1).reduce(_ unionAll _), per.map(_._2))
   }
 
+  /** [[encode]] under SAMPLE-TRAINED codebooks (VERDICT r14 #2): the
+    * training passes touch `sampleFrac` of the corpus, the encode pass
+    * is the same m zero-shuffle full-corpus scans. Bit-equal to
+    * [[encode]] at `sampleFrac ≥ 1` (ProductQuantSpec pins it, along
+    * with retrieval recall under sampled vs full training). */
+  def encodeSampled(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, rounds: Int, dim: Int, sampleFrac: Double): DataFrame =
+    encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)._1
+      .orderBy("vec_id", "m")
+
   /** One m-long code array per vector, ascending-subspace order, plus
     * the codebooks. Materialized: every query branch re-consumes it, and
     * without the barrier each branch would re-run all m assignment
     * scans. */
   private def codeArrays(corpus: DataFrame, idCol: String, embCol: String,
-      m: Int, k: Int, rounds: Int, dim: Int)
+      m: Int, k: Int, rounds: Int, dim: Int, sampleFrac: Double = 1.0)
       : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
     val (codeRows, books) =
-      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim)
+      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)
     val codes = graft.ops.Materialize.barrier(codeRows.groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
         .as("codes")))
@@ -100,10 +121,11 @@ object ProductQuant {
     * (the [[Similarity.batchTopK]] broadcast contract). */
   def adcTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], m: Int, k: Int, rounds: Int, dim: Int,
-      topK: Int): DataFrame = {
+      topK: Int, sampleFrac: Double = 1.0): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"query batch of ${queryIds.size} exceeds the broadcast contract")
-    val (codes, books) = codeArrays(corpus, idCol, embCol, m, k, rounds, dim)
+    val (codes, books) =
+      codeArrays(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)
     val e = Clustering.lifted(corpus, idCol, embCol)
     val d = dim / m
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
@@ -209,6 +231,47 @@ object ProductQuant {
     s"""${chainsSql(m, k, rounds, dim / m)},
        |codes AS (${codesSql(m, rounds)})
        |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin
+
+  /** The sampled oracle corpus for subspace `mi`: [[sliceSql]] under
+    * the md5 training gate. */
+  private def sampledSliceSql(mi: Int, d: Int, sampleFrac: Double): String = {
+    val lo = mi * d + 1
+    val hi = lo + d - 1
+    "(SELECT vec_id, (list_transform(embedding, x -> x::DOUBLE))" +
+      s"[$lo:$hi] AS emb FROM embeddings " +
+      s"WHERE ${Clustering.sampleGateSql(sampleFrac)})"
+  }
+
+  /** DuckDB oracle for [[encodeSampled]]: one k-means chain per
+    * subspace trained over the GATED slice (prefix `m$mi_`), then a
+    * full-slice assignment per subspace against the final centroids
+    * `m${mi}_c$rounds` — the [[Clustering.kmeansSampledOracleSql]]
+    * shape unrolled m times. */
+  def encodeSampledOracleSql(m: Int, k: Int, rounds: Int, dim: Int,
+      sampleFrac: Double): String = {
+    val d = dim / m
+    val chains = (0 until m).map { mi =>
+      Clustering.kmeansCtes(k, rounds, d, sampledSliceSql(mi, d, sampleFrac),
+        s"m${mi}_").stripPrefix("WITH ")
+    }
+    val fullAssign = (0 until m).map { mi =>
+      s"""f${mi}e AS (${Clustering.liftedSql(sliceSql(mi, d))}),
+         |fa$mi AS (
+         |  SELECT vec_id, CAST($mi AS INTEGER) AS m, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${Clustering.dotSql("e.fxd", "c.c", d)} - 0.5 * ${
+               Clustering.dotSql("c.c", "c.c", d)} DESC, c.cid) AS rn
+         |    FROM f${mi}e e CROSS JOIN m${mi}_c$rounds c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 until m).map(mi => s"SELECT * FROM fa$mi")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${chains.mkString(",\n")},
+       |${fullAssign.mkString(",\n")},
+       |codes AS ($union)
+       |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin
+  }
 
   /** The shared ADC CTE block: `codes`, `q` (lifted query vectors),
     * `lut` (per-(query, subspace, code) partial dots). */

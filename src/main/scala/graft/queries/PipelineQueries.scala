@@ -186,6 +186,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Sample-trained k-means (r15): Lloyd's trains on the md5-gated
+    // half of the corpus, the learned centroids assign the FULL corpus
+    // — the 100 TB codebook discipline as an exercised, oracle-gated
+    // path (the full-train q48 keeps its own registration).
+    "q119_kmeans_sampled" -> ((s, sf) =>
+      Clustering.kmeansSampled(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", k = 8, rounds = 3, sampleFrac = 0.5)),
+
+    // Sample-trained PQ encode (r15): q80's codes under codebooks each
+    // trained on the md5-gated half per subspace — training passes
+    // touch half the data, the encode pass is the same m zero-shuffle
+    // full-corpus scans.
+    "q120_pq_sampled" -> ((s, sf) =>
+      ProductQuant.encodeSampled(Tables.load(s, sf, "embeddings"), "vec_id",
+        "embedding", m = 8, k = 16, rounds = 2, dim = 64, sampleFrac = 0.5)),
+
     // MinHash + LSH-banded near-duplicate pairs (est. Jaccard ≥ 0.5).
     "q22_minhash_pairs" -> ((s, sf) =>
       MinHashDedup.nearDupPairs(Tables.load(s, sf, "documents"), "doc_id", "text", 0.5)),
@@ -1007,6 +1023,12 @@ object PipelineQueries {
         FROM embeddings WHERE vec_id % 43 = 0)"""),
 
     "q48_kmeans" -> Clustering.kmeansOracleSql(8, 3, EmbeddingDim),
+
+    "q119_kmeans_sampled" ->
+      Clustering.kmeansSampledOracleSql(8, 3, EmbeddingDim, 0.5),
+
+    "q120_pq_sampled" -> ProductQuant.encodeSampledOracleSql(m = 8, k = 16,
+      rounds = 2, dim = EmbeddingDim, sampleFrac = 0.5),
 
     "q50_ivf_ann" -> Clustering.ivfOracleSql(Seq(0L, 1L, 2L, 3L, 4L),
       k = 8, rounds = 3, dim = EmbeddingDim, nprobe = 2, topK = 10),
