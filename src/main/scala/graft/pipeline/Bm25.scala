@@ -233,11 +233,11 @@ object Bm25 {
     * op sequence per term (idf ratio, saturation, 2^20 lift, floor),
     * integer sums cast back from HUGEINT. */
   def oracleSql(terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): String = {
+      b: Double = 0.75, corpusSql: String = "documents"): String = {
     val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
     s"""WITH lens AS (
        |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS dl
-       |  FROM documents
+       |  FROM $corpusSql
        |  WHERE len(regexp_extract_all(lower(text), '\\S+')) > 0),
        |stats AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -248,7 +248,7 @@ object Bm25 {
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id,
        |          unnest(regexp_extract_all(lower(text), '\\S+')) AS term
-       |        FROM documents)
+       |        FROM $corpusSql)
        |  WHERE term IN ($termList)
        |  GROUP BY doc_id, term),
        |df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df

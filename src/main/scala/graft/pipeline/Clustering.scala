@@ -435,11 +435,12 @@ object Clustering {
     s"SELECT vec_id, list_transform($lift, v -> CAST(v AS DOUBLE)) AS fxd FROM $corpusSql"
   }
 
-  /** DuckDB oracle for [[kmeansSampled]]: the unrolled k-means chain
-    * over the md5-gated training sample (prefix `t_`), then one
-    * full-corpus assignment against the final centroids `t_c$rounds`. */
-  def kmeansSampledOracleSql(k: Int, rounds: Int, dim: Int,
-      sampleFrac: Double, corpusSql: String = EmbeddingsSql): String = {
+  /** The [[kmeansSampled]] WITH-chain: the unrolled k-means CTEs over
+    * the md5-gated training sample (prefix `t_`), then one full-corpus
+    * assignment `fa` against the final centroids `t_c$rounds` — shared
+    * by [[kmeansSampledOracleSql]] and [[clusterBalancedOracleSql]]. */
+  private def sampledAssignCtes(k: Int, rounds: Int, dim: Int,
+      sampleFrac: Double, corpusSql: String): String = {
     val trainSql = s"(SELECT * FROM $corpusSql t WHERE ${sampleGateSql(sampleFrac)})"
     s"""${kmeansCtes(k, rounds, dim, trainSql, "t_")},
        |fe AS (${liftedSql(corpusSql)}),
@@ -451,9 +452,51 @@ object Clustering {
        |        ${dotSql("e.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} DESC,
        |        c.cid) AS rn
        |    FROM fe e CROSS JOIN t_c$rounds c)
-       |  WHERE rn = 1)
-       |SELECT vec_id, cluster, score FROM fa ORDER BY vec_id""".stripMargin
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB oracle for [[kmeansSampled]]. */
+  def kmeansSampledOracleSql(k: Int, rounds: Int, dim: Int,
+      sampleFrac: Double, corpusSql: String = EmbeddingsSql): String =
+    s"""${sampledAssignCtes(k, rounds, dim, sampleFrac, corpusSql)}
+       |SELECT vec_id, cluster, score FROM fa ORDER BY vec_id""".stripMargin
+
+  /** Cluster-BALANCED deterministic subsample (round 15): assign the
+    * corpus under sample-trained k-means, then keep at most `cap`
+    * vectors per cluster by the [[Sampling.stratified]] md5 draw — the
+    * diversity-rebalancing selection (SemDeDup/DataComp lineage: dense
+    * regions are over-represented; capping per cell flattens the
+    * cluster mass without an RNG). Output `(cluster, vec_id, rn ≤ cap)`.
+    *
+    * Scale shape: the assignment is [[kmeansSampled]]'s (training on
+    * the gated sample, one zero-shuffle full scan to assign); the cap
+    * reuses [[Sampling.heapRank]] — per-partition bounded heaps forward
+    * ≤ cap rows per cluster per partition, so the rank shuffle moves
+    * ≤ cap×P rows per cluster, never the corpus. No corpus-wide window
+    * anywhere. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, rounds: Int, sampleFrac: Double,
+      cap: Int): DataFrame =
+    Sampling.stratified(
+        kmeansSampled(corpus, idCol, embCol, k, rounds, sampleFrac),
+        "cluster", "vec_id", cap)
+      .select(col("stratum").cast("long").as("cluster"),
+        col("doc_id").as("vec_id"), col("rn"))
+      .orderBy("cluster", "vec_id")
+
+  /** DuckDB oracle for [[clusterBalancedSample]]: the shared sampled-
+    * assignment chain + the [[Sampling]] md5-rank window per cluster. */
+  def clusterBalancedOracleSql(k: Int, rounds: Int, dim: Int,
+      sampleFrac: Double, cap: Int,
+      corpusSql: String = EmbeddingsSql): String =
+    s"""${sampledAssignCtes(k, rounds, dim, sampleFrac, corpusSql)},
+       |ranked AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM fa)
+       |SELECT cluster, vec_id, rn FROM ranked
+       |WHERE rn <= $cap ORDER BY cluster, vec_id""".stripMargin
 
   /** DuckDB oracle for [[ivfTopK]]: replays the unrolled k-means CTEs,
     * selects each query's `nprobe` best cells against the final-round

@@ -256,6 +256,79 @@ object CorpusWriter {
     * membership mutates only here, which is what keeps
     * [[graft.streaming.StreamContainment]]'s per-batch admission
     * arrival-order independent. */
+  /** Rewrite one bucketed sidecar table in place, keeping its bucket
+    * spec — answer-invisible maintenance (VERDICT r14 item 3). Every
+    * bucketed APPEND ([[appendToStratifiedIndex]], [[appendToGramIndex]])
+    * lands one file-set per landing because a bucketed write emits one
+    * file per (task, bucket) pair; after N landings each bucket holds N
+    * files and the reader's "exchange-free bucketed scan" opens N× the
+    * files it needs. Compaction reads the table back, routes rows by the
+    * bucket hash itself (`repartition(numBuckets, bucketCols)` — Spark's
+    * HashPartitioning partition id IS the bucket id when
+    * numPartitions == numBuckets, so each task holds exactly one bucket
+    * and writes exactly one file), and swap-and-renames under the SAME
+    * bucket/sort spec (the [[updateClusters]] idiom). Cost: one
+    * table-sized shuffle — the price of N landings' worth of file opens,
+    * paid once during a maintenance window. */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cat = spark.sessionState.catalog.getTableMetadata(ident)
+    val bs = cat.bucketSpec.getOrElse(sys.error(
+      s"compactTable($table): not a bucketed table — nothing accumulates " +
+        "in a plain table rewrite; refusing a pointless shuffle"))
+    val swap = s"${table}__compact"
+    dropOrphanedLocation(spark, swap)
+    val cols = bs.bucketColumnNames.map(col)
+    // Read by LOCATION, not spark.table: the table scan would declare
+    // HashPartitioning(bucketCols, n), EnsureRequirements would elide
+    // the repartition as redundant, and DisableUnnecessaryBucketedScan
+    // would then revert the scan to plain file splits — leaving every
+    // write task holding every bucket (tasks × buckets files, the
+    // accumulation this op exists to undo; observed 4×4 on a 4-bucket
+    // fixture). A plain parquet read declares no partitioning, so the
+    // shuffle survives and task i holds exactly bucket i.
+    val w = spark.read.format("parquet").schema(cat.schema)
+      .load(cat.location.toString)
+      .repartition(bs.numBuckets, cols: _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
+        bs.bucketColumnNames.tail: _*)
+    (if (bs.sortColumnNames.nonEmpty)
+       w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+     else w)
+      .saveAsTable(swap)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $swap RENAME TO $table")
+  }
+
+  /** Compact a [[writeStratifiedIndex]] sidecar after repeated
+    * [[appendToStratifiedIndex]] landings: `_mem` and `_payload` rewrite
+    * under their bucket specs; `_levels` (plain parquet, duplicate rows
+    * across landings by design) rewrites as its distinct — the reader
+    * distincts the union anyway, so the row-set shrink is
+    * answer-invisible; `_meta` is one row and never accumulates.
+    * Probe ≡ pre-compaction bit-for-bit (CompactIndexSpec). */
+  def compactStratifiedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    compactTable(spark, s"${table}_mem")
+    compactTable(spark, s"${table}_payload")
+    val swap = s"${table}_levels__compact"
+    dropOrphanedLocation(spark, swap)
+    spark.table(s"${table}_levels").distinct()
+      .coalesce(1) // ≤64 stratum rows by construction
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(swap)
+    spark.sql(s"DROP TABLE ${table}_levels")
+    spark.sql(s"ALTER TABLE $swap RENAME TO ${table}_levels")
+  }
+
+  /** Compact a [[writeGramIndex]] sidecar after repeated
+    * [[appendToGramIndex]] landings (the anti-join keeps it
+    * duplicate-free, so this is purely a file-count rewrite). */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    compactTable(spark, table)
+
   def appendToStratifiedIndex(landing: DataFrame, idCol: String,
       textCol: String, table: String): Unit = {
     val spark = landing.sparkSession

@@ -46,7 +46,7 @@ object DedupEval {
     * not the full pair mass. */
   def simhashCalibration(docs0: DataFrame, idCol: String, textCol: String,
       labelMin: Double, maxDist: Int = SimHash.DefaultMaxDist,
-      sampleRate: Double = 1.0): DataFrame = {
+      sampleRate: Double = 1.0, width: Int = SimHash.Bits): DataFrame = {
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0,1]: $sampleRate")
     // The shared md5-gate idiom (DupClusters.groupSplit / Sampling):
@@ -62,7 +62,12 @@ object DedupEval {
     else docs0.filter(
       substring(md5(concat(lit("cal:"), col(idCol).cast("string"))), 1, 4)
         < lit(f"$threshold%04x"))
-    val pred = SimHash.hammingPairs(docs, idCol, textCol, maxDist)
+    // Width defaults to the 32-BIT detector here (not SimHash's 62-bit
+    // deployment default): this op CALIBRATES a chosen detector, q104's
+    // oracle replays the 32-bit ball, and the width under evaluation
+    // should always be explicit at the call site.
+    val pred = SimHash.hammingPairs(docs, idCol, textCol, maxDist,
+        width = width)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_pred"))
     val lab = MinHashDedup.jaccardPairs(docs, idCol, textCol, labelMin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -19,6 +19,11 @@ import graft.oracle.Duck
 object SimHash {
   val Bits = 32
 
+  /** Bit width of [[signatures62]] (declared beside [[Bits]]:
+    * [[DefaultWidth]] below reads it at object init, and a forward
+    * reference would silently initialize to 0). */
+  val WideBits = 62
+
   /** SimHash of a text column (requires GraftFunctions.register), via the
     * single-pass native expression ([[graft.functions.SimHashExpr]]; the
     * HOF formulation it replaced survives as [[hofSimhash]] for the
@@ -110,8 +115,22 @@ object SimHash {
       ((1L << widths(b)) - 1) << offsets(b)).reduce(_ | _))
   }
 
+  /** Deployment-default fingerprint width (VERDICT r14 item 5): the
+    * 62-bit form. The 32-bit form relies on signature collapse to keep
+    * cells under the cap (the first cut's 132k-member cell raise,
+    * SCALING.md); the wide form is strictly sharper — measured 29×
+    * fewer false candidate pairs at 64× with cells orders of magnitude
+    * under the cap — so width is a parameter and 62 is what a 100 TB
+    * deployment should run. 32 stays available (and q97/q104 register
+    * it) because its oracle replays that exact ball. */
+  val DefaultWidth = WideBits
+
   /** All document pairs within Hamming distance `maxDist` of each other
-    * on the 32-bit simhash — `(doc_a < doc_b, hamming)`.
+    * on the `width`-bit simhash — `(doc_a < doc_b, hamming)`. `width`
+    * picks the fingerprint family: 32 ([[signatures]]) or 62
+    * ([[signatures62]], the [[DefaultWidth]]); note the two widths
+    * measure DIFFERENT Hamming balls (different vote bits), so they are
+    * distinct detectors, not interchangeable settings of one.
     *
     * Two-level scale shape: identical signatures collapse FIRST, so the
     * banding/cell machinery ([[hammingSigPairs]]) runs over DISTINCT
@@ -134,9 +153,15 @@ object SimHash {
     * every document belongs to exactly one signature group, so the
     * doc-pair expansion is unique without any dedup shuffle. */
   def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks): DataFrame =
-    hammingPairsFromSignatures(
-      signatures(docs, idCol, textCol), maxDist, blocks)
+      maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks,
+      width: Int = DefaultWidth): DataFrame = width match {
+    case Bits => hammingPairsFromSignatures(
+      signatures(docs, idCol, textCol), maxDist, blocks, Bits)
+    case WideBits => hammingPairsFromSignatures(
+      signatures62(docs, idCol, textCol), maxDist, blocks, WideBits)
+    case other => sys.error(
+      s"hammingPairs: width must be $Bits or $WideBits, got $other")
+  }
 
   /** [[hammingPairs]] over a precomputed `(doc_id, simhash)` table —
     * the deployment entry point when signatures persist as a sidecar. */
@@ -286,9 +311,6 @@ object SimHash {
   // a BIGINT for both engines.
   // ---------------------------------------------------------------------
 
-  /** Bit width of [[signatures62]]. */
-  val WideBits = 62
-
   /** doc_id + 62-bit wide simhash over a documents table. */
   def signatures62(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -307,8 +329,7 @@ object SimHash {
     * registered queries rather than interchangeable settings. */
   def hammingPairsWide(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks): DataFrame =
-    hammingPairsFromSignatures(
-      signatures62(docs, idCol, textCol), maxDist, blocks, WideBits)
+    hammingPairs(docs, idCol, textCol, maxDist, blocks, width = WideBits)
 
   /** The wide-signature CTE (`sig` = doc_id, 62-bit simhash). */
   private def sig62CteSql: String = {

@@ -221,7 +221,8 @@ object PipelineQueries {
     // in-cell), never an all-pairs scan. The oracle deliberately runs
     // the quadratic self-join this operator exists to avoid.
     "q97_hamming_pairs" -> ((s, sf) =>
-      SimHash.hammingPairs(Tables.load(s, sf, "documents"), "doc_id", "text")
+      SimHash.hammingPairs(Tables.load(s, sf, "documents"), "doc_id", "text",
+          width = SimHash.Bits)
         .orderBy("doc_a", "doc_b")),
 
     // Signature-group Hamming pairs (r14): q97's deployment-scale
@@ -929,6 +930,80 @@ object PipelineQueries {
         MinHashDedup.StrataSpan)
     }),
 
+    // COMPACTED sidecar (r15): the q68 landing regime taken to four
+    // landings, then CorpusWriter.compactStratifiedIndex rewrites the
+    // accumulated file-sets to one file per bucket under the same
+    // bucket spec. Compaction is answer-INVISIBLE by contract, so this
+    // must stay bit-equal to q65/q67/q68 — the same oracle a fourth
+    // time: four code paths, one truth.
+    "q121_compacted_containment" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q121_compact_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeStratifiedIndex(
+          docs.filter(col("doc_id") % 5 === 1), "doc_id", "text", tbl,
+          buckets = 32)
+        Seq(2, 3, 4).foreach(r =>
+          graft.pipeline.CorpusWriter.appendToStratifiedIndex(
+            docs.filter(col("doc_id") % 5 === r), "doc_id", "text", tbl))
+        graft.pipeline.CorpusWriter.compactStratifiedIndex(s, tbl)
+      }
+      MinHashDedup.incrementalContainmentPairs(s, tbl,
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.6,
+        MinHashDedup.StrataSpan)
+    }),
+
+    // Normalization-robust exact dedup (r15): lowercase / collapse
+    // punctuation+whitespace as the MATCHING key (Gopher/C4 lineage),
+    // keep the min-id member per canonical class. The shuffle key is
+    // md5(canonical) — 32 hex chars per doc whatever the text size.
+    "q122_norm_dedup" -> ((s, sf) =>
+      graft.pipeline.Normalize.dedupNormalized(
+        Tables.load(s, sf, "documents"), "doc_id", "text")),
+
+    // Per-source normalization telemetry (r15): how many copies exact
+    // dedup misses that the canonical form collapses.
+    "q123_norm_report" -> ((s, sf) =>
+      graft.pipeline.Normalize.report(
+        Tables.load(s, sf, "documents"), "source", "text")),
+
+    // Sliding token-window chunking (r15): the retrieval/training
+    // sequence grain — 32-token windows advancing by 16 (50% overlap),
+    // stable (doc_id, chunk_idx) identity; one narrow explode scan,
+    // no shuffle.
+    "q124_chunks" -> ((s, sf) =>
+      graft.pipeline.Chunker.chunks(
+        Tables.load(s, sf, "documents"), "doc_id", "text",
+        size = 32, stride = 16)),
+
+    // Cross-document repeated-chunk telemetry (r15): full windows whose
+    // canonical class appears in ≥ 2 distinct docs — what a retrieval
+    // corpus should count before paying to embed boilerplate 40 times.
+    "q125_repeated_chunks" -> ((s, sf) =>
+      graft.pipeline.Chunker.repeatedChunks(
+        Tables.load(s, sf, "documents"), "doc_id", "text",
+        size = 32, stride = 16, minDocs = 2)),
+
+    // Cluster-balanced subsample (r15): sample-trained k-means assigns
+    // the corpus, then ≤ cap vectors survive per cluster under the q39
+    // md5 draw — diversity rebalancing with no RNG and no corpus-wide
+    // window (bounded-heap rank per cluster).
+    "q126_cluster_balanced" -> ((s, sf) =>
+      Clustering.clusterBalancedSample(
+        Tables.load(s, sf, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 2, sampleFrac = 0.5, cap = 40)),
+
+    // Chunk-grain BM25 (r15): q89's retrieval run over the q124 chunk
+    // corpus — the RAG deployment shape (retrieval returns windows, not
+    // documents); the packed (doc_id << 20 | chunk_idx) key makes the
+    // composition a pure corpus swap, every BM25 plan shape unchanged.
+    "q127_chunk_bm25" -> ((s, sf) =>
+      Bm25.topK(
+        graft.pipeline.Chunker.chunkCorpus(
+          Tables.load(s, sf, "documents"), "doc_id", "text",
+          size = 32, stride = 16),
+        "doc_id", "text", terms = Seq("dup", "vector", "scan"), k = 10)),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -1200,6 +1275,29 @@ object PipelineQueries {
     // append) — same oracle again: three code paths, one truth.
     "q68_landed_containment" ->
       MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
+
+    // q121 answers it through a four-landing sidecar REWRITTEN by the
+    // compactor — compaction is answer-invisible, so the oracle is the
+    // same once more.
+    "q121_compacted_containment" ->
+      MinHashDedup.incrementalContainmentOracleSql("doc_id % 5 = 0", 0.6),
+
+    "q122_norm_dedup" -> graft.pipeline.Normalize.oracleSql,
+
+    "q123_norm_report" -> graft.pipeline.Normalize.reportOracleSql,
+
+    "q124_chunks" -> graft.pipeline.Chunker.oracleSql(size = 32, stride = 16),
+
+    "q125_repeated_chunks" ->
+      graft.pipeline.Chunker.repeatedOracleSql(size = 32, stride = 16,
+        minDocs = 2),
+
+    "q126_cluster_balanced" -> Clustering.clusterBalancedOracleSql(
+      k = 8, rounds = 2, dim = EmbeddingDim, sampleFrac = 0.5, cap = 40),
+
+    "q127_chunk_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
+      k = 10, corpusSql = graft.pipeline.Chunker.chunkCorpusSql(
+        size = 32, stride = 16)),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 

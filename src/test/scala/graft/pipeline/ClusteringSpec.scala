@@ -91,6 +91,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(runS(planted.repartition(13)) == runS(planted.coalesce(1)))
   }
 
+  test("clusterBalancedSample: ≤ cap per cluster, the md5 draw, assignments intact") {
+    val embs = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val cap = 7
+    val got = Clustering.clusterBalancedSample(embs, "vec_id", "embedding",
+        k = 4, rounds = 2, sampleFrac = 0.5, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val byCluster = got.groupBy(_._1)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length <= cap, s"cluster $c holds ${rows.length} > $cap")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).map(_.toLong),
+        s"cluster $c ranks must be 1..n")
+    }
+    // The draw is the q39 md5 order over this cluster's full membership.
+    val assigned = Clustering.kmeansSampled(embs, "vec_id", "embedding",
+        k = 4, rounds = 2, sampleFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val members = assigned.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byCluster.foreach { case (c, rows) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def draw(id: Long): String = md5.synchronized {
+        md5.reset()
+        md5.digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      }
+      val want = members(c).sortBy(id => (draw(id), id)).take(cap).sorted
+      assert(rows.map(_._2).sorted.toSeq == want.toSeq, s"cluster $c draw")
+    }
+  }
+
   test("k×dim past the driver-metadata bound is a contract error, not an OOM") {
     // Seeds come from `limit(k)`, so a 10-row corpus keeps the seed
     // collect tiny while an oversized k still trips the k×dim require.

@@ -48,7 +48,9 @@ class DedupEvalSpec extends AnyFunSuite {
     assert(rep.forall { case (b, n, p) => p <= n && b >= -1 && b <= 10 })
     // Every predicted pair lands in exactly one band: Σ n_pred equals
     // the q97 operator's own pair count.
-    val predTotal = SimHash.hammingPairs(docs, "doc_id", "text").count()
+    // same detector as the calibration's default: the 32-bit ball
+    val predTotal = SimHash.hammingPairs(docs, "doc_id", "text",
+      width = SimHash.Bits).count()
     assert(rep.map(_._3).sum === predTotal)
     // Labeled mass: Σ over b≥0 of n_pairs equals the q27 pair count.
     val labTotal = MinHashDedup.jaccardPairs(docs, "doc_id", "text", 0.3).count()

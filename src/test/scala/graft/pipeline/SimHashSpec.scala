@@ -56,7 +56,8 @@ class SimHashSpec extends AnyFunSuite {
       .select((col("doc_id") + 20000L).as("doc_id"),
         concat(col("text"), lit(" zq")).as("text"))
     val docs = base.unionAll(replicas).unionAll(edited).repartition(7)
-    val got = SimHash.hammingPairs(docs, "doc_id", "text")
+    val got = SimHash.hammingPairs(docs, "doc_id", "text",
+        width = SimHash.Bits)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // Brute force from the same signatures.
     val sigs = SimHash.signatures(docs, "doc_id", "text")
@@ -90,7 +91,8 @@ class SimHashSpec extends AnyFunSuite {
     assert(got.toSet == want.toSet)
     assert(want.exists(_._3 == 0L)) // replicas still collide exactly
     // discrimination: the wide ball is a subset-scale of the 32-bit one
-    val narrow = SimHash.hammingPairs(docs, "doc_id", "text").count()
+    val narrow = SimHash.hammingPairs(docs, "doc_id", "text",
+      width = SimHash.Bits).count()
     assert(got.size.toLong <= narrow)
   }
 
@@ -110,12 +112,44 @@ class SimHashSpec extends AnyFunSuite {
     val mass = sp.map { case (a, b, _, na, nb) =>
       if (a == b) na * (na - 1) / 2 else na * nb
     }.sum
-    val docPairs = SimHash.hammingPairs(docs, "doc_id", "text").count()
+    val docPairs = SimHash.hammingPairs(docs, "doc_id", "text",
+      width = SimHash.Bits).count()
     assert(mass == docPairs)
     // structural checks: unique keys, self rows only for m >= 2, ordered sigs
     assert(sp.map(p => (p._1, p._2)).distinct.length == sp.length)
     assert(sp.forall(p => p._1 <= p._2))
     assert(sp.filter(p => p._1 == p._2).forall(p => p._4 >= 2 && p._3 == 0L))
+  }
+
+  test("width knob: default is 62-bit; each width ≡ its dedicated form") {
+    // VERDICT r14 item 5: width is a parameter, 62-bit the deployment
+    // default. The knob must dispatch bit-identically to the width's
+    // dedicated entry point, and reject widths with no signature family.
+    val base = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val replicas = base.filter(col("doc_id") % 31 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val docs = base.unionAll(replicas).repartition(5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dflt = rows(SimHash.hammingPairs(docs, "doc_id", "text"))
+    assert(dflt == rows(SimHash.hammingPairsWide(docs, "doc_id", "text")),
+      "bare call must run the 62-bit deployment default")
+    val w32 = rows(SimHash.hammingPairs(docs, "doc_id", "text",
+      width = SimHash.Bits))
+    assert(w32 == rows(SimHash.hammingPairsFromSignatures(
+      SimHash.signatures(docs, "doc_id", "text"))))
+    // both widths catch the planted exact replicas at distance 0
+    val planted = replicas.select(col("doc_id")).collect()
+      .map(r => r.getLong(0) - 10000L).toSet
+    planted.foreach { id =>
+      assert(dflt.contains((id, id + 10000L, 0L)), s"wide missed replica $id")
+      assert(w32.contains((id, id + 10000L, 0L)), s"32-bit missed replica $id")
+    }
+    val err = intercept[RuntimeException] {
+      SimHash.hammingPairs(docs, "doc_id", "text", width = 48)
+    }
+    assert(err.getMessage.contains("width"))
   }
 
   test("hammingPairs block layout covers all bits; combos are exact-recall") {

@@ -252,7 +252,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // sidecar convention): the corpus-side per-cell aggregate — the
       // one corpus-scale step of every admission — consumes the bucketed
       // scan's partitioning directly, NO exchange.
-      val tbl = s"graft_q67_sidecar_${Integer.toHexString(TestSpark.Sf.hashCode)}"
+      val tbl =
+        s"graft_q67_sidecar_${graft.core.Tables.fixtureKey(TestSpark.Sf, "documents")}"
       val agg = spark.table(s"${tbl}_mem").groupBy("skey")
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)))
