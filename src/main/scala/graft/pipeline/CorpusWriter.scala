@@ -118,6 +118,55 @@ object CorpusWriter {
       .saveAsTable(table)
   }
 
+  /** Store the corpus's distinct WINNOWED fingerprint selection — the
+    * [[writeGramIndex]] convention at [[Winnow]] grain (~2/(w+1) of
+    * the gram index's rows for the same corpus, with the MOSS match
+    * guarantee priced in): `{table}` (fp BIGINT, bucketed+sorted by
+    * fp) and `{table}_meta` (n, w, buckets), both `require`d to match
+    * the query's own parameters at read time
+    * ([[Winnow.admitAgainstIndex]]). */
+  def writeWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, w: Int, table: String, buckets: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    dropOrphanedLocation(spark, table)
+    Winnow.selectedFps(corpus, idCol, textCol, n, w)
+      .distinct()
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "fp")
+      .sortBy("fp")
+      .format("parquet")
+      .saveAsTable(table)
+    dropOrphanedLocation(spark, s"${table}_meta")
+    import spark.implicits._
+    Seq((n, w, buckets)).toDF("n", "w", "buckets")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a new batch into a [[writeWinnowIndex]] sidecar: only
+    * fingerprints the index has never seen append (the
+    * [[appendToGramIndex]] anti-join discipline — bucket-local, no
+    * corpus exchange), so write+append ≡ one write over the union and
+    * the reader's probe join sees each fingerprint once. */
+  def appendToWinnowIndex(landing: DataFrame, idCol: String,
+      textCol: String, table: String): Unit = {
+    val spark = landing.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed winnow-index meta: ${meta.length} rows")
+    val n = meta(0).getAs[Int]("n")
+    val w = meta(0).getAs[Int]("w")
+    val buckets = meta(0).getAs[Int]("buckets")
+    Winnow.selectedFps(landing, idCol, textCol, n, w)
+      .distinct()
+      .join(spark.table(table), Seq("fp"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "fp")
+      .sortBy("fp")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Store the standing duplicate-CLUSTER state (the
     * [[DupClusters.connectedComponents]] output) as a sidecar table
     * BUCKETED by `id` — written once when the corpus lands, so the

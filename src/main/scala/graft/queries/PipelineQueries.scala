@@ -1004,6 +1004,53 @@ object PipelineQueries {
           size = 32, stride = 16),
         "doc_id", "text", terms = Seq("dup", "vector", "scan"), k = 10)),
 
+    // Winnowing selection report (r15, SIGMOD'03/MOSS): per doc the
+    // ~2/(w+1)-dense window-min fingerprint subset, witnessed by an
+    // order-free xor fold so the oracle checks the selected SET.
+    "q128_winnow_report" -> ((s, sf) =>
+      graft.pipeline.Winnow.report(
+        Tables.load(s, sf, "documents"), "doc_id", "text", n = 4, w = 4)),
+
+    // Winnowed shared-fingerprint pairs (r15): the MOSS candidate
+    // report — guaranteed to surface any shared run of ≥ n + w − 1
+    // tokens, with boilerplate fingerprints (df > maxDf) excluded per
+    // the published MOSS option. The oracle runs the quadratic
+    // fp-self-join the array-side cell emission avoids.
+    "q129_winnow_pairs" -> ((s, sf) =>
+      graft.pipeline.Winnow.pairs(
+        Tables.load(s, sf, "documents"), "doc_id", "text",
+        n = 4, w = 4, minShared = 2)),
+
+    // Winnow-grain benchmark decontamination (r15): q42's sweep at
+    // ~2/(w+1) of the per-gram work, with the MOSS guarantee — any
+    // eval↔corpus shared run of ≥ n + w − 1 tokens is caught because
+    // both sides winnow under the same (n, w).
+    "q130_winnow_decontam" -> ((s, sf) =>
+      graft.pipeline.Winnow.decontam(
+        Tables.load(s, sf, "documents"), "doc_id", "text",
+        col("doc_id") % 97 === 0, n = 4, w = 4)),
+
+    // Landed winnow-fingerprint admission (r15): the stored-sidecar
+    // discipline (q110's gram index) at winnow grain — index written
+    // from half the standing corpus, the other half APPENDED (so the
+    // write+append ≡ write-union identity is exercised), the increment
+    // probed exchange-free against the bucketed fp table.
+    "q131_landed_winnow" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q131_winidx_${Tables.fixtureKey(sf, "documents")}"
+      val pred = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeWinnowIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 0), "doc_id", "text",
+          n = 4, w = 4, tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToWinnowIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 1), "doc_id", "text",
+          tbl)
+      }
+      graft.pipeline.Winnow.admitAgainstIndex(s, tbl, docs.filter(pred),
+        "doc_id", "text", n = 4, w = 4)
+    }),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -1298,6 +1345,18 @@ object PipelineQueries {
     "q127_chunk_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
       k = 10, corpusSql = graft.pipeline.Chunker.chunkCorpusSql(
         size = 32, stride = 16)),
+
+    "q128_winnow_report" ->
+      graft.pipeline.Winnow.reportOracleSql(n = 4, w = 4),
+
+    "q129_winnow_pairs" ->
+      graft.pipeline.Winnow.pairsOracleSql(n = 4, w = 4, minShared = 2),
+
+    "q130_winnow_decontam" -> graft.pipeline.Winnow.decontamOracleSql(
+      "doc_id % 97 = 0", n = 4, w = 4),
+
+    "q131_landed_winnow" -> graft.pipeline.Winnow.admitOracleSql(
+      "doc_id % 7 = 0", n = 4, w = 4),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 
