@@ -72,8 +72,8 @@ object Similarity {
 
   /** One bucket expression per band: the band's sign bits packed into a
     * long. Rendered identically for Spark (`vec_dot`) and DuckDB (fold). */
-  private def bandBucketExprs(emb: String, dim: Int, bands: Int, bits: Int,
-      forDuck: Boolean): Seq[String] = {
+  private[pipeline] def bandBucketExprs(emb: String, dim: Int, bands: Int,
+      bits: Int, forDuck: Boolean): Seq[String] = {
     val m = signMatrix(dim, bands * bits)
     (0 until bands).map { b =>
       (0 until bits).map { i =>

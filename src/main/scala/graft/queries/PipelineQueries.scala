@@ -1051,6 +1051,53 @@ object PipelineQueries {
         "doc_id", "text", n = 4, w = 4)
     }),
 
+    // HyperLogLog distinct-token telemetry per source (r15): the sketch
+    // family's cardinality corner — 256 integer registers per key, the
+    // harmonic sum carried as an exact scaled integer, one shared IEEE
+    // division, with the exact distinct count riding the same aggregate
+    // as the audit column (registers partition the fp space).
+    "q132_hll_distinct" -> ((s, sf) =>
+      graft.pipeline.HyperLogLog.report(
+        Tables.load(s, sf, "documents"), "text", "source", n = 3)),
+
+    // Document-level collocation lift (r15): which vocab terms travel
+    // together beyond what their document frequencies predict — exact
+    // ppm fixed point (monotone with PMI, no transcendental), pairs
+    // emitted array-side from each doc's ≤v-term cell.
+    "q133_collocations" -> ((s, sf) =>
+      graft.pipeline.Collocations.topPairs(
+        Tables.load(s, sf, "documents"), "doc_id", "text",
+        v = 64, minCount = 5, k = 100)),
+
+    // Paraphrase mining (r15): semantically near (sign-LSH + exact
+    // cosine >= 0.999) but lexically far (3-gram Jaccard <= 0.5) —
+    // what semantic dedup would remove that lexical dedup keeps. The
+    // planted families make both bar sides live: same-text perturbed
+    // dups (jac=1, excluded) and reversed-text perturbed paraphrases
+    // (jac~0, kept).
+    "q134_paraphrase_pairs" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.load(s, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .join(Tables.load(s, sf, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("emb"))
+      val planted = base.filter(col("doc_id") % 31 === 0)
+      val dup = planted.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"),
+        expr(Similarity.perturbExprSql("emb", EmbeddingDim,
+          forDuck = false)).as("emb"))
+      val para = planted.select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("array_join(reverse(word_grams(text, 1)), ' ')").as("text"),
+        expr(Similarity.perturbExprSql("emb", EmbeddingDim,
+          forDuck = false)).as("emb"))
+      graft.pipeline.Paraphrase.minePairs(
+        base.unionAll(dup).unionAll(para), "doc_id", "text", "emb",
+        EmbeddingDim, minCos = 0.999, maxJac = 0.5)
+    }),
+
     // The dedup manifest: root + leakage-safe split + canonical flag per
     // document from ONE connected-components run — the composition the
     // separate q37/q59/q40 registrations pay the CC chain thrice for.
@@ -1357,6 +1404,15 @@ object PipelineQueries {
 
     "q131_landed_winnow" -> graft.pipeline.Winnow.admitOracleSql(
       "doc_id % 7 = 0", n = 4, w = 4),
+
+    "q132_hll_distinct" ->
+      graft.pipeline.HyperLogLog.oracleSql("source", n = 3),
+
+    "q133_collocations" ->
+      graft.pipeline.Collocations.oracleSql(v = 64, minCount = 5, k = 100),
+
+    "q134_paraphrase_pairs" -> graft.pipeline.Paraphrase.oracleSql(
+      EmbeddingDim, minCos = 0.999, maxJac = 0.5, plantMod = 31),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 

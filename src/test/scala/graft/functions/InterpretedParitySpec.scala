@@ -34,6 +34,8 @@ class InterpretedParitySpec extends AnyFunSuite {
       "sig_agree_count(minhash_sig(text), minhash_sig(reverse(text))) AS m",
       "sig_band_mask(minhash_sig(text), minhash_sig(reverse(text))) AS n",
       "sorted_intersect_count(shingle_set(text), shingle_set(reverse(text))) AS o",
+      "sorted_intersect_count(array_sort(array_distinct(word_gram_hashes(text, 3))), " +
+        "array_sort(array_distinct(word_gram_hashes(reverse(text), 3)))) AS o2",
       "argmax_dot(array(CAST(doc_id AS DOUBLE), CAST(length(text) AS DOUBLE)), " +
         "array(array(1.0D, 0.5D), array(-1.0D, 2.0D), array(0.25D, 0.25D)), " +
         "array(0.25D, 0.5D, 0.0D), array(0L, 1L, 2L)) AS p")
