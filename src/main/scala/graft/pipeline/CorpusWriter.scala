@@ -143,6 +143,48 @@ object CorpusWriter {
       .format("parquet").saveAsTable(s"${table}_meta")
   }
 
+  /** Store the corpus's per-key HyperLogLog register state as a
+    * sidecar — the LIGHTEST landing discipline in the family: the
+    * whole artifact is ≤ keys × [[HyperLogLog.M]] slim rows, and
+    * because register merge is MAX (commutative, idempotent,
+    * associative), landings [[appendToHllRegisters]] plainly APPEND
+    * their batch registers with no anti-join, no rewrite, and no
+    * read-modify-write race surface: the reader folds duplicates by
+    * max ([[HyperLogLog.reportFromRegisters]]), so write+append ≡ one
+    * write over the union BIT-exactly, whatever the landing order.
+    * Gram order `n` rides in `{table}_meta` and is `require`d to
+    * match at read. Periodic [[compactTable]] keeps the row count at
+    * keys × M after many landings (answer-invisible, max-idempotent). */
+  def writeHllRegisters(corpus: DataFrame, textCol: String,
+      keyCol: String, table: String, n: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    dropOrphanedLocation(spark, table)
+    HyperLogLog.registers(corpus, textCol, keyCol, n)
+      .select(col("key"), col("register"), col("mj"))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+    dropOrphanedLocation(spark, s"${table}_meta")
+    import spark.implicits._
+    Seq(n).toDF("n")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a batch's registers beside the standing ones (duplicates by
+    * (key, register) are FINE — the reader's max folds them). */
+  def appendToHllRegisters(landing: DataFrame, textCol: String,
+      keyCol: String, table: String): Unit = {
+    val spark = landing.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed HLL register meta: ${meta.length} rows")
+    HyperLogLog.registers(landing, textCol, keyCol,
+        meta(0).getAs[Int]("n"))
+      .select(col("key"), col("register"), col("mj"))
+      .write.mode(SaveMode.Append)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Land a new batch into a [[writeWinnowIndex]] sidecar: only
     * fingerprints the index has never seen append (the
     * [[appendToGramIndex]] anti-join discipline — bucket-local, no

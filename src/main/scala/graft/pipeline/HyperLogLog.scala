@@ -161,6 +161,48 @@ object HyperLogLog {
         col("exact_distinct"))
       .orderBy(keyCol)
 
+  /** The per-key report from a STORED register sidecar
+    * ([[CorpusWriter.writeHllRegisters]] + appends): duplicates by
+    * (key, register) fold by max — the union-merge identity — then the
+    * same exact-integer sum and shared-literal estimate as [[report]].
+    * No `exact_distinct` column: the sidecar is the deployment
+    * artifact; the audit meter is [[report]]'s full-scan job. The
+    * stored gram order must match `n` (the winnow-index meta
+    * discipline). Cost is sidecar-sized — the corpus is never
+    * re-read. */
+  def reportFromRegisters(spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCol: String, n: Int): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1 && meta(0).getAs[Int]("n") == n,
+      s"HLL register sidecar $table was written under n=" +
+        meta.map(_.getAs[Int]("n")).mkString(",") +
+        s", query posed under n=$n")
+    spark.table(table)
+      .groupBy("key", "register").agg(max("mj").as("mj"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_registers_hit"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST($ScaleBits - least(mj, $ScaleBits) AS INT))"))
+          + (lit(M.toLong) - count(lit(1))) * lit(scaleOne)).as("s_scaled"))
+      .select(col("key").as(keyCol), col("n_registers_hit"),
+        col("s_scaled"),
+        expr(s"CAST($alphaNum AS DOUBLE) * CAST($scaleOne AS DOUBLE) " +
+          "/ CAST(1000000000 AS DOUBLE) / CAST(s_scaled AS DOUBLE)")
+          .as("est_distinct"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for [[reportFromRegisters]] over a sidecar landed
+    * from the WHOLE `documents` table (in any split): write+append ≡
+    * write-union, so the oracle is [[oracleSql]] minus the audit
+    * column. */
+  def landedOracleSql(keyCol: String = "source", n: Int = 3): String =
+    s"""WITH full_report AS (
+       |${oracleSql(keyCol, n).linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT $keyCol, n_registers_hit, s_scaled, est_distinct
+       |FROM full_report ORDER BY $keyCol""".stripMargin
+
   /** The corpus-wide register array as a driver artifact (the
     * deployment/streaming grain): index → max rho, 0 = untouched. A
     * bounded collect by construction — ≤ [[M]] rows ever leave the

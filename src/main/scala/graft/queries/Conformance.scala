@@ -295,6 +295,25 @@ object Conformance {
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // GROUPING SETS (r15): the general form q30's ROLLUP and q115's
+    // CUBE are special cases of — an EXPLICIT non-lattice set list
+    // ((flag, status), (flag), ()) that neither shorthand can express
+    // (no status-only rollup). Still one Expand + one exchange.
+    "q136_grouping_sets" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          grouping("l_returnflag").cast("int").as("g_flag"),
+          grouping("l_linestatus").cast("int").as("g_status"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
     // Q95 banded interval self-join (r14): same-user events within ±1 h
     // of each other — the range-join shape done as an EQUI-join on
     // (key, time-bucket) with a 3-cell probe cover, never a per-key
@@ -541,6 +560,18 @@ object Conformance {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q136_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(l_linestatus, '<all>') AS status,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),

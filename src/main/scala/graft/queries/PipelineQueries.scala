@@ -1069,6 +1069,24 @@ object PipelineQueries {
         Tables.load(s, sf, "documents"), "doc_id", "text",
         v = 64, minCount = 5, k = 100)),
 
+    // Landed HLL registers (r15): the lightest sidecar in the family —
+    // landings plainly APPEND batch registers (max is commutative +
+    // idempotent, so duplicates are harmless and write+append ≡
+    // write-union bit-exactly); the report never re-reads the corpus.
+    "q135_landed_hll" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q135_hllreg_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeHllRegisters(
+          docs.filter(col("doc_id") % 2 === 0), "text", "source", tbl,
+          n = 3)
+        graft.pipeline.CorpusWriter.appendToHllRegisters(
+          docs.filter(col("doc_id") % 2 === 1), "text", "source", tbl)
+      }
+      graft.pipeline.HyperLogLog.reportFromRegisters(s, tbl, "source",
+        n = 3)
+    }),
+
     // Paraphrase mining (r15): semantically near (sign-LSH + exact
     // cosine >= 0.999) but lexically far (3-gram Jaccard <= 0.5) —
     // what semantic dedup would remove that lexical dedup keeps. The
@@ -1413,6 +1431,9 @@ object PipelineQueries {
 
     "q134_paraphrase_pairs" -> graft.pipeline.Paraphrase.oracleSql(
       EmbeddingDim, minCos = 0.999, maxJac = 0.5, plantMod = 31),
+
+    "q135_landed_hll" ->
+      graft.pipeline.HyperLogLog.landedOracleSql("source", n = 3),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 
