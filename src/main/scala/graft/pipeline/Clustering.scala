@@ -291,6 +291,80 @@ object Clustering {
         expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
   }
 
+  /** IVF retrieval against a STORED index sidecar
+    * ([[CorpusWriter.writeIvfIndex]] + [[CorpusWriter.appendToIvfIndex]]
+    * landings) — the deployment form of [[ivfTopK]]: centroids are
+    * trained ONCE when the corpus lands and every later probe (and every
+    * landing's assignment scan) reads standing state instead of
+    * re-running Lloyd's. `queries` supplies the query vectors
+    * explicitly — the serving shape, where probes need not be corpus
+    * members at all.
+    *
+    * Scale shape: the index table is PARTITIONED by cell, so the probe
+    * reads only the `queries × nprobe` probed cells' directories
+    * (PartitionFilters — LandedIvfSpec pins the pruned scan, the q112
+    * discipline applied to ANN); centroids are a ≤ k-row collect;
+    * probe-cell selection runs driver-side with the exact
+    * sequential-fold arithmetic [[ivfTopK]] uses (lift → dot − ½|c|²,
+    * score-desc / cell-asc ties), so a stored index answers bit-equal
+    * to the in-session path under the same centroids. Candidates score
+    * map-side inside their cells and [[Similarity.topKPerQid]]'s
+    * bounded heaps prune to ≤ topK before the only shuffle. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      ivfScoredFromIndex(spark, table, queries, idCol, embCol, nprobe), topK)
+
+  /** The pre-ranking candidate scores of [[ivfTopKFromIndex]] — exposed
+    * so LandedIvfSpec can assert the probe scan's partition pruning
+    * (the heap prune's RDD boundary hides this subtree, the
+    * [[ivfScored]] convention). */
+  private[graft] def ivfScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-index meta: ${meta.length} rows")
+    val k = meta(0).getAs[Int]("k")
+    val dim = meta(0).getAs[Int]("dim")
+    require(nprobe >= 1 && nprobe <= k, s"nprobe must be in [1, $k]: $nprobe")
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.forall(_._2.length == dim),
+      s"IVF-index centroid dim mismatch against meta dim=$dim")
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 1000,
+      s"query batch of ${qRows.length} exceeds the broadcast contract " +
+        "(batchTopK-style bounded query batch)")
+    val halfNorms = cents.map { case (cid, c) => (cid, c, 0.5 * normSq(c)) }
+    val probes = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val emb = r.getSeq[Double](1).toArray
+      // The driver-side replay of `lifted`'s plan-side lift: floor is
+      // integral and |fx| ≪ 2^53, so the long round-trip is identity.
+      val fxd = emb.map(v => math.floor(v * Scale + 0.5))
+      val qnrm = math.sqrt(normSq(emb))
+      halfNorms.map { case (cid, c, hn) => (cid, VecOps.dot(fxd, c) - hn) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid, emb.toSeq, qnrm) }
+    }
+    val probeDf = probes.toDF("qid", "cell", "qv", "qnrm")
+    val cells = probes.map(_._2).distinct
+    spark.table(table)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("vec_dot(emb, qv) / (nrm * qnrm)").as("cos"))
+  }
+
   /** Semantic near-dup removal (the SemDeDup shape): k-means first, then
     * exact cosine only WITHIN each cluster; a vector is dropped when a
     * lower-id vector in the same cluster has cosine ≥ `minCos` (greedy
@@ -522,6 +596,53 @@ object Clustering {
        |  FROM pc
        |  JOIN a$rounds a ON a.cluster = pc.cell
        |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN q ON q.qid = pc.qid
+       |  WHERE a.vec_id <> pc.qid)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cand)
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfTopKFromIndex]] over a sidecar landed from
+    * the whole corpus in any split (write on `trainPredSql`'s rows,
+    * append the rest): centroids replay the unrolled k-means CTEs over
+    * the TRAINING split only (seeds = the split's k lowest-id vectors),
+    * the FULL corpus assigns under those final centroids (landing ≡
+    * write-time assignment — both are one `argmax_dot` scan under
+    * c$rounds), and probe/rank mirror [[ivfOracleSql]]. */
+  def landedIvfOracleSql(queryIds: Seq[Long], k: Int, rounds: Int,
+      dim: Int, nprobe: Int, topK: Int, trainPredSql: String,
+      corpusSql: String = EmbeddingsSql): String = {
+    val trainSql = s"(SELECT * FROM $corpusSql t WHERE $trainPredSql)"
+    val lift = s"list_transform(emb, v -> CAST(floor(v * $Scale + 0.5) AS BIGINT))"
+    val cos = s"${dotSql("ce.emb", "q.emb", dim)} / " +
+      s"(sqrt(${fold("list_transform(ce.emb, v -> v * v)")}) * " +
+      s"sqrt(${fold("list_transform(q.emb, v -> v * v)")}))"
+    s"""${kmeansCtes(k, rounds, dim, trainSql, "t_")},
+       |fe AS (SELECT vec_id, emb,
+       |    list_transform($lift, v -> CAST(v AS DOUBLE)) AS fxd
+       |  FROM $corpusSql),
+       |fa AS (SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dotSql("e.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} DESC,
+       |        c.cid) AS rn
+       |    FROM fe e CROSS JOIN t_c$rounds c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, fxd, emb FROM fe
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |pc AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} DESC,
+       |        c.cid) AS prn
+       |    FROM q CROSS JOIN t_c$rounds c)
+       |  WHERE prn <= $nprobe),
+       |cand AS (SELECT q.qid, a.vec_id, $cos AS cos
+       |  FROM pc
+       |  JOIN fa a ON a.cluster = pc.cell
+       |  JOIN fe ce ON ce.vec_id = a.vec_id
        |  JOIN q ON q.qid = pc.qid
        |  WHERE a.vec_id <> pc.qid)
        |SELECT qid, vec_id, cos, rn FROM (

@@ -209,6 +209,89 @@ object CorpusWriter {
       .saveAsTable(table)
   }
 
+  /** Store the corpus's IVF-ANN index as a sidecar — the sidecar
+    * discipline applied to retrieval: the coarse quantizer
+    * ([[Clustering]]'s deterministic Lloyd's) trains ONCE when the
+    * corpus lands, and every later probe or landing reads standing
+    * state instead of re-running k-means (the from-scratch recompute
+    * [[Clustering.ivfTopK]] pays per call). Three tables:
+    *
+    *  - `{table}` (cell, vec_id, emb): the cell-assigned vectors,
+    *    PARTITIONED by cell so a probe's `queries × nprobe` cell list
+    *    prunes DIRECTORIES (the [[writeDeduped]] q112 discipline —
+    *    LandedIvfSpec pins PartitionFilters on the probe scan); at
+    *    100 TB the cell count is the coarse-quantizer k (10³–10⁵),
+    *    a sane directory fan-out;
+    *  - `{table}_cent` (cid, c): the trained centroids — ≤ k slim
+    *    rows, collected whole by probes and landings (exact doubles
+    *    through parquet, so stored-index probes are bit-equal to
+    *    in-session ones under the same centroids);
+    *  - `{table}_meta` (k, rounds, dim): the training constants,
+    *    `require`d to match at read.
+    *
+    * Landings ([[appendToIvfIndex]]) assign new vectors under the
+    * STORED centroids — one zero-shuffle `argmax_dot` scan of the
+    * batch — so write+append ≡ one write over the union with training
+    * pinned to the initial corpus (the q118/q110 landing identity,
+    * oracle-gated by q137); centroids drift is a retrain, not a
+    * landing (the IVF re-index discipline every ANN store shares). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      table: String, k: Int, rounds: Int): Unit = {
+    val spark = corpus.sparkSession
+    Seq("", "_cent", "_meta").foreach(s => dropOrphanedLocation(spark, table + s))
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (assigned, cents) = Clustering.trainAssign(e, k, rounds)
+    val dim = cents.head._2.length
+    assigned
+      .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      .coalesce(1) // ≤ k slim rows by construction
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_cent")
+    Seq((k, rounds, dim)).toDF("k", "rounds", "dim")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a batch into a [[writeIvfIndex]] sidecar: assign under the
+    * stored centroids (zero-shuffle `argmax_dot` scan of the batch),
+    * then append only vectors the index has never seen — the anti-join
+    * probes ONLY the batch's own assigned cells (cell assignment is a
+    * pure function of the stored centroids, so a duplicate can live
+    * nowhere else; the stored side's scan partition-prunes to those
+    * directories). Keeps the index duplicate-free, so re-landing a
+    * batch is a no-op and write+append ≡ one write over the union. */
+  def appendToIvfIndex(landing: DataFrame, idCol: String, embCol: String,
+      table: String): Unit = {
+    val spark = landing.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-index meta: ${meta.length} rows")
+    val dim = meta(0).getAs[Int]("dim")
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.forall(_._2.length == dim),
+      s"IVF-index centroid dim mismatch against meta dim=$dim")
+    val assigned = Clustering.withCluster(
+        Clustering.lifted(landing, idCol, embCol), cents)
+      .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
+    // Bounded collect: ≤ k distinct cells (lifted() caches the batch,
+    // so the second pass below re-runs only the per-row assignment).
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assigned
+      .join(spark.table(table)
+          .filter(col("cell").isin(cells: _*)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Store the standing duplicate-CLUSTER state (the
     * [[DupClusters.connectedComponents]] output) as a sidecar table
     * BUCKETED by `id` — written once when the corpus lands, so the

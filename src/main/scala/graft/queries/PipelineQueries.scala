@@ -1087,6 +1087,27 @@ object PipelineQueries {
         n = 3)
     }),
 
+    // Landed IVF index (r16): the sidecar discipline applied to ANN
+    // retrieval — centroids train once on the initial corpus
+    // (even vec_ids), the odd half LANDS under the stored centroids,
+    // and the probe reads only its nprobe cells' directories
+    // (partition-pruned). Oracle replays split-trained k-means +
+    // full-corpus assignment + probe.
+    "q137_landed_ivf" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q137_ivfidx_${Tables.fixtureKey(sf, "embeddings")}"
+      val pred = col("vec_id") % 2 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeIvfIndex(
+          emb.filter(pred), "vec_id", "embedding", tbl, k = 8, rounds = 3)
+        graft.pipeline.CorpusWriter.appendToIvfIndex(
+          emb.filter(!pred), "vec_id", "embedding", tbl)
+      }
+      graft.pipeline.Clustering.ivfTopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L)),
+        "vec_id", "embedding", nprobe = 2, topK = 10)
+    }),
+
     // Paraphrase mining (r15): semantically near (sign-LSH + exact
     // cosine >= 0.999) but lexically far (3-gram Jaccard <= 0.5) —
     // what semantic dedup would remove that lexical dedup keeps. The
@@ -1434,6 +1455,10 @@ object PipelineQueries {
 
     "q135_landed_hll" ->
       graft.pipeline.HyperLogLog.landedOracleSql("source", n = 3),
+
+    "q137_landed_ivf" -> Clustering.landedIvfOracleSql(
+      Seq(0L, 1L, 2L, 3L, 4L), k = 8, rounds = 3, dim = EmbeddingDim,
+      nprobe = 2, topK = 10, trainPredSql = "vec_id % 2 = 0"),
 
     "q66_canonical_best" -> DupClusters.canonicalBestOracleSql(0.5, "n_chars"),
 

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The stored IVF-index sidecar (q137): landing identities, stored ≡
+  * in-session bit-equality, and the probe's partition-pruned scan.
+  */
+class LandedIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb =
+    graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+  private val qids = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def queries = emb.filter(col("vec_id").isin(qids: _*))
+
+  private def probeBits(tbl: String, nprobe: Int = 2) =
+    Clustering.ivfTopKFromIndex(spark, tbl, queries, "vec_id", "embedding",
+        nprobe = nprobe, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .toSeq
+
+  test("stored-index probe ≡ in-session ivfTopK under the same training corpus") {
+    val tbl = "graft_test_ivf_full"
+    CorpusWriter.writeIvfIndex(emb, "vec_id", "embedding", tbl,
+      k = 8, rounds = 3)
+    val stored = probeBits(tbl)
+    val live = Clustering.ivfTopK(emb, "vec_id", "embedding", qids,
+        k = 8, rounds = 3, nprobe = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .toSeq
+    assert(stored == live)
+  }
+
+  test("one landing ≡ two landings, and re-landing a batch is a no-op") {
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val one = "graft_test_ivf_one"
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", one,
+      k = 8, rounds = 3)
+    CorpusWriter.appendToIvfIndex(b, "vec_id", "embedding", one)
+    val two = "graft_test_ivf_two"
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", two,
+      k = 8, rounds = 3)
+    CorpusWriter.appendToIvfIndex(
+      b.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", two)
+    CorpusWriter.appendToIvfIndex(
+      b.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", two)
+    assert(probeBits(one) == probeBits(two))
+    // Anti-join discipline: landing b again changes nothing.
+    val before = spark.table(one).count()
+    CorpusWriter.appendToIvfIndex(b, "vec_id", "embedding", one)
+    assert(spark.table(one).count() == before)
+    assert(probeBits(one) == probeBits(two))
+  }
+
+  test("the probe scan prunes cell directories (PartitionFilters)") {
+    val tbl = "graft_test_ivf_full"
+    if (!spark.catalog.tableExists(s"${tbl}_meta"))
+      CorpusWriter.writeIvfIndex(emb, "vec_id", "embedding", tbl,
+        k = 8, rounds = 3)
+    val scored = Clustering.ivfScoredFromIndex(spark, tbl, queries,
+      "vec_id", "embedding", nprobe = 2)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell")), p)
+  }
+
+  test("meta contract: nprobe beyond the stored k refuses loudly") {
+    val tbl = "graft_test_ivf_full"
+    if (!spark.catalog.tableExists(s"${tbl}_meta"))
+      CorpusWriter.writeIvfIndex(emb, "vec_id", "embedding", tbl,
+        k = 8, rounds = 3)
+    val e = intercept[IllegalArgumentException] {
+      Clustering.ivfTopKFromIndex(spark, tbl, queries, "vec_id",
+        "embedding", nprobe = 9, topK = 10)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+}
