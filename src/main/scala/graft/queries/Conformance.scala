@@ -136,6 +136,15 @@ object Conformance {
             .as("sum_qty"))
         .orderBy("o_orderpriority")),
 
+    // Skew diagnostics (r16): the per-key load profile that picks
+    // between broadcast / SaltedJoin / AQE splitting — hot keys, their
+    // corpus share, and the exact salt fan-out that bounds a salted
+    // task at the target. One counter-sized aggregation.
+    "q139_skew_report" -> ((s, sf) =>
+      graft.ops.SkewReport.keyProfile(
+        Tables.load(s, sf, "events"), "event_type",
+        targetRowsPerTask = 100L)),
+
     // Bucketed co-located join (r14): both fact tables land bucketed by
     // the join key (the landing-time knob the brief names for
     // co-located joins), so the join itself needs NO exchange on either
@@ -573,6 +582,9 @@ object Conformance {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q139_skew_report" -> graft.ops.SkewReport.oracleSql(
+      "event_type", targetRowsPerTask = 100L),
 
     "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),
 

@@ -1087,6 +1087,14 @@ object PipelineQueries {
         n = 3)
     }),
 
+    // Curation funnel (r16): per-source attrition across langID →
+    // quality → repetition → dedup-canonical — the pipeline
+    // observability report, one counter-sized aggregation over
+    // corpus-wide stage flags (first-failing-stage attribution).
+    "q138_filter_funnel" -> ((s, sf) =>
+      graft.pipeline.Funnel.curationFunnel(
+        Tables.load(s, sf, "documents"), "doc_id", "text", "source")),
+
     // Landed IVF index (r16): the sidecar discipline applied to ANN
     // retrieval — centroids train once on the initial corpus
     // (even vec_ids), the odd half LANDS under the stored centroids,
@@ -1455,6 +1463,8 @@ object PipelineQueries {
 
     "q135_landed_hll" ->
       graft.pipeline.HyperLogLog.landedOracleSql("source", n = 3),
+
+    "q138_filter_funnel" -> graft.pipeline.Funnel.curationOracleSql,
 
     "q137_landed_ivf" -> Clustering.landedIvfOracleSql(
       Seq(0L, 1L, 2L, 3L, 4L), k = 8, rounds = 3, dim = EmbeddingDim,
