@@ -503,6 +503,48 @@ object CorpusWriter {
       table: String): Unit =
     compactTable(spark, table)
 
+  /** [[compactTable]]'s discipline for PARTITIONED (directory) layouts
+    * — the IVF index's maintenance op: each [[appendToIvfIndex]] landing
+    * adds one file-set inside every cell directory it touches, so after
+    * N landings a probe's pruned scan opens ~N× the files per cell.
+    * Compaction reads the table by LOCATION (same reason as
+    * [[compactTable]]: a table scan's declared partitioning would elide
+    * the repartition), routes rows by the partition columns — each
+    * partition value lands in exactly ONE task, so the writer emits one
+    * file per directory — and swap-and-renames under the same partition
+    * spec. Answer-invisible (LandedIvfSpec pins probe ≡ pre-compaction
+    * bit-for-bit). */
+  def compactPartitionedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cat = spark.sessionState.catalog.getTableMetadata(ident)
+    require(cat.partitionColumnNames.nonEmpty,
+      s"compactPartitionedTable($table): not a partitioned table — " +
+        "nothing accumulates per directory; use compactTable for " +
+        "bucketed layouts")
+    val swap = s"${table}__compact"
+    dropOrphanedLocation(spark, swap)
+    spark.read.format("parquet").schema(cat.schema)
+      .load(cat.location.toString)
+      .repartition(cat.partitionColumnNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(cat.partitionColumnNames: _*)
+      .format("parquet")
+      .saveAsTable(swap)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $swap RENAME TO $table")
+    // RENAME moves a managed table's directory but leaves the catalog's
+    // PER-PARTITION locations pointing at the old path — the scan then
+    // reads zero files. Re-discover partitions from the moved layout.
+    spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** Compact a [[writeIvfIndex]] member table after repeated landings
+    * (`_cent`/`_meta` are slim and never accumulate). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    compactPartitionedTable(spark, table)
+
   def appendToStratifiedIndex(landing: DataFrame, idCol: String,
       textCol: String, table: String): Unit = {
     val spark = landing.sparkSession

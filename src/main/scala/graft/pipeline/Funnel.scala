@@ -58,15 +58,13 @@ object Funnel {
       .orderBy("source", "stage_idx")
   }
 
-  /** The canned curation funnel over a documents table:
-    * language-ID (en) → Gopher quality rules → within-doc repetition →
-    * exact-dedup canonical (min doc_id per identical text, md5-keyed —
-    * the q36 discipline). Flags reuse the exact q35/q44/q46/q20
-    * predicates, so the funnel measures the stages the engine actually
-    * ships. */
-  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+  /** The ROW-LOCAL stage flags of [[curationFunnel]] — everything but
+    * the cross-document canonical stage — as (name, predicate) pairs in
+    * pipeline order, shared by the batch funnel and
+    * [[graft.streaming.StreamFunnel]] so the two compute THE SAME
+    * predicates (reused verbatim from q35/q44/q46). Row-locality is
+    * what makes their funnel counters ADDITIVE across any batch split. */
+  def rowLocalStageCols(textCol: String): Seq[(String, Column)] = {
     val t = col(textCol)
     val ts = graft.functions.GraftFunctions.tokenStats(t)
     val nTokens = ts.getItem(0)
@@ -80,10 +78,23 @@ object Funnel {
     val repetition = nGrams > 0 &&
       (lit(1.0) - size(array_distinct(grams)).cast("double") /
         nullif(nGrams, lit(0L)).cast("double")) <= 0.2
-    val flagged0 = docs.select(col(idCol).as("doc_id"),
-      col(srcCol).as("source"), md5(t).as("__k"),
-      (TextStats.langId(t) === "en").as("lang_en"),
-      quality.as("quality"), repetition.as("repetition"))
+    Seq("lang_en" -> (TextStats.langId(t) === "en"),
+      "quality" -> quality, "repetition" -> repetition)
+  }
+
+  /** The canned curation funnel over a documents table:
+    * language-ID (en) → Gopher quality rules → within-doc repetition →
+    * exact-dedup canonical (min doc_id per identical text, md5-keyed —
+    * the q36 discipline). Flags reuse the exact q35/q44/q46/q20
+    * predicates, so the funnel measures the stages the engine actually
+    * ships. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val stageCols = rowLocalStageCols(textCol)
+    val flagged0 = docs.select(Seq(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), md5(col(textCol)).as("__k")) ++
+      stageCols.map { case (name, c) => c.as(name) }: _*)
     val keepers = flagged0.groupBy("__k").agg(min("doc_id").as("__keep_id"))
     val flagged = flagged0.join(keepers, Seq("__k"))
       .withColumn("canonical", col("doc_id") === col("__keep_id"))

@@ -72,6 +72,34 @@ class LandedIvfSpec extends AnyFunSuite {
         l.contains("cell")), p)
   }
 
+  private def dataFileCount(tbl: String): Int = {
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) f.listFiles().iterator.flatMap(walk)
+      else Iterator.single(f)
+    walk(new java.io.File(new java.net.URI(cat.location.toString).getPath))
+      .count(_.getName.startsWith("part-"))
+  }
+
+  test("compaction: one file per cell directory, probe bits unchanged") {
+    val tbl = "graft_test_ivf_compact"
+    val a = emb.filter(col("vec_id") % 4 === 0)
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", tbl,
+      k = 8, rounds = 2)
+    (1L to 3L).foreach(r => CorpusWriter.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding", tbl))
+    val before = probeBits(tbl)
+    val filesBefore = dataFileCount(tbl)
+    CorpusWriter.compactIvfIndex(spark, tbl)
+    assert(probeBits(tbl) == before)
+    val filesAfter = dataFileCount(tbl)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    // One task holds each cell, so each cell directory holds one file:
+    // ≤ k files total.
+    assert(filesAfter <= 8, s"filesAfter=$filesAfter")
+  }
+
   test("meta contract: nprobe beyond the stored k refuses loudly") {
     val tbl = "graft_test_ivf_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
