@@ -292,6 +292,94 @@ object CorpusWriter {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Store the corpus's IVF-PQ index as a sidecar — [[writeIvfIndex]]
+    * with the BYTE cut applied: the member table carries `m` PQ codes
+    * per vector instead of the full embedding (8·dim → m bytes of
+    * payload — at 100 TB this is the difference between an index that
+    * fits hot storage and one that IS the corpus), still PARTITIONED by
+    * coarse cell for the probe's directory pruning. Four tables:
+    * `{table}` (vec_id, codes, cell), `{table}_coarse` (cid, c),
+    * `{table}_books` (m, cid, c — the per-subspace PQ codebooks),
+    * `{table}_meta` (k_coarse, coarse_rounds, m, k, pq_rounds, dim).
+    * Training (coarse Lloyd's + one Lloyd's per subspace) runs ONCE at
+    * landing; landings assign AND encode under the stored codebooks
+    * ([[appendToIvfPqIndex]]); codebook drift is a retrain+re-encode,
+    * the discipline every PQ store shares (Jégou et al. TPAMI'11). */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+      table: String, kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int): Unit = {
+    val spark = corpus.sparkSession
+    Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => dropOrphanedLocation(spark, table + s))
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (assigned, coarse) = Clustering.trainAssign(e, kCoarse, coarseRounds)
+    val (codes, books) =
+      ProductQuant.codeArrays(corpus, idCol, embCol, m, k, pqRounds, dim)
+    assigned.select(col("vec_id"), col("cluster").as("cell"))
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    coarse.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      .coalesce(1) // ≤ kCoarse slim rows
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_coarse")
+    books.zipWithIndex.flatMap { case (b, mi) =>
+      b.map { case (cid, c) => (mi, cid, c.toSeq) }
+    }.toDF("m", "cid", "c")
+      .coalesce(1) // ≤ m·k slim rows
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_books")
+    Seq((kCoarse, coarseRounds, m, k, pqRounds, dim))
+      .toDF("k_coarse", "coarse_rounds", "m", "k", "pq_rounds", "dim")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a batch into a [[writeIvfPqIndex]] sidecar: assign to coarse
+    * cells AND PQ-encode under the STORED codebooks (one zero-shuffle
+    * `argmax_dot` scan per subspace + one for the coarse cell, all over
+    * the cached lifted batch), then append only unseen vectors — the
+    * [[appendToIvfIndex]] anti-join, pruned to the batch's own assigned
+    * cells. Re-landing is a no-op; write+append ≡ one write over the
+    * union with training pinned to the initial corpus (q140's oracle
+    * replays exactly that). */
+  def appendToIvfPqIndex(landing: DataFrame, idCol: String, embCol: String,
+      table: String): Unit = {
+    val spark = landing.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
+    val mr = meta(0)
+    val m = mr.getAs[Int]("m")
+    val dim = mr.getAs[Int]("dim")
+    val (coarse, books) = ProductQuant.readPqSidecars(spark, table, m, dim)
+    val d = dim / m
+    val e = Clustering.lifted(landing, idCol, embCol)
+    val assigned = Clustering.withCluster(e, coarse)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val codeRows = (0 until m).map { mi =>
+      val em = e.select(col("vec_id"),
+        slice(col("fxd"), mi * d + 1, d).as("fxd"))
+      Clustering.withCluster(em, books(mi))
+        .select(col("vec_id"), lit(mi).as("m"), col("cluster").as("code"))
+    }.reduce(_ unionAll _)
+    val codes = codeRows.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+    val a = assigned.join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"))
+    val cells = a.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    a.join(spark.table(table)
+        .filter(col("cell").isin(cells: _*)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Store the standing duplicate-CLUSTER state (the
     * [[DupClusters.connectedComponents]] output) as a sidecar table
     * BUCKETED by `id` — written once when the corpus lands, so the

@@ -91,7 +91,7 @@ object ProductQuant {
     * the codebooks. Materialized: every query branch re-consumes it, and
     * without the barrier each branch would re-run all m assignment
     * scans. */
-  private def codeArrays(corpus: DataFrame, idCol: String, embCol: String,
+  private[pipeline] def codeArrays(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, rounds: Int, dim: Int, sampleFrac: Double = 1.0)
       : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
     val (codeRows, books) =
@@ -192,6 +192,79 @@ object ProductQuant {
     Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
       .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
       .orderBy("qid", "vec_id")
+  }
+
+  /** IVF-PQ retrieval against a STORED index sidecar
+    * ([[CorpusWriter.writeIvfPqIndex]] + landings) — the deployment form
+    * of [[ivfAdcTopK]] and the artifact a 100 TB ANN store actually
+    * persists: `m` CODE BYTES per vector instead of `8·dim` vector
+    * bytes (64 dim × 8 B → 8 B here, a 64× byte cut on the member
+    * table), with the coarse centroids and PQ codebooks as slim
+    * sidecars. Probes collect both codebooks (≤ kCoarse + m·k rows),
+    * select cells and build LUTs driver-side with the exact
+    * [[ivfAdcTopK]] arithmetic, and ADC-score only the probed cells'
+    * code rows — partition-pruned directories, no vector math, no
+    * corpus re-read, bit-equal to the in-session path under the same
+    * training corpus (LandedIvfPqSpec pins it). */
+  def ivfAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
+    val mr = meta(0)
+    val kCoarse = mr.getAs[Int]("k_coarse")
+    val m = mr.getAs[Int]("m")
+    val k = mr.getAs[Int]("k")
+    val dim = mr.getAs[Int]("dim")
+    require(nprobe >= 1 && nprobe <= kCoarse,
+      s"nprobe must be in [1, $kCoarse]: $nprobe")
+    val (coarse, books) = readPqSidecars(spark, table, m, dim)
+    val d = dim / m
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 1000,
+      s"query batch of ${qRows.length} exceeds the broadcast contract")
+    val halfNorms = coarse.map { case (cid, c) => (cid, c, 0.5 * VecOps.normSq(c)) }
+    val base = spark.table(table)
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+        .map(v => math.floor(v * Clustering.Scale + 0.5))
+      val cells = halfNorms.map { case (cid, c, hn) =>
+        (cid, VecOps.dot(fxd, c) - hn)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+      val flat = lutFor(fxd, books, m, k, d)
+      base.filter(col("cell").isin(cells: _*))
+        .select(lit(qid).as("qid"), col("vec_id"),
+          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
+        .filter(col("vec_id") =!= qid)
+    }
+    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Collect a stored index's coarse centroids and per-subspace PQ
+    * codebooks (≤ kCoarse + m·k slim rows — exact doubles through
+    * parquet, so stored probes/landings are bit-equal to in-session
+    * ones). Shared by the probe and the landing. */
+  private[pipeline] def readPqSidecars(spark: org.apache.spark.sql.SparkSession,
+      table: String, m: Int, dim: Int)
+      : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
+    val coarse = spark.table(s"${table}_coarse").collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(coarse.forall(_._2.length == dim),
+      s"IVF-PQ coarse centroid dim mismatch against meta dim=$dim")
+    val bookRows = spark.table(s"${table}_books").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getSeq[Double](2).toArray))
+    val books = (0 until m).map(mi =>
+      bookRows.filter(_._1 == mi).map(x => (x._2, x._3)).sortBy(_._1).toSeq)
+    require(books.forall(_.nonEmpty),
+      s"IVF-PQ codebook sidecar $table is missing subspaces")
+    (coarse, books)
   }
 
   /** Σ_{mi=0}^{m-1} lut[mi·k + codes[mi]] as an ascending-`mi` HOF fold
@@ -402,6 +475,89 @@ object ProductQuant {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
       .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[ivfAdcTopKFromIndex]] over a sidecar landed
+    * from the whole corpus in any split (write on `trainPredSql`'s
+    * rows, append the rest): coarse chain and per-subspace PQ chains
+    * train over the SPLIT only (seeds = the split's k lowest-id
+    * vectors, per subspace), the FULL corpus assigns and encodes under
+    * those final centroids (landing ≡ write-time assignment — both are
+    * `argmax_dot` scans under the same codebooks), and probe/LUT/rank
+    * mirror [[ivfAdcOracleSql]]. */
+  def landedIvfPqOracleSql(queryIds: Seq[Long], kCoarse: Int,
+      coarseRounds: Int, m: Int, k: Int, pqRounds: Int, dim: Int,
+      nprobe: Int, topK: Int, trainPredSql: String): String = {
+    val d = dim / m
+    def trainSlice(mi: Int): String = {
+      val lo = mi * d + 1
+      val hi = lo + d - 1
+      "(SELECT vec_id, (list_transform(embedding, x -> x::DOUBLE))" +
+        s"[$lo:$hi] AS emb FROM embeddings WHERE $trainPredSql)"
+    }
+    val chains = (0 until m).map(mi =>
+      Clustering.kmeansCtes(k, pqRounds, d, trainSlice(mi), s"m${mi}_")
+        .stripPrefix("WITH "))
+    val fullAssign = (0 until m).map { mi =>
+      s"""f${mi}e AS (${Clustering.liftedSql(sliceSql(mi, d))}),
+         |fa$mi AS (
+         |  SELECT vec_id, CAST($mi AS INTEGER) AS m, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${Clustering.dotSql("e.fxd", "c.c", d)} - 0.5 * ${
+               Clustering.dotSql("c.c", "c.c", d)} DESC, c.cid) AS rn
+         |    FROM f${mi}e e CROSS JOIN m${mi}_c$pqRounds c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val codesUnion = (0 until m).map(mi => s"SELECT * FROM fa$mi")
+      .mkString("\n  UNION ALL ")
+    val coarseChain = Clustering.kmeansCtes(kCoarse, coarseRounds, dim,
+      "(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb " +
+        s"FROM embeddings WHERE $trainPredSql)", "cg_")
+      .stripPrefix("WITH ")
+    val lift = "list_transform(list_transform(embedding, x -> x::DOUBLE), " +
+      s"v -> CAST(CAST(floor(v * ${Clustering.Scale} + 0.5) AS BIGINT) AS DOUBLE))"
+    val booksSql = (0 until m).map { mi =>
+      s"SELECT CAST($mi AS INTEGER) AS m, cid, c FROM m${mi}_c$pqRounds"
+    }.mkString("\n  UNION ALL ")
+    val qSubDot = (0 until m).map { mi =>
+      val lo = mi * d + 1
+      s"WHEN cm.m = $mi THEN ${
+        Clustering.dotSql(s"(q.fxd[$lo:${lo + d - 1}])", "cm.c", d)}"
+    }.mkString("\n      ")
+    s"""WITH ${chains.mkString(",\n")},
+       |${fullAssign.mkString(",\n")},
+       |$coarseChain,
+       |codes AS ($codesUnion),
+       |fe AS (SELECT vec_id, $lift AS fxd FROM embeddings),
+       |fca AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Clustering.dotSql("e.fxd", "c.c", dim)} - 0.5 * ${
+             Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS rn
+       |    FROM fe e CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, fxd FROM fe
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |lut AS (SELECT q.qid, cm.m, cm.cid,
+       |    CASE $qSubDot END AS part
+       |  FROM q CROSS JOIN ($booksSql) cm),
+       |pc AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("q.fxd", "c.c", dim)} - 0.5 * ${
+             Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE prn <= $nprobe),
+       |scored AS (SELECT pc.qid, cj.vec_id,
+       |    ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
+       |  FROM pc
+       |  JOIN fca a ON a.cell = pc.cell
+       |  JOIN codes cj ON cj.vec_id = a.vec_id
+       |  JOIN lut ON lut.qid = pc.qid AND lut.m = cj.m AND lut.cid = cj.code
+       |  WHERE cj.vec_id <> pc.qid
+       |  GROUP BY pc.qid, cj.vec_id)
+       |${rankTailSql(topK)}""".stripMargin
   }
 
   /** DuckDB oracle for [[annRecall]]: the composed CTEs, the ANN top-k,

@@ -1116,6 +1116,28 @@ object PipelineQueries {
         "vec_id", "embedding", nprobe = 2, topK = 10)
     }),
 
+    // Landed IVF-PQ index (r16): q137's sidecar with the byte cut —
+    // the member table stores m PQ codes per vector, not the
+    // embedding; landings assign + encode under the STORED codebooks;
+    // probes ADC-score only the pruned cells' code rows. The artifact
+    // a 100 TB ANN store actually persists.
+    "q140_landed_ivfpq" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q140_ivfpq_${Tables.fixtureKey(sf, "embeddings")}"
+      val pred = col("vec_id") % 2 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeIvfPqIndex(
+          emb.filter(pred), "vec_id", "embedding", tbl, kCoarse = 8,
+          coarseRounds = 2, m = 8, k = 16, pqRounds = 2,
+          dim = EmbeddingDim)
+        graft.pipeline.CorpusWriter.appendToIvfPqIndex(
+          emb.filter(!pred), "vec_id", "embedding", tbl)
+      }
+      ProductQuant.ivfAdcTopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)),
+        "vec_id", "embedding", nprobe = 3, topK = 10)
+    }),
+
     // Paraphrase mining (r15): semantically near (sign-LSH + exact
     // cosine >= 0.999) but lexically far (3-gram Jaccard <= 0.5) —
     // what semantic dedup would remove that lexical dedup keeps. The
@@ -1465,6 +1487,11 @@ object PipelineQueries {
       graft.pipeline.HyperLogLog.landedOracleSql("source", n = 3),
 
     "q138_filter_funnel" -> graft.pipeline.Funnel.curationOracleSql,
+
+    "q140_landed_ivfpq" -> ProductQuant.landedIvfPqOracleSql(
+      Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = EmbeddingDim, nprobe = 3, topK = 10,
+      trainPredSql = "vec_id % 2 = 0"),
 
     "q137_landed_ivf" -> Clustering.landedIvfOracleSql(
       Seq(0L, 1L, 2L, 3L, 4L), k = 8, rounds = 3, dim = EmbeddingDim,
