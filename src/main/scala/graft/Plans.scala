@@ -27,7 +27,9 @@ object Plans {
     "q100_mmr_select", "q101_hamming_wide", "q103_curriculum",
     "q104_dedup_eval", "q105_source_drift", "q106_novelty",
     "q107_sidecar_novelty", "q108_bpe_encode", "q111_bucketed_join",
-    "q112_partitioned_read", "q114_bm25_mrr", "q115_cube")
+    "q112_partitioned_read", "q114_bm25_mrr", "q115_cube",
+    "q137_landed_ivf", "q138_filter_funnel", "q139_skew_report",
+    "q140_landed_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

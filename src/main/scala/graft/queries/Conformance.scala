@@ -219,6 +219,38 @@ object Conformance {
         .orderBy("event_id")
     }),
 
+    // PIVOT (r16): the wide-format reshaping of the aggregation
+    // surface — one groupBy + a PINNED pivot value list (never the
+    // distinct-scan pivot: at 100 TB the value list is a contract, not
+    // a discovery pass), so it stays one exchange like any groupBy.
+    // Oracle: the explicit CASE-per-column rendering.
+    "q141_pivot" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("flag")),
+
+    // Rolling window frame (r16): ROWS BETWEEN 2 PRECEDING AND CURRENT
+    // ROW — the sliding-frame surface beside q14's offset functions.
+    // The summand lifts to exact longs (floor(value·1000)) so the
+    // frame sum is order-exact in both engines (the no-raw-double
+    // aggregation rule applied to sliding frames).
+    "q142_rolling_window" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.load(s, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 1000).as("v_mill"))
+        .withColumn("roll_sum", sum(col("v_mill")).over(w))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .drop("ts")
+        .orderBy("event_id")
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -517,6 +549,25 @@ object Conformance {
     "q15_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
         |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q141_pivot" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q142_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor("value" * 1000) AS BIGINT) AS v_mill,
+        |  CAST(sum(CAST(floor("value" * 1000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
