@@ -153,8 +153,9 @@ object CorpusWriter {
     * max ([[HyperLogLog.reportFromRegisters]]), so write+append ≡ one
     * write over the union BIT-exactly, whatever the landing order.
     * Gram order `n` rides in `{table}_meta` and is `require`d to
-    * match at read. Periodic [[compactTable]] keeps the row count at
-    * keys × M after many landings (answer-invisible, max-idempotent). */
+    * match at read. Periodic [[compactHllRegisters]] keeps the row
+    * count at keys × M after many landings (answer-invisible — it runs
+    * the reader's own max fold). */
   def writeHllRegisters(corpus: DataFrame, textCol: String,
       keyCol: String, table: String, n: Int = 3): Unit = {
     val spark = corpus.sparkSession
@@ -183,6 +184,25 @@ object CorpusWriter {
       .select(col("key"), col("register"), col("mj"))
       .write.mode(SaveMode.Append)
       .format("parquet").saveAsTable(table)
+  }
+
+  /** Compact a [[writeHllRegisters]] sidecar after many landings: fold
+    * duplicate (key, register) rows by MAX — the reader's own merge, so
+    * every later report is BIT-identical — and swap-and-rename the
+    * plain table. Row count returns to ≤ keys × [[HyperLogLog.M]];
+    * idempotent (max of one row is itself). Unlike [[compactTable]]
+    * this is a fold, not just a file rewrite — the landing discipline
+    * here accumulates duplicate ROWS by design, not just files. */
+  def compactHllRegisters(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val swap = s"${table}__compact"
+    dropOrphanedLocation(spark, swap)
+    spark.table(table)
+      .groupBy("key", "register").agg(max("mj").as("mj"))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(swap)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $swap RENAME TO $table")
   }
 
   /** Land a new batch into a [[writeWinnowIndex]] sidecar: only

@@ -251,6 +251,34 @@ object Conformance {
         .orderBy("event_id")
     }),
 
+    // UNPIVOT (r16): q141's inverse — wide metric columns melt to
+    // (flag, metric, value) long format. Melting AFTER the aggregate
+    // keeps the reshape over a #groups-sized frame (melting the fact
+    // table first would double its row count for nothing).
+    "q143_unpivot" -> ((s, sf) =>
+      Tables.load(s, sf, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .unpivot(Array(col("flag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy("flag", "metric")),
+
+    // Hopping (sliding) event-time windows (r16): window(ts, 10 min,
+    // 5 min) — each event lands in exactly d/s = 2 overlapping
+    // windows, the streaming-aggregation surface q17's tumbling case
+    // doesn't exercise. Epoch-aligned starts surface as millis.
+    "q144_hopping" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -549,6 +577,26 @@ object Conformance {
     "q15_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
         |FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q143_unpivot" ->
+      """WITH a AS (SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, metric, "value" FROM (
+        |  SELECT flag, 'sum_qty' AS metric, sum_qty AS "value" FROM a
+        |  UNION ALL
+        |  SELECT flag, 'sum_price', sum_price FROM a)
+        |ORDER BY flag, metric""".stripMargin,
+
+    "q144_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS tm FROM events),
+        |w AS (SELECT event_type,
+        |    ((tm // 300000) - k.k) * 300000 AS w_start
+        |  FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q141_pivot" ->
       """SELECT l_returnflag AS flag,

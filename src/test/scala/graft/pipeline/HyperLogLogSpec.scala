@@ -81,6 +81,30 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(HyperLogLog.report(empty, "text", "doc_id").isEmpty)
   }
 
+  test("register-sidecar compaction: report bit-equal, rows fold to keys × hit registers") {
+    val tbl = "graft_test_hll_compact"
+    CorpusWriter.writeHllRegisters(docs.filter(col("doc_id") % 2 === 0),
+      "text", "source", tbl, n = 3)
+    CorpusWriter.appendToHllRegisters(docs.filter(col("doc_id") % 2 === 1),
+      "text", "source", tbl)
+    // Land a batch twice: duplicates by (key, register) accumulate ROWS
+    // (harmless to the reader) — exactly what compaction folds.
+    CorpusWriter.appendToHllRegisters(docs.filter(col("doc_id") % 2 === 1),
+      "text", "source", tbl)
+    def report() = HyperLogLog.reportFromRegisters(spark, tbl, "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val before = report()
+    val rowsBefore = spark.table(tbl).count()
+    CorpusWriter.compactHllRegisters(spark, tbl)
+    assert(report() == before)
+    val rowsAfter = spark.table(tbl).count()
+    assert(rowsAfter < rowsBefore, s"$rowsBefore -> $rowsAfter")
+    // Fully folded: one row per distinct (key, register) pair.
+    assert(rowsAfter ==
+      spark.table(tbl).select("key", "register").distinct().count())
+  }
+
   test("rho rank: saturation and width arithmetic") {
     // payload 0 -> RhoMax; top-bit-set payload -> 1
     import spark.implicits._
