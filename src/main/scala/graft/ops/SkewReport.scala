@@ -40,6 +40,51 @@ object SkewReport {
       .orderBy(col("n").desc, col("key"))
   }
 
+  /** The TWO-SIDED profile: for an equi-join `left.keyLeft =
+    * right.keyRight`, the per-key OUTPUT row estimate `n_l · n_r` —
+    * the actual join-explosion diagnostic ([[keyProfile]] sees one
+    * table's skew; a join's hottest task is the key whose COUNT
+    * PRODUCT is largest, which neither side's profile shows alone).
+    * Returns keys whose estimated output exceeds `targetRowsPerTask`,
+    * with both side counts and the [[SaltedJoin]] fan-out that bounds a
+    * salted task's OUTPUT at ≤ target (salting splits the left side,
+    * so each salt's output is `(n_l/salts)·n_r`). Hottest first.
+    *
+    * Scale shape: two counter-sized groupBys + an inner join of the
+    * two COUNT tables (keys-sized, slim) — the fact tables are read
+    * once each and never joined. Output-estimate arithmetic is exact
+    * integers; the product contract is the obvious one (n_l·n_r ≤
+    * |left|·max(n_r) must fit BIGINT — a key hot enough to overflow it
+    * is a key you'd never run un-salted anyway). */
+  def joinProfile(left: DataFrame, right: DataFrame, keyLeft: String,
+      keyRight: String, targetRowsPerTask: Long): DataFrame = {
+    require(targetRowsPerTask > 0,
+      s"targetRowsPerTask must be positive: $targetRowsPerTask")
+    val l = left.groupBy(col(keyLeft).as("key")).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(keyRight).as("key")).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .filter(col("out_rows") > targetRowsPerTask)
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        expr(s"CAST(((out_rows - 1) div $targetRowsPerTask) + 1 AS INT)")
+          .as("salts"))
+      .orderBy(col("out_rows").desc, col("key"))
+  }
+
+  /** DuckDB oracle for [[joinProfile]] over an `events` self-join on
+    * `user_id`. */
+  def joinProfileOracleSql(keyCol: String = "user_id",
+      targetRowsPerTask: Long = 1000L): String =
+    s"""WITH c AS (
+       |  SELECT $keyCol AS key, count(*) AS n FROM events GROUP BY 1),
+       |j AS (SELECT l.key, l.n AS n_left, r.n AS n_right,
+       |    l.n * r.n AS out_rows
+       |  FROM c l JOIN c r USING (key))
+       |SELECT key, n_left, n_right, out_rows,
+       |  CAST(((out_rows - 1) // $targetRowsPerTask) + 1 AS INT) AS salts
+       |FROM j WHERE out_rows > $targetRowsPerTask
+       |ORDER BY out_rows DESC, key""".stripMargin
+
   /** DuckDB oracle for [[keyProfile]] over table `events`, key
     * `event_type`. */
   def oracleSql(keyCol: String = "event_type",

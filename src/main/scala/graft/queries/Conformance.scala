@@ -145,6 +145,16 @@ object Conformance {
         Tables.load(s, sf, "events"), "event_type",
         targetRowsPerTask = 100L)),
 
+    // Two-sided join profile (r16): per-key OUTPUT estimate n_l·n_r
+    // for an equi-join — the join-explosion diagnostic q139's single
+    // -table profile can't see; two counter aggregates + a keys-sized
+    // join of the count tables, fact tables never joined.
+    "q145_join_profile" -> ((s, sf) => {
+      val ev = Tables.load(s, sf, "events")
+      graft.ops.SkewReport.joinProfile(ev, ev, "user_id", "user_id",
+        targetRowsPerTask = 1000L)
+    }),
+
     // Bucketed co-located join (r14): both fact tables land bucketed by
     // the join key (the landing-time knob the brief names for
     // co-located joins), so the join itself needs NO exchange on either
@@ -684,6 +694,9 @@ object Conformance {
 
     "q139_skew_report" -> graft.ops.SkewReport.oracleSql(
       "event_type", targetRowsPerTask = 100L),
+
+    "q145_join_profile" -> graft.ops.SkewReport.joinProfileOracleSql(
+      "user_id", targetRowsPerTask = 1000L),
 
     "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),
 
