@@ -37,4 +37,59 @@ object SaltedJoin {
     l.join(r, l(keyLeft) === r(keyRight) && l("__salt") === r("__salt"))
       .drop(r(keyRight)).drop(l("__salt")).drop(r("__salt"))
   }
+
+  /** DIFFERENTIAL salting driven by the measured profile
+    * ([[SkewReport.joinProfile]]) — the production form of [[join]]:
+    * uniform salting replicates the WHOLE right side `salts` times
+    * (q109's static rewrite, priced even where there is no skew);
+    * here each hot key gets exactly the fan-out that bounds its salted
+    * task's output at `targetRowsPerTask`, and COLD keys keep fan-out
+    * 1 — no replication, no salt-space blowup. Answer-invisible like
+    * [[join]]: each left row draws one salt in [0, salts(key)), each
+    * right row replicates salts(key) times, so every matching pair
+    * meets exactly once (q146's oracle is the plain SQL join).
+    *
+    * Scale shape: the profile is hot-keys-sized BY CONSTRUCTION (only
+    * keys over the target survive it) and BROADCASTS onto both fact
+    * tables to attach fan-outs — the fact tables never shuffle until
+    * the one salted exchange on (key, salt). The profile pass reads
+    * both tables once (two counter aggregations); amortize it by
+    * persisting the profile beside the table when the same join runs
+    * repeatedly. */
+  def autoJoin(left: DataFrame, right: DataFrame, keyLeft: String,
+      keyRight: String, targetRowsPerTask: Long): DataFrame = {
+    val spark = left.sparkSession
+    val prof0 = SkewReport.joinProfile(left, right, keyLeft, keyRight,
+        targetRowsPerTask)
+      .select(col("key"), col("salts"))
+    // The profile lands as a LOCAL relation (collect + rebuild): it is
+    // hot-keys-sized by the profile's own filter — exactly the skew-hint
+    // list a production job persists — and keeping it as a derived plan
+    // would put `left`'s and `right`'s subtrees on BOTH sides of the
+    // final join (prof derives from both), which Spark's self-join
+    // disambiguation rejects as ambiguous.
+    val profRows = prof0.collect()
+    require(profRows.length <= 10000000,
+      s"join profile has ${profRows.length} hot keys — above the " +
+        "broadcast-hint contract; salt statically (SaltedJoin.join) or " +
+        "raise targetRowsPerTask")
+    val prof = spark.createDataFrame(
+      java.util.Arrays.asList(profRows: _*), prof0.schema)
+    val leftCols = left.columns.map(col).toSeq
+    val l = left
+      .join(broadcast(prof), left(keyLeft) === prof("key"), "left")
+      .withColumn("__salts", coalesce(col("salts"), lit(1)))
+      .drop("key", "salts")
+      .withColumn("__salt", pmod(hash(leftCols: _*), col("__salts")))
+      .drop("__salts")
+    val r = right
+      .join(broadcast(prof), right(keyRight) === prof("key"), "left")
+      .withColumn("__salts", coalesce(col("salts"), lit(1)))
+      .drop("key", "salts")
+      .withColumn("__salt",
+        explode(sequence(lit(0), col("__salts") - lit(1))))
+      .drop("__salts")
+    l.join(r, l(keyLeft) === r(keyRight) && l("__salt") === r("__salt"))
+      .drop(r(keyRight)).drop(l("__salt")).drop(r("__salt"))
+  }
 }

@@ -145,6 +145,23 @@ object Conformance {
         Tables.load(s, sf, "events"), "event_type",
         targetRowsPerTask = 100L)),
 
+    // Profile-driven differential salting (r16): q145's measured
+    // fan-outs drive q109's rewrite — hot keys split by exactly the
+    // salts that bound their task output, cold keys untouched (no
+    // blanket right-side replication). Answer-invisible: the oracle
+    // is the plain SQL join.
+    "q146_auto_salted_join" -> ((s, sf) =>
+      graft.ops.SaltedJoin.autoJoin(
+          Tables.load(s, sf, "lineitem").select("l_orderkey", "l_quantity"),
+          Tables.load(s, sf, "orders").select("o_orderkey", "o_orderpriority"),
+          keyLeft = "l_orderkey", keyRight = "o_orderkey",
+          targetRowsPerTask = 5L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")),
+
     // Two-sided join profile (r16): per-key OUTPUT estimate n_l·n_r
     // for an equi-join — the join-explosion diagnostic q139's single
     // -table profile can't see; two counter aggregates + a keys-sized
@@ -697,6 +714,15 @@ object Conformance {
 
     "q145_join_profile" -> graft.ops.SkewReport.joinProfileOracleSql(
       "user_id", targetRowsPerTask = 1000L),
+
+    // Salting must be answer-invisible: the q109 oracle verbatim, but
+    // sum_qty keeps full DECIMAL precision (no distributive re-round).
+    "q146_auto_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q95_interval_join" -> IntervalJoin.eventsOracleSql(3600000L),
 

@@ -23,6 +23,25 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(plain.length == 902) // 900 hot + 2 singleton matches
   }
 
+  test("autoJoin ≡ plain join on skewed data; only measured-hot keys salt") {
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k950", "A"), ("k999", "B"), ("miss", "X"))
+      .toDF("k", "tag")
+    val plain = left.join(right, "k")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val auto = SaltedJoin.autoJoin(left, right, "k", "k",
+        targetRowsPerTask = 100L)
+      .select("k", "v", "tag")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(auto == plain)
+    // The profile drives the differential: exactly one hot key, with
+    // the fan-out that bounds its 900-row output at 100 per task.
+    val prof = SkewReport.joinProfile(left, right, "k", "k", 100L)
+      .collect().map(r => (r.getString(0), r.getInt(4))).toSeq
+    assert(prof == Seq(("hot", 9)))
+  }
+
   test("the join key includes the salt (the skew actually spreads)") {
     val left = Seq(("a", 1)).toDF("k", "v")
     val right = Seq(("a", "x")).toDF("k", "tag")
