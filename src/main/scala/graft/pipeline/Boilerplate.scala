@@ -65,6 +65,76 @@ object Boilerplate {
       .orderBy("doc_id")
   }
 
+  /** The REWRITE the report's drop/scrub decision feeds (the [[
+    * RepeatedSpans.scrub]] convention at source-template grain):
+    * every document with ≥ 1 token comes back with its template
+    * chunks removed — `scrub_text` is the surviving chunks rejoined in
+    * document order (normalized text, like every chunk-grain rewrite),
+    * beside the report counts, and a fully-templated document survives
+    * with empty text rather than vanishing (policies decide drops, the
+    * scrub never does).
+    *
+    * Same scale shape as the report — the only additions are the
+    * chunk's position (riding the existing slim rows) and a doc-sized
+    * ordered rebuild inside the final per-doc rollup; raw text still
+    * never shuffles, only chunks that survive into the rebuild. */
+  def scrubTemplates(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, chunkTokens: Int, minDocs: Int, pct: Int): DataFrame = {
+    require(chunkTokens > 0 && minDocs > 1 && pct >= 0 && pct <= 100,
+      s"need chunkTokens > 0, minDocs > 1, pct in [0,100]: " +
+        s"$chunkTokens, $minDocs, $pct")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val seg = Materialize.barrier(docs.select(
+      col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
+      posexplode(graft.functions.GraftFunctions.tokenChunks(col(textCol),
+        chunkTokens)).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("source"), col("pos"), col("chunk"),
+        md5(col("chunk")).as("fp")))
+    val srcDocs = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("src_docs"))
+    val segDf = seg.select("source", "fp", "doc_id").distinct()
+      .groupBy("source", "fp").agg(count(lit(1)).as("seg_df"))
+    seg.join(segDf, Seq("source", "fp"))
+      .join(broadcast(srcDocs), "source")
+      .withColumn("tpl", col("seg_df") >= minDocs &&
+        col("seg_df") * 100L >= lit(pct.toLong) * col("src_docs"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("tpl"), 1L).otherwise(0L)).as("boiler_segments"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT tpl THEN " +
+            "struct(pos, chunk) END)), s -> s.chunk)"), " ")
+          .as("scrub_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[scrubTemplates]] over table `documents`. */
+  def scrubOracleSql(chunkTokens: Int, minDocs: Int, pct: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, source, i,
+       |    array_to_string(t[(i-1)*$chunkTokens+1:i*$chunkTokens], ' ') AS chunk,
+       |    md5(array_to_string(t[(i-1)*$chunkTokens+1:i*$chunkTokens], ' ')) AS fp
+       |  FROM toks, LATERAL unnest(range(1, ((len(t) + ${chunkTokens - 1}) // $chunkTokens) + 1)) AS r(i)
+       |  WHERE len(t) > 0),
+       |src_docs AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+       |  FROM documents GROUP BY source),
+       |seg_df AS (
+       |  SELECT source, fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS seg_df
+       |  FROM seg GROUP BY source, fp),
+       |j AS (
+       |  SELECT seg.doc_id, seg.source, seg.i, seg.chunk,
+       |    (seg_df >= $minDocs AND seg_df * 100 >= $pct * src_docs) AS tpl
+       |  FROM seg JOIN seg_df USING (source, fp) JOIN src_docs USING (source))
+       |SELECT doc_id, source,
+       |       CAST(count(*) AS BIGINT) AS n_segments,
+       |       CAST(sum(CASE WHEN tpl THEN 1 ELSE 0 END) AS BIGINT) AS boiler_segments,
+       |       coalesce(string_agg(CASE WHEN NOT tpl THEN chunk END, ' ' ORDER BY i), '') AS scrub_text
+       |FROM j GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for [[sourceTemplateReport]] over table `documents`. */
   def oracleSql(chunkTokens: Int, minDocs: Int, pct: Int): String =
     s"""WITH toks AS (

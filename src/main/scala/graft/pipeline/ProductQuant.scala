@@ -194,6 +194,57 @@ object ProductQuant {
       .orderBy("qid", "vec_id")
   }
 
+  /** Two-stage refined retrieval — the IVFADC+R decomposition (Jégou
+    * et al. §5.3's re-ranking step, minus the residual codebooks): the
+    * composed IVF-PQ shortlists the ADC-best `shortlist` candidates per
+    * query (the bytes-cut scan of [[ivfAdcTopK]]), then ONE exact
+    * gather re-scores just those candidates with the full lifted dot
+    * and re-ranks to `topK` — ADC's quantization error decides only WHO
+    * makes the shortlist, never the final order.
+    *
+    * Scale shape: the shortlist frame is ≤ |Q|·shortlist rows BY
+    * CONTRACT (it exits [[Similarity.topKPerQid]]'s bounded heap), so
+    * it broadcasts onto one corpus scan that gathers the candidates'
+    * vectors — the exact-math pass touches |Q|·shortlist rows, not the
+    * corpus, which is the whole point of refining AFTER the ADC cut.
+    * The query vectors ride as a ≤1000-row local relation (the batch
+    * contract), so the rescore join has no fact-table lineage on its
+    * small sides.
+    *
+    * Within-shortlist exactness: rerank keeps the exact-best `topK` of
+    * the shortlist, so its hit count against the true top-`topK` is
+    * ≥ plain ADC's for the same shortlist (|exact ∩ shortlist| ≥
+    * |exact ∩ adcTopK| — RerankSpec measures it). With every cell
+    * probed and `shortlist` ≥ corpus−1 it IS the exact retrieval
+    * (RerankSpec pins bit-equality). */
+  def ivfAdcRerankTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int, nprobe: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= shortlist,
+      s"topK must be in [1, shortlist=$shortlist]: $topK")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val ann = ivfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
+      coarseRounds, m, k, pqRounds, dim, nprobe, shortlist)
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    // Query vectors land as a local relation: ≤1000 rows by the batch
+    // contract, and a derived plan would put the corpus subtree on both
+    // sides of the rescore join (the SaltedJoin.autoJoin reasoning).
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("fxd").as("qfxd"))
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.collect(): _*), qRows.schema)
+    val rescored = e
+      .join(broadcast(ann.select(col("qid"), col("vec_id"))), "vec_id")
+      .join(broadcast(qLocal), "qid")
+      .select(col("qid"), col("vec_id"),
+        call_function("vec_dot", col("fxd"), col("qfxd")).as("cos"))
+    Similarity.topKPerQid(rescored, topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
   /** IVF-PQ retrieval against a STORED index sidecar
     * ([[CorpusWriter.writeIvfPqIndex]] + landings) — the deployment form
     * of [[ivfAdcTopK]] and the artifact a 100 TB ANN store actually
@@ -559,6 +610,27 @@ object ProductQuant {
        |  GROUP BY pc.qid, cj.vec_id)
        |${rankTailSql(topK)}""".stripMargin
   }
+
+  /** DuckDB oracle for [[ivfAdcRerankTopK]]: the composed CTEs rank the
+    * ADC shortlist, then the exact lifted dot over the coarse chain's
+    * full-dimension `cg_e` re-scores and re-ranks it. */
+  def rerankOracleSql(queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int, shortlist: Int,
+      topK: Int): String =
+    s"""${ivfAdcCtesSql(queryIds, kCoarse, coarseRounds, m, k, pqRounds,
+           dim, nprobe)},
+       |short AS (SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $shortlist),
+       |rescored AS (SELECT s.qid, e.vec_id,
+       |    ${Clustering.dotSql("e.fxd", "q.fxd", dim)} AS score
+       |  FROM short s
+       |  JOIN cg_e e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.qid = s.qid)
+       |SELECT qid, vec_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |  FROM rescored)
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
 
   /** DuckDB oracle for [[annRecall]]: the composed CTEs, the ANN top-k,
     * the exact lifted-dot top-k over the coarse chain's full-dimension

@@ -306,6 +306,70 @@ object Conformance {
           col("event_type"), col("n"))
         .orderBy("w_start", "event_type")),
 
+    // Semi/anti joins (r16): the filtering join types the decontam/
+    // admission family uses internally (anti-join landings), surfaced
+    // as first-class SQL coverage. LEFT SEMI never replicates a left
+    // row no matter how many events match (EXISTS semantics — the
+    // right side needs no dedup pass), LEFT ANTI is its complement;
+    // both shuffle only the slim key column on the right.
+    "q147_semi_anti_join" -> ((s, sf) => {
+      val cust = Tables.load(s, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+      val ev = Tables.load(s, sf, "events").select("user_id")
+      def cnt(joinType: String, tag: String) =
+        cust.join(ev, col("c_custkey") === col("user_id"), joinType)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .withColumn("status", lit(tag))
+      cnt("left_semi", "active").unionByName(cnt("left_anti", "inactive"))
+        .select("c_mktsegment", "status", "n")
+        .orderBy("c_mktsegment", "status")
+    }),
+
+    // Correlated subqueries (r16): two correlated scalar subqueries +
+    // a correlated EXISTS through Spark's subquery decorrelation
+    // (each rewrites to an aggregate + equi-join — no per-row
+    // re-execution, the only plan shape that survives 100 TB). The
+    // above-segment-average predicate multiplies out to exact integers
+    // (cents × count > sum-of-cents): no division, so the boundary can
+    // never flip on rounding.
+    "q148_correlated_subquery" -> ((s, sf) => {
+      Tables.load(s, sf, "customer").createOrReplaceTempView("customer_v")
+      Tables.load(s, sf, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM customer_v c
+        WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) *
+            (SELECT count(*) FROM customer_v c2
+             WHERE c2.c_mktsegment = c.c_mktsegment)
+          > (SELECT sum(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+             FROM customer_v c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+          AND EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // Ranking-function family + RANGE frame (r16): ntile / percent_rank
+    // / cume_dist beside q14's row_number+lag, and a value-RANGE frame
+    // beside q142's ROWS frame. The tiebreak (ts, event_id) makes the
+    // order total, so the rank ratios are the same integer divisions in
+    // both engines; the RANGE frame orders by exact longs
+    // (floor(value·1000)) — a double range bound has no cross-engine
+    // equality contract.
+    "q149_ranking" -> ((s, sf) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val rng = Window.partitionBy("user_id").orderBy(col("v_mill"))
+        .rangeBetween(-500L, Window.currentRow)
+      Tables.load(s, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 1000).as("v_mill"))
+        .withColumn("quartile", ntile(4).over(ord).cast("long"))
+        .withColumn("pr", percent_rank().over(ord))
+        .withColumn("cd", cume_dist().over(ord))
+        .withColumn("range_n", count(lit(1)).over(rng))
+        .drop("ts")
+        .orderBy("event_id")
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -643,6 +707,45 @@ object Conformance {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Semi ≡ EXISTS, anti ≡ NOT EXISTS: the oracle states the join
+    // types by their defining subqueries.
+    "q147_semi_anti_join" ->
+      """SELECT c_mktsegment, status, n FROM (
+        |  SELECT c_mktsegment, 'active' AS status, count(*) AS n
+        |  FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'inactive', count(*)
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |  GROUP BY c_mktsegment)
+        |ORDER BY c_mktsegment, status""".stripMargin,
+
+    "q148_correlated_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_above
+        |FROM customer c
+        |WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) *
+        |    (SELECT count(*) FROM customer c2
+        |     WHERE c2.c_mktsegment = c.c_mktsegment)
+        |  > (SELECT sum(CAST(floor(c2.c_acctbal * 100) AS BIGINT))
+        |     FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q149_ranking" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor("value" * 1000) AS BIGINT) AS v_mill,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor("value" * 1000) AS BIGINT)
+        |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS range_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

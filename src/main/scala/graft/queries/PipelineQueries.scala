@@ -522,6 +522,14 @@ object PipelineQueries {
       Boilerplate.sourceTemplateReport(Tables.load(s, sf, "documents"),
         "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
 
+    // Template scrub (r16): the rewrite q91's report feeds — template
+    // chunks removed, survivors rejoined in document order, and a
+    // fully-templated doc survives with empty text (policies decide
+    // drops, the scrub never does).
+    "q151_template_scrub" -> ((s, sf) =>
+      Boilerplate.scrubTemplates(Tables.load(s, sf, "documents"),
+        "doc_id", "text", "source", chunkTokens = 8, minDocs = 2, pct = 8)),
+
     // Radix-selection percentiles (r14): q53's exact report computed
     // with ZERO sorts and ZERO data shuffles — fixed-count scan+agg
     // passes narrow each rank's value prefix; same oracle as q53.
@@ -666,6 +674,17 @@ object PipelineQueries {
         "embedding", queryIds = Seq(0L, 1L, 2L), kCoarse = 8,
         coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
         nprobe = 3, topK = 10)),
+
+    // Two-stage refined retrieval (r16): q86's IVF-PQ ADC pass
+    // shortlists 30 candidates per query, one broadcast gather
+    // re-scores only those with the exact lifted dot and re-ranks to
+    // top-10 — quantization error picks the shortlist, never the
+    // final order (IVFADC+R minus the residual codebooks).
+    "q150_adc_rerank" -> ((s, sf) =>
+      ProductQuant.ivfAdcRerankTopK(Tables.load(s, sf, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), kCoarse = 8,
+        coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+        nprobe = 3, shortlist = 30, topK = 10)),
 
     // Signed random projection (r14): JL reduction 64→16 dims through
     // the q33 sign-matrix LCG — exact integer sums in the lifted domain,
@@ -1353,6 +1372,9 @@ object PipelineQueries {
     "q91_source_boilerplate" -> Boilerplate.oracleSql(chunkTokens = 8,
       minDocs = 2, pct = 8),
 
+    "q151_template_scrub" -> Boilerplate.scrubOracleSql(chunkTokens = 8,
+      minDocs = 2, pct = 8),
+
     "q73_semantic_decontam" ->
       Similarity.semanticDecontamOracleSql("vec_id % 97 = 0", tau = 0.35),
 
@@ -1377,6 +1399,10 @@ object PipelineQueries {
     "q87_ann_recall" -> ProductQuant.recallOracleSql(Seq(0L, 1L, 2L),
       kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
       nprobe = 3, topK = 10),
+
+    "q150_adc_rerank" -> ProductQuant.rerankOracleSql(Seq(0L, 1L, 2L),
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+      nprobe = 3, shortlist = 30, topK = 10),
 
     "q74_token_budget_mix" -> Sampling.tokenBudgetMixOracleSql(
       Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L)),

@@ -73,4 +73,39 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.filter(col("boiler_frac") < 0.0 || col("boiler_frac") > 1.0 ||
       col("boiler_segments") > col("n_segments")).count() === 0)
   }
+
+  test("scrub drops exactly the template chunks, in document order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, s"$header u1 u2 u3 u4 u5 u6 u7 u8", "A"),
+      (2L, s"u1 u2 u3 u4 u5 u6 u7 u8 $header", "A"),
+      (3L, s"$header w1 w2 w3 w4 w5 w6 w7 w8", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = Boilerplate.scrubTemplates(docs, "doc_id", "text", "source",
+        chunkTokens = 8, minDocs = 2, pct = 50)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    // header (3 docs) and the u-chunk (2 docs) both clear 50% of 3;
+    // the w-tail is unique. Order survives: doc 2 had the u-chunk first.
+    assert(r(1L) === ((2L, 2L, "")))
+    assert(r(2L) === ((2L, 2L, "")))
+    assert(r(3L) === ((2L, 1L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+  }
+
+  test("scrub keeps fully-templated docs with empty text and agrees with the report") {
+    import spark.implicits._
+    val docs = Seq((1L, header, "B"), (2L, header, "B"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8", "B"))
+      .toDF("doc_id", "text", "source")
+    val scrub = Boilerplate.scrubTemplates(docs, "doc_id", "text", "source",
+      chunkTokens = 8, minDocs = 2, pct = 50)
+    assert(scrub.count() === 3)
+    assert(scrub.filter(col("doc_id") <= 2 && col("scrub_text") =!= "")
+      .count() === 0)
+    val rep = Boilerplate.sourceTemplateReport(docs, "doc_id", "text",
+      "source", chunkTokens = 8, minDocs = 2, pct = 50)
+      .select("doc_id", "n_segments", "boiler_segments")
+    assert(scrub.select("doc_id", "n_segments", "boiler_segments")
+      .except(rep).count() === 0)
+  }
 }
