@@ -57,22 +57,37 @@ object SaltedJoin {
     * persisting the profile beside the table when the same join runs
     * repeatedly. */
   def autoJoin(left: DataFrame, right: DataFrame, keyLeft: String,
-      keyRight: String, targetRowsPerTask: Long): DataFrame = {
+      keyRight: String, targetRowsPerTask: Long): DataFrame =
+    autoJoinWithProfile(left, right, keyLeft, keyRight,
+      SkewReport.joinProfile(left, right, keyLeft, keyRight,
+        targetRowsPerTask).select(col("key"), col("salts")))
+
+  /** [[autoJoin]] against a SUPPLIED `(key, salts)` profile — the
+    * deployment form (q153): the profile is measured once (or kept
+    * current by a [[graft.streaming.StreamSkew]] counter stream) and
+    * PERSISTED beside the table, so repeated runs of the same join skip
+    * the two profile aggregations entirely. Correct under ANY profile
+    * with fan-outs ≥ 1 — salting is answer-invisible whether the
+    * profile is fresh, stale, or wrong (SaltedJoinSpec pins a
+    * deliberately mis-measured profile); staleness costs load balance,
+    * never the answer, which is what makes persisting it safe. */
+  def autoJoinWithProfile(left: DataFrame, right: DataFrame,
+      keyLeft: String, keyRight: String, profile: DataFrame): DataFrame = {
     val spark = left.sparkSession
-    val prof0 = SkewReport.joinProfile(left, right, keyLeft, keyRight,
-        targetRowsPerTask)
-      .select(col("key"), col("salts"))
+    val prof0 = profile.select(col("key"), col("salts").cast("int"))
     // The profile lands as a LOCAL relation (collect + rebuild): it is
     // hot-keys-sized by the profile's own filter — exactly the skew-hint
-    // list a production job persists — and keeping it as a derived plan
-    // would put `left`'s and `right`'s subtrees on BOTH sides of the
-    // final join (prof derives from both), which Spark's self-join
+    // list a production job persists — and a derived plan would put
+    // `left`'s and `right`'s subtrees on BOTH sides of the final join
+    // (a joinProfile derives from both), which Spark's self-join
     // disambiguation rejects as ambiguous.
     val profRows = prof0.collect()
     require(profRows.length <= 10000000,
       s"join profile has ${profRows.length} hot keys — above the " +
         "broadcast-hint contract; salt statically (SaltedJoin.join) or " +
         "raise targetRowsPerTask")
+    require(profRows.forall(_.getInt(1) >= 1),
+      "profile fan-outs must be >= 1")
     val prof = spark.createDataFrame(
       java.util.Arrays.asList(profRows: _*), prof0.schema)
     val leftCols = left.columns.map(col).toSeq

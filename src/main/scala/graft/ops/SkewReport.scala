@@ -26,13 +26,23 @@ object SkewReport {
     * integer form) that would bound each salted task at ≤ target rows.
     * Hottest first (n desc, key asc). */
   def keyProfile(df: DataFrame, keyCol: String,
+      targetRowsPerTask: Long): DataFrame =
+    profileFromCounts(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")),
+      targetRowsPerTask)
+
+  /** The counter→profile half of [[keyProfile]], split out so MERGED
+    * counters can feed it too (the streaming monitor sums per-batch
+    * (key, n) rows — counts are additive, so the profile of the union
+    * is the profile of the summed counters; StreamSkew pins it).
+    * `counts` is a (key, n) frame; rows for the same key are summed. */
+  def profileFromCounts(counts: DataFrame,
       targetRowsPerTask: Long): DataFrame = {
     require(targetRowsPerTask > 0,
       s"targetRowsPerTask must be positive: $targetRowsPerTask")
-    val counts = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"))
-    val totals = counts.agg(sum("n").as("total"))
-    counts.crossJoin(broadcast(totals))
+    val c = counts.groupBy("key").agg(sum("n").as("n"))
+    val totals = c.agg(sum("n").as("total"))
+    c.crossJoin(broadcast(totals))
       .filter(col("n") > targetRowsPerTask)
       .select(col("key"), col("n"),
         (col("n").cast("double") / col("total").cast("double")).as("share"),

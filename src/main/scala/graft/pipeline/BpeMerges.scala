@@ -169,6 +169,74 @@ object BpeMerges {
     encodeWith(docs, idCol, textCol, m.map(t => (t._2, t._3)))
   }
 
+  /** Tokenizer fertility per group (lang/source) — the
+    * tokenizer-efficiency metric a multilingual corpus publishes:
+    * BPE tokens per word under the corpus-trained merge table
+    * ([[trainAndEncode]]), rolled up per `groupCol`. A group whose
+    * fertility is far above the corpus norm is one the tokenizer
+    * serves poorly (its text fragments into many tokens), which
+    * directly inflates its effective training cost — the signal
+    * vocabulary-allocation decisions are made from.
+    *
+    * Scale shape: the q108 encode (corpus tokenized once, char-splits
+    * over the DISTINCT-word dictionary only) plus one slim join of the
+    * per-doc counts back to the group column and a groups-sized rollup
+    * — no new corpus pass. Exact integer sums; the one double division
+    * is the reported ratio. */
+  def fertilityReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, rounds: Int): DataFrame = {
+    val enc = trainAndEncode(docs, idCol, textCol, rounds)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(groupCol).as("grp"))
+      .join(enc, "doc_id")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy("grp")
+  }
+
+  /** DuckDB oracle for [[fertilityReport]] over table `documents`:
+    * [[encodeOracleSql]]'s chain with the final select rolled up per
+    * `groupCol`. */
+  def fertilityOracleSql(groupCol: String, rounds: Int): String = {
+    val chain = trainingCteSql(rounds)
+    val refs = (1 to rounds).map(r => s"b$r").mkString(", ")
+    val enc = (1 to rounds).foldLeft("seq") { (s, r) =>
+      s"replace($s, ' '||b$r.a||'  '||b$r.b||' ', ' '||b$r.a||b$r.b||' ')"
+    }
+    s"""$chain,
+       |dw AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |    FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY doc_id, word),
+       |dict AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim($enc), '  ')) AS BIGINT) AS n_syms
+       |  FROM (
+       |    SELECT DISTINCT word,
+       |      ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+       |    FROM dw) w, $refs),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_words,
+       |    CAST(sum(c * n_syms) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN dict USING (word)
+       |  GROUP BY doc_id)
+       |SELECT d.$groupCol AS grp,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(p.n_tokens) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(p.n_words) AS BIGINT) AS DOUBLE) AS fertility
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for [[trainAndEncode]] over table `documents`: the
     * [[oracleSql]] training CTE chain, then every (doc, word) count
     * encoded under the b1..bK merge rows via the same chained literal

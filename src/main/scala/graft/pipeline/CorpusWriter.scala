@@ -91,6 +91,47 @@ object CorpusWriter {
       .format("parquet").saveAsTable(s"${table}_meta")
   }
 
+  /** Store a trigram-LM model sidecar ([[TrigramModel.modelCounts]]:
+    * slim `(level, gram, c)` rows) bucketed by gram, so the reader's
+    * sum-fold and all five scoring lookups meet a gram-hash layout.
+    * Counts are ADDITIVE, so landings ([[appendToLmModel]]) plainly
+    * append their batch's counts — no anti-join, no rewrite — and the
+    * reader's per-(level, gram) SUM makes write+append ≡ write-union
+    * exactly in any landing order (the HLL-register discipline with
+    * sum in place of max). */
+  def writeLmModel(train: DataFrame, textCol: String, table: String,
+      buckets: Int = 64): Unit = {
+    val spark = train.sparkSession
+    dropOrphanedLocation(spark, table)
+    TrigramModel.modelCounts(train, textCol)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+    dropOrphanedLocation(spark, s"${table}_meta")
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land another training batch's counts into a [[writeLmModel]]
+    * sidecar (plain append under the stored bucket spec — the reader
+    * sums). */
+  def appendToLmModel(train: DataFrame, textCol: String,
+      table: String): Unit = {
+    val spark = train.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed LM model meta: ${meta.length} rows")
+    TrigramModel.modelCounts(train, textCol)
+      .write.mode(SaveMode.Append)
+      .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Land a new batch into a [[writeGramIndex]] sidecar: only grams the
     * index has never seen append (a gram-keyed anti-join against the
     * bucketed table — bucket-local, no corpus exchange), so the index

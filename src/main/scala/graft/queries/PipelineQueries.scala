@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, TrigramModel, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -105,6 +105,68 @@ object PipelineQueries {
     "q108_bpe_encode" -> ((s, sf) =>
       BpeMerges.trainAndEncode(Tables.load(s, sf, "documents"), "doc_id",
         "text", rounds = 6)),
+
+    // Tokenizer fertility (r16): q108's per-doc token counts rolled up
+    // per language — BPE tokens per word under the corpus-trained merge
+    // table, the tokenizer-efficiency signal vocabulary-allocation
+    // decisions are made from. No new corpus pass.
+    "q152_tokenizer_fertility" -> ((s, sf) =>
+      BpeMerges.fertilityReport(Tables.load(s, sf, "documents"), "doc_id",
+        "text", "lang", rounds = 6)),
+
+    // Stored-profile salted join (r16): q146's differential salting
+    // against a PERSISTED profile sidecar — repeated runs of the same
+    // join skip the measurement pass entirely. The oracle stays the
+    // plain SQL join: salting is answer-invisible under any persisted
+    // (even stale) profile.
+    "q153_stored_profile_join" -> ((s, sf) => {
+      val pre = s"graft_q153_${Tables.fixtureKey(sf, "lineitem")}"
+      if (!s.catalog.tableExists(s"${pre}_prof")) {
+        graft.pipeline.CorpusWriter.dropOrphanedLocation(s, s"${pre}_prof")
+        graft.ops.SkewReport.joinProfile(
+            Tables.load(s, sf, "lineitem").select("l_orderkey"),
+            Tables.load(s, sf, "orders").select("o_orderkey"),
+            "l_orderkey", "o_orderkey", targetRowsPerTask = 5L)
+          .select("key", "salts")
+          .write.format("parquet").saveAsTable(s"${pre}_prof")
+      }
+      graft.ops.SaltedJoin.autoJoinWithProfile(
+          Tables.load(s, sf, "lineitem").select("l_orderkey", "l_quantity"),
+          Tables.load(s, sf, "orders").select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", s.table(s"${pre}_prof"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Trigram LM with stupid backoff (r16): the CCNet-shaped quality
+    // filter — train on the even-id half, score the held-out odd half,
+    // so the trigram→bigram→unigram→unseen backoff chain is live.
+    "q154_trigram_backoff" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      TrigramModel.backoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
+
+    // Landed LM model (r16): the q154 model stored as a bucketed count
+    // sidecar in TWO landings (write + plain append — counts are
+    // additive, the reader's sum-fold IS the merge), scored bit-equal
+    // to the in-session form; the oracle IS q154's oracle.
+    "q155_landed_lm" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q155_lm_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeLmModel(
+          docs.filter(col("doc_id") % 4 === 0), "text", tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToLmModel(
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+      }
+      TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s.table(tbl))
+    }),
 
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
@@ -1226,6 +1288,25 @@ object PipelineQueries {
     "q106_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
     "q108_bpe_encode" -> BpeMerges.encodeOracleSql(rounds = 6),
+
+    "q152_tokenizer_fertility" -> BpeMerges.fertilityOracleSql("lang",
+      rounds = 6),
+
+    // Salting must stay answer-invisible under a persisted profile:
+    // the q146 oracle verbatim.
+    "q153_stored_profile_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q154_trigram_backoff" ->
+      TrigramModel.oracleSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // Two landings must be invisible: q154's oracle verbatim.
+    "q155_landed_lm" ->
+      TrigramModel.oracleSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

@@ -42,6 +42,28 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(prof == Seq(("hot", 9)))
   }
 
+  test("a stale (wrong) persisted profile stays answer-invisible") {
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k950", "A"), ("k999", "B"), ("miss", "X"))
+      .toDF("k", "tag")
+    val plain = left.join(right, "k")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    // The profile names a key that is NOT hot (and misses the one that
+    // is) — exactly what a profile measured on yesterday's data looks
+    // like. Balance suffers; the answer must not.
+    val stale = Seq(("k950", 7), ("gone", 3)).toDF("key", "salts")
+    val r = SaltedJoin.autoJoinWithProfile(left, right, "k", "k", stale)
+      .select("k", "v", "tag")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(r == plain)
+    // Fan-outs below 1 are rejected loudly.
+    intercept[IllegalArgumentException] {
+      SaltedJoin.autoJoinWithProfile(left, right, "k", "k",
+        Seq(("hot", 0)).toDF("key", "salts")).collect()
+    }
+  }
+
   test("the join key includes the salt (the skew actually spreads)") {
     val left = Seq(("a", 1)).toDF("k", "v")
     val right = Seq(("a", "x")).toDF("k", "tag")

@@ -125,6 +125,30 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(total === trained.last._5)
   }
 
+  test("fertility report ≡ the per-doc encode rolled up by lang") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val enc = BpeMerges.trainAndEncode(docs, "doc_id", "text", rounds = 4)
+    val expect = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang").as("grp"))
+      .join(enc, "doc_id")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = BpeMerges.fertilityReport(docs, "doc_id", "text", "lang",
+        rounds = 4)
+      .collect().map { r =>
+        // fertility is exactly the ratio of the two reported sums
+        assert(r.getDouble(4) ===
+          r.getLong(3).toDouble / r.getLong(2).toDouble)
+        (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+      }.toMap
+    assert(got === expect)
+    assert(got.values.forall { case (_, w, t) => t >= w }) // merges never split
+  }
+
   test("fixture corpus: 6 rounds match the local reference trainer") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq

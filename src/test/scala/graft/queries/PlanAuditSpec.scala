@@ -549,6 +549,102 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("q146: differential salting keys on (orderkey, salt); the profile attaches by broadcast") {
+    val df = SparkEntry.queries("q146_auto_salted_join")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__salt"), p)
+    // The hot-key profile joins onto BOTH fact tables as a broadcast
+    // build side — the fact tables must not shuffle to meet it.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+      && (l.contains("l_orderkey#") || l.contains("o_orderkey#"))
+      && !l.contains("__salt")), p)
+  }
+
+  test("q147: semi/anti sides scan only the slim key column on the right") {
+    val df = SparkEntry.queries("q147_semi_anti_join")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // The events side of both joins reads user_id alone — a scan that
+    // drags the full record into an existence check is wrong.
+    val evSchemas = p.linesIterator.filter(l => l.contains("ReadSchema") &&
+      l.contains("user_id")).toSeq
+    assert(evSchemas.nonEmpty && evSchemas.forall(!_.contains("props")), p)
+  }
+
+  test("q148: both correlated subqueries decorrelate to aggregate+join — no per-row re-execution") {
+    val df = SparkEntry.queries("q148_correlated_subquery")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // Decorrelation turns the scalar subqueries into grouped aggregates
+    // joined back on the correlation key, and EXISTS into a semi join;
+    // a surviving correlated subplan would appear as a nested loop.
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q149: one window partitioning serves the ranking family; no cartesian") {
+    val df = SparkEntry.queries("q149_ranking")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q150: the rerank gather rides broadcasts — the corpus never shuffle-joins") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q150_adc_rerank")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q151: template scrub keeps q91's scan discipline") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q151_template_scrub")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(documentScans(df) == 2, p)
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.exists(s => s.contains("source") && !s.contains("text")), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q154: LM scoring tokenizes the scored corpus once; model lookups are equi-joins") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q154_trigram_backoff")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      // The ONLY nested-loop join is the 1-row broadcast n_train attach
+      // (the q139 scalar-total idiom); every gram lookup is an equi-join.
+      // (AQE's toString repeats the tree under "== Initial Plan ==" —
+      // count in the final section only.)
+      val pFinal = p.split("== Initial Plan ==")(0)
+      assert(pFinal.linesIterator.count(
+        _.contains("BroadcastNestedLoopJoin")) <= 1, p)
+      // Two parses total: the scored half reads text exactly once, and
+      // the train half parses once into the cached token-array frame
+      // (all three gram grains + the total lift from the one cache).
+      val n = documentScans(df)
+      assert(n == 2, s"scans=$n\n$p")
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("q111: the bucketed join needs NO exchange on either join key") {
     val df = SparkEntry.queries("q111_bucketed_join")(spark, TestSpark.Sf)
     df.collect()
