@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) embedding quantization — the SIMPLEST member of the
+  * compression family beside PQ (q80/q81): each dimension is affinely
+  * mapped onto [0, 255] by its corpus min/max, so a vector stores as
+  * `dim` bytes (8× cut vs the lifted longs, 4× vs float32) and a query
+  * scores against DEQUANTIZED values with pure integer arithmetic. SQ8
+  * is what vector stores deploy when recall must stay near-exact and
+  * codebook training (PQ's k-means) is unwanted — the quantizer "trains"
+  * in one aggregation pass.
+  *
+  * Everything runs in [[Clustering.Scale]]'s fixed-point domain:
+  *   code_d  = ((fx_d − min_d) · 255) div (max_d − min_d)   (0 if Δ=0)
+  *   deq_d   = min_d + (code_d · Δ_d) div 255
+  *   score   = Σ_d q_d · deq_d                               (exact Long)
+  * — integer floor-divisions on nonnegative operands and an exact
+  * integer dot (|q_d| ~2^20, deq ~2^20, dim 64 → |score| < 2^47), so
+  * the DuckDB oracle replays every code and score bit-exactly. The
+  * reported score divides by 2^40 — a power of two, so even the one
+  * double is exact.
+  *
+  * Scale shape: the per-dim stats are ONE aggregation collapsing to
+  * `dim` driver rows (contract-capped like the k-means centroids); the
+  * code frame is one zero-join projection of the lifted corpus (the
+  * storable artifact); each query scores codes with its min/Δ/q arrays
+  * riding as plan LITERALS — no join anywhere, and top-k per query is
+  * the bounded-heap prune ([[Similarity.topKPerQid]]). Reference for
+  * the quantization grid: Faiss's ScalarQuantizer (public), QT_8bit
+  * uniform variant. */
+object ScalarQuant {
+
+  /** Score fixed-point divisor: the lifted domain is Scale² = 2^40. */
+  val ScoreDiv: Double = Clustering.Scale * Clustering.Scale // 2^40
+
+  private def arrLit(a: Array[Long]): String =
+    a.mkString("array(", "L, ", "L)")
+
+  /** Per-dim (min, max) of the lifted corpus — `dim` rows collected
+    * under the explicit contract (the centroid-collect discipline). */
+  private def stats(e: DataFrame, dim: Int): (Array[Long], Array[Long]) = {
+    val rows = e.select(posexplode(col("fx")).as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    require(rows.size == dim,
+      s"corpus dimension ${rows.size} does not match declared $dim")
+    (Array.tabulate(dim)(i => rows(i)._1),
+      Array.tabulate(dim)(i => rows(i)._2 - rows(i)._1))
+  }
+
+  /** Approximate top-k retrieval over SQ8 codes for a ≤1000-query
+    * batch: (qid, vec_id, score, rn), score-desc / id-asc per query,
+    * self excluded. */
+  def sq8TopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], dim: Int, topK: Int): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract")
+    require(dim >= 1 && dim <= 4096,
+      s"per-dim stats are a driver artifact only under dim <= 4096: $dim")
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (mn, delta) = stats(e, dim)
+    val mnL = arrLit(mn)
+    val dL = arrLit(delta)
+    // The storable artifact: dim byte-range codes per vector, one
+    // zero-join projection. Kept as the scoring input so the plan
+    // proves retrieval touches codes + literals only.
+    val codes = graft.ops.Materialize.register(
+      e.select(col("vec_id"), expr(
+        s"transform(fx, (v, i) -> CASE WHEN $dL[i] = 0L THEN 0L " +
+          s"ELSE ((v - $mnL[i]) * 255L) div $dL[i] END)").as("codes")))
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fx")).collect()
+    require(qRows.length == queryIds.distinct.size,
+      s"missing query vectors: got ${qRows.length} of ${queryIds.size}")
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val qL = arrLit(r.getSeq[Long](1).toArray)
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("qid"), col("vec_id"),
+          (expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+            s"acc + $qL[i] * ($mnL[i] + CASE WHEN $dL[i] = 0L THEN 0L " +
+            s"ELSE (codes[i] * $dL[i]) div 255L END))").cast("double")
+            / lit(ScoreDiv)).as("cos"))
+    }
+    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** DuckDB oracle for [[sq8TopK]] over table `embeddings`: replays the
+    * lift, the per-dim grid, the codes, and the integer dot. */
+  def oracleSql(queryIds: Seq[Long], dim: Int, topK: Int): String = {
+    val qList = queryIds.distinct.sorted.mkString(", ")
+    s"""WITH lift AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * ${Clustering.Scale} + 0.5)
+       |      AS BIGINT)) AS fx
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(fx[i]) AS mn, max(fx[i]) - min(fx[i]) AS dl
+       |  FROM lift, LATERAL unnest(range(1, $dim + 1)) AS r(i)
+       |  GROUP BY i),
+       |q AS (SELECT vec_id AS qid, fx AS qv FROM lift
+       |      WHERE vec_id IN ($qList)),
+       |scored AS (
+       |  SELECT q.qid, l.vec_id,
+       |    CAST(sum(q.qv[d.i] * (d.mn + CASE WHEN d.dl = 0 THEN 0
+       |      ELSE ((((l.fx[d.i] - d.mn) * 255) // d.dl) * d.dl) // 255
+       |      END)) AS BIGINT) AS fp
+       |  FROM lift l, q, dims d
+       |  WHERE l.vec_id <> q.qid
+       |  GROUP BY q.qid, l.vec_id),
+       |part AS (
+       |  SELECT qid, vec_id, CAST(fp AS DOUBLE) / $ScoreDiv AS score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(fp AS DOUBLE) / $ScoreDiv DESC, vec_id)
+       |      AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, score, rn FROM part
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+}

@@ -370,6 +370,65 @@ object Conformance {
         .orderBy("event_id")
     }),
 
+    // Retention cohorts (r16): the product-analytics staple — users
+    // bucketed by first-active day, distinct actives per (cohort,
+    // day-offset). Three exact-integer stages: a per-user min (one
+    // user-keyed shuffle), a (user, day) distinct, and a user-keyed
+    // equi-join back — nothing corpus-wide, no window. Dates render as
+    // strings (a DATE column has no cross-engine pandas dtype
+    // contract; the STRING does).
+    "q157_retention_cohorts" -> ((s, sf) => {
+      val ev = Tables.load(s, sf, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val firstDay = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.distinct()
+        .join(firstDay, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("offset_days"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "offset_days")
+    }),
+
+    // Array higher-order functions (r16): transform / filter / exists /
+    // aggregate / zip_with over the embedding arrays — the codegen'd
+    // in-plan array algebra the ANN family builds on, surfaced as
+    // first-class coverage. Everything lifts to exact longs first
+    // (the no-raw-double rule), so each fold is order-exact.
+    "q158_array_hof" -> ((s, sf) =>
+      Tables.load(s, sf, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1048576.0D + 0.5D) AS BIGINT))")
+          .as("fx"))
+        .select(col("vec_id"),
+          expr("CAST(size(filter(fx, v -> v > 0L)) AS BIGINT)").as("n_pos"),
+          expr("exists(fx, v -> abs(v) > 524288L)").as("has_big"),
+          expr("aggregate(fx, 0L, (acc, v) -> acc + abs(v))").as("l1_fp"),
+          expr("aggregate(zip_with(fx, fx, (a, b) -> a * b), 0L, " +
+            "(acc, v) -> acc + v)").as("sumsq_fp"))
+        .orderBy("vec_id")),
+
+    // Window value functions (r16): first/last/nth_value over the full
+    // partition frame plus an IGNORE NULLS running last — the
+    // session-attribution window family beside q14's offsets and
+    // q149's ranks. The (ts, event_id) tiebreak keeps the order total,
+    // so every picked value is the same row in both engines.
+    "q159_window_values" -> ((s, sf) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("first_et", first("event_type").over(full))
+        .withColumn("last_et", last("event_type").over(full))
+        .withColumn("second_et", nth_value(col("event_type"), 2).over(full))
+        .withColumn("prev_nonclick",
+          last(expr("nullif(event_type, 'click')"), ignoreNulls = true)
+            .over(before))
+        .drop("ts")
+        .orderBy("event_id")
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -745,6 +804,44 @@ object Conformance {
         |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS range_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q157_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |fi AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+        |de AS (SELECT DISTINCT user_id, d FROM ev)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort, de.d) AS BIGINT) AS offset_days,
+        |  CAST(count(DISTINCT de.user_id) AS BIGINT) AS n_active
+        |FROM de JOIN fi f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q158_array_hof" ->
+      """WITH lift AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+        |    AS fx
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(fx) AS v FROM lift)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  bool_or(abs(v) > 524288) AS has_big,
+        |  CAST(sum(abs(v)) AS BIGINT) AS l1_fp,
+        |  CAST(sum(v * v) AS BIGINT) AS sumsq_fp
+        |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q159_window_values" ->
+      """SELECT event_id, user_id, event_type,
+        |  first_value(event_type) OVER w_full AS first_et,
+        |  last_value(event_type) OVER w_full AS last_et,
+        |  nth_value(event_type, 2) OVER w_full AS second_et,
+        |  last_value(nullif(event_type, 'click') IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_nonclick
+        |FROM events
+        |WINDOW w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
 
     "q16_scalar" ->

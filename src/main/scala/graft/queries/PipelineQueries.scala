@@ -168,6 +168,14 @@ object PipelineQueries {
         "doc_id", "text", s.table(tbl))
     }),
 
+    // SQ8 scalar-quantized retrieval (r16): the train-free member of
+    // the compression family beside PQ — per-dim min/max grid, int8
+    // codes, integer dequantized dot, bounded-heap top-k per query.
+    "q156_sq8_topk" -> ((s, sf) =>
+      graft.pipeline.ScalarQuant.sq8TopK(Tables.load(s, sf, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), dim = 64,
+        topK = 10)),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
     // bit-equal to q106/q107; the oracle IS q106's oracle.
@@ -1307,6 +1315,9 @@ object PipelineQueries {
     // Two landings must be invisible: q154's oracle verbatim.
     "q155_landed_lm" ->
       TrigramModel.oracleSql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    "q156_sq8_topk" -> graft.pipeline.ScalarQuant.oracleSql(
+      Seq(0L, 1L, 2L), dim = 64, topK = 10),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SQ8: driver replay of the grid/codes/dot arithmetic, recall against
+  * the exact dot, the flat-dimension edge, and the contracts. */
+class ScalarQuantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lift(v: Double): Long =
+    math.floor(v * Clustering.Scale + 0.5).toLong
+
+  test("toy corpus: scores equal the hand-replayed quantized dot") {
+    val vecs = Map(
+      0L -> Array(0.5f, -0.25f, 0.0f),
+      1L -> Array(0.1f, 0.9f, 0.0f),  // third dim constant: Δ = 0
+      2L -> Array(-0.4f, 0.3f, 0.0f),
+      3L -> Array(0.2f, -0.8f, 0.0f))
+    val df = vecs.toSeq.map { case (id, a) => (id, a.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = ScalarQuant.sq8TopK(df, "vec_id", "embedding",
+        queryIds = Seq(0L), dim = 3, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+
+    val fx = vecs.map { case (id, a) =>
+      id -> a.map(x => lift(x.toDouble)) }
+    val dims = 0 until 3
+    val mn = dims.map(i => fx.values.map(_(i)).min).toArray
+    val dl = dims.map(i => fx.values.map(_(i)).max - mn(i)).toArray
+    def deq(v: Long, i: Int): Long =
+      if (dl(i) == 0) mn(i)
+      else mn(i) + (((v - mn(i)) * 255) / dl(i)) * dl(i) / 255
+    val q = fx(0L)
+    val expect = fx.filter(_._1 != 0L).map { case (id, v) =>
+      id -> dims.map(i => q(i) * deq(v(i), i)).sum.toDouble /
+        ScalarQuant.ScoreDiv
+    }
+    assert(got == expect)
+  }
+
+  test("fixture recall@10 against the exact lifted dot is high") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val (got, frames) = graft.ops.Materialize.collecting {
+      ScalarQuant.sq8TopK(emb, "vec_id", "embedding",
+          queryIds = Seq(0L, 1L, 2L), dim = 64, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+    graft.ops.Materialize.release(frames)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => lift(x.toDouble)).toArray)).toMap
+    def exactTop(qid: Long): Set[Long] =
+      all.filter(_._1 != qid).toSeq
+        .map { case (id, v) =>
+          (id, all(qid).zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recalls = Seq(0L, 1L, 2L).map(q =>
+      (got(q) intersect exactTop(q)).size)
+    // int8 on 64 dims loses little: ≥ 8 of 10 on every fixture query.
+    assert(recalls.forall(_ >= 8), recalls)
+  }
+
+  test("contracts: oversized query batch and dim mismatch raise") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    intercept[IllegalArgumentException] {
+      ScalarQuant.sq8TopK(emb, "vec_id", "embedding",
+        (0L to 1000L).toSeq, dim = 64, topK = 5)
+    }
+    val e = intercept[IllegalArgumentException] {
+      ScalarQuant.sq8TopK(emb, "vec_id", "embedding", Seq(0L),
+        dim = 32, topK = 5)
+    }
+    assert(e.getMessage.contains("does not match declared"))
+  }
+}

@@ -359,7 +359,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
   }
 
-  for (name <- Seq("q81_pq_adc_topk", "q86_ivf_pq_topk", "q87_ann_recall"))
+  for (name <- Seq("q81_pq_adc_topk", "q86_ivf_pq_topk", "q87_ann_recall",
+      "q156_sq8_topk"))
     test(s"$name: PQ retrieval scores code arrays only — codebooks ride as literals, no shuffle join") {
       // Training barriers sever lineage (the heap prune's typed boundary),
       // so what must hold in the registered plan: the scored frame never
@@ -643,6 +644,16 @@ class PlanAuditSpec extends AnyFunSuite {
       val n = documentScans(df)
       assert(n == 2, s"scans=$n\n$p")
     } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("q157: retention matrix runs on grouped aggregates — no window, no cartesian") {
+    val df = SparkEntry.queries("q157_retention_cohorts")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Cohort assignment is a min-aggregate + equi-join, never a
+    // corpus-wide first_value window.
+    assert(!p.contains("Window"), p)
   }
 
   test("q111: the bucketed join needs NO exchange on either join key") {
