@@ -429,6 +429,44 @@ object Conformance {
         .orderBy("event_id")
     }),
 
+    // Ordered funnel conversion (r16): users who signed up, then
+    // clicked AFTER the signup, then purchased AFTER that click — the
+    // ORDER-sensitive conversion report (q138's stage flags are
+    // per-row predicates; this one's stages are temporal). Each stage
+    // is a predicate-pushed scan + a user-keyed equi-join + a min —
+    // never a per-user sort or a corpus-wide window; timestamps
+    // compare exactly (same parquet micros both engines).
+    "q160_ordered_funnel" -> ((s, sf) => {
+      val ev = Tables.load(s, sf, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def cnt(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(tag).as("step"),
+          col("n_users"))
+      cnt(s1, "1_signup").unionAll(cnt(s2, "2_click_after"))
+        .unionAll(cnt(s3, "3_purchase_after"))
+        .orderBy("step")
+    }),
+
+    // Multiple DISTINCT aggregates (r16): two count-distincts beside a
+    // plain count in ONE groupBy — the Expand-based rewrite (each input
+    // row fans into one replica per distinct group), the SQL surface
+    // dashboards lean on hardest. Day keys render as strings.
+    "q161_multi_distinct" -> ((s, sf) =>
+      Tables.load(s, sf, "events")
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct("user_id").as("n_users"),
+          countDistinct("event_type").as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -843,6 +881,29 @@ object Conformance {
         |WINDOW w_full AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+
+    "q160_ordered_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT '1_signup' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_click_after', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT '3_purchase_after', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "q161_multi_distinct" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

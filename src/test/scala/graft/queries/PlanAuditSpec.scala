@@ -656,6 +656,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q160: funnel stages are pushed-predicate scans + user-keyed joins — no window") {
+    val df = SparkEntry.queries("q160_ordered_funnel")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // Each stage's event_type filter reaches the scan.
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("event_type")), p)
+  }
+
+  test("q161: both count-distincts ride ONE Expand — a single pass over events") {
+    val df = SparkEntry.queries("q161_multi_distinct")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert(pFinal.linesIterator.exists(_.contains(" Expand [")), p)
+    // One events scan serves the whole aggregate.
+    assert(pFinal.linesIterator.count(l => l.contains("FileScan") &&
+      l.contains("events")) == 1, p)
+  }
+
   test("q111: the bucketed join needs NO exchange on either join key") {
     val df = SparkEntry.queries("q111_bucketed_join")(spark, TestSpark.Sf)
     df.collect()
