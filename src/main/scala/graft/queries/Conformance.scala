@@ -467,6 +467,57 @@ object Conformance {
           count(lit(1)).as("n_events"))
         .orderBy("day")),
 
+    // TPC-H Q5-shaped regional revenue (r16): the classic snowflake —
+    // lineitem⋈orders⋈customer shuffle on their keys, supplier/nation/
+    // region ride as BROADCAST dims (the same-nation constraint lands
+    // inside the supplier broadcast join), date range pushed to the
+    // orders scan. The canonical "did the optimizer get the big join
+    // right" probe: at 100 TB the fact-fact joins shuffle once each and
+    // no dim ever does.
+    "q162_tpch_regional" -> ((s, sf) => {
+      val ord = Tables.load(s, sf, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.load(s, sf, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, sf, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, sf, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, sf, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(22, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Join-strategy invariance (r16): the SAME logical join under the
+    // three physical strategies Spark offers — MERGE, SHUFFLE_HASH,
+    // BROADCAST — must agree row for row (the property that makes hint
+    // tuning safe at 100 TB: strategy is a COST decision, never a
+    // semantics one). PlanAuditSpec pins that all three hints actually
+    // took effect.
+    "q163_join_strategies" -> ((s, sf) => {
+      def agg(strategy: String) =
+        Tables.load(s, sf, "orders")
+          .join(Tables.load(s, sf, "customer").hint(strategy),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_price"))
+          .withColumn("strategy", lit(strategy.toLowerCase))
+      agg("MERGE").unionAll(agg("SHUFFLE_HASH")).unionAll(agg("BROADCAST"))
+        .select("strategy", "c_mktsegment", "n_orders", "sum_price")
+        .orderBy("strategy", "c_mktsegment")
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -904,6 +955,34 @@ object Conformance {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q162_tpch_regional" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q163_join_strategies" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT s.strategy, b.c_mktsegment, b.n_orders, b.sum_price
+        |FROM base b, (VALUES ('merge'), ('shuffle_hash'), ('broadcast'))
+        |  s(strategy)
+        |ORDER BY s.strategy, b.c_mktsegment""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -678,6 +678,34 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("events")) == 1, p)
   }
 
+  test("q162: facts shuffle once each; supplier/nation/region never do (broadcast dims)") {
+    val df = SparkEntry.queries("q162_tpch_regional")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(pFinal.contains("BroadcastHashJoin"), p)
+    // No dim table hash-shuffles: every Exchange hashpartitioning keys
+    // on a fact-side join key, never on a dim key.
+    assert(!pFinal.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("s_suppkey#") || l.contains("n_nationkey#") ||
+          l.contains("r_regionkey#"))), p)
+    // The date range reaches the orders scan.
+    assert(pFinal.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("o_orderdate")), p)
+  }
+
+  test("q163: all three join-strategy hints take effect in one plan") {
+    val df = SparkEntry.queries("q163_join_strategies")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert(pFinal.contains("SortMergeJoin"), p)
+    assert(pFinal.contains("ShuffledHashJoin"), p)
+    assert(pFinal.contains("BroadcastHashJoin"), p)
+  }
+
   test("q111: the bucketed join needs NO exchange on either join key") {
     val df = SparkEntry.queries("q111_bucketed_join")(spark, TestSpark.Sf)
     df.collect()
