@@ -169,6 +169,21 @@ object BpeMerges {
     encodeWith(docs, idCol, textCol, m.map(t => (t._2, t._3)))
   }
 
+  /** Encode under a STORED merge table ([[graft.pipeline.CorpusWriter
+    * .writeBpeMerges]]) — the deployment form: merges are a frozen
+    * train-time artifact (like the PQ codebooks — order-sensitive, so
+    * no append landing applies; retraining rewrites), and only the
+    * dictionary-sized encode recurs. The ≤64-row collect is the same
+    * driver contract [[trainMerges]] carries. */
+  def encodeFromMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val rows = merges.orderBy("round").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    require(rows.nonEmpty && rows.length <= 64,
+      s"stored merge table has ${rows.length} rows — not a trained artifact")
+    encodeWith(docs, idCol, textCol, rows)
+  }
+
   /** Tokenizer fertility per group (lang/source) — the
     * tokenizer-efficiency metric a multilingual corpus publishes:
     * BPE tokens per word under the corpus-trained merge table

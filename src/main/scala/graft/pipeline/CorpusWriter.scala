@@ -132,6 +132,27 @@ object CorpusWriter {
       .saveAsTable(table)
   }
 
+  /** Store a trained BPE merge table ([[BpeMerges.trainMerges]]) as a
+    * tiny `(round, a, b, pair_count, corpus_tokens)` sidecar — the
+    * tokenizer's frozen train-time artifact (order-SENSITIVE, so unlike
+    * the LM counts no append landing applies: retraining rewrites).
+    * Readers ([[BpeMerges.encodeFromMerges]]) collect the ≤64 rows and
+    * encode dictionary-side, so the 6-round training scan never recurs
+    * per encode. */
+  def writeBpeMerges(train: DataFrame, textCol: String, rounds: Int,
+      table: String): Unit = {
+    val spark = train.sparkSession
+    val m = BpeMerges.trainMerges(train, textCol, rounds)
+    require(m.size == rounds,
+      s"training exhausted after ${m.size} of $rounds rounds")
+    dropOrphanedLocation(spark, table)
+    import spark.implicits._
+    m.toDF("round", "a", "b", "pair_count", "corpus_tokens")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Land a new batch into a [[writeGramIndex]] sidecar: only grams the
     * index has never seen append (a gram-keyed anti-join against the
     * bucketed table — bucket-local, no corpus exchange), so the index

@@ -176,6 +176,19 @@ object PipelineQueries {
         "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), dim = 64,
         topK = 10)),
 
+    // Stored BPE merges (r16): the q108 encode against a PERSISTED
+    // merge-table sidecar — training runs once at landing, every later
+    // encode collects the ≤64 frozen rows; the oracle IS q108's.
+    "q164_stored_bpe" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q164_bpe_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(tbl)) {
+        graft.pipeline.CorpusWriter.writeBpeMerges(docs, "text",
+          rounds = 6, tbl)
+      }
+      BpeMerges.encodeFromMerges(docs, "doc_id", "text", s.table(tbl))
+    }),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
     // bit-equal to q106/q107; the oracle IS q106's oracle.
@@ -1318,6 +1331,9 @@ object PipelineQueries {
 
     "q156_sq8_topk" -> graft.pipeline.ScalarQuant.oracleSql(
       Seq(0L, 1L, 2L), dim = 64, topK = 10),
+
+    // The stored merge table must be invisible: q108's oracle verbatim.
+    "q164_stored_bpe" -> BpeMerges.encodeOracleSql(rounds = 6),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

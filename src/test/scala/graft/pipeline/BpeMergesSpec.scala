@@ -149,6 +149,27 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, w, t) => t >= w }) // merges never split
   }
 
+  test("stored merge table: encodeFromMerges ≡ trainAndEncode bit-equal") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSeq
+    val inSession = rows(BpeMerges.trainAndEncode(docs, "doc_id", "text",
+      rounds = 4))
+    spark.sql("DROP TABLE IF EXISTS graft_test_bpe_merges")
+    CorpusWriter.writeBpeMerges(docs, "text", rounds = 4,
+      "graft_test_bpe_merges")
+    try {
+      val stored = rows(BpeMerges.encodeFromMerges(docs, "doc_id", "text",
+        spark.table("graft_test_bpe_merges")))
+      assert(stored == inSession)
+      // An untrained (empty) table is rejected loudly.
+      intercept[IllegalArgumentException] {
+        BpeMerges.encodeFromMerges(docs, "doc_id", "text",
+          spark.table("graft_test_bpe_merges").limit(0))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_bpe_merges")
+  }
+
   test("fixture corpus: 6 rounds match the local reference trainer") {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq
