@@ -153,6 +153,60 @@ object CorpusWriter {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Store an SQ8 index sidecar: the per-dim grid ([[ScalarQuant]]'s
+    * min/Δ rows — the quantizer "trains" in one pass and FREEZES, like
+    * the PQ codebooks) as `{table}_grid`, and the corpus's int8 code
+    * arrays bucketed by vec_id as `{table}` — the 8×-cut artifact a
+    * flat vector store persists. Landings ([[appendToSq8Index]]) encode
+    * under the STORED grid with clamping, so re-training never happens
+    * implicitly and write+append ≡ write-union with the grid pinned to
+    * the initial corpus (the q137 landing discipline at SQ8 grain). */
+  def writeSq8Index(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, table: String, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    val grid = ScalarQuant.gridRows(corpus, idCol, embCol, dim)
+    dropOrphanedLocation(spark, table)
+    ScalarQuant.encodeUnderGrid(corpus, idCol, embCol,
+        grid.map(_._2).toArray, grid.map(_._3).toArray)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "vec_id")
+      .sortBy("vec_id")
+      .format("parquet")
+      .saveAsTable(table)
+    dropOrphanedLocation(spark, s"${table}_grid")
+    import spark.implicits._
+    grid.toDF("i", "mn", "dl").coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_grid")
+    dropOrphanedLocation(spark, s"${table}_meta")
+    Seq(buckets).toDF("buckets").write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a new batch into a [[writeSq8Index]] sidecar: encode under
+    * the FROZEN stored grid (clamped), anti-join on vec_id against the
+    * standing codes (bucket-local) so re-landing is a no-op, append. */
+  def appendToSq8Index(batch: DataFrame, idCol: String, embCol: String,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    val grid = spark.table(s"${table}_grid").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val dim = grid.size
+    val mn = Array.tabulate(dim)(i => grid(i)._1)
+    val dl = Array.tabulate(dim)(i => grid(i)._2)
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed SQ8 index meta: ${meta.length} rows")
+    ScalarQuant.encodeUnderGrid(batch, idCol, embCol, mn, dl)
+      .join(spark.table(table).select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(meta(0).getAs[Int]("buckets"), "vec_id")
+      .sortBy("vec_id")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Land a new batch into a [[writeGramIndex]] sidecar: only grams the
     * index has never seen append (a gram-keyed anti-join against the
     * bucketed table — bucket-local, no corpus exchange), so the index

@@ -90,6 +90,104 @@ object ScalarQuant {
       .orderBy("qid", "vec_id")
   }
 
+  /** Per-dim stats as (i, mn, dl) rows — the storable grid artifact
+    * ([[CorpusWriter.writeSq8Index]]). */
+  private[pipeline] def gridRows(corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int): Seq[(Int, Long, Long)] = {
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (mn, delta) = stats(e, dim)
+    (0 until dim).map(i => (i, mn(i), delta(i)))
+  }
+
+  /** Encode a batch under a FROZEN grid, CLAMPED to [0, 255]: vectors
+    * landing after the grid trained can exceed the training min/max,
+    * and the clamp both bounds the code and erases the only spot where
+    * Spark's truncating `div` and the oracle's floor `//` could differ
+    * (negative intermediates clamp to 0 either way). On the training
+    * corpus itself the clamp never fires, so clamped ≡ [[sq8TopK]]'s
+    * unclamped codes there. */
+  private[pipeline] def encodeUnderGrid(batch: DataFrame, idCol: String,
+      embCol: String, mn: Array[Long], delta: Array[Long]): DataFrame = {
+    val e = Clustering.lifted(batch, idCol, embCol)
+    e.select(col("vec_id"), expr(
+      s"transform(fx, (v, i) -> CASE WHEN ${arrLit(delta)}[i] = 0L THEN 0L " +
+        s"ELSE least(255L, greatest(0L, " +
+        s"((v - ${arrLit(mn)}[i]) * 255L) div ${arrLit(delta)}[i])) END)")
+      .as("codes"))
+  }
+
+  /** Top-k retrieval against a STORED codes table under its stored
+    * grid — the deployment probe: query vectors lift in-session (they
+    * arrive raw; the index never stores floats), the grid rides as
+    * literals, and the scan touches codes alone. */
+  def sq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      dim: Int, topK: Int): DataFrame = {
+    val grid = spark.table(s"${table}_grid").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    require(grid.size == dim,
+      s"stored grid has ${grid.size} dims, expected $dim")
+    val mn = Array.tabulate(dim)(i => grid(i)._1)
+    val delta = Array.tabulate(dim)(i => grid(i)._2)
+    val mnL = arrLit(mn)
+    val dL = arrLit(delta)
+    val codes = spark.table(table)
+    val qRows = Clustering.lifted(queries, idCol, embCol)
+      .select(col("vec_id"), col("fx")).collect()
+    require(qRows.nonEmpty && qRows.length <= 1000,
+      s"query batch of ${qRows.length} exceeds the broadcast contract")
+    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+      val qid = r.getLong(0)
+      val qL = arrLit(r.getSeq[Long](1).toArray)
+      codes.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("qid"), col("vec_id"),
+          (expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+            s"acc + $qL[i] * ($mnL[i] + CASE WHEN $dL[i] = 0L THEN 0L " +
+            s"ELSE (codes[i] * $dL[i]) div 255L END))").cast("double")
+            / lit(ScoreDiv)).as("cos"))
+    }
+    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+  }
+
+  /** DuckDB oracle for [[sq8TopKFromIndex]] over a two-landing index
+    * (grid trained on `trainPred`'s rows at the write landing, the
+    * rest appended CLAMPED under that frozen grid), queried by corpus
+    * vectors. */
+  def landedOracleSql(trainPred: String, queryIds: Seq[Long], dim: Int,
+      topK: Int): String = {
+    val qList = queryIds.distinct.sorted.mkString(", ")
+    s"""WITH lift AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * ${Clustering.Scale} + 0.5)
+       |      AS BIGINT)) AS fx
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(fx[i]) AS mn, max(fx[i]) - min(fx[i]) AS dl
+       |  FROM lift, LATERAL unnest(range(1, $dim + 1)) AS r(i)
+       |  WHERE ($trainPred) GROUP BY i),
+       |q AS (SELECT vec_id AS qid, fx AS qv FROM lift
+       |      WHERE vec_id IN ($qList)),
+       |scored AS (
+       |  SELECT q.qid, l.vec_id,
+       |    CAST(sum(q.qv[d.i] * (d.mn + CASE WHEN d.dl = 0 THEN 0
+       |      ELSE (least(255, greatest(0,
+       |        ((l.fx[d.i] - d.mn) * 255) // d.dl)) * d.dl) // 255
+       |      END)) AS BIGINT) AS fp
+       |  FROM lift l, q, dims d
+       |  WHERE l.vec_id <> q.qid
+       |  GROUP BY q.qid, l.vec_id),
+       |part AS (
+       |  SELECT qid, vec_id, CAST(fp AS DOUBLE) / $ScoreDiv AS score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(fp AS DOUBLE) / $ScoreDiv DESC, vec_id)
+       |      AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, score, rn FROM part
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[sq8TopK]] over table `embeddings`: replays the
     * lift, the per-dim grid, the codes, and the integer dot. */
   def oracleSql(queryIds: Seq[Long], dim: Int, topK: Int): String = {

@@ -189,6 +189,27 @@ object PipelineQueries {
       BpeMerges.encodeFromMerges(docs, "doc_id", "text", s.table(tbl))
     }),
 
+    // Landed SQ8 index (r16): the flat-index twin of q137/q140 — the
+    // grid trains at the WRITE landing (even-id half) and freezes; the
+    // odd half lands encoded under the stored grid with CLAMPING (a
+    // late vector can exceed the training min/max); probes lift query
+    // vectors in-session and scan stored codes only. The oracle
+    // replays the split-trained grid + clamped codes.
+    "q165_landed_sq8" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q165_sq8_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeSq8Index(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          dim = 64, tbl, buckets = 16)
+        graft.pipeline.CorpusWriter.appendToSq8Index(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", tbl)
+      }
+      graft.pipeline.ScalarQuant.sq8TopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+        dim = 64, topK = 10)
+    }),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
     // bit-equal to q106/q107; the oracle IS q106's oracle.
@@ -1334,6 +1355,9 @@ object PipelineQueries {
 
     // The stored merge table must be invisible: q108's oracle verbatim.
     "q164_stored_bpe" -> BpeMerges.encodeOracleSql(rounds = 6),
+
+    "q165_landed_sq8" -> graft.pipeline.ScalarQuant.landedOracleSql(
+      "vec_id % 2 = 0", Seq(0L, 1L, 2L), dim = 64, topK = 10),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
