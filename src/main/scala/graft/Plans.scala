@@ -29,7 +29,9 @@ object Plans {
     "q107_sidecar_novelty", "q108_bpe_encode", "q111_bucketed_join",
     "q112_partitioned_read", "q114_bm25_mrr", "q115_cube",
     "q137_landed_ivf", "q138_filter_funnel", "q139_skew_report",
-    "q140_landed_ivfpq")
+    "q140_landed_ivfpq", "q146_auto_salted_join", "q154_trigram_backoff",
+    "q155_landed_lm", "q156_sq8_topk", "q162_tpch_regional",
+    "q163_join_strategies", "q165_landed_sq8")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
