@@ -518,6 +518,31 @@ object Conformance {
         .orderBy("strategy", "c_mktsegment")
     }),
 
+    // Null-safe join semantics (r16): the same left join under `=`
+    // (nulls never match — SQL three-valued logic drops them) and
+    // `<=>` (null keys match the null group) — the semantics knob an
+    // entity-resolution join flips when "unknown" is a real key.
+    // EqualNullSafe is still a HASH-join key (no nested loop), which
+    // is what makes it usable at 100 TB.
+    "q166_null_safe_join" -> ((s, sf) => {
+      val ev = Tables.load(s, sf, "events")
+        .select(col("event_id"), expr("nullif(event_type, 'click')").as("k"))
+      val agg = ev.groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumnRenamed("k", "k2")
+      def cnt(nullSafe: Boolean, tag: String) = {
+        val cond = if (nullSafe) col("k") <=> col("k2")
+          else col("k") === col("k2")
+        ev.join(agg, cond, "left")
+          .agg(count(col("n")).as("n_matched"),
+            sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .select(lit(tag).as("variant"), col("n_matched"),
+            col("n_unmatched"))
+      }
+      cnt(nullSafe = false, "equals")
+        .unionAll(cnt(nullSafe = true, "null_safe"))
+        .orderBy("variant")
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -983,6 +1008,22 @@ object Conformance {
         |FROM base b, (VALUES ('merge'), ('shuffle_hash'), ('broadcast'))
         |  s(strategy)
         |ORDER BY s.strategy, b.c_mktsegment""".stripMargin,
+
+    "q166_null_safe_join" ->
+      """WITH ev AS (SELECT event_id, nullif(event_type, 'click') AS k
+        |  FROM events),
+        |agg AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY k)
+        |SELECT 'equals' AS variant,
+        |  CAST(count(a.n) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM ev LEFT JOIN agg a ON ev.k = a.k
+        |UNION ALL
+        |SELECT 'null_safe',
+        |  CAST(count(a.n) AS BIGINT),
+        |  CAST(sum(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM ev LEFT JOIN agg a ON ev.k IS NOT DISTINCT FROM a.k
+        |ORDER BY variant""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

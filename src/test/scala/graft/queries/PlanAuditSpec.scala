@@ -706,6 +706,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pFinal.contains("BroadcastHashJoin"), p)
   }
 
+  test("q166: the null-safe join stays a HASH join — EqualNullSafe is an equi-key") {
+    val df = SparkEntry.queries("q166_null_safe_join")(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q111: the bucketed join needs NO exchange on either join key") {
     val df = SparkEntry.queries("q111_bucketed_join")(spark, TestSpark.Sf)
     df.collect()
