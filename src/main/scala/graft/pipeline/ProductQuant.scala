@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   * query stays uncompressed; its dot product against every corpus
   * vector is approximated by Σ_m LUT[m][code_m] where LUT[m][j] =
   * ⟨q_m, centroid_{m,j}⟩ — m×k driver-computed doubles per query
-  * ([[VecOps.dot]], the oracle's exact fold), riding the plan as a
-  * literal array. The corpus-side scan touches only the m-long code
-  * arrays: no vector math, no shuffle until the [[Similarity
-  * .topKPerQid]] bounded-heap rank. Scores sum the m partial terms in
+  * ([[VecOps.dot]], the oracle's exact fold), riding as a ≤1000-row
+  * BROADCAST (qid, lut) relation onto ONE scan of the code arrays for
+  * the whole batch ([[adcScores]]). The corpus-side scan touches only
+  * the m-long code arrays: no vector math, no shuffle until the
+  * [[Similarity.topKPerQid]] bounded-heap rank. Scores sum the m
+  * partial terms in
   * ascending-m order (one `aggregate` HOF ≡ the oracle's ordered
   * `list_reduce`), keeping the approximation bit-reproducible too. */
 object ProductQuant {
@@ -115,13 +117,50 @@ object ProductQuant {
     flat
   }
 
+  /** The one-pass batched ADC scorer all three retrieval forms share
+    * (VERDICT r16 #1): the ≤1000-row (qid, lut) query relation rides
+    * as a BROADCAST local relation onto a SINGLE scan of the codes
+    * frame — [[Similarity.batchTopK]]'s shape — instead of a per-query
+    * `unionAll` of |Q| corpus scans. [[adcScore]]'s ascending-`mi` fold
+    * reads the LUT as a COLUMN instead of a literal (same lookups, same
+    * addition order), so scores are bit-identical to the per-query
+    * form. Exposed `private[graft]` so PlanAuditSpec can pin one codes
+    * scan and zero unions — the heap prune downstream severs lineage. */
+  private[graft] def adcScores(codes: DataFrame,
+      luts: Seq[(Long, Seq[Double])], m: Int, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(luts.nonEmpty && luts.size <= 1000,
+      s"query batch of ${luts.size} exceeds the broadcast contract")
+    val q = luts.sortBy(_._1).toDF("qid", "lut")
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcScore(col("lut"), m, k).as("cos"))
+  }
+
   /** ADC top-`topK` retrieval: (qid, vec_id, score, rn) per query id,
     * score = the PQ-approximated lifted-domain dot product, ranked
     * score-desc / vec_id-asc, self excluded. Query batch is bounded
-    * (the [[Similarity.batchTopK]] broadcast contract). */
+    * (the [[Similarity.batchTopK]] broadcast contract) and the WHOLE
+    * batch scores in one codes scan ([[adcScores]]). */
   def adcTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], m: Int, k: Int, rounds: Int, dim: Int,
-      topK: Int, sampleFrac: Double = 1.0): DataFrame = {
+      topK: Int, sampleFrac: Double = 1.0): DataFrame =
+    // topKPerQid is positional+named on (qid, vec_id, cos) — the score
+    // rides its cos slot through the heap prune, renamed on the way out.
+    Similarity.topKPerQid(
+      adcScored(corpus, idCol, embCol, queryIds, m, k, rounds, dim,
+        sampleFrac), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  /** The pre-ranking candidate scores of [[adcTopK]] — the audit seam
+    * (the [[Clustering.ivfScored]] convention): ProductQuantSpec pins
+    * one codes scan and zero unions here, because the heap prune's RDD
+    * boundary hides this subtree from the final plan. */
+  private[graft] def adcScored(corpus: DataFrame, idCol: String,
+      embCol: String, queryIds: Seq[Long], m: Int, k: Int, rounds: Int,
+      dim: Int, sampleFrac: Double = 1.0): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"query batch of ${queryIds.size} exceeds the broadcast contract")
     val (codes, books) =
@@ -130,18 +169,9 @@ object ProductQuant {
     val d = dim / m
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("fxd")).collect()
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
-      val qid = r.getLong(0)
-      val flat = lutFor(r.getSeq[Double](1).toArray, books, m, k, d)
-      codes.select(lit(qid).as("qid"), col("vec_id"),
-          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
-        .filter(col("vec_id") =!= qid)
-    }
-    // topKPerQid is positional+named on (qid, vec_id, cos) — the score
-    // rides its cos slot through the heap prune, renamed on the way out.
-    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
-      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
-      .orderBy("qid", "vec_id")
+    val luts = qRows.map(r => (r.getLong(0),
+      lutFor(r.getSeq[Double](1).toArray, books, m, k, d).toSeq)).toSeq
+    adcScores(codes, luts, m, k)
   }
 
   /** Composed IVF-PQ retrieval — the production ANN decomposition
@@ -160,7 +190,18 @@ object ProductQuant {
     * [[Clustering.ivfTopK]] discipline). */
   def ivfAdcTopK(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
-      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      ivfAdcScored(corpus, idCol, embCol, queryIds, kCoarse, coarseRounds,
+        m, k, pqRounds, dim, nprobe), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  /** The pre-ranking candidate scores of [[ivfAdcTopK]] — the audit
+    * seam ([[adcScored]]'s convention for the cell-gated form). */
+  private[graft] def ivfAdcScored(corpus: DataFrame, idCol: String,
+      embCol: String, queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= kCoarse,
       s"nprobe must be in [1, $kCoarse]: $nprobe")
     require(queryIds.nonEmpty && queryIds.size <= 1000,
@@ -177,21 +218,41 @@ object ProductQuant {
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("fxd")).collect()
     val halfNorms = coarse.map { case (cid, c) => (cid, 0.5 * VecOps.normSq(c)) }
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+    val (probes, luts) = qRows.map { r =>
       val qid = r.getLong(0)
       val fxd = r.getSeq[Double](1).toArray
       val cells = coarse.zip(halfNorms).map { case ((cid, c), (_, hn)) =>
         (cid, VecOps.dot(fxd, c) - hn)
       }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
-      val flat = lutFor(fxd, books, m, k, d)
-      base.filter(col("cell").isin(cells: _*))
-        .select(lit(qid).as("qid"), col("vec_id"),
-          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
-        .filter(col("vec_id") =!= qid)
-    }
-    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
-      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
-      .orderBy("qid", "vec_id")
+      (cells.map(c => (qid, c)),
+        (qid, lutFor(fxd, books, m, k, d).toSeq))
+    }.unzip match { case (ps, ls) => (ps.flatten.toSeq, ls.toSeq) }
+    ivfAdcScores(base, probes, luts, m, k)
+  }
+
+  /** The cell-gated batched ADC scorer the IVF forms share: the
+    * (qid, cell) probe pairs and (qid, lut) tables both BROADCAST onto
+    * ONE scan of the (vec_id, cell, codes) index frame, statically
+    * pre-filtered to the union of every query's probed cells (a
+    * literal `isin`, so a cell-partitioned stored index directory-
+    * prunes before the join). Per (qid, vec_id) the arithmetic is the
+    * per-query form's exactly, so scores are bit-identical; the probe
+    * join is an equi-join on `cell` (BroadcastHashJoin — never a
+    * nested loop over the corpus). */
+  private[graft] def ivfAdcScores(base: DataFrame, probes: Seq[(Long, Long)],
+      luts: Seq[(Long, Seq[Double])], m: Int, k: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    require(luts.nonEmpty && luts.size <= 1000,
+      s"query batch of ${luts.size} exceeds the broadcast contract")
+    val allCells = probes.map(_._2).distinct.sorted
+    val probeDf = probes.sorted.toDF("qid", "cell")
+    val lutDf = luts.sortBy(_._1).toDF("qid", "lut")
+    base.filter(col("cell").isin(allCells: _*))
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(lutDf), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcScore(col("lut"), m, k).as("cos"))
   }
 
   /** Two-stage refined retrieval — the IVFADC+R decomposition (Jégou
@@ -259,7 +320,19 @@ object ProductQuant {
     * training corpus (LandedIvfPqSpec pins it). */
   def ivfAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, idCol: String, embCol: String,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      ivfAdcScoredFromIndex(spark, table, queries, idCol, embCol, nprobe),
+      topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  /** The pre-ranking candidate scores of [[ivfAdcTopKFromIndex]] — the
+    * audit seam for the stored-index path (one directory-pruned parquet
+    * scan of the member table for the whole batch). */
+  private[graft] def ivfAdcScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
@@ -279,22 +352,17 @@ object ProductQuant {
       s"query batch of ${qRows.length} exceeds the broadcast contract")
     val halfNorms = coarse.map { case (cid, c) => (cid, c, 0.5 * VecOps.normSq(c)) }
     val base = spark.table(table)
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
+    val (probes, luts) = qRows.map { r =>
       val qid = r.getLong(0)
       val fxd = r.getSeq[Double](1).toArray
         .map(v => math.floor(v * Clustering.Scale + 0.5))
       val cells = halfNorms.map { case (cid, c, hn) =>
         (cid, VecOps.dot(fxd, c) - hn)
       }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
-      val flat = lutFor(fxd, books, m, k, d)
-      base.filter(col("cell").isin(cells: _*))
-        .select(lit(qid).as("qid"), col("vec_id"),
-          adcScore(typedLit(flat.toSeq), m, k).as("cos"))
-        .filter(col("vec_id") =!= qid)
-    }
-    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
-      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
-      .orderBy("qid", "vec_id")
+      (cells.map(c => (qid, c)),
+        (qid, lutFor(fxd, books, m, k, d).toSeq))
+    }.unzip match { case (ps, ls) => (ps.flatten.toSeq, ls.toSeq) }
+    ivfAdcScores(base, probes, luts, m, k)
   }
 
   /** Collect a stored index's coarse centroids and per-subspace PQ
@@ -498,17 +566,22 @@ object ProductQuant {
       pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
     val ann = ivfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
       coarseRounds, m, k, pqRounds, dim, nprobe, topK)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val e = Clustering.lifted(corpus, idCol, embCol)
     val qRows = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("fxd")).collect()
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
-      val qid = r.getLong(0)
-      val qLit = typedLit(r.getSeq[Double](1))
-      e.select(lit(qid).as("qid"), col("vec_id"),
-          call_function("vec_dot", col("fxd"), qLit).as("cos"))
-        .filter(col("vec_id") =!= qid)
-    }
-    val exact = Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+    // The exact side batches like everything else (VERDICT r16 #1): the
+    // ≤1000-row (qid, qfxd) relation broadcasts onto ONE lifted-corpus
+    // scan; vec_dot over a column is the literal form's exact fold.
+    val q = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq.toDF("qid", "qfxd")
+    val scoredExact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        call_function("vec_dot", col("fxd"), col("qfxd")).as("cos"))
+    val exact = Similarity.topKPerQid(scoredExact, topK)
       .select(col("qid"), col("vec_id"))
     // Both comparison frames are ≤ |Q|·topK rows BY CONTRACT (top-k per
     // query), but they surface behind the heap prune's typed boundary

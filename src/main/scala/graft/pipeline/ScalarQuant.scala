@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the per-dim stats are ONE aggregation collapsing to
   * `dim` driver rows (contract-capped like the k-means centroids); the
   * code frame is one zero-join projection of the lifted corpus (the
-  * storable artifact); each query scores codes with its min/Δ/q arrays
-  * riding as plan LITERALS — no join anywhere, and top-k per query is
-  * the bounded-heap prune ([[Similarity.topKPerQid]]). Reference for
-  * the quantization grid: Faiss's ScalarQuantizer (public), QT_8bit
+  * storable artifact); the WHOLE query batch scores in one codes scan —
+  * the ≤1000-row (qid, qfx) relation broadcasts onto the scan
+  * ([[sq8Scores]], [[Similarity.batchTopK]]'s shape) with the grid
+  * min/Δ arrays riding as plan literals — and top-k per query is the
+  * bounded-heap prune ([[Similarity.topKPerQid]]). Reference for the
+  * quantization grid: Faiss's ScalarQuantizer (public), QT_8bit
   * uniform variant. */
 object ScalarQuant {
 
@@ -51,11 +53,39 @@ object ScalarQuant {
       Array.tabulate(dim)(i => rows(i)._2 - rows(i)._1))
   }
 
-  /** Approximate top-k retrieval over SQ8 codes for a ≤1000-query
-    * batch: (qid, vec_id, score, rn), score-desc / id-asc per query,
-    * self excluded. */
-  def sq8TopK(corpus: DataFrame, idCol: String, embCol: String,
-      queryIds: Seq[Long], dim: Int, topK: Int): DataFrame = {
+  /** The one-pass batched scorer both retrieval forms share (VERDICT
+    * r16 #1): the ≤1000-row (qid, qfx) query relation rides as a
+    * BROADCAST local relation onto a SINGLE scan of the codes frame —
+    * [[Similarity.batchTopK]]'s shape — instead of a per-query
+    * `unionAll` of |Q| corpus scans. The fold is the exact integer
+    * arithmetic of the per-query form with `qfx` read as a COLUMN
+    * instead of a literal (same ascending-dim order, same Long ops),
+    * so scores are bit-identical; grid min/Δ stay literals because
+    * they are GLOBAL, not per-query. Exposed `private[graft]` so
+    * PlanAuditSpec can pin one codes scan and zero unions — the heap
+    * prune downstream severs lineage. */
+  private[graft] def sq8Scores(codes: DataFrame, qRows: Seq[(Long, Seq[Long])],
+      mn: Array[Long], delta: Array[Long], dim: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(qRows.nonEmpty && qRows.size <= 1000,
+      s"query batch of ${qRows.size} exceeds the broadcast contract")
+    val q = qRows.sortBy(_._1).toDF("qid", "qfx")
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+          s"acc + qfx[i] * (${arrLit(mn)}[i] + CASE WHEN ${arrLit(delta)}[i] = 0L THEN 0L " +
+          s"ELSE (codes[i] * ${arrLit(delta)}[i]) div 255L END))").cast("double")
+          / lit(ScoreDiv)).as("cos"))
+  }
+
+  /** The pre-ranking candidate scores of [[sq8TopK]] — exposed so
+    * ScalarQuantSpec can pin the batched plan shape (one codes scan,
+    * zero unions); the heap prune's RDD boundary hides this subtree
+    * from the final plan (the [[Clustering.ivfScored]] convention). */
+  private[graft] def sq8Scored(corpus: DataFrame, idCol: String,
+      embCol: String, queryIds: Seq[Long], dim: Int): DataFrame = {
     require(queryIds.nonEmpty && queryIds.size <= 1000,
       s"query batch of ${queryIds.size} exceeds the broadcast contract")
     require(dim >= 1 && dim <= 4096,
@@ -75,20 +105,20 @@ object ScalarQuant {
       .select(col("vec_id"), col("fx")).collect()
     require(qRows.length == queryIds.distinct.size,
       s"missing query vectors: got ${qRows.length} of ${queryIds.size}")
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
-      val qid = r.getLong(0)
-      val qL = arrLit(r.getSeq[Long](1).toArray)
-      codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("qid"), col("vec_id"),
-          (expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
-            s"acc + $qL[i] * ($mnL[i] + CASE WHEN $dL[i] = 0L THEN 0L " +
-            s"ELSE (codes[i] * $dL[i]) div 255L END))").cast("double")
-            / lit(ScoreDiv)).as("cos"))
-    }
-    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
+    sq8Scores(codes,
+      qRows.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq, mn, delta, dim)
+  }
+
+  /** Approximate top-k retrieval over SQ8 codes for a ≤1000-query
+    * batch: (qid, vec_id, score, rn), score-desc / id-asc per query,
+    * self excluded. One codes scan for the WHOLE batch (the broadcast
+    * query relation of [[sq8Scores]]), so batch cost is |corpus|, not
+    * |Q|·|corpus|. */
+  def sq8TopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], dim: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(sq8Scored(corpus, idCol, embCol, queryIds, dim), topK)
       .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
       .orderBy("qid", "vec_id")
-  }
 
   /** Per-dim stats as (i, mn, dl) rows — the storable grid artifact
     * ([[CorpusWriter.writeSq8Index]]). */
@@ -122,33 +152,31 @@ object ScalarQuant {
     * literals, and the scan touches codes alone. */
   def sq8TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, idCol: String, embCol: String,
-      dim: Int, topK: Int): DataFrame = {
+      dim: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      sq8ScoredFromIndex(spark, table, queries, idCol, embCol, dim), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  /** The pre-ranking candidate scores of [[sq8TopKFromIndex]] — the
+    * [[sq8Scored]] audit seam for the stored-index path (one parquet
+    * scan of the codes table for the whole batch). */
+  private[graft] def sq8ScoredFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      dim: Int): DataFrame = {
     val grid = spark.table(s"${table}_grid").collect()
       .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
     require(grid.size == dim,
       s"stored grid has ${grid.size} dims, expected $dim")
     val mn = Array.tabulate(dim)(i => grid(i)._1)
     val delta = Array.tabulate(dim)(i => grid(i)._2)
-    val mnL = arrLit(mn)
-    val dL = arrLit(delta)
     val codes = spark.table(table)
     val qRows = Clustering.lifted(queries, idCol, embCol)
       .select(col("vec_id"), col("fx")).collect()
     require(qRows.nonEmpty && qRows.length <= 1000,
       s"query batch of ${qRows.length} exceeds the broadcast contract")
-    val perQuery = qRows.sortBy(_.getLong(0)).map { r =>
-      val qid = r.getLong(0)
-      val qL = arrLit(r.getSeq[Long](1).toArray)
-      codes.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("qid"), col("vec_id"),
-          (expr(s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
-            s"acc + $qL[i] * ($mnL[i] + CASE WHEN $dL[i] = 0L THEN 0L " +
-            s"ELSE (codes[i] * $dL[i]) div 255L END))").cast("double")
-            / lit(ScoreDiv)).as("cos"))
-    }
-    Similarity.topKPerQid(perQuery.reduce(_ unionAll _), topK)
-      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
-      .orderBy("qid", "vec_id")
+    sq8Scores(codes,
+      qRows.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq, mn, delta, dim)
   }
 
   /** DuckDB oracle for [[sq8TopKFromIndex]] over a two-landing index

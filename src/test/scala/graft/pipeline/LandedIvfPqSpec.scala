@@ -37,6 +37,25 @@ class LandedIvfPqSpec extends AnyFunSuite {
     assert(stored == live)
   }
 
+  test("stored probe: ONE member-table scan, directory-pruned to the probed cells") {
+    val tbl = "graft_test_ivfpq_shape"
+    CorpusWriter.writeIvfPqIndex(emb, "vec_id", "embedding", tbl,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    val scored = ProductQuant.ivfAdcScoredFromIndex(spark, tbl, queries,
+      "vec_id", "embedding", nprobe = 3)
+    scored.collect()
+    val (mem, file) = PlanShapes.topLevelScans(scored)
+    val names = PlanShapes.topLevelNodeNames(scored)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(file == 1 && mem == 0, s"(mem=$mem, file=$file)\n$names")
+    assert(!names.exists(_.startsWith("Union")), names)
+    assert(names.exists(_.startsWith("BroadcastHashJoin")), names)
+    // The static cell isin reaches the scan as a partition filter, so
+    // unprobed cell directories never open.
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+  }
+
   test("one landing ≡ two landings, and re-landing a batch is a no-op") {
     val a = emb.filter(col("vec_id") % 2 === 0)
     val b = emb.filter(col("vec_id") % 2 === 1)

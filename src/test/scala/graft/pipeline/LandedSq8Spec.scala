@@ -39,6 +39,28 @@ class LandedSq8Spec extends AnyFunSuite {
     } finally drop("graft_test_sq8")
   }
 
+  test("stored probe scans the codes table ONCE for the whole batch") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    drop("graft_test_sq8s")
+    CorpusWriter.writeSq8Index(emb, "vec_id", "embedding", dim = 64,
+      "graft_test_sq8s", buckets = 8)
+    try {
+      val (scored, frames) = graft.ops.Materialize.collecting {
+        val d = ScalarQuant.sq8ScoredFromIndex(spark, "graft_test_sq8s",
+          emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id",
+          "embedding", dim = 64)
+        d.collect()
+        d
+      }
+      try {
+        val (mem, file) = PlanShapes.topLevelScans(scored)
+        val names = PlanShapes.topLevelNodeNames(scored)
+        assert(file == 1 && mem == 0, s"(mem=$mem, file=$file)\n$names")
+        assert(!names.exists(_.startsWith("Union")), names)
+      } finally graft.ops.Materialize.release(frames)
+    } finally drop("graft_test_sq8s")
+  }
+
   test("re-landing the same batch is a no-op; row count stays the corpus") {
     val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
     val n = emb.count()

@@ -22,6 +22,45 @@ class ProductQuantSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("batched ADC shape: one codes scan for the whole batch — no per-query union") {
+    val (scored, frames) = graft.ops.Materialize.collecting {
+      val d = ProductQuant.adcScored(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), m = 8, k = 16, rounds = 2, dim = 64)
+      d.collect()
+      d
+    }
+    try {
+      val (mem, file) = PlanShapes.topLevelScans(scored)
+      val names = PlanShapes.topLevelNodeNames(scored)
+      assert(mem == 1 && file == 0, s"(mem=$mem, file=$file)\n$names")
+      assert(!names.exists(_.startsWith("Union")), names)
+      assert(!names.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin") || n.startsWith("CartesianProduct")),
+        names)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
+  test("batched IVF-ADC shape: one cell-pruned index scan, probe + LUT by broadcast hash join") {
+    val (scored, frames) = graft.ops.Materialize.collecting {
+      val d = ProductQuant.ivfAdcScored(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8,
+        k = 16, pqRounds = 2, dim = 64, nprobe = 3)
+      d.collect()
+      d
+    }
+    try {
+      val (mem, file) = PlanShapes.topLevelScans(scored)
+      val names = PlanShapes.topLevelNodeNames(scored)
+      assert(mem == 1 && file == 0, s"(mem=$mem, file=$file)\n$names")
+      assert(!names.exists(_.startsWith("Union")), names)
+      // Equi-joins on cell and qid: never a nested loop over the index.
+      assert(names.exists(_.startsWith("BroadcastHashJoin")), names)
+      assert(!names.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin") || n.startsWith("CartesianProduct") ||
+        n.startsWith("BroadcastNestedLoopJoin")), names)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("subspace 0 codes ≡ k-means over the sliced corpus") {
     import spark.implicits._
     val sliced = emb.select(col("vec_id"),

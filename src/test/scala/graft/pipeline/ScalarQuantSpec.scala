@@ -64,6 +64,30 @@ class ScalarQuantSpec extends AnyFunSuite {
     assert(recalls.forall(_ >= 8), recalls)
   }
 
+  test("batched shape: the whole query batch rides ONE codes scan — no per-query union") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val (scored, frames) = graft.ops.Materialize.collecting {
+      val d = ScalarQuant.sq8Scored(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), dim = 64)
+      d.collect()
+      d
+    }
+    try {
+      val (mem, file) = PlanShapes.topLevelScans(scored)
+      val names = PlanShapes.topLevelNodeNames(scored)
+      // The VERDICT r16 defect was |Q| sibling scans of the codes cache
+      // under a Union; batched = exactly one consuming scan, no Union,
+      // and the query relation arrives by broadcast.
+      assert(mem == 1 && file == 0, s"(mem=$mem, file=$file)\n$names")
+      assert(!names.exists(_.startsWith("Union")), names)
+      assert(names.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+        n.startsWith("BroadcastHashJoin")), names)
+      assert(!names.exists(n => n.startsWith("SortMergeJoin") ||
+        n.startsWith("ShuffledHashJoin") || n.startsWith("CartesianProduct")),
+        names)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("contracts: oversized query batch and dim mismatch raise") {
     val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
     intercept[IllegalArgumentException] {
