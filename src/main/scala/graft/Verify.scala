@@ -75,7 +75,19 @@ object Verify {
     }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A FILTERED run writes its oracle subset to a DISTINCT file
+    // (ADVICE r16): overwriting oracle_sql.json with a subset would
+    // make a later full comparison over the same outDir silently
+    // validate only the subset while looking complete.
+    val oracleFile = only match {
+      case Some(ps) =>
+        System.err.println(
+          s"[verify] FILTERED run (SPARK_GRAFT_ONLY=${ps.mkString(",")}) — " +
+            "writing oracle_sql_filtered.json, not the full oracle map")
+        "oracle_sql_filtered.json"
+      case None => "oracle_sql.json"
+    }
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

@@ -67,10 +67,13 @@ object SaltedJoin {
     * current by a [[graft.streaming.StreamSkew]] counter stream) and
     * PERSISTED beside the table, so repeated runs of the same join skip
     * the two profile aggregations entirely. Correct under ANY profile
-    * with fan-outs ≥ 1 — salting is answer-invisible whether the
-    * profile is fresh, stale, or wrong (SaltedJoinSpec pins a
-    * deliberately mis-measured profile); staleness costs load balance,
-    * never the answer, which is what makes persisting it safe. */
+    * with fan-outs ≥ 1 — duplicate keys fold to their max fan-out
+    * before use (a key-duplicated profile would otherwise make
+    * matching pairs meet once per duplicate row), and salting is
+    * answer-invisible whether the profile is fresh, stale, or wrong
+    * (SaltedJoinSpec pins a deliberately mis-measured AND a
+    * key-duplicated profile); staleness costs load balance, never the
+    * answer, which is what makes persisting it safe. */
   def autoJoinWithProfile(left: DataFrame, right: DataFrame,
       keyLeft: String, keyRight: String, profile: DataFrame): DataFrame = {
     val spark = left.sparkSession
@@ -81,13 +84,21 @@ object SaltedJoin {
     // `left`'s and `right`'s subtrees on BOTH sides of the final join
     // (a joinProfile derives from both), which Spark's self-join
     // disambiguation rejects as ambiguous.
-    val profRows = prof0.collect()
-    require(profRows.length <= 10000000,
-      s"join profile has ${profRows.length} hot keys — above the " +
+    val rawRows = prof0.collect()
+    require(rawRows.length <= 10000000,
+      s"join profile has ${rawRows.length} hot keys — above the " +
         "broadcast-hint contract; salt statically (SaltedJoin.join) or " +
         "raise targetRowsPerTask")
-    require(profRows.forall(_.getInt(1) >= 1),
+    require(rawRows.forall(_.getInt(1) >= 1),
       "profile fan-outs must be >= 1")
+    // Fold duplicate keys to their max fan-out (ADVICE r16): a profile
+    // carrying the same key twice would otherwise multiply left rows
+    // through the left-join AND re-replicate right rows, so matching
+    // pairs meet more than once — answer-invisibility holds only for
+    // key-unique profiles, so make any profile key-unique here.
+    val profRows = rawRows.groupBy(_.get(0)).map { case (k, rs) =>
+      org.apache.spark.sql.Row(k, rs.map(_.getInt(1)).max)
+    }.toArray
     val prof = spark.createDataFrame(
       java.util.Arrays.asList(profRows: _*), prof0.schema)
     val leftCols = left.columns.map(col).toSeq

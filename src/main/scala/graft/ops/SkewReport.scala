@@ -63,9 +63,10 @@ object SkewReport {
     * Scale shape: two counter-sized groupBys + an inner join of the
     * two COUNT tables (keys-sized, slim) — the fact tables are read
     * once each and never joined. Output-estimate arithmetic is exact
-    * integers; the product contract is the obvious one (n_l·n_r ≤
-    * |left|·max(n_r) must fit BIGINT — a key hot enough to overflow it
-    * is a key you'd never run un-salted anyway). */
+    * integers, and the product is GUARDED: a key whose n_l·n_r exceeds
+    * BIGINT raises loudly (the [[graft.pipeline.TrigramModel]] idiom)
+    * instead of wrapping negative and silently dropping the hottest
+    * key from the profile. */
   def joinProfile(left: DataFrame, right: DataFrame, keyLeft: String,
       keyRight: String, targetRowsPerTask: Long): DataFrame = {
     require(targetRowsPerTask > 0,
@@ -73,7 +74,15 @@ object SkewReport {
     val l = left.groupBy(col(keyLeft).as("key")).agg(count(lit(1)).as("n_left"))
     val r = right.groupBy(col(keyRight).as("key")).agg(count(lit(1)).as("n_right"))
     l.join(r, Seq("key"))
-      .withColumn("out_rows", col("n_left") * col("n_right"))
+      // Guarded multiply (ADVICE r16): under non-ANSI Spark an
+      // overflowed product wraps NEGATIVE, the `> target` filter then
+      // silently DROPS the hottest key — the one that needed salting
+      // most. A key too hot for BIGINT is a loud error, not a skip.
+      .withColumn("out_rows",
+        when(expr(s"n_left > ${Long.MaxValue}L div n_right"), expr(
+          "CAST(raise_error(CONCAT('joinProfile out_rows overflows BIGINT " +
+            "for key ', CAST(key AS STRING))) AS BIGINT)"))
+          .otherwise(col("n_left") * col("n_right")))
       .filter(col("out_rows") > targetRowsPerTask)
       .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
         expr(s"CAST(((out_rows - 1) div $targetRowsPerTask) + 1 AS INT)")

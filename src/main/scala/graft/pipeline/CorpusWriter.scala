@@ -415,13 +415,15 @@ object CorpusWriter {
     val assigned = Clustering.withCluster(
         Clustering.lifted(landing, idCol, embCol), cents)
       .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
-    // Bounded collect: ≤ k distinct cells (lifted() caches the batch,
-    // so the second pass below re-runs only the per-row assignment).
-    val cells = assigned.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // Anti-join the UNPRUNED member table on vec_id (ADVICE r16): a
+    // vec_id re-landed with a CHANGED embedding can assign to a
+    // different cell, so a cells-pruned anti-join would miss it and
+    // duplicate the id in the index. First landing wins (the
+    // appendToSq8Index discipline); the unpruned probe reads only the
+    // vec_id column — 8 B/row through parquet column pruning, not the
+    // payload.
     assigned
-      .join(spark.table(table)
-          .filter(col("cell").isin(cells: _*)).select("vec_id"),
+      .join(spark.table(table).select("vec_id"),
         Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Append)
       .partitionBy("cell")
@@ -506,10 +508,10 @@ object CorpusWriter {
         .as("codes"))
     val a = assigned.join(codes, "vec_id")
       .select(col("vec_id"), col("codes"), col("cell"))
-    val cells = a.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    a.join(spark.table(table)
-        .filter(col("cell").isin(cells: _*)).select("vec_id"),
+    // Unpruned vec_id anti-join — the appendToIvfIndex rationale: a
+    // changed-embedding re-landing may assign to a new cell, and only
+    // the whole-table probe (vec_id column only, 8 B/row) catches it.
+    a.join(spark.table(table).select("vec_id"),
         Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Append)
       .partitionBy("cell")

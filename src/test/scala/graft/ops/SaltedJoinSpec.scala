@@ -64,6 +64,40 @@ class SaltedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a key-DUPLICATED profile stays answer-invisible (folds to max fan-out)") {
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("k950", "A"), ("k999", "B"), ("miss", "X"))
+      .toDF("k", "tag")
+    val plain = left.join(right, "k")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    // The same hot key listed twice with different fan-outs — e.g. a
+    // profile table landed twice without compaction. Pre-fix, each
+    // duplicate row multiplied matching pairs once more.
+    val dup = Seq(("hot", 3), ("hot", 9), ("k950", 2)).toDF("key", "salts")
+    val r = SaltedJoin.autoJoinWithProfile(left, right, "k", "k", dup)
+      .select("k", "v", "tag")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(r == plain)
+  }
+
+  test("joinProfile raises loudly on a BIGINT-overflowing key product") {
+    // Counts big enough that n_l·n_r wraps: fake them through the
+    // profile's own aggregation by checking the guard expression path
+    // with a synthetic counts join is impossible at fixture scale, so
+    // drive the guarded column directly through joinProfile on rows
+    // whose product is safe, then assert the guard's SQL shape exists.
+    val left = Seq(("a", 1), ("a", 2)).toDF("k", "v")
+    val right = Seq(("a", "x")).toDF("k", "tag")
+    val plan = SkewReport.joinProfile(left, right, "k", "k", 1L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("raise_error"), plan)
+    // And the safe path still computes exact products.
+    val prof = SkewReport.joinProfile(left, right, "k", "k", 1L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(prof == Seq(("a", 2L)))
+  }
+
   test("the join key includes the salt (the skew actually spreads)") {
     val left = Seq(("a", 1)).toDF("k", "v")
     val right = Seq(("a", "x")).toDF("k", "tag")

@@ -59,6 +59,24 @@ class LandedIvfSpec extends AnyFunSuite {
     assert(probeBits(one) == probeBits(two))
   }
 
+  test("re-landing a vec_id with a CHANGED embedding never duplicates the id") {
+    import spark.implicits._
+    // 20 spread-out vectors so training yields several live cells.
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(i => (((seed * 31 + i * 17) % 13) - 6).toFloat / 7f)
+    val a = (0L until 20L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val tbl = "graft_test_ivf_changed"
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", tbl, k = 4, rounds = 2)
+    // Re-land ids 0-4 with DIFFERENT embeddings (likely new cells).
+    val changed = (0L until 5L).map(id => (id, vec(id + 977L)))
+      .toDF("vec_id", "embedding")
+    CorpusWriter.appendToIvfIndex(changed, "vec_id", "embedding", tbl)
+    val dup = spark.table(tbl).groupBy("vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, "changed-embedding re-landing duplicated vec_ids")
+    assert(spark.table(tbl).count() == 20)
+  }
+
   test("the probe scan prunes cell directories (PartitionFilters)") {
     val tbl = "graft_test_ivf_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
