@@ -51,7 +51,13 @@ object Multimodal {
     * (??? in spirit); the deterministic fake hashes byte stripes so tests
     * can assert exact outputs. Stripes are gathered with primitive loops —
     * the stub runs once per asset over every content byte, so per-byte
-    * boxing would dominate the whole extract pass. */
+    * boxing would dominate the whole extract pass. Components CENTER to
+    * [-0.5, 0.5) (hash/2^32 − 0.5 — both terms dyadic, so the double is
+    * exact before the one float rounding) so unrelated assets' stub
+    * embeddings scatter around cos ≈ 0 the way real embeddings do,
+    * instead of the all-positive cos ≈ 0.9 cone an uncentered hash
+    * gives — which is what lets the near-dup LSH (q169) separate
+    * replicas at a sane threshold. */
   def decodeStub(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](EmbeddingDim)
     var i = 0
@@ -61,7 +67,7 @@ object Multimodal {
       var j = i
       var k = 0
       while (j < content.length) { stripe(k) = content(j); k += 1; j += EmbeddingDim }
-      out(i) = (RollingHashExpr.hash(stripe).toDouble / (1L << 32).toDouble).toFloat
+      out(i) = (RollingHashExpr.hash(stripe).toDouble / (1L << 32).toDouble - 0.5).toFloat
       i += 1
     }
     out
@@ -105,5 +111,206 @@ object Multimodal {
       MediaAsset(i.toLong, modality, bytes, 64 + i, 48 + i, 16000)
     }
     spark.createDataset(rows)
+  }
+
+  // -------------------------------------------------------------------
+  // Multimodal dedup + similarity (VERDICT r16 next-round #2): the asset
+  // store's dedup/near-dup family, run over EXTRACTED features so the
+  // heavy content never moves past the map-side extract. The planted
+  // corpus derives from `documents` (its bytes stand in for media
+  // content, the q28 convention) with two replica families: EXACT
+  // replicas (re-ingested assets — every doc_id % 20) and HALF variants
+  // (truncated/re-edited assets: first half kept, second half reversed —
+  // every doc_id % 10), so exact dedup, partial frame overlap, and
+  // embedding near-dup all have live positives AND live negatives.
+
+  /** Planted asset corpus as (asset_id, modality, content) rows —
+    * char-level construction only (substring/reverse/concat), so the
+    * DuckDB oracle replays it verbatim ([[plantedAssetsSql]]). */
+  def plantedAssets(docs: org.apache.spark.sql.DataFrame): Dataset[MediaAsset] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val modality =
+      expr("element_at(array('image','audio','video'), cast(doc_id % 3 + 1 AS INT))")
+    val base = docs.select(col("doc_id").as("asset_id"), modality.as("modality"),
+      col("text"))
+    val replica = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000L).as("asset_id"), modality.as("modality"),
+        col("text"))
+    val half = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000L).as("asset_id"), modality.as("modality"),
+        expr("concat(substring(text, 1, cast(length(text) div 2 AS INT)), " +
+          "reverse(substring(text, cast(length(text) div 2 AS INT) + 1)))")
+          .as("text"))
+    base.unionAll(replica).unionAll(half)
+      .select(col("asset_id"), col("modality"),
+        col("text").cast("binary").as("content"),
+        lit(64).as("width"), lit(48).as("height"), lit(16000).as("sample_rate"))
+      .as[MediaAsset]
+  }
+
+  /** The shared oracle corpus CTE body: (asset_id, content VARCHAR). */
+  def plantedAssetsSql: String =
+    """SELECT doc_id AS asset_id,
+      |    (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality,
+      |    text AS content FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    (['image','audio','video'])[(doc_id % 3 + 1)::INT], text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    (['image','audio','video'])[(doc_id % 3 + 1)::INT],
+      |    concat(substr(text, 1, (length(text)//2)::INT),
+      |      reverse(substr(text, (length(text)//2 + 1)::INT)))
+      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Exact multimodal dedup at whole-content grain: duplicate groups by
+    * content fingerprint with the canonical member and the bytes a
+    * dedup pass would reclaim. The dedup runs over EXTRACTED feature
+    * rows (fingerprint + n_bytes — tens of bytes each), never the
+    * assets: at 100 TB the only content pass is the map-side extract,
+    * and the groupBy shuffles feature-sized rows on the fingerprint.
+    * Fingerprint collisions across distinct content resolve exactly
+    * like exact text dedup's (q20's countDistinct commentary): the
+    * 32-bit stand-in is replayable; a deployment widens the hash, not
+    * the plan. */
+  def assetDedup(assets: Dataset[MediaAsset]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Multimodal.extract(assets).toDF()
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("asset_id")).as("canonical_id"),
+        (sum(col("n_bytes")) - min(col("n_bytes"))).as("n_redundant_bytes"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("fingerprint")
+  }
+
+  /** DuckDB oracle for [[assetDedup]]. */
+  def assetDedupOracleSql: String =
+    s"""WITH assets AS (
+       |  $plantedAssetsSql),
+       |f AS (SELECT asset_id, CAST(length(content) AS BIGINT) AS n_bytes,
+       |    ${graft.oracle.Duck.rollingHashSql("content")} AS fingerprint
+       |  FROM assets)
+       |SELECT fingerprint, count(*) AS n_assets,
+       |  min(asset_id) AS canonical_id,
+       |  CAST(sum(n_bytes) - min(n_bytes) AS BIGINT) AS n_redundant_bytes
+       |FROM f GROUP BY fingerprint HAVING count(*) >= 2
+       |ORDER BY fingerprint""".stripMargin
+
+  /** Max assets sharing one (frame, print) cell before the pair
+    * expansion refuses — the hot-cell contract every pair-emitting op
+    * in this repo carries (a viral frame shared by millions of assets
+    * must widen the print or pre-aggregate, not emit C(m,2) rows). */
+  val MaxFrameCell = 1024
+
+  /** Aligned frame-overlap near-dup: asset pairs sharing ≥ `minShared`
+    * of their sampled frame fingerprints AT THE SAME frame index — the
+    * truncated/re-edited-asset detector (a shared prefix keeps its
+    * leading frames bit-identical; a re-encode changes all of them).
+    *
+    * Scale shape: pairs emit from GROUPED (frame, print) cells — the
+    * banded-dedup discipline — never from a row-level self-join: the
+    * exploded frame table shuffles once on (f, print), each cell's
+    * member list is contract-capped at [[MaxFrameCell]] with a loud
+    * raise_error, and the HOF pair expansion inside the cell is
+    * C(m, 2)-bounded by that contract. One more count-shuffle on the
+    * (a, b) pair key scores n_shared. */
+  def frameOverlapPairs(assets: Dataset[MediaAsset],
+      minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minShared >= 1 && minShared <= FrameSamples,
+      s"minShared must be in [1, $FrameSamples]: $minShared")
+    val frames = Multimodal.extract(assets).toDF()
+      .select(col("asset_id"), posexplode(col("frame_prints")).as(Seq("f", "print")))
+    val cells = frames.groupBy("f", "print")
+      .agg(sort_array(collect_list(col("asset_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("ids",
+        when(size(col("ids")) > MaxFrameCell, expr(
+          s"CAST(raise_error(CONCAT('frame cell over $MaxFrameCell " +
+            s"members at frame ', CAST(f AS STRING))) AS ARRAY<BIGINT>)"))
+          .otherwise(col("ids")))
+    cells
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(a AS asset_a, b AS asset_b))))")).as("p"))
+      .select(col("p.asset_a"), col("p.asset_b"))
+      .groupBy("asset_a", "asset_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("asset_a", "asset_b")
+  }
+
+  /** The oracle's byte-list CTE over the planted assets: DuckDB walks
+    * content's true bytes via hex(encode(...)) — [[graft.oracle.Duck
+    * .rollingHashSql]]'s derivation lifted to a reusable list. */
+  private def byteListCtes: String = {
+    val nib = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+    s"""assets AS (
+       |  $plantedAssetsSql),
+       |hx AS (SELECT asset_id, lower(hex(encode(content))) AS h FROM assets),
+       |bl AS (SELECT asset_id, (length(h)//2)::BIGINT AS n,
+       |    list_transform(range(1, length(h)//2 + 1),
+       |      p -> (${nib("substr(h, (2*p-1)::INT, 1)")} * 16
+       |        + ${nib("substr(h, (2*p)::INT, 1)")})::BIGINT) AS bs
+       |  FROM hx)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[frameOverlapPairs]]: frames = rolling hash of
+    * the f-th contiguous byte quarter (the [[sampleFrames]] bounds,
+    * 1-based list slice), pairs by aligned self-join. */
+  def frameOverlapOracleSql(minShared: Int = 2): String =
+    s"""WITH $byteListCtes,
+       |frames AS (SELECT asset_id, f,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      bs[(n*f//$FrameSamples + 1)::INT : (n*(f+1)//$FrameSamples)::INT]),
+       |      (h, b) -> (h * 31 + b) & 4294967295) AS print
+       |  FROM bl, LATERAL unnest([0, 1, 2, 3]) AS t(f)),
+       |pairs AS (SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       |    count(*) AS n_shared
+       |  FROM frames a JOIN frames b
+       |    ON a.f = b.f AND a.print = b.print AND a.asset_id < b.asset_id
+       |  GROUP BY 1, 2)
+       |SELECT asset_a, asset_b, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs WHERE n_shared >= $minShared
+       |ORDER BY asset_a, asset_b""".stripMargin
+
+  /** Embedding near-dup over the stub features: [[Similarity
+    * .bucketedNearDupPairs]] (banded sign-LSH + exact-cosine verify)
+    * at [[EmbeddingDim]] grain — the multimodal twin of q33's text
+    * pipeline, proving the extract output plugs straight into the
+    * existing vector dedup machinery. Exact replicas land at cos = 1;
+    * half variants scatter (every byte stripe crosses the edit), which
+    * is the negative the threshold must reject. */
+  def embeddingNearDups(assets: Dataset[MediaAsset],
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.extract(assets).toDF()
+      .select(col("asset_id"), col("embedding"))
+    Similarity.bucketedNearDupPairs(feats, "asset_id", "embedding",
+      dim = EmbeddingDim, minCos = minCos)
+  }
+
+  /** DuckDB oracle for [[embeddingNearDups]]: the stub embedding —
+    * per-dim rolling hash over the byte stripe i, i+8, … centered by
+    * 0.5 — replayed exactly (hash/2^32 and the 0.5 are dyadic, so the
+    * only rounding is the same float cast both engines make), then
+    * [[Similarity.nearDupOracleSql]] over that corpus. */
+  def embeddingNearDupOracleSql(minCos: Double): String = {
+    val dims = (0 until EmbeddingDim).map { i =>
+      s"""CAST(CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(0, CASE WHEN n > $i THEN (n-1-$i)//$EmbeddingDim + 1 ELSE 0 END),
+         |        k -> bs[($i + 1 + $EmbeddingDim*k)::INT])),
+         |      (h, b) -> (h * 31 + b) & 4294967295)::DOUBLE / 4294967296 - 0.5
+         |    AS FLOAT) AS DOUBLE)""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    val corpus =
+      s"""(WITH $byteListCtes
+         |  SELECT asset_id AS vec_id, $dims AS emb FROM bl)""".stripMargin
+    Similarity.nearDupOracleSql(EmbeddingDim, minCos, corpus)
   }
 }

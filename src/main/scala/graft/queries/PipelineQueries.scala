@@ -210,6 +210,35 @@ object PipelineQueries {
         dim = 64, topK = 10)
     }),
 
+    // Multimodal exact dedup (r17): duplicate asset groups by
+    // whole-content fingerprint over the planted corpus (exact
+    // replicas every doc_id % 20, half variants every % 10) — dedup
+    // runs on EXTRACTED feature rows; content never moves past the
+    // map-side extract.
+    "q167_asset_dedup" -> ((s, sf) =>
+      graft.pipeline.Multimodal.assetDedup(
+        graft.pipeline.Multimodal.plantedAssets(
+          Tables.load(s, sf, "documents")))),
+
+    // Multimodal frame-overlap near-dup (r17): asset pairs sharing >= 2
+    // aligned sampled-frame fingerprints — the truncated/re-edited
+    // detector (exact replicas share all 4; half variants share the 2
+    // leading frames; everything else shares none). Pairs emit from
+    // grouped (frame, print) cells under the MaxFrameCell contract.
+    "q168_frame_overlap" -> ((s, sf) =>
+      graft.pipeline.Multimodal.frameOverlapPairs(
+        graft.pipeline.Multimodal.plantedAssets(
+          Tables.load(s, sf, "documents")), minShared = 2)),
+
+    // Multimodal embedding near-dup (r17): the extract output plugged
+    // straight into the banded sign-LSH + exact-cosine machinery
+    // (q33's pipeline at stub-embedding grain) — exact replicas land
+    // at cos = 1; half variants scatter and must be rejected.
+    "q169_asset_embedding_dedup" -> ((s, sf) =>
+      graft.pipeline.Multimodal.embeddingNearDups(
+        graft.pipeline.Multimodal.plantedAssets(
+          Tables.load(s, sf, "documents")), minCos = 0.9)),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
     // bit-equal to q106/q107; the oracle IS q106's oracle.
@@ -1358,6 +1387,14 @@ object PipelineQueries {
 
     "q165_landed_sq8" -> graft.pipeline.ScalarQuant.landedOracleSql(
       "vec_id % 2 = 0", Seq(0L, 1L, 2L), dim = 64, topK = 10),
+
+    "q167_asset_dedup" -> graft.pipeline.Multimodal.assetDedupOracleSql,
+
+    "q168_frame_overlap" ->
+      graft.pipeline.Multimodal.frameOverlapOracleSql(minShared = 2),
+
+    "q169_asset_embedding_dedup" ->
+      graft.pipeline.Multimodal.embeddingNearDupOracleSql(minCos = 0.9),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

@@ -27,6 +27,55 @@ class MultimodalSpec extends AnyFunSuite {
       Set("asset_id", "modality", "n_bytes", "fingerprint", "embedding", "frame_prints"))
   }
 
+  test("planted replica family: exact dedup groups each base with its replica") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    // Rows: (fingerprint, n_assets, canonical_id, n_redundant_bytes).
+    val rows = Multimodal.assetDedup(Multimodal.plantedAssets(docs)).collect()
+    val expectedDups = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+      .count()
+    assert(rows.length.toLong == expectedDups, s"${rows.length} vs $expectedDups")
+    // Every group: the replica (canonical + 10000) duplicates the base.
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L)
+      assert(r.getLong(2) % 20 == 0L) // canonical is the base id
+    }
+  }
+
+  test("planted families: frame overlap separates replicas (4 shared) from half variants (2)") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val pairs = Multimodal.frameOverlapPairs(Multimodal.plantedAssets(docs),
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val baseIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    baseIds.filter(_ % 20 == 0).foreach { id =>
+      assert(pairs.get((id, id + 10000L)).contains(4L),
+        s"replica pair of $id missing or wrong: ${pairs.get((id, id + 10000L))}")
+    }
+    baseIds.filter(_ % 10 == 0).foreach { id =>
+      assert(pairs.get((id, id + 20000L)).contains(2L),
+        s"half-variant pair of $id missing or wrong: ${pairs.get((id, id + 20000L))}")
+    }
+  }
+
+  test("planted families: embedding near-dup keeps replicas at cos=1, drops half variants") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val (got, frames) = graft.ops.Materialize.collecting {
+      Multimodal.embeddingNearDups(Multimodal.plantedAssets(docs), minCos = 0.9)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    }
+    graft.ops.Materialize.release(frames)
+    val byPair = got.toMap
+    val baseIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    baseIds.filter(_ % 20 == 0).foreach { id =>
+      // Identical vectors: cos = 1 up to the final division's rounding.
+      assert(byPair.get((id, id + 10000L)).exists(c => math.abs(c - 1.0) < 1e-12),
+        s"replica pair of $id not at cos~1: ${byPair.get((id, id + 10000L))}")
+    }
+    // Half variants scramble every byte stripe — never near in stub space.
+    assert(baseIds.filter(_ % 10 == 0).forall(id =>
+      !byPair.contains((id, id + 20000L))))
+  }
+
   test("identical content gives identical features; different content differs") {
     val a = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
     val b = Multimodal.decodeStub(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
