@@ -671,12 +671,22 @@ object CorpusWriter {
     * table-sized shuffle — the price of N landings' worth of file opens,
     * paid once during a maintenance window. */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String): Unit =
+    rewriteBucketed(spark, table)(identity)
+
+  /** Swap-rewrite a BUCKETED sidecar under its own bucket/sort spec:
+    * read by location, apply `transform` (must preserve the schema),
+    * route one task per bucket, write a swap table, rename into place.
+    * Shared by compaction (identity) and retirement (anti-join /
+    * subtract-fold transforms). */
+  private def rewriteBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String)(
+      transform: DataFrame => DataFrame): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val cat = spark.sessionState.catalog.getTableMetadata(ident)
     val bs = cat.bucketSpec.getOrElse(sys.error(
-      s"compactTable($table): not a bucketed table — nothing accumulates " +
-        "in a plain table rewrite; refusing a pointless shuffle"))
+      s"rewriteBucketed($table): not a bucketed table — nothing " +
+        "accumulates in a plain table rewrite; refusing a pointless shuffle"))
     val swap = s"${table}__compact"
     dropOrphanedLocation(spark, swap)
     val cols = bs.bucketColumnNames.map(col)
@@ -688,8 +698,8 @@ object CorpusWriter {
     // accumulation this op exists to undo; observed 4×4 on a 4-bucket
     // fixture). A plain parquet read declares no partitioning, so the
     // shuffle survives and task i holds exactly bucket i.
-    val w = spark.read.format("parquet").schema(cat.schema)
-      .load(cat.location.toString)
+    val w = transform(spark.read.format("parquet").schema(cat.schema)
+        .load(cat.location.toString))
       .repartition(bs.numBuckets, cols: _*)
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(bs.numBuckets, bs.bucketColumnNames.head,
@@ -801,5 +811,176 @@ object CorpusWriter {
     // distincts the union when forming the active set.
     levels.write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${table}_levels")
+  }
+
+  // -------------------------------------------------------------------
+  // Sidecar RETIREMENT (VERDICT r16 next-round #3): the delete half of
+  // the landing discipline. A 100 TB corpus that must honor a removal
+  // (takedown, license expiry, dedup-then-drop) has standing sidecars
+  // that all still answer for the deleted docs; each family below
+  // propagates a delete with the cheapest discipline its layout
+  // admits, gated by a delete ≡ write-on-remaining identity
+  // (RetirementSpec / q170 / q171):
+  //  - doc-attributed member tables (SQ8 / admission fp+sig): one
+  //    anti-join rewrite under the stored bucket spec;
+  //  - cell-partitioned member tables (IVF / IVF-PQ): a PARTITION-
+  //    scoped rewrite — only the retired ids' cells are touched;
+  //  - additive count models (trigram LM): a SUBTRACT landing — append
+  //    the deleted docs' counts negated, O(deleted) not O(model);
+  //  - attribution-FREE fingerprint sets (gram / winnow): retirement
+  //    needs the REMAINING corpus (the sidecar cannot know which
+  //    fingerprints only the deleted docs contributed) — doomed =
+  //    fps(deleted) ∖ fps(remaining), one anti-join rewrite;
+  //  - max-merged register state (HLL) is NOT subtractable: rebuild
+  //    on delete (writeHllRegisters over the remaining corpus).
+
+  /** Retire vectors from a [[writeSq8Index]] sidecar: one anti-join
+    * rewrite of the member table under its bucket spec. The GRID stays
+    * frozen (the appendToSq8Index discipline — retraining is an
+    * explicit rebuild, never a side effect of a delete). */
+  def retireFromSq8Index(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit = {
+    val ids = retired.select(col(idCol).cast("long").as("vec_id"))
+    rewriteBucketed(spark, table)(
+      _.join(ids, Seq("vec_id"), "left_anti"))
+  }
+
+  /** Retire docs from a [[writeAdmissionIndex]] sidecar (doc-attributed
+    * fp+sig rows): one anti-join rewrite. */
+  def retireFromAdmissionIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit = {
+    val ids = retired.select(col(idCol).cast("long").as("doc_id"))
+    rewriteBucketed(spark, table)(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Retire vectors from a [[writeIvfIndex]] / [[writeIvfPqIndex]]
+    * member table: PARTITION-scoped — the retired ids' cells are read,
+    * their remaining members land in a swap table, and a dynamic
+    * partition overwrite replaces exactly those cell directories
+    * (cells whose members all retire are dropped explicitly — dynamic
+    * overwrite only touches partitions present in the data). Untouched
+    * cells never read or write, so a delete costs O(affected cells),
+    * not O(index). Centroids/codebooks stay frozen. */
+  def retireFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit = {
+    val ids = retired.select(col(idCol).cast("long").as("vec_id"))
+    // ≤ kCoarse cells by construction — a bounded driver list.
+    val affected = spark.table(table)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    if (affected.nonEmpty) {
+      val swap = s"${table}__retire"
+      dropOrphanedLocation(spark, swap)
+      spark.table(table)
+        .filter(col("cell").isin(affected: _*))
+        .join(ids, Seq("vec_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(swap)
+      val keptCells = spark.table(swap)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // Positional insert: the swap table carries the member table's
+        // own schema (partition column last), so the columns line up.
+        spark.table(swap).write.mode(SaveMode.Overwrite).insertInto(table)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      affected.filterNot(keptCells).foreach { c =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell = $c)")
+      }
+      spark.sql(s"DROP TABLE $swap")
+    }
+  }
+
+  /** [[retireFromIvfIndex]] verbatim — the IVF-PQ member table shares
+    * the (vec_id, payload, cell) partitioned layout. */
+  def retireFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit =
+    retireFromIvfIndex(spark, table, retired, idCol)
+
+  /** Retire training docs from a [[writeLmModel]] sidecar by a
+    * SUBTRACT landing: the deleted docs' counts append NEGATED — the
+    * reader's per-(level, gram) SUM then nets them out exactly
+    * (integer additivity), so a delete costs O(deleted docs), never a
+    * model rewrite, and subtract ≡ write-on-remaining bit-exactly at
+    * the score level (the reader skips zero-sum grams — a netted-out
+    * gram must back off exactly like a never-seen one). Run
+    * [[compactLmModel]] periodically to drop the zero-sum tombstones;
+    * retiring docs that never trained surfaces there as a loud
+    * negative-count error. */
+  def retireFromLmModel(deleted: DataFrame, textCol: String,
+      table: String): Unit = {
+    val spark = deleted.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed LM model meta: ${meta.length} rows")
+    TrigramModel.modelCounts(deleted, textCol)
+      .withColumn("c", -col("c"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
+      .sortBy("gram")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Compact a [[writeLmModel]] sidecar after append/subtract landings:
+    * fold to one row per (level, gram), DROP zero-sum tombstones, and
+    * raise loudly on a negative sum (over-retirement — docs retired
+    * that never trained). Answer-invisible: the reader sums anyway. */
+  def compactLmModel(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    rewriteBucketed(spark, table) { df =>
+      df.groupBy("level", "gram").agg(sum("c").as("c"))
+        .withColumn("c", when(col("c") < 0, expr(
+          "CAST(raise_error(CONCAT('LM retirement drove gram below zero: ', " +
+            "gram)) AS BIGINT)")).otherwise(col("c")))
+        .filter(col("c") > 0)
+        .select(col("level"), col("gram"), col("c"))
+    }
+
+  /** Retire docs from a [[writeGramIndex]] sidecar. The stored set is
+    * attribution-free (distinct gram_fp only), so the sidecar alone
+    * cannot know which fingerprints ONLY the deleted docs contributed —
+    * the caller passes the REMAINING corpus and retirement removes
+    * doomed = fps(deleted) ∖ fps(remaining) in one anti-join rewrite.
+    * Cost is one remaining-corpus tokenize — the price of the slim
+    * attribution-free layout (a delete-heavy deployment stores
+    * (gram_fp, n_docs) counts instead and decrements). */
+  def retireFromGramIndex(deleted: DataFrame, remaining: DataFrame,
+      textCol: String, table: String): Unit = {
+    val spark = deleted.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
+    val n = meta(0).getAs[Int]("n")
+    def fps(docs: DataFrame) = docs.select(explode(
+        graft.functions.GraftFunctions.wordGramHashes(col(textCol), n))
+        .as("gram_fp"))
+      .distinct()
+    val doomed = fps(deleted).join(fps(remaining), Seq("gram_fp"), "left_anti")
+    rewriteBucketed(spark, table)(
+      _.join(doomed, Seq("gram_fp"), "left_anti"))
+  }
+
+  /** Retire docs from a [[writeWinnowIndex]] sidecar — the
+    * [[retireFromGramIndex]] discipline at winnowed-fingerprint grain
+    * (the selection is attribution-free too). */
+  def retireFromWinnowIndex(deleted: DataFrame, remaining: DataFrame,
+      idCol: String, textCol: String, table: String): Unit = {
+    val spark = deleted.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed winnow-index meta: ${meta.length} rows")
+    val n = meta(0).getAs[Int]("n")
+    val w = meta(0).getAs[Int]("w")
+    val doomed = Winnow.selectedFps(deleted, idCol, textCol, n, w).distinct()
+      .join(Winnow.selectedFps(remaining, idCol, textCol, n, w).distinct(),
+        Seq("fp"), "left_anti")
+    rewriteBucketed(spark, table)(
+      _.join(doomed, Seq("fp"), "left_anti"))
   }
 }

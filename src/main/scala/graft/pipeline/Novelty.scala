@@ -82,19 +82,29 @@ object Novelty {
   /** DuckDB oracle for [[noveltyReport]] over table `documents`:
     * `incrementPredSql` must render the same predicate. */
   def oracleSql(incrementPredSql: String, n: Int): String =
+    oracleSql(incrementPredSql, s"NOT ($incrementPredSql)", n)
+
+  /** [[oracleSql]] with an INDEPENDENT reference predicate — the
+    * retirement gate's shape (q172): after
+    * [[CorpusWriter.retireFromGramIndex]] the reference set is the
+    * remaining index corpus, which is no longer the increment's
+    * complement. */
+  def oracleSql(incrementPredSql: String, referencePredSql: String,
+      n: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
-       |         ($incrementPredSql) AS is_inc
+       |         ($incrementPredSql) AS is_inc,
+       |         ($referencePredSql) AS is_ref
        |  FROM documents),
        |grams AS (
-       |  SELECT doc_id, is_inc,
+       |  SELECT doc_id, is_inc, is_ref,
        |    ${graft.oracle.Duck.gramHash63Sql("gram")} AS gram_fp
        |  FROM (
-       |    SELECT doc_id, is_inc,
+       |    SELECT doc_id, is_inc, is_ref,
        |      unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 0) + 1),
        |        i -> array_to_string(t[i:i+${n - 1}], ' '))) AS gram
        |    FROM toks)),
-       |corpus_grams AS (SELECT DISTINCT gram_fp FROM grams WHERE NOT is_inc),
+       |corpus_grams AS (SELECT DISTINCT gram_fp FROM grams WHERE is_ref),
        |dg AS (SELECT DISTINCT doc_id, gram_fp FROM grams WHERE is_inc),
        |cnt AS (
        |  SELECT dg.doc_id,

@@ -216,6 +216,44 @@ object ScalarQuant {
        |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
   }
 
+  /** DuckDB oracle for a probe against a full-corpus index AFTER
+    * [[CorpusWriter.retireFromSq8Index]] removed `retiredPredSql`'s
+    * rows: the grid trained on the WHOLE corpus and stays frozen
+    * through the delete (the retirement discipline), so dims span all
+    * vectors while scoring touches only the remaining members. */
+  def retiredOracleSql(retiredPredSql: String, queryIds: Seq[Long],
+      dim: Int, topK: Int): String = {
+    val qList = queryIds.distinct.sorted.mkString(", ")
+    s"""WITH lift AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * ${Clustering.Scale} + 0.5)
+       |      AS BIGINT)) AS fx
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT i, min(fx[i]) AS mn, max(fx[i]) - min(fx[i]) AS dl
+       |  FROM lift, LATERAL unnest(range(1, $dim + 1)) AS r(i)
+       |  GROUP BY i),
+       |q AS (SELECT vec_id AS qid, fx AS qv FROM lift
+       |      WHERE vec_id IN ($qList)),
+       |scored AS (
+       |  SELECT q.qid, l.vec_id,
+       |    CAST(sum(q.qv[d.i] * (d.mn + CASE WHEN d.dl = 0 THEN 0
+       |      ELSE ((((l.fx[d.i] - d.mn) * 255) // d.dl) * d.dl) // 255
+       |      END)) AS BIGINT) AS fp
+       |  FROM lift l, q, dims d
+       |  WHERE l.vec_id <> q.qid AND NOT (l.vec_id IN
+       |    (SELECT vec_id FROM embeddings WHERE ($retiredPredSql)))
+       |  GROUP BY q.qid, l.vec_id),
+       |part AS (
+       |  SELECT qid, vec_id, CAST(fp AS DOUBLE) / $ScoreDiv AS score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(fp AS DOUBLE) / $ScoreDiv DESC, vec_id)
+       |      AS BIGINT) AS rn
+       |  FROM scored)
+       |SELECT qid, vec_id, score, rn FROM part
+       |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[sq8TopK]] over table `embeddings`: replays the
     * lift, the per-dim grid, the codes, and the integer dot. */
   def oracleSql(queryIds: Seq[Long], dim: Int, topK: Int): String = {

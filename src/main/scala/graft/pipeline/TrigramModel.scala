@@ -100,8 +100,14 @@ object TrigramModel {
     graft.functions.GraftFunctions.register(score.sparkSession)
     // Sum-fold: append landings leave duplicate (level, gram) rows.
     // Cached: the folded model feeds five lookup joins + the total.
+    // Zero-sum grams are SKIPPED (c > 0): a subtract landing
+    // (CorpusWriter.retireFromLmModel) nets a fully-retired gram to 0,
+    // and it must back off exactly like a never-seen one — a c = 0 row
+    // surviving into the left joins would pin the level without the
+    // count. No-op for append-only models (their sums are all > 0).
     val m = Materialize.barrier(
-      model.groupBy("level", "gram").agg(sum("c").as("c")))
+      model.groupBy("level", "gram").agg(sum("c").as("c"))
+        .filter(col("c") > 0))
     def lookup(lvl: Int, key: String, cName: String) = m
       .filter(col("level") === lvl)
       .select(col("gram").as(key), guarded(col("c")).as(cName))

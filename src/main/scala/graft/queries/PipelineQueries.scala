@@ -239,6 +239,64 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minCos = 0.9)),
 
+    // LM retirement (r17): train on %4∈{0,2} in two landings, then
+    // RETIRE the %4=2 half by a subtract landing (negated counts,
+    // O(deleted) — never a model rewrite) + compaction; scoring must be
+    // bit-equal to a model trained on %4=0 alone, so the oracle IS the
+    // q155 oracle with the smaller train predicate.
+    "q170_retired_lm" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q170_lm_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeLmModel(
+          docs.filter(col("doc_id") % 4 === 0), "text", tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToLmModel(
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+        graft.pipeline.CorpusWriter.retireFromLmModel(
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+        graft.pipeline.CorpusWriter.compactLmModel(s, tbl)
+      }
+      TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s.table(tbl))
+    }),
+
+    // SQ8 retirement (r17): write the FULL-corpus index (grid trains on
+    // everything and stays frozen through the delete), retire the odd
+    // half by one anti-join rewrite, probe from the even half — the
+    // oracle scores full-grid codes over remaining members only.
+    "q171_retired_sq8" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q171_sq8_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeSq8Index(
+          emb, "vec_id", "embedding", dim = 64, tbl, buckets = 16)
+        graft.pipeline.CorpusWriter.retireFromSq8Index(s, tbl,
+          emb.filter(col("vec_id") % 2 === 1), "vec_id")
+      }
+      graft.pipeline.ScalarQuant.sq8TopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 2L, 4L)), "vec_id", "embedding",
+        dim = 64, topK = 10)
+    }),
+
+    // Gram-index retirement (r17): the attribution-free sidecar's
+    // delete — doomed = fps(deleted) ∖ fps(remaining) — must leave the
+    // index ≡ one built on the remaining reference corpus, so the
+    // oracle is q106's with an independent reference predicate.
+    "q172_retired_novelty" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q172_gramidx_${Tables.fixtureKey(sf, "documents")}"
+      val inc = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeGramIndex(
+          docs.filter(!inc), "text", n = 4, tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.retireFromGramIndex(
+          docs.filter(!inc && col("doc_id") % 2 === 1),
+          docs.filter(!inc && col("doc_id") % 2 === 0), "text", tbl)
+      }
+      Novelty.noveltyAgainstIndex(s, tbl, docs.filter(inc), "doc_id",
+        "text", n = 4)
+    }),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
     // (write + anti-join append — the q68 landing identity) must answer
     // bit-equal to q106/q107; the oracle IS q106's oracle.
@@ -1395,6 +1453,17 @@ object PipelineQueries {
 
     "q169_asset_embedding_dedup" ->
       graft.pipeline.Multimodal.embeddingNearDupOracleSql(minCos = 0.9),
+
+    // Retirement gates (r17): each oracle is the write-on-remaining
+    // replay — subtract/delete must be invisible against it.
+    "q170_retired_lm" ->
+      TrigramModel.oracleSql("doc_id % 4 = 0", "doc_id % 2 = 1"),
+
+    "q171_retired_sq8" -> graft.pipeline.ScalarQuant.retiredOracleSql(
+      "vec_id % 2 = 1", Seq(0L, 2L, 4L), dim = 64, topK = 10),
+
+    "q172_retired_novelty" -> Novelty.oracleSql("doc_id % 7 = 0",
+      "NOT (doc_id % 7 = 0) AND doc_id % 2 = 0", n = 4),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sidecar retirement (r17): every family's delete must equal the
+  * sidecar written on the remaining corpus — the q67 landing identity
+  * in reverse — with the cheapest discipline each layout admits. */
+class RetirementSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+  private lazy val emb =
+    graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+
+  private def rows(t: String): Set[String] =
+    spark.table(t).collect().map(_.mkString("|")).toSet
+
+  private def drop(ts: String*): Unit =
+    ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("SQ8: retire(full, odds) member rows ≡ full minus odds; grid untouched") {
+    val t = "graft_ret_sq8"
+    drop(t, s"${t}_grid", s"${t}_meta")
+    CorpusWriter.writeSq8Index(emb, "vec_id", "embedding", dim = 64, t,
+      buckets = 8)
+    val before = rows(t)
+    val gridBefore = rows(s"${t}_grid")
+    CorpusWriter.retireFromSq8Index(spark, t,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id")
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = before.filterNot(r => odds.contains(r.takeWhile(_ != '|').toLong))
+    assert(rows(t) == expect)
+    assert(rows(s"${t}_grid") == gridBefore)
+    // Retiring already-retired (or never-present) ids is a no-op.
+    CorpusWriter.retireFromSq8Index(spark, t,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id")
+    assert(rows(t) == expect)
+    drop(t, s"${t}_grid", s"${t}_meta")
+  }
+
+  test("IVF: partition-scoped retire — rows match, untouched cell files untouched, emptied cells dropped") {
+    import spark.implicits._
+    // Hand-built corpus with a cell whose members ALL retire: vectors
+    // cluster tightly by construction (k seeds = 4 lowest ids).
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 37 + i * 13) % 11) - 5).toFloat / 5f)
+    val corpus = (0 until 24).map { id =>
+      (id.toLong, vec(id % 4).map(v => v + (id / 4) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val t = "graft_ret_ivf"
+    drop(t, s"${t}_cent", s"${t}_meta")
+    CorpusWriter.writeIvfIndex(corpus, "vec_id", "embedding", t,
+      k = 4, rounds = 2)
+    val cellOf = spark.table(t).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Retire one whole cell plus one member of another.
+    val doomCell = cellOf(0L)
+    val doomIds = cellOf.collect { case (id, c) if c == doomCell => id }.toSeq ++
+      cellOf.collectFirst { case (id, c) if c != doomCell => id }.toSeq
+    val partnerCell = cellOf(doomIds.last)
+    val untouched = cellOf.values.toSet -- Set(doomCell, partnerCell)
+    assert(untouched.nonEmpty, s"need an untouched cell: $cellOf")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    def cellFiles(c: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(loc.toString, s"cell=$c")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(s => s.getPath.getName + ":" + s.getModificationTime).toSet
+    }
+    val untouchedBefore = untouched.map(c => c -> cellFiles(c)).toMap
+    val before = rows(t)
+    CorpusWriter.retireFromIvfIndex(spark, t,
+      doomIds.toDF("vec_id"), "vec_id")
+    val expect = before.filterNot(r => doomIds.contains(r.takeWhile(_ != '|').toLong))
+    assert(rows(t) == expect)
+    // Untouched cells: same files, same mtimes — the rewrite was scoped.
+    untouched.foreach(c => assert(cellFiles(c) == untouchedBefore(c),
+      s"cell $c was rewritten"))
+    // The fully-retired cell's directory is gone from the catalog.
+    val liveCells = spark.table(t).select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!liveCells.contains(doomCell))
+    drop(t, s"${t}_cent", s"${t}_meta")
+  }
+
+  test("IVF-PQ: retire ≡ member rows minus ids; probe excludes them and stays consistent") {
+    val t = "graft_ret_ivfpq"
+    drop(t, s"${t}_coarse", s"${t}_books", s"${t}_meta")
+    CorpusWriter.writeIvfPqIndex(emb, "vec_id", "embedding", t,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    val before = rows(t)
+    val doomed = emb.filter(col("vec_id") % 3 === 1)
+    val doomedIds = doomed.select("vec_id").collect().map(_.getLong(0)).toSet
+    CorpusWriter.retireFromIvfPqIndex(spark, t, doomed, "vec_id")
+    val expect = before.filterNot(r => doomedIds.contains(r.takeWhile(_ != '|').toLong))
+    assert(rows(t) == expect)
+    val probe = ProductQuant.ivfAdcTopKFromIndex(spark, t,
+        emb.filter(col("vec_id").isin(0L, 2L)), "vec_id", "embedding",
+        nprobe = 3, topK = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(probe.intersect(doomedIds).isEmpty)
+    drop(t, s"${t}_coarse", s"${t}_books", s"${t}_meta")
+  }
+
+  test("LM: subtract landing + compaction ≡ model written on the remaining train set") {
+    val t = "graft_ret_lm"
+    val tRef = "graft_ret_lm_ref"
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
+    CorpusWriter.appendToLmModel(b, "text", t)
+    CorpusWriter.retireFromLmModel(b, "text", t)
+    CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
+    def scores(tbl: String): Seq[String] = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", spark.table(tbl))
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    // Pre-compaction: the reader's sum + zero-skip already nets out.
+    assert(scores(t) == scores(tRef))
+    // Post-compaction: the stored ROWS equal the remaining-train model.
+    CorpusWriter.compactLmModel(spark, t)
+    assert(rows(t) == rows(tRef))
+    assert(scores(t) == scores(tRef))
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+  }
+
+  test("LM: over-retirement (docs that never trained) raises at compaction") {
+    val t = "graft_ret_lm_bad"
+    drop(t, s"${t}_meta")
+    CorpusWriter.writeLmModel(docs.filter(col("doc_id") % 4 === 0), "text",
+      t, buckets = 8)
+    CorpusWriter.retireFromLmModel(docs.filter(col("doc_id") % 4 === 1),
+      "text", t)
+    val e = intercept[Exception] { CorpusWriter.compactLmModel(spark, t) }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("below zero") || e.getCause != null,
+      s"unexpected: $e")
+    drop(t, s"${t}_meta", s"${t}__compact")
+  }
+
+  test("gram index: retire(deleted, remaining) ≡ write(remaining)") {
+    val t = "graft_ret_gram"
+    val tRef = "graft_ret_gram_ref"
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    val all = docs.filter(col("doc_id") % 7 =!= 0)
+    val deleted = all.filter(col("doc_id") % 2 === 1)
+    val remaining = all.filter(col("doc_id") % 2 === 0)
+    CorpusWriter.writeGramIndex(all, "text", n = 4, t, buckets = 8)
+    CorpusWriter.retireFromGramIndex(deleted, remaining, "text", t)
+    CorpusWriter.writeGramIndex(remaining, "text", n = 4, tRef, buckets = 8)
+    assert(rows(t) == rows(tRef))
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+  }
+
+  test("winnow index: retire(deleted, remaining) ≡ write(remaining)") {
+    val t = "graft_ret_winnow"
+    val tRef = "graft_ret_winnow_ref"
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    val deleted = docs.filter(col("doc_id") % 2 === 1)
+    val remaining = docs.filter(col("doc_id") % 2 === 0)
+    CorpusWriter.writeWinnowIndex(docs, "doc_id", "text", n = 4, w = 4, t,
+      buckets = 8)
+    CorpusWriter.retireFromWinnowIndex(deleted, remaining, "doc_id", "text", t)
+    CorpusWriter.writeWinnowIndex(remaining, "doc_id", "text", n = 4, w = 4,
+      tRef, buckets = 8)
+    assert(rows(t) == rows(tRef))
+    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+  }
+
+  test("admission index: retire(ids) ≡ write(remaining)") {
+    val t = "graft_ret_adm"
+    val tRef = "graft_ret_adm_ref"
+    drop(t, tRef)
+    CorpusWriter.writeAdmissionIndex(docs, "doc_id", "text", t, buckets = 8)
+    CorpusWriter.retireFromAdmissionIndex(spark, t,
+      docs.filter(col("doc_id") % 2 === 1), "doc_id")
+    CorpusWriter.writeAdmissionIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", tRef, buckets = 8)
+    assert(rows(t) == rows(tRef))
+    drop(t, tRef)
+  }
+}
