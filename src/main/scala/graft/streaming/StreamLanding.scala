@@ -54,4 +54,64 @@ object StreamLanding {
           CorpusWriter.appendToWinnowIndex(batch, idCol, textCol, table)
         onBatch(batchId)
       }
+
+  /** Configure (not start) IVF-index landing (VERDICT r16 #4): each
+    * micro-batch of vectors assigns under the sidecar's FROZEN stored
+    * centroids and appends its unseen vec_ids ([[CorpusWriter
+    * .appendToIvfIndex]]) — so a stream-ingested corpus ends with the
+    * bit-same retrieval index as a batch landing chain, and a standing
+    * [[StreamAnn]] prober over the same table sees each batch's
+    * vectors from its next micro-batch on. The lifted batch cache each
+    * landing registers is released per batch (the [[graft.streaming
+    * .StreamSq8]] hygiene — a long-lived landing stream must not
+    * accumulate one cached frame per micro-batch). */
+  def intoIvfIndex(spark: SparkSession, vecs: DataFrame, idCol: String,
+      embCol: String, table: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.appendToIvfIndex(batch, idCol, embCol, table)
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
+  /** Configure (not start) IVF-PQ-index landing: [[intoIvfIndex]] with
+    * the batch ALSO encoding under the frozen PQ codebooks. */
+  def intoIvfPqIndex(spark: SparkSession, vecs: DataFrame, idCol: String,
+      embCol: String, table: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.appendToIvfPqIndex(batch, idCol, embCol, table)
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
+  /** Configure (not start) SQ8-index landing: each micro-batch encodes
+    * under the frozen stored grid with CLAMPING (the q165 landing
+    * discipline) and appends its unseen vec_ids. */
+  def intoSq8Index(spark: SparkSession, vecs: DataFrame, idCol: String,
+      embCol: String, table: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.appendToSq8Index(batch, idCol, embCol, table)
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
 }

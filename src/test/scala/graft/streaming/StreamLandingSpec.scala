@@ -52,4 +52,117 @@ class StreamLandingSpec extends AnyFunSuite {
     // Anti-join discipline held per batch: no duplicate fingerprints.
     assert(spark.table(streamTbl).count() == streamSet.size)
   }
+
+  private def vecParts(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Seq[Seq[(Long, Seq[Float])]]) = {
+    import spark.implicits._
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val bRows = b.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    (a, b, (0 until 3).map(r => bRows.filter(_._1 % 3 == r)))
+  }
+
+  private def rowSet(tbl: String): Set[String] =
+    spark.table(tbl).collect().map(_.mkString("|")).toSet
+
+  private def runLanding(input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])],
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      parts: Seq[Seq[(Long, Seq[Float])]]): Unit = {
+    val q = writer.start()
+    try {
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
+  test("streamed IVF-index landing ≡ the batch write+append union; probe bit-equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (a, b, parts) = vecParts(identity)
+    val batchTbl = "graft_test_land_ivf_batch"
+    Seq(batchTbl, s"${batchTbl}_cent", s"${batchTbl}_meta",
+      "graft_test_land_ivf_stream", "graft_test_land_ivf_stream_cent",
+      "graft_test_land_ivf_stream_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", batchTbl,
+      k = 8, rounds = 2)
+    CorpusWriter.appendToIvfIndex(b, "vec_id", "embedding", batchTbl)
+    val streamTbl = "graft_test_land_ivf_stream"
+    CorpusWriter.writeIvfIndex(a, "vec_id", "embedding", streamTbl,
+      k = 8, rounds = 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    runLanding(input, StreamLanding.intoIvfIndex(spark,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      streamTbl)(), parts)
+    assert(rowSet(streamTbl) == rowSet(batchTbl))
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    def probe(t: String) = graft.pipeline.Clustering.ivfTopKFromIndex(
+        spark, t, emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id",
+        "embedding", nprobe = 2, topK = 10)
+      .collect().map(_.mkString("|")).toSeq
+    assert(probe(streamTbl) == probe(batchTbl))
+  }
+
+  test("streamed SQ8-index landing ≡ the batch write+append union; probe bit-equal") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (a, b, parts) = vecParts(identity)
+    val batchTbl = "graft_test_land_sq8_batch"
+    Seq(batchTbl, s"${batchTbl}_grid", s"${batchTbl}_meta",
+      "graft_test_land_sq8_stream", "graft_test_land_sq8_stream_grid",
+      "graft_test_land_sq8_stream_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CorpusWriter.writeSq8Index(a, "vec_id", "embedding", dim = 64,
+      batchTbl, buckets = 8)
+    CorpusWriter.appendToSq8Index(b, "vec_id", "embedding", batchTbl)
+    val streamTbl = "graft_test_land_sq8_stream"
+    CorpusWriter.writeSq8Index(a, "vec_id", "embedding", dim = 64,
+      streamTbl, buckets = 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    runLanding(input, StreamLanding.intoSq8Index(spark,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      streamTbl)(), parts)
+    assert(rowSet(streamTbl) == rowSet(batchTbl))
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    def probe(t: String) = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        graft.pipeline.ScalarQuant.sq8TopKFromIndex(spark, t,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id",
+            "embedding", dim = 64, topK = 10)
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(probe(streamTbl) == probe(batchTbl))
+  }
+
+  test("streamed IVF-PQ-index landing ≡ the batch write+append union") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (a, b, parts) = vecParts(identity)
+    val batchTbl = "graft_test_land_ivfpq_batch"
+    Seq(batchTbl, s"${batchTbl}_coarse", s"${batchTbl}_books",
+      s"${batchTbl}_meta", "graft_test_land_ivfpq_stream",
+      "graft_test_land_ivfpq_stream_coarse",
+      "graft_test_land_ivfpq_stream_books",
+      "graft_test_land_ivfpq_stream_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CorpusWriter.writeIvfPqIndex(a, "vec_id", "embedding", batchTbl,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    CorpusWriter.appendToIvfPqIndex(b, "vec_id", "embedding", batchTbl)
+    val streamTbl = "graft_test_land_ivfpq_stream"
+    CorpusWriter.writeIvfPqIndex(a, "vec_id", "embedding", streamTbl,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    val input = MemoryStream[(Long, Seq[Float])]
+    runLanding(input, StreamLanding.intoIvfPqIndex(spark,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      streamTbl)(), parts)
+    assert(rowSet(streamTbl) == rowSet(batchTbl))
+  }
 }
