@@ -115,6 +115,117 @@ object RepeatedSpans {
       .orderBy("doc_id")
   }
 
+  /** Mersenne field for the doubling combine: fp values reduce into
+    * [0, 2^61), so `fp·2 + fp' < 2^63` — no overflow under ANSI mode
+    * in either engine, and the modular arithmetic replays exactly. */
+  private val FieldP: Long = (1L << 61) - 1
+
+  /** WHOLE-span verified repeats via prefix doubling (the stretch form
+    * of [[spans]], VERDICT r16 #7 — Lee et al. ACL'22's exact-substring
+    * notion at power-of-two bracket precision): [[spans]] marks every
+    * position covered by a corpus-repeated `window`-token substring,
+    * but a merged span can be a CHIMERA — window 1 shared with doc B,
+    * window 2 with doc C, the whole never repeating anywhere. This op
+    * verifies wholeness: level i carries one fingerprint per position
+    * covering `window·2^i` tokens (combine of level i−1 at pos and
+    * pos + len — the suffix-array doubling trick, fingerprinted), and
+    * a position "repeats at len" only when its WHOLE-len fingerprint
+    * occurs in ≥ `minDocs` distinct documents. Reports per doc the
+    * longest verified whole-repeat bracket and how many positions
+    * reach it.
+    *
+    * Scale shape: level 0 is the one codegen'd window-hash scan
+    * (cached — every level derives from it); each doubling is one
+    * slim (doc_id, pos, fp) self-join on (doc_id, pos+len) — rows
+    * SHRINK per level (pos ≤ n_toks − len) and levels are
+    * `doublings` ≤ 6 by contract; each level's repeat gate is one
+    * fp-keyed count aggregate. Nothing quadratic: positions pair only
+    * with their own doc's offset partner. */
+  def wholeRepeats(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2, doublings: Int = 3): DataFrame = {
+    require(window > 0 && minDocs > 1,
+      s"need window > 0 and minDocs > 1: $window, $minDocs")
+    require(doublings >= 0 && doublings <= 6,
+      s"doublings is a contract-bounded loop: $doublings")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = graft.ops.Materialize.register(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(graft.functions.GraftFunctions.wordGramHashes(
+            col(textCol), window)).as(Seq("pos", "fp")))
+        .withColumn("fp", col("fp") % lit(FieldP)))
+    var w = base
+    var len = window
+    val marks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 0 to doublings) {
+      if (i > 0) {
+        val half = len
+        val b = w.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
+          col("fp").as("fp_b"))
+        w = w.join(b, Seq("doc_id", "pos"))
+          .select(col("doc_id"), col("pos"),
+            ((col("fp") * lit(2L) + col("fp_b")) % lit(FieldP)).as("fp"))
+        len = len * 2
+      }
+      val rep = w.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("fp")
+      marks += w.join(rep, Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("pos"), lit(len).as("len"))
+    }
+    val perPos = marks.reduce(_ unionAll _)
+      .groupBy("doc_id", "pos").agg(max("len").as("plen"))
+    val docMax = perPos.groupBy("doc_id").agg(max("plen").as("max_len"))
+    perPos.join(docMax, Seq("doc_id"))
+      .filter(col("plen") === col("max_len"))
+      .groupBy("doc_id", "max_len")
+      .agg(count(lit(1)).as("n_pos"))
+      .select("doc_id", "max_len", "n_pos")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[wholeRepeats]]: the same window-hash base
+    * reduced into the Mersenne field, `doublings` unrolled combine
+    * levels, per-level distinct-doc gates, and the per-pos/per-doc max
+    * fold. */
+  def wholeRepeatsOracleSql(window: Int, minDocs: Int,
+      doublings: Int): String = {
+    val levels = (1 to doublings).map { i =>
+      val half = window * (1 << (i - 1))
+      s"""b$i AS (
+         |  SELECT a.doc_id, a.pos, (a.fp * 2 + b.fp) % $FieldP AS fp
+         |  FROM b${i - 1} a JOIN b${i - 1} b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $half)""".stripMargin
+    }
+    val marks = (0 to doublings).map { i =>
+      val len = window * (1 << i)
+      s"""SELECT w.doc_id, w.pos, $len AS len FROM b$i w
+         |  WHERE w.fp IN (SELECT fp FROM b$i GROUP BY fp
+         |                 HAVING count(DISTINCT doc_id) >= $minDocs)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM documents),
+       |b0 AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${graft.oracle.Duck.gramHash63Sql("g")} % $FieldP AS fp
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(range(1, greatest(len(t) - ${window - 1}, 0) + 1)) AS i,
+       |      unnest(list_transform(range(1, greatest(len(t) - ${window - 1}, 0) + 1),
+       |        __wi -> array_to_string(t[__wi:__wi+${window - 1}], ' '))) AS g
+       |    FROM toks)),
+       |${levels.mkString(",\n")},
+       |mk AS (
+       |  $marks),
+       |pp AS (SELECT doc_id, pos, max(len) AS plen FROM mk GROUP BY 1, 2),
+       |dm AS (SELECT doc_id, max(plen) AS max_len FROM pp GROUP BY 1)
+       |SELECT pp.doc_id AS doc_id, CAST(dm.max_len AS INTEGER) AS max_len,
+       |  count(*) AS n_pos
+       |FROM pp JOIN dm ON dm.doc_id = pp.doc_id AND pp.plen = dm.max_len
+       |GROUP BY 1, 2 ORDER BY pp.doc_id""".stripMargin
+  }
+
   /** The span-derivation CTE chain shared by [[oracleSql]] and
     * [[scrubOracleSql]]: leaves `spr` = the q69 result rows. */
   private def spansCtes(window: Int, minDocs: Int): String =

@@ -239,6 +239,15 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minCos = 0.9)),
 
+    // Whole-span verified repeats (r17, the q69 stretch): prefix
+    // doubling over window fingerprints — per doc the longest
+    // power-of-two token span whose WHOLE fingerprint occurs in >= 2
+    // distinct docs (q69's coverage spans can be chimeras: each window
+    // repeated somewhere, the whole nowhere). Lens 2,4,8,16.
+    "q173_whole_repeats" -> ((s, sf) =>
+      RepeatedSpans.wholeRepeats(Tables.load(s, sf, "documents"),
+        "doc_id", "text", window = 2, minDocs = 2, doublings = 3)),
+
     // LM retirement (r17): train on %4∈{0,2} in two landings, then
     // RETIRE the %4=2 half by a subtract landing (negated counts,
     // O(deleted) — never a model rewrite) + compaction; scoring must be
@@ -1453,6 +1462,9 @@ object PipelineQueries {
 
     "q169_asset_embedding_dedup" ->
       graft.pipeline.Multimodal.embeddingNearDupOracleSql(minCos = 0.9),
+
+    "q173_whole_repeats" -> RepeatedSpans.wholeRepeatsOracleSql(
+      window = 2, minDocs = 2, doublings = 3),
 
     // Retirement gates (r17): each oracle is the write-on-remaining
     // replay — subtract/delete must be invisible against it.

@@ -105,6 +105,49 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(fully > 0, "the dup-dense fixture plants fully-repeated docs")
   }
 
+  private def whole(docs: Seq[(Long, String)], window: Int,
+      doublings: Int) = {
+    val (r, frames) = graft.ops.Materialize.collecting {
+      RepeatedSpans.wholeRepeats(docs.toDF("doc_id", "text"), "doc_id",
+          "text", window, minDocs = 2, doublings = doublings)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+    }
+    graft.ops.Materialize.release(frames)
+    r
+  }
+
+  test("wholeRepeats rejects the chimera that coverage spans merge") {
+    // Doc 1's windows "a b" (shared with 2) and "c d" (shared with 3)
+    // are adjacent, so q69's coverage form merges them into one 4-token
+    // span — but "a b c d" as a WHOLE occurs nowhere else. The doubling
+    // verification must cap doc 1 at len 2.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "p q c d"))
+    val cover = run(docs, window = 2)
+    assert(cover.exists { case (id, s, e, _) => id == 1L && s == 0 && e == 3 },
+      s"expected the merged chimera coverage span: $cover")
+    val byDoc = whole(docs, window = 2, doublings = 2)
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(byDoc(1L)._1 == 2, s"chimera must cap at the window: $byDoc")
+  }
+
+  test("wholeRepeats verifies a true whole-span repeat at its bracket") {
+    // Docs 1 and 2 share the whole 8-token run verbatim: every
+    // power-of-two bracket up to 8 repeats, so max_len = 8 (window 2,
+    // doublings 2 → lens 2, 4, 8) with exactly one 8-long position.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 t1 t2"),
+      (2L, "z9 w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "u1 u2 u3 u4"))
+    val byDoc = whole(docs, window = 2, doublings = 2)
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(byDoc(1L) == ((8, 1L)), s"$byDoc")
+    assert(byDoc(2L) == ((8, 1L)), s"$byDoc")
+    assert(!byDoc.contains(3L))
+  }
+
   test("result is invariant to input partitioning") {
     val docs = (0L until 40L).map { i =>
       val tail = s"t${i}a t${i}b t${i}c t${i}d t${i}e"
