@@ -31,7 +31,10 @@ object Plans {
     "q137_landed_ivf", "q138_filter_funnel", "q139_skew_report",
     "q140_landed_ivfpq", "q146_auto_salted_join", "q154_trigram_backoff",
     "q155_landed_lm", "q156_sq8_topk", "q162_tpch_regional",
-    "q163_join_strategies", "q165_landed_sq8")
+    "q163_join_strategies", "q165_landed_sq8",
+    "q167_asset_dedup", "q168_frame_overlap", "q169_asset_embedding_dedup",
+    "q170_retired_lm", "q171_retired_sq8", "q172_retired_novelty",
+    "q173_whole_repeats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -161,9 +161,17 @@ object RepeatedSpans {
         val half = len
         val b = w.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
           col("fp").as("fp_b"))
-        w = w.join(b, Seq("doc_id", "pos"))
-          .select(col("doc_id"), col("pos"),
-            ((col("fp") * lit(2L) + col("fp_b")) % lit(FieldP)).as("fp"))
+        // Each level is CACHED: it feeds three consumers (its repeat
+        // gate, its mark semi-join, and the next level's join) — an
+        // uncached chain re-runs every earlier join per consumer,
+        // turning `doublings` levels into ~doublings² join executions
+        // (measured 5.4 s → 4.1 s steady at sf0.1; the residue is the
+        // ~3 shuffles/level this op honestly is, overhead-bound at
+        // fixture scale like the rest of the multi-stage family).
+        w = graft.ops.Materialize.register(
+          w.join(b, Seq("doc_id", "pos"))
+            .select(col("doc_id"), col("pos"),
+              ((col("fp") * lit(2L) + col("fp_b")) % lit(FieldP)).as("fp")))
         len = len * 2
       }
       val rep = w.groupBy("fp")
