@@ -356,7 +356,9 @@ object Clustering {
     }
     val probeDf = probes.toDF("qid", "cell", "qv", "qnrm")
     val cells = probes.map(_._2).distinct
-    spark.table(table)
+    // Standing tombstones (un-applied deletes) are un-servable NOW —
+    // the LSM delete discipline (CorpusWriter.appendTombstones).
+    CorpusWriter.withoutTombstones(spark, table, spark.table(table))
       .filter(col("cell").isin(cells: _*))
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
       .join(broadcast(probeDf), Seq("cell"))

@@ -983,4 +983,77 @@ object CorpusWriter {
     rewriteBucketed(spark, table)(
       _.join(doomed, Seq("fp"), "left_anti"))
   }
+
+  // -------------------------------------------------------------------
+  // TOMBSTONED deletes (r17): the LSM discipline between a delete
+  // request and the retirement rewrite. `retireFrom*` rewrites are the
+  // right steady-state but the wrong latency for a drip of removals
+  // (one rewrite per takedown); instead deletes land as TOMBSTONE rows
+  // (an O(delete)-cost append), every index probe anti-joins the
+  // standing tombstones — a removal is un-servable from the moment its
+  // landing commits — and a periodic [[applySq8Tombstones]]/
+  // [[applyIvfTombstones]]/[[applyIvfPqTombstones]] folds them into the
+  // member table through the retirement rewrite and clears the sidecar.
+  // Probe ≡ post-apply probe bit-for-bit (TombstoneSpec), so WHEN the
+  // apply runs is purely a cost knob, like compaction.
+
+  private[graft] def tombstoneTable(table: String): String = s"${table}_tombs"
+
+  /** Land delete requests for `table`: retired ids append to the
+    * tombstone sidecar (duplicates and never-present ids are harmless —
+    * readers distinct, anti-joins ignore misses). */
+  def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit = {
+    val t = tombstoneTable(table)
+    if (!spark.catalog.tableExists(t)) dropOrphanedLocation(spark, t)
+    retired.select(col(idCol).cast("long").as("vec_id"))
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(t)
+  }
+
+  /** The live-member filter every stored-index probe applies: members
+    * minus standing tombstones (identity when no tombstone sidecar
+    * exists — the pre-delete fast path). The tombstone side is
+    * bounded by the apply cadence, so AQE broadcasts it. */
+  private[graft] def withoutTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String, members: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombstoneTable(table))) members
+    else members.join(
+      spark.table(tombstoneTable(table)).select("vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+
+  private def applyTombstonesWith(spark: org.apache.spark.sql.SparkSession,
+      table: String)(
+      retire: DataFrame => Unit): Unit = {
+    val t = tombstoneTable(table)
+    if (spark.catalog.tableExists(t)) {
+      // Collect-free handoff: the retirement functions take the ids as
+      // a frame; materialize it first so dropping the tombstone table
+      // cannot race the rewrite's lazy read of it.
+      val ids = graft.ops.Materialize.barrier(
+        spark.table(t).select("vec_id").distinct())
+      retire(ids)
+      graft.ops.Materialize.release(Seq(ids))
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
+  /** Fold standing tombstones into a [[writeSq8Index]] member table
+    * (one [[retireFromSq8Index]] rewrite) and clear the sidecar. */
+  def applySq8Tombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    applyTombstonesWith(spark, table)(ids =>
+      retireFromSq8Index(spark, table, ids, "vec_id"))
+
+  /** Fold standing tombstones into a [[writeIvfIndex]] member table
+    * (partition-scoped [[retireFromIvfIndex]]) and clear the sidecar. */
+  def applyIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    applyTombstonesWith(spark, table)(ids =>
+      retireFromIvfIndex(spark, table, ids, "vec_id"))
+
+  /** [[applyIvfTombstones]] for a [[writeIvfPqIndex]] sidecar. */
+  def applyIvfPqTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    applyTombstonesWith(spark, table)(ids =>
+      retireFromIvfPqIndex(spark, table, ids, "vec_id"))
 }

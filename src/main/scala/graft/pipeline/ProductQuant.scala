@@ -351,7 +351,10 @@ object ProductQuant {
     require(qRows.nonEmpty && qRows.length <= 1000,
       s"query batch of ${qRows.length} exceeds the broadcast contract")
     val halfNorms = coarse.map { case (cid, c) => (cid, c, 0.5 * VecOps.normSq(c)) }
-    val base = spark.table(table)
+    // Standing tombstones (un-applied deletes) are un-servable NOW —
+    // the LSM delete discipline (CorpusWriter.appendTombstones).
+    val base = CorpusWriter.withoutTombstones(spark, table,
+      spark.table(table))
     val (probes, luts) = qRows.map { r =>
       val qid = r.getLong(0)
       val fxd = r.getSeq[Double](1).toArray

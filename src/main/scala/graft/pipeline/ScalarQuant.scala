@@ -185,7 +185,10 @@ object ScalarQuant {
       s"stored grid has ${grid.size} dims, expected $dim")
     val mn = Array.tabulate(dim)(i => grid(i)._1)
     val delta = Array.tabulate(dim)(i => grid(i)._2)
-    val codes = spark.table(table)
+    // Standing tombstones (un-applied deletes) are un-servable NOW —
+    // the LSM delete discipline (CorpusWriter.appendTombstones).
+    val codes = CorpusWriter.withoutTombstones(spark, table,
+      spark.table(table))
     val qRows = Clustering.lifted(queries, idCol, embCol)
       .select(col("vec_id"), col("fx")).collect()
     require(qRows.nonEmpty && qRows.length <= 1000,

@@ -239,6 +239,28 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minCos = 0.9)),
 
+    // Tombstoned SQ8 deletes (r17): the LSM discipline between a
+    // delete request and the retirement rewrite — removals land as
+    // tombstone rows (two landings here) and the probe anti-joins them
+    // WITHOUT any member rewrite, so the answer equals q171's
+    // retired-index answer exactly; applying the tombstones later is a
+    // cost knob (TombstoneSpec pins probe ≡ post-apply bit-for-bit).
+    "q174_tombstoned_sq8" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q174_sq8_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeSq8Index(
+          emb, "vec_id", "embedding", dim = 64, tbl, buckets = 16)
+        graft.pipeline.CorpusWriter.appendTombstones(s, tbl,
+          emb.filter(col("vec_id") % 4 === 1), "vec_id")
+        graft.pipeline.CorpusWriter.appendTombstones(s, tbl,
+          emb.filter(col("vec_id") % 4 === 3), "vec_id")
+      }
+      graft.pipeline.ScalarQuant.sq8TopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 2L, 4L)), "vec_id", "embedding",
+        dim = 64, topK = 10)
+    }),
+
     // Whole-span verified repeats (r17, the q69 stretch): prefix
     // doubling over window fingerprints — per doc the longest
     // power-of-two token span whose WHOLE fingerprint occurs in >= 2
@@ -1465,6 +1487,11 @@ object PipelineQueries {
 
     "q173_whole_repeats" -> RepeatedSpans.wholeRepeatsOracleSql(
       window = 2, minDocs = 2, doublings = 3),
+
+    // Tombstones must answer exactly like the applied retirement:
+    // q171's write-on-remaining oracle verbatim.
+    "q174_tombstoned_sq8" -> graft.pipeline.ScalarQuant.retiredOracleSql(
+      "vec_id % 2 = 1", Seq(0L, 2L, 4L), dim = 64, topK = 10),
 
     // Retirement gates (r17): each oracle is the write-on-remaining
     // replay — subtract/delete must be invisible against it.
