@@ -359,6 +359,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")), p)
   }
 
+  test("q167/q168: multimodal dedup joins nothing corpus-sized — no cartesian, no shuffle join on content") {
+    for (name <- Seq("q167_asset_dedup", "q168_frame_overlap")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n$p")
+      // Content travels only through the map-side extract: no exchange
+      // may carry the binary content column.
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(!_.contains("content")), s"$name:\n$p")
+    }
+  }
+
+  test("q174: the tombstone anti-join is a broadcast, never a member-table shuffle") {
+    val (df, frames) = graft.ops.Materialize.collecting {
+      val d = SparkEntry.queries("q174_tombstoned_sq8")(spark, TestSpark.Sf)
+      d.collect()
+      d
+    }
+    try {
+      // The scored subplan hides behind the heap prune; audit the seam.
+      val tbl = s"graft_q174_sq8_${graft.core.Tables.fixtureKey(TestSpark.Sf, "embeddings")}"
+      val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+      val scored = graft.pipeline.ScalarQuant.sq8ScoredFromIndex(spark, tbl,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(0L, 2L, 4L)),
+        "vec_id", "embedding", dim = 64)
+      scored.collect()
+      val p = scored.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   for (name <- Seq("q81_pq_adc_topk", "q86_ivf_pq_topk", "q87_ann_recall",
       "q156_sq8_topk"))
     test(s"$name: PQ retrieval scores code arrays only — codebooks ride as literals, no shuffle join") {
