@@ -687,6 +687,152 @@ object ProductQuant {
        |${rankTailSql(topK)}""".stripMargin
   }
 
+  /** Landed-index STALENESS report (r17): [[annRecall]] with the ANN
+    * side answered by a STORED sidecar ([[ivfAdcTopKFromIndex]]) and
+    * the exact side computed over the CURRENT corpus — the ops meter
+    * that says when a landed index must re-land: an index trained and
+    * populated before a corpus grew (or after retirement) recovers a
+    * measurably smaller fraction of the true neighbors, and THIS
+    * number, not a hunch, schedules the rebuild. Returns
+    * (qid, n_exact, n_hit, recall) per query.
+    *
+    * Scale shape: the stored probe is the partition-pruned
+    * [[ivfAdcScoredFromIndex]] scan; the exact side is ONE
+    * broadcast-query pass over the lifted corpus ([[Similarity
+    * .batchTopK]]'s discipline) — the evaluation runs on a bounded
+    * query sample by contract. */
+  def indexStaleness(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], nprobe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract")
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+    val ann = ivfAdcTopKFromIndex(spark, table, queries, idCol, embCol,
+      nprobe, topK)
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val q = qRows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq.toDF("qid", "qfxd")
+    val scoredExact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        call_function("vec_dot", col("fxd"), col("qfxd")).as("cos"))
+    val exact = Similarity.topKPerQid(scoredExact, topK)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(broadcast(ann.select("qid", "vec_id")),
+        Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[indexStaleness]] over a sidecar landed from
+    * `memberPredSql`'s rows only (training AND membership — the stale
+    * index never saw the rest): the landed probe replay restricted to
+    * stored members, the exact top-k over the CURRENT full corpus, and
+    * the per-query intersection. */
+  def stalenessOracleSql(queryIds: Seq[Long], kCoarse: Int,
+      coarseRounds: Int, m: Int, k: Int, pqRounds: Int, dim: Int,
+      nprobe: Int, topK: Int, memberPredSql: String): String = {
+    val d = dim / m
+    def trainSlice(mi: Int): String = {
+      val lo = mi * d + 1
+      val hi = lo + d - 1
+      "(SELECT vec_id, (list_transform(embedding, x -> x::DOUBLE))" +
+        s"[$lo:$hi] AS emb FROM embeddings WHERE $memberPredSql)"
+    }
+    val chains = (0 until m).map(mi =>
+      Clustering.kmeansCtes(k, pqRounds, d, trainSlice(mi), s"m${mi}_")
+        .stripPrefix("WITH "))
+    val coarseChain = Clustering.kmeansCtes(kCoarse, coarseRounds, dim,
+      "(SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb " +
+        s"FROM embeddings WHERE $memberPredSql)", "cg_")
+      .stripPrefix("WITH ")
+    val lift = "list_transform(list_transform(embedding, x -> x::DOUBLE), " +
+      s"v -> CAST(CAST(floor(v * ${Clustering.Scale} + 0.5) AS BIGINT) AS DOUBLE))"
+    val booksSql = (0 until m).map { mi =>
+      s"SELECT CAST($mi AS INTEGER) AS m, cid, c FROM m${mi}_c$pqRounds"
+    }.mkString("\n  UNION ALL ")
+    val qSubDot = (0 until m).map { mi =>
+      val lo = mi * d + 1
+      s"WHEN cm.m = $mi THEN ${
+        Clustering.dotSql(s"(q.fxd[$lo:${lo + d - 1}])", "cm.c", d)}"
+    }.mkString("\n      ")
+    val memberCodes = (0 until m).map { mi =>
+      s"""me$mi AS (${Clustering.liftedSql(trainSlice(mi))}),
+         |mc$mi AS (
+         |  SELECT vec_id, CAST($mi AS INTEGER) AS m, cid AS code FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${Clustering.dotSql("e.fxd", "c.c", d)} - 0.5 * ${
+               Clustering.dotSql("c.c", "c.c", d)} DESC, c.cid) AS rn
+         |    FROM me$mi e CROSS JOIN m${mi}_c$pqRounds c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val codesUnion = (0 until m).map(mi => s"SELECT * FROM mc$mi")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${chains.mkString(",\n")},
+       |$coarseChain,
+       |${memberCodes.mkString(",\n")},
+       |codes AS ($codesUnion),
+       |fe AS (SELECT vec_id, $lift AS fxd FROM embeddings),
+       |mca AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Clustering.dotSql("e.fxd", "c.c", dim)} - 0.5 * ${
+             Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS rn
+       |    FROM (SELECT vec_id, fxd FROM fe
+       |          WHERE vec_id IN (SELECT vec_id FROM embeddings
+       |                           WHERE $memberPredSql)) e
+       |    CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, fxd FROM fe
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |lut AS (SELECT q.qid, cm.m, cm.cid,
+       |    CASE $qSubDot END AS part
+       |  FROM q CROSS JOIN ($booksSql) cm),
+       |pc AS (SELECT qid, cid AS cell FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("q.fxd", "c.c", dim)} - 0.5 * ${
+             Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE prn <= $nprobe),
+       |scored AS (SELECT pc.qid, cj.vec_id,
+       |    ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
+       |  FROM pc
+       |  JOIN mca a ON a.cell = pc.cell
+       |  JOIN codes cj ON cj.vec_id = a.vec_id
+       |  JOIN lut ON lut.qid = pc.qid AND lut.m = cj.m AND lut.cid = cj.code
+       |  WHERE cj.vec_id <> pc.qid
+       |  GROUP BY pc.qid, cj.vec_id),
+       |ann AS (SELECT qid, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $topK),
+       |exact AS (SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("e.fxd", "q.fxd", dim)} DESC, e.vec_id) AS rn
+       |    FROM q CROSS JOIN fe e WHERE e.vec_id <> q.qid)
+       |  WHERE rn <= $topK),
+       |hit AS (SELECT exact.qid, count(*) AS n_hit
+       |  FROM exact JOIN ann USING (qid, vec_id) GROUP BY exact.qid)
+       |SELECT x.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(max(hit.n_hit), 0) AS BIGINT) AS n_hit,
+       |  CAST(CAST(coalesce(max(hit.n_hit), 0) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN hit ON hit.qid = x.qid
+       |GROUP BY x.qid ORDER BY x.qid""".stripMargin
+  }
+
   /** DuckDB oracle for [[ivfAdcRerankTopK]]: the composed CTEs rank the
     * ADC shortlist, then the exact lifted dot over the coarse chain's
     * full-dimension `cg_e` re-scores and re-ranks it. */

@@ -239,6 +239,25 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minCos = 0.9)),
 
+    // Landed-index staleness report (r17): an IVF-PQ sidecar landed
+    // from the EVEN half only, probed against the CURRENT full corpus
+    // — per query, how many true top-10 neighbors the stale index can
+    // still recover. The number that schedules a re-land, measured
+    // instead of guessed (the q87 recall meter pointed at a stored
+    // index that missed a growth wave).
+    "q175_index_staleness" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q175_ivfpq_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeIvfPqIndex(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", tbl,
+          kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2,
+          dim = EmbeddingDim)
+      }
+      ProductQuant.indexStaleness(s, tbl, emb, "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), nprobe = 3, topK = 10)
+    }),
+
     // Tombstoned SQ8 deletes (r17): the LSM discipline between a
     // delete request and the retirement rewrite — removals land as
     // tombstone rows (two landings here) and the probe anti-joins them
@@ -1492,6 +1511,11 @@ object PipelineQueries {
     // q171's write-on-remaining oracle verbatim.
     "q174_tombstoned_sq8" -> graft.pipeline.ScalarQuant.retiredOracleSql(
       "vec_id % 2 = 1", Seq(0L, 2L, 4L), dim = 64, topK = 10),
+
+    "q175_index_staleness" -> ProductQuant.stalenessOracleSql(
+      Seq(1L, 2L, 3L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = 64, nprobe = 3, topK = 10,
+      memberPredSql = "vec_id % 2 = 0"),
 
     // Retirement gates (r17): each oracle is the write-on-remaining
     // replay — subtract/delete must be invisible against it.
