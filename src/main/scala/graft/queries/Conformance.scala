@@ -543,6 +543,48 @@ object Conformance {
         .orderBy("variant")
     }),
 
+    // Multiset set ops (r17): EXCEPT ALL / INTERSECT ALL beside q19's
+    // distinct forms — bag semantics keep MULTIPLICITY (n occurrences
+    // minus/min-with m), the difference a dedup ledger actually needs
+    // ("how many copies remain", not "does one remain"). Same
+    // one-exchange plan family as the distinct forms.
+    "q176_set_ops_all" -> ((s, sf) => {
+      val l = Tables.load(s, sf, "events")
+        .select(col("event_type").as("k"))
+      val r = Tables.load(s, sf, "events")
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_type").as("k"))
+      l.exceptAll(r).groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+        .unionAll(l.intersectAll(r).groupBy("k")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all")))
+        .select("op", "k", "n")
+        .orderBy("op", "k")
+    }),
+
+    // LATERAL correlated subquery in FROM (r17): per market segment,
+    // the top-2 orders by price via a LATERAL per-row subquery — the
+    // SQL-standard form of "top-N per group". Spark decorrelates it
+    // into a ranked window join (never per-row re-execution — the only
+    // plan shape that survives 100 TB), and DuckDB executes the same
+    // text natively.
+    "q177_lateral_topn" -> ((s, sf) => {
+      Tables.load(s, sf, "customer").createOrReplaceTempView("g_cust")
+      Tables.load(s, sf, "orders").createOrReplaceTempView("g_ord")
+      s.sql(
+        """SELECT s.c_mktsegment, t.o_orderkey, t.price
+          |FROM (SELECT DISTINCT c_mktsegment FROM g_cust) s,
+          |LATERAL (
+          |  SELECT o.o_orderkey,
+          |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+          |  FROM g_ord o JOIN g_cust c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_mktsegment = s.c_mktsegment
+          |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+          |  LIMIT 2) t
+          |ORDER BY s.c_mktsegment, t.price DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // Q15 top-k: top-10 lineitem rows by discounted revenue.
     "q15_topk" -> ((s, sf) =>
       Tables.load(s, sf, "lineitem")
@@ -1024,6 +1066,29 @@ object Conformance {
         |  CAST(sum(CASE WHEN a.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM ev LEFT JOIN agg a ON ev.k IS NOT DISTINCT FROM a.k
         |ORDER BY variant""".stripMargin,
+
+    "q176_set_ops_all" ->
+      """WITH l AS (SELECT event_type AS k FROM events),
+        |r AS (SELECT event_type AS k FROM events WHERE event_id % 3 = 0),
+        |ea AS (SELECT k FROM l EXCEPT ALL SELECT k FROM r),
+        |ia AS (SELECT k FROM l INTERSECT ALL SELECT k FROM r)
+        |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+        |FROM ea GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k
+        |ORDER BY op, k""".stripMargin,
+
+    "q177_lateral_topn" ->
+      """SELECT s.c_mktsegment, t.o_orderkey, t.price
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |LATERAL (
+        |  SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = s.c_mktsegment
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY s.c_mktsegment, t.price DESC, t.o_orderkey""".stripMargin,
 
     "q16_scalar" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
