@@ -144,8 +144,10 @@ object Bench {
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(20)
     val qs = slowest.map { case (k, v, _) => s"\"$k\":${r4(v)}" }
       .mkString("{", ",", "}")
+    // Truncate BEFORE escaping: cutting after could split an escape
+    // pair at the boundary and ship invalid JSON.
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"$k\":\"${e.replace("\\", "\\\\").replace("\"", "\\\"").take(80)}\""
+      s"\"$k\":\"${e.take(80).replace("\\", "\\\\").replace("\"", "\\\"")}\""
     }.take(8).mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val cal = s"""{"start":${r4(calStart)},"end":${r4(calEnd)}}"""
