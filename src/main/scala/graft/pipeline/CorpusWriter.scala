@@ -1001,7 +1001,13 @@ object CorpusWriter {
 
   /** Land delete requests for `table`: retired ids append to the
     * tombstone sidecar (duplicates and never-present ids are harmless —
-    * readers distinct, anti-joins ignore misses). */
+    * readers distinct, anti-joins ignore misses). Ordering contract for
+    * delete-then-reland: a landing that arrives while an id's tombstone
+    * stands is dropped by the member anti-join (the row still exists),
+    * and the apply then removes the old row — an id deleted and later
+    * re-ingested must land AFTER the apply (or the caller clears its
+    * tombstone row first); landings never consult tombstones
+    * themselves, keeping the ingest path one anti-join. */
   def appendTombstones(spark: org.apache.spark.sql.SparkSession,
       table: String, retired: DataFrame, idCol: String): Unit = {
     val t = tombstoneTable(table)
