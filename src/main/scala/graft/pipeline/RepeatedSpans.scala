@@ -165,9 +165,9 @@ object RepeatedSpans {
         // gate, its mark semi-join, and the next level's join) — an
         // uncached chain re-runs every earlier join per consumer,
         // turning `doublings` levels into ~doublings² join executions
-        // (measured 5.4 s → 4.1 s steady at sf0.1; the residue is the
-        // ~3 shuffles/level this op honestly is, overhead-bound at
-        // fixture scale like the rest of the multi-stage family).
+        // (measured 5.4 s → 4.1 s steady at sf0.1; 67–72 s at the 64×
+        // adversarial probe, sublinear — 16× time on 64× data with 63
+        // true near-dups per doc keeping every level corpus-sized).
         w = graft.ops.Materialize.register(
           w.join(b, Seq("doc_id", "pos"))
             .select(col("doc_id"), col("pos"),
@@ -181,6 +181,17 @@ object RepeatedSpans {
       marks += w.join(rep, Seq("fp"), "left_semi")
         .select(col("doc_id"), col("pos"), lit(len).as("len"))
     }
+    // Measured trade, recorded so nobody "optimizes" this back: the
+    // monotone prune (double from the MARKED positions only — correct,
+    // since a repeated 2·len span forces both len halves repeated under
+    // the fp-equality convention) was built and measured REGRESSING on
+    // the 64× adversarial probe (67–72 s → 105–133 s): with 63 true
+    // near-dups per doc nearly every window repeats, so the prune keeps
+    // everything and only adds one cached semi-join shuffle per level.
+    // On dup-light corpora the frontier after level 0 is boilerplate-
+    // sized and the prune would win; a deployment that knows its dup
+    // profile can reintroduce it by feeding `marks`' semi-join into the
+    // next level.
     val perPos = marks.reduce(_ unionAll _)
       .groupBy("doc_id", "pos").agg(max("len").as("plen"))
     val docMax = perPos.groupBy("doc_id").agg(max("plen").as("max_len"))
