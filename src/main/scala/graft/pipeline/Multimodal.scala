@@ -279,6 +279,113 @@ object Multimodal {
        |FROM pairs WHERE n_shared >= $minShared
        |ORDER BY asset_a, asset_b""".stripMargin
 
+  /** Store an asset corpus's sampled-frame fingerprints as a sidecar —
+    * the content-ID reference set (the [[CorpusWriter.writeGramIndex]]
+    * discipline at frame grain): `{table}` ((f, print) DISTINCT,
+    * bucketed+sorted by print so the probe join meets a hash layout)
+    * and `{table}_meta` (frame_samples, buckets), `require`d to match
+    * at read. Landings ([[appendToFrameIndex]]) append only unseen
+    * (f, print) rows — write+append ≡ write-union, the q68 identity. */
+  def writeFrameIndex(assets: Dataset[MediaAsset], table: String,
+      buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = assets.sparkSession
+    CorpusWriter.dropOrphanedLocation(spark, table)
+    Multimodal.extract(assets).toDF()
+      .select(posexplode(col("frame_prints")).as(Seq("f", "print")))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "print")
+      .sortBy("print")
+      .format("parquet")
+      .saveAsTable(table)
+    CorpusWriter.dropOrphanedLocation(spark, s"${table}_meta")
+    import spark.implicits._
+    Seq((FrameSamples, buckets)).toDF("frame_samples", "buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land another asset batch's frame prints (unseen rows only). */
+  def appendToFrameIndex(assets: Dataset[MediaAsset], table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = assets.sparkSession
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed frame-index meta: ${meta.length} rows")
+    require(meta(0).getAs[Int]("frame_samples") == FrameSamples,
+      s"frame index $table was written under a different frame count")
+    Multimodal.extract(assets).toDF()
+      .select(posexplode(col("frame_prints")).as(Seq("f", "print")))
+      .distinct()
+      .join(spark.table(table), Seq("f", "print"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(meta(0).getAs[Int]("buckets"), "print")
+      .sortBy("print")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Content-ID admission against a stored frame index — "does this
+    * arriving asset match content we already hold?": per probe asset,
+    * how many of its sampled frames (at their own frame slots) exist
+    * in the reference set, flagged at `minShared` — exact replicas hit
+    * all [[FrameSamples]], leading-half edits hit the leading frames,
+    * novel content hits none. Returns (asset_id, n_frames, n_matched,
+    * matched), asset_id ascending.
+    *
+    * Scale shape: the probe side explodes to 4 slim rows per asset and
+    * LEFT-SEMI-joins the bucketed print table (exchange-free on the
+    * stored side); the heavy probe content never moves past its
+    * map-side extract. The admission twin of [[graft.pipeline
+    * .Novelty.noveltyAgainstIndex]] at frame grain. */
+  def contentIdAgainstIndex(spark: SparkSession,
+      table: String, assets: Dataset[MediaAsset],
+      minShared: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minShared >= 1 && minShared <= FrameSamples,
+      s"minShared must be in [1, $FrameSamples]: $minShared")
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed frame-index meta: ${meta.length} rows")
+    require(meta(0).getAs[Int]("frame_samples") == FrameSamples,
+      s"frame index $table was written under a different frame count")
+    val probe = Multimodal.extract(assets).toDF()
+      .select(col("asset_id"), posexplode(col("frame_prints")).as(Seq("f", "print")))
+    val matched = probe
+      .join(spark.table(table), Seq("f", "print"), "left_semi")
+      .groupBy("asset_id").agg(count(lit(1)).as("n_matched"))
+    probe.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+      .join(matched, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_frames"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("matched", col("n_matched") >= minShared)
+      .orderBy("asset_id")
+  }
+
+  /** DuckDB oracle for [[contentIdAgainstIndex]] over the planted
+    * corpus: reference = frames of `indexPredSql`'s assets, probes =
+    * `probePredSql`'s (predicates over `asset_id`). */
+  def contentIdOracleSql(indexPredSql: String, probePredSql: String,
+      minShared: Int): String =
+    s"""WITH $byteListCtes,
+       |frames AS (SELECT asset_id, f,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      bs[(n*f//$FrameSamples + 1)::INT : (n*(f+1)//$FrameSamples)::INT]),
+       |      (h, b) -> (h * 31 + b) & 4294967295) AS print
+       |  FROM bl, LATERAL unnest([0, 1, 2, 3]) AS t(f)),
+       |idx AS (SELECT DISTINCT f, print FROM frames WHERE ($indexPredSql)),
+       |probe AS (SELECT asset_id, f, print FROM frames
+       |          WHERE ($probePredSql)),
+       |m AS (SELECT p.asset_id, count(*) AS n_matched
+       |  FROM probe p JOIN idx USING (f, print) GROUP BY 1)
+       |SELECT p.asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(coalesce(max(m.n_matched), 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(max(m.n_matched), 0) AS BIGINT) >= $minShared
+       |    AS matched
+       |FROM probe p LEFT JOIN m ON m.asset_id = p.asset_id
+       |GROUP BY p.asset_id ORDER BY p.asset_id""".stripMargin
+
   /** Embedding near-dup over the stub features: [[Similarity
     * .bucketedNearDupPairs]] (banded sign-LSH + exact-cosine verify)
     * at [[EmbeddingDim]] grain — the multimodal twin of q33's text

@@ -239,6 +239,27 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minCos = 0.9)),
 
+    // Multimodal content-ID admission (r17): arriving assets probe the
+    // stored frame-print sidecar (two landings — even/odd base assets)
+    // — exact replicas hit 4/4 frames, leading-half edits hit 2/4,
+    // novel content hits 0; flagged at >= 2. The asset-store twin of
+    // q110's landed novelty.
+    "q178_content_id" -> ((s, sf) => {
+      val assets = graft.pipeline.Multimodal.plantedAssets(
+        Tables.load(s, sf, "documents"))
+      val tbl = s"graft_q178_frames_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.Multimodal.writeFrameIndex(
+          assets.filter(col("asset_id") < 10000 && col("asset_id") % 2 === 0),
+          tbl, buckets = 16)
+        graft.pipeline.Multimodal.appendToFrameIndex(
+          assets.filter(col("asset_id") < 10000 && col("asset_id") % 2 === 1),
+          tbl)
+      }
+      graft.pipeline.Multimodal.contentIdAgainstIndex(s, tbl,
+        assets.filter(col("asset_id") >= 10000), minShared = 2)
+    }),
+
     // Landed-index staleness report (r17): an IVF-PQ sidecar landed
     // from the EVEN half only, probed against the CURRENT full corpus
     // — per query, how many true top-10 neighbors the stale index can
@@ -1511,6 +1532,9 @@ object PipelineQueries {
     // q171's write-on-remaining oracle verbatim.
     "q174_tombstoned_sq8" -> graft.pipeline.ScalarQuant.retiredOracleSql(
       "vec_id % 2 = 1", Seq(0L, 2L, 4L), dim = 64, topK = 10),
+
+    "q178_content_id" -> graft.pipeline.Multimodal.contentIdOracleSql(
+      "asset_id < 10000", "asset_id >= 10000", minShared = 2),
 
     "q175_index_staleness" -> ProductQuant.stalenessOracleSql(
       Seq(1L, 2L, 3L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,

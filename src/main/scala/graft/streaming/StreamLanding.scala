@@ -97,6 +97,24 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) frame-index landing: each micro-batch of
+    * assets extracts map-side and appends its unseen (frame, print)
+    * rows ([[graft.pipeline.Multimodal.appendToFrameIndex]]) — the
+    * content-ID reference set grown at ingest. */
+  def intoFrameIndex(spark: SparkSession, assets: DataFrame,
+      table: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.pipeline.Multimodal.assetEnc
+          graft.pipeline.Multimodal.appendToFrameIndex(
+            batch.as[graft.pipeline.Multimodal.MediaAsset], table)
+        }
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */
