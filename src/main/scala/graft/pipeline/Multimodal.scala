@@ -41,7 +41,14 @@ object Multimodal {
       embedding: Array[Float],
       frame_prints: Array[Long])
 
-  val EmbeddingDim = 8
+  /** Stub embedding dimensionality. 64, and deliberately not lower
+    * (r17): the near-dup LSH's sign-bucket ENTROPY is capped by the
+    * embedding dimension — measured at dim 8 the 64× probe's band
+    * cells went near-quadratic (158 s; 16 hyperplanes over 8 dims
+    * realize a fraction of the 2^16 bucket space) where dim 64
+    * restores the q33-measured sublinear envelope. A real decoder
+    * emits ≥ this. */
+  val EmbeddingDim = 64
   val FrameSamples = 4
 
   implicit val assetEnc: Encoder[MediaAsset] = Encoders.product[MediaAsset]
@@ -58,6 +65,19 @@ object Multimodal {
     * instead of the all-positive cos ≈ 0.9 cone an uncentered hash
     * gives — which is what lets the near-dup LSH (q169) separate
     * replicas at a sane threshold. */
+  /** Two LCG steps mod 2^32 finalize each stripe hash: a SHORT stripe's
+    * rolling hash is numerically tiny (a 1-byte stripe's is the byte
+    * itself), so without mixing every short-content component collapses
+    * toward −0.5 and all embeddings align (measured: cos ≈ 1 corpus-
+    * wide at dim 64 over ~80-byte fixture contents). Two steps because
+    * one leaves small inputs small (255·69069 ≪ 2^32); after the
+    * second the products wrap many times. Exact in both engines:
+    * h·69069 < 2^48, masked to 32 bits. */
+  private def mix32(h: Long): Long = {
+    val h1 = (h * 69069L + 1L) & 0xFFFFFFFFL
+    (h1 * 69069L + 1L) & 0xFFFFFFFFL
+  }
+
   def decodeStub(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](EmbeddingDim)
     var i = 0
@@ -67,7 +87,8 @@ object Multimodal {
       var j = i
       var k = 0
       while (j < content.length) { stripe(k) = content(j); k += 1; j += EmbeddingDim }
-      out(i) = (RollingHashExpr.hash(stripe).toDouble / (1L << 32).toDouble - 0.5).toFloat
+      out(i) = (mix32(RollingHashExpr.hash(stripe)).toDouble /
+        (1L << 32).toDouble - 0.5).toFloat
       i += 1
     }
     out
@@ -408,11 +429,15 @@ object Multimodal {
     * only rounding is the same float cast both engines make), then
     * [[Similarity.nearDupOracleSql]] over that corpus. */
   def embeddingNearDupOracleSql(minCos: Double): String = {
+    def mixed(h: String): String =
+      s"((($h * 69069 + 1) & 4294967295) * 69069 + 1) & 4294967295"
     val dims = (0 until EmbeddingDim).map { i =>
-      s"""CAST(CAST(list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range(0, CASE WHEN n > $i THEN (n-1-$i)//$EmbeddingDim + 1 ELSE 0 END),
-         |        k -> bs[($i + 1 + $EmbeddingDim*k)::INT])),
-         |      (h, b) -> (h * 31 + b) & 4294967295)::DOUBLE / 4294967296 - 0.5
+      val fold =
+        s"""list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(0, CASE WHEN n > $i THEN (n-1-$i)//$EmbeddingDim + 1 ELSE 0 END),
+           |        k -> bs[($i + 1 + $EmbeddingDim*k)::INT])),
+           |      (h, b) -> (h * 31 + b) & 4294967295)""".stripMargin
+      s"""CAST(CAST((${mixed(s"($fold)")})::DOUBLE / 4294967296 - 0.5
          |    AS FLOAT) AS DOUBLE)""".stripMargin
     }.mkString("[\n    ", ",\n    ", "]")
     val corpus =
