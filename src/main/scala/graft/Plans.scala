@@ -34,7 +34,8 @@ object Plans {
     "q163_join_strategies", "q165_landed_sq8",
     "q167_asset_dedup", "q168_frame_overlap", "q169_asset_embedding_dedup",
     "q170_retired_lm", "q171_retired_sq8", "q172_retired_novelty",
-    "q173_whole_repeats", "q174_tombstoned_sq8")
+    "q173_whole_repeats", "q174_tombstoned_sq8", "q175_index_staleness",
+    "q176_set_ops_all", "q177_lateral_topn", "q178_content_id")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
