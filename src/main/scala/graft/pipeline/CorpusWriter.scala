@@ -984,6 +984,25 @@ object CorpusWriter {
       _.join(doomed, Seq("fp"), "left_anti"))
   }
 
+  /** Retire docs from a [[writeStratifiedIndex]] sidecar (the q67/q68/
+    * q121 admission corpus): `_mem` and `_payload` are doc-attributed —
+    * one anti-join rewrite each under their bucket specs. `_levels`
+    * deliberately stays a SUPERSET (the retired docs' strata may
+    * linger): the probe expands increment keys at active levels and a
+    * level with no surviving members yields no hot cells, so extra
+    * levels cost probe keys, never answers — RetirementSpec pins probe
+    * ≡ write-on-remaining bit-for-bit — and the sidecar cannot
+    * recompute exact strata from its stored shingle SETS anyway
+    * (stratum is a window-count bucket; the set dedups windows). */
+  def retireFromStratifiedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, retired: DataFrame, idCol: String): Unit = {
+    val ids = retired.select(col(idCol).cast("long").as("doc_id"))
+    rewriteBucketed(spark, s"${table}_mem")(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+    rewriteBucketed(spark, s"${table}_payload")(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
   // -------------------------------------------------------------------
   // TOMBSTONED deletes (r17): the LSM discipline between a delete
   // request and the retirement rewrite. `retireFrom*` rewrites are the

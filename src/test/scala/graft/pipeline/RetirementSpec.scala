@@ -179,6 +179,36 @@ class RetirementSpec extends AnyFunSuite {
     drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
   }
 
+  test("stratified index: retire(ids) — member/payload rows ≡ write(remaining); probe bit-equal despite the _levels superset") {
+    val t = "graft_ret_strat"
+    val tRef = "graft_ret_strat_ref"
+    Seq(t, tRef).foreach(x => Seq("_mem", "_payload", "_levels", "_meta")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $x$sfx")))
+    val inc = col("doc_id") % 5 === 0
+    val all = docs.filter(!inc)
+    val deleted = all.filter(col("doc_id") % 2 === 1)
+    val remaining = all.filter(col("doc_id") % 2 === 0)
+    CorpusWriter.writeStratifiedIndex(all, "doc_id", "text", t, buckets = 8)
+    CorpusWriter.retireFromStratifiedIndex(spark, t, deleted, "doc_id")
+    CorpusWriter.writeStratifiedIndex(remaining, "doc_id", "text", tRef,
+      buckets = 8)
+    assert(rows(s"${t}_mem") == rows(s"${tRef}_mem"))
+    assert(rows(s"${t}_payload") == rows(s"${tRef}_payload"))
+    def probe(tbl: String): Seq[String] = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        MinHashDedup.incrementalContainmentPairs(spark, tbl,
+            docs.filter(inc), "doc_id", "text", 0.6,
+            MinHashDedup.StrataSpan)
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(probe(t) == probe(tRef))
+    Seq(t, tRef).foreach(x => Seq("_mem", "_payload", "_levels", "_meta")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $x$sfx")))
+  }
+
   test("admission index: retire(ids) ≡ write(remaining)") {
     val t = "graft_ret_adm"
     val tRef = "graft_ret_adm_ref"
