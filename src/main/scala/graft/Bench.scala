@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * and its time is excluded from "value".
   */
 object Bench {
+
+  /** JSON-string-safe rendering of `s` cut to at most `max` UTF-16
+    * units: the cut lands on a code-point boundary (a trailing high
+    * surrogate is dropped rather than shipped alone), and backslash,
+    * quote, and control characters are escaped. */
+  private[graft] def jsonSafe(s: String, max: Int): String = {
+    val cut =
+      if (s.length <= max) s.length
+      else if (Character.isHighSurrogate(s.charAt(max - 1))) max - 1
+      else max
+    val sb = new StringBuilder(cut + 8)
+    var i = 0
+    while (i < cut) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -144,10 +168,13 @@ object Bench {
     val slowest = results.filter(_._3.isEmpty).sortBy(-_._2).take(20)
     val qs = slowest.map { case (k, v, _) => s"\"$k\":${r4(v)}" }
       .mkString("{", ",", "}")
-    // Truncate BEFORE escaping: cutting after could split an escape
-    // pair at the boundary and ship invalid JSON.
+    // Truncate BEFORE escaping (cutting after could split an escape
+    // pair), on a CODE-POINT boundary (a blind take(80) can split a
+    // surrogate pair and ship a lone surrogate — invalid JSON in the
+    // one line that must always parse), and escape control characters
+    // (exception messages carry newlines) along with backslash/quote.
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"$k\":\"${e.take(80).replace("\\", "\\\\").replace("\"", "\\\"")}\""
+      s"\"$k\":\"${jsonSafe(e, 80)}\""
     }.take(8).mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val cal = s"""{"start":${r4(calStart)},"end":${r4(calEnd)}}"""
@@ -160,7 +187,7 @@ object Bench {
       val full = new StringBuilder
       full ++= s"""{"sf":"$sfDir","layout":"$layout","calibration":{"start":$calStart,"end":$calEnd},\n"queries":{\n"""
       full ++= results.map { case (k, v, e) =>
-        val err = e.map(x => s""","err":"${x.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+        val err = e.map(x => s""","err":"${jsonSafe(x, x.length)}"""").getOrElse("")
         s"""  "$k":{"s":$v$err}"""
       }.mkString(",\n")
       full ++= s"\n},\n\"total\":$total}\n"

@@ -72,11 +72,16 @@ final class KllSketch private (
           compactors = compactors :+ scala.collection.mutable.ArrayBuffer.empty[Double]
         val buf = compactors(h)
         val sorted = buf.sorted
+        // Compact only an EVEN count so total retained weight stays
+        // exactly n (standard KLL): an odd buffer's largest item sits
+        // out at level h; pairing ceil/floor n/2 items into doubled
+        // weight would drift the weight sum quantile() compares
+        // against the count-derived target rank (ADVICE r17).
+        val even = sorted.length & ~1
         val off = if (coin()) 1 else 0
-        val survivors = sorted.indices.collect {
-          case i if i % 2 == off => sorted(i)
-        }
+        val survivors = (off until even by 2).map(sorted(_))
         compactors(h).clear()
+        if (even < sorted.length) compactors(h) += sorted(even)
         compactors(h + 1) ++= survivors
       }
       h += 1

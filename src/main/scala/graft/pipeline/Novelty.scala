@@ -44,10 +44,13 @@ object Novelty {
   }
 
   /** [[noveltyReport]] against a STORED corpus gram index
-    * (`CorpusWriter.writeGramIndex` — bucketed by `gram_fp`): the
-    * steady-state deployment form; the corpus contributes one bucketed
-    * index scan, no re-tokenize, and the join needs no corpus-side
-    * exchange. */
+    * (`CorpusWriter.writeGramIndex` — refcounted, bucketed by
+    * `gram_fp`): the steady-state deployment form; the corpus
+    * contributes one bucketed index scan folded to its live fingerprint
+    * set ([[CorpusWriter.readGramIndex]] — bucket-local, so neither the
+    * fold nor the join needs a corpus-side exchange), no re-tokenize.
+    * Subtract-landed deletes are in force here the moment they commit
+    * (fingerprints netting ≤ 0 fold away). */
   def noveltyAgainstIndex(spark: SparkSession, table: String,
       increment: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame = {
@@ -56,7 +59,8 @@ object Novelty {
       s"gram index $table was written under " +
         s"n=${meta.map(_.getAs[Int]("n")).mkString(",")}, " +
         s"query posed under n=$n")
-    scoreAgainst(increment, idCol, textCol, n, spark.table(table))
+    scoreAgainst(increment, idCol, textCol, n,
+      graft.pipeline.CorpusWriter.readGramIndex(spark, table))
   }
 
   private def scoreAgainst(increment: DataFrame, idCol: String,

@@ -105,8 +105,15 @@ object TrigramModel {
     // and it must back off exactly like a never-seen one — a c = 0 row
     // surviving into the left joins would pin the level without the
     // count. No-op for append-only models (their sums are all > 0).
+    // A NEGATIVE sum (over-retirement — docs retired that never
+    // trained, or a double-applied delete) raises HERE, not only at
+    // compaction: the serving path must never quietly score a
+    // corrupted model as if the gram were unseen (ADVICE r17).
     val m = Materialize.barrier(
       model.groupBy("level", "gram").agg(sum("c").as("c"))
+        .withColumn("c", when(col("c") < 0, expr(
+          "CAST(raise_error(CONCAT('LM model gram below zero at read: ', " +
+            "gram)) AS BIGINT)")).otherwise(col("c")))
         .filter(col("c") > 0))
     def lookup(lvl: Int, key: String, cName: String) = m
       .filter(col("level") === lvl)

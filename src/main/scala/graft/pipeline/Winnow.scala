@@ -184,8 +184,8 @@ object Winnow {
     withSelection(increment, idCol, textCol, n, w)
       .select(col("doc_id"), size(col("sel")).cast("long").as("n_selected"),
         explode(col("sel")).as("fp"))
-      .join(spark.table(table).withColumn("__seen", lit(1L)),
-        Seq("fp"), "left")
+      .join(CorpusWriter.readWinnowIndex(spark, table)
+        .withColumn("__seen", lit(1L)), Seq("fp"), "left")
       .groupBy("doc_id", "n_selected")
       .agg(coalesce(sum("__seen"), lit(0L)).as("n_seen"))
       .select(col("doc_id"), col("n_selected"), col("n_seen"),
@@ -268,11 +268,21 @@ object Winnow {
     * holds the selection of the non-increment corpus and the increment
     * is `incPredSql`'s slice of `documents`. */
   def admitOracleSql(incPredSql: String, n: Int, w: Int): String =
+    admitOracleSql(incPredSql, s"doc_id NOT IN (SELECT doc_id FROM inc)",
+      n, w)
+
+  /** [[admitOracleSql]] with an INDEPENDENT reference predicate — the
+    * retirement gate's shape (q179, mirroring [[Novelty.oracleSql]]'s
+    * two-predicate form): after [[CorpusWriter.retireFromWinnowIndex]]
+    * the live index is the REMAINING corpus's selection, no longer the
+    * increment's complement. */
+  def admitOracleSql(incPredSql: String, referencePredSql: String,
+      n: Int, w: Int): String =
     s"""WITH ${selCteSql(n, w)},
        |inc AS (SELECT doc_id FROM documents WHERE ($incPredSql)),
        |idx AS (
        |  SELECT DISTINCT unnest(s) AS fp FROM sel
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM inc)),
+       |  WHERE $referencePredSql),
        |probe AS (
        |  SELECT doc_id, len(s) AS n_selected, unnest(s) AS fp FROM sel
        |  WHERE doc_id IN (SELECT doc_id FROM inc)),

@@ -349,10 +349,12 @@ object PipelineQueries {
         dim = 64, topK = 10)
     }),
 
-    // Gram-index retirement (r17): the attribution-free sidecar's
-    // delete — doomed = fps(deleted) ∖ fps(remaining) — must leave the
-    // index ≡ one built on the remaining reference corpus, so the
-    // oracle is q106's with an independent reference predicate.
+    // Gram-index retirement (r17, refcounted r18): the delete is an
+    // O(deleted) SUBTRACT landing — negated doc refcounts append, the
+    // read fold keeps fingerprints netting > 0; NO remaining-corpus
+    // re-tokenize (r17 verdict's weak edge, closed). The probe must
+    // answer ≡ an index built on the remaining reference corpus, so
+    // the oracle is q106's with an independent reference predicate.
     "q172_retired_novelty" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
       val tbl = s"graft_q172_gramidx_${Tables.fixtureKey(sf, "documents")}"
@@ -361,16 +363,38 @@ object PipelineQueries {
         graft.pipeline.CorpusWriter.writeGramIndex(
           docs.filter(!inc), "text", n = 4, tbl, buckets = 32)
         graft.pipeline.CorpusWriter.retireFromGramIndex(
-          docs.filter(!inc && col("doc_id") % 2 === 1),
-          docs.filter(!inc && col("doc_id") % 2 === 0), "text", tbl)
+          docs.filter(!inc && col("doc_id") % 2 === 1), "text", tbl)
       }
       Novelty.noveltyAgainstIndex(s, tbl, docs.filter(inc), "doc_id",
         "text", n = 4)
     }),
 
+    // Winnow-index retirement (r18, the q172 twin at MOSS grain): write
+    // the full reference selection refcounted, subtract-land the odd
+    // half, compact (exercising the fold + srcs-preserving rewrite),
+    // probe the increment — must answer ≡ an index of the remaining
+    // reference corpus (admit oracle, independent reference predicate).
+    "q179_retired_winnow" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q179_winidx_${Tables.fixtureKey(sf, "documents")}"
+      val inc = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeWinnowIndex(
+          docs.filter(!inc), "doc_id", "text", n = 4, w = 4, tbl,
+          buckets = 32)
+        graft.pipeline.CorpusWriter.retireFromWinnowIndex(
+          docs.filter(!inc && col("doc_id") % 2 === 1), "doc_id", "text",
+          tbl)
+        graft.pipeline.CorpusWriter.compactWinnowIndex(s, tbl)
+      }
+      graft.pipeline.Winnow.admitAgainstIndex(s, tbl, docs.filter(inc),
+        "doc_id", "text", n = 4, w = 4)
+    }),
+
     // Landed novelty (r14): the q107 gram index built in TWO landings
-    // (write + anti-join append — the q68 landing identity) must answer
-    // bit-equal to q106/q107; the oracle IS q106's oracle.
+    // (write + additive refcount append — the reader's fold makes
+    // write+append ≡ write-union) must answer bit-equal to q106/q107;
+    // the oracle IS q106's oracle.
     "q110_landed_novelty" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
       val tbl = s"graft_q110_gramidx_${Tables.fixtureKey(sf, "documents")}"
@@ -1551,6 +1575,10 @@ object PipelineQueries {
 
     "q172_retired_novelty" -> Novelty.oracleSql("doc_id % 7 = 0",
       "NOT (doc_id % 7 = 0) AND doc_id % 2 = 0", n = 4),
+
+    "q179_retired_winnow" -> graft.pipeline.Winnow.admitOracleSql(
+      "doc_id % 7 = 0", "NOT (doc_id % 7 = 0) AND doc_id % 2 = 0",
+      n = 4, w = 4),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 

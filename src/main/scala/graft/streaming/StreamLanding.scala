@@ -14,13 +14,15 @@ import graft.pipeline.CorpusWriter
   * corpus ingested as a stream ends with the BIT-same sidecar as one
   * landed in batches (StreamLandingSpec pins it).
   *
-  * Arrival-order independence is inherited from the landing functions'
-  * anti-join discipline: each batch appends only fingerprints the index
-  * has never seen, so any batch split and ordering yields the same
-  * final row SET (the write+append ≡ write-union identity, streamed).
-  * foreachBatch runs batches strictly sequentially, so the per-batch
-  * anti-join always sees every earlier batch's appends — the same
-  * ordering contract the batch landing chain has.
+  * Arrival-order independence: the gram/winnow sidecars are ADDITIVE
+  * refcounts (r18) — landings commute under the reader's sum, so any
+  * batch split and ordering yields the same fold. foreachBatch is
+  * at-least-once, so each landing carries `src = "{prefix}:{batchId}"`
+  * and a replayed batch is skipped ([[CorpusWriter.srcApplied]] — the
+  * landing itself is the applied-marker, no separate-write crash
+  * window). Restarting a landing stream against the SAME sidecar from
+  * a FRESH checkpoint (batch ids restart at 0) needs a new `srcPrefix`.
+  * The vector-index landings keep their anti-join idempotency.
   *
   * The landing stream and any probe streams over the same sidecar must
   * not interleave mid-batch semantics: a probe sees the sidecar as of
@@ -33,25 +35,28 @@ object StreamLanding {
     * `table` (a [[CorpusWriter.writeGramIndex]] sidecar). `onBatch`
     * fires after each landing commits (checkpoint/telemetry hook). */
   def intoGramIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String)(onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+      table: String, srcPrefix: String = "land")(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          CorpusWriter.appendToGramIndex(batch, textCol, table)
+          CorpusWriter.appendToGramIndex(batch, textCol, table,
+            src = Some(s"$srcPrefix:$batchId"))
         onBatch(batchId)
       }
 
   /** Configure (not start) winnow-index landing: the [[intoGramIndex]]
     * discipline at [[graft.pipeline.Winnow]] fingerprint grain. */
   def intoWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, table: String)(
+      textCol: String, table: String, srcPrefix: String = "land")(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          CorpusWriter.appendToWinnowIndex(batch, idCol, textCol, table)
+          CorpusWriter.appendToWinnowIndex(batch, idCol, textCol, table,
+            src = Some(s"$srcPrefix:$batchId"))
         onBatch(batchId)
       }
 

@@ -15,15 +15,25 @@ import graft.pipeline.CorpusWriter
   *    tombstones, so a delete is un-servable from its batch commit on;
   *    the periodic `apply*Tombstones` rewrite is a COST knob, not a
   *    correctness one (probe ≡ post-apply bit-for-bit, TombstoneSpec).
-  *  - Trigram LM: counts are ADDITIVE, so the delete stream needs no
-  *    tombstones at all — each micro-batch subtract-lands its negated
-  *    counts ([[CorpusWriter.retireFromLmModel]], O(batch)); the
-  *    reader's sum + zero-skip nets the deleted docs out exactly.
+  *  - Trigram LM + gram/winnow refcount indexes (r18): counts are
+  *    ADDITIVE, so these delete streams need no tombstones at all —
+  *    each micro-batch subtract-lands its negated counts
+  *    ([[CorpusWriter.retireFromLmModel]] /
+  *    [[CorpusWriter.retireFromGramIndex]] /
+  *    [[CorpusWriter.retireFromWinnowIndex]], O(batch)); the readers'
+  *    sum + zero-skip nets the deleted docs out exactly, from the
+  *    landing commit on.
   *
   * Arrival-order independence: tombstone rows are a SET under the
-  * readers' distinct (duplicates harmless), and LM subtract landings
+  * readers' distinct (duplicates harmless), and subtract landings
   * commute (integer addition), so any batch split and ordering yields
-  * the same served answers. */
+  * the same served answers. Replay safety (ADVICE r17): foreachBatch
+  * is at-least-once, and a re-executed subtract batch would
+  * double-apply — every subtract landing therefore carries
+  * `src = "{prefix}:{batchId}"` and a replayed `src` is skipped
+  * ([[CorpusWriter.srcApplied]]; the landing is its own applied-marker,
+  * so there is no separate-write crash window). Restarting against the
+  * same sidecar from a FRESH checkpoint needs a new `srcPrefix`. */
 object StreamRetire {
 
   /** Configure (not start) tombstone landing for a stored index:
@@ -39,15 +49,56 @@ object StreamRetire {
       }
 
   /** Configure (not start) the LM delete stream: each micro-batch of
-    * retired TRAINING DOCS subtract-lands its counts. */
+    * retired TRAINING DOCS subtract-lands its counts, idempotently per
+    * batch id. */
   def fromLmModel(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String)(onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+      table: String, srcPrefix: String = "retire")(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val (_, frames) = graft.ops.Materialize.collecting {
-            CorpusWriter.retireFromLmModel(batch, textCol, table)
+            CorpusWriter.retireFromLmModel(batch, textCol, table,
+              src = Some(s"$srcPrefix:$batchId"))
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
+  /** Configure (not start) the gram-index delete stream: each
+    * micro-batch of retired DOCS subtract-lands its gram refcounts —
+    * the takedown is un-witnessable by novelty probes from the landing
+    * commit on ([[CorpusWriter.readGramIndex]]'s fold), O(batch) per
+    * batch, idempotent per batch id. */
+  def fromGramIndex(spark: SparkSession, docs: DataFrame, textCol: String,
+      table: String, srcPrefix: String = "retire")(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.retireFromGramIndex(batch, textCol, table,
+              src = Some(s"$srcPrefix:$batchId"))
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
+  /** [[fromGramIndex]] at winnowed-fingerprint grain. */
+  def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, table: String, srcPrefix: String = "retire")(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.retireFromWinnowIndex(batch, idCol, textCol, table,
+              src = Some(s"$srcPrefix:$batchId"))
           }
           graft.ops.Materialize.release(frames)
         }

@@ -150,33 +150,114 @@ class RetirementSpec extends AnyFunSuite {
     drop(t, s"${t}_meta", s"${t}__compact")
   }
 
-  test("gram index: retire(deleted, remaining) ≡ write(remaining)") {
+  private def dataFiles(t: String): Set[String] = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    val p = new org.apache.hadoop.fs.Path(loc.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s.getPath.getName + ":" + s.getModificationTime).toSet
+  }
+
+  test("gram index: retire(deleted) subtract landing ≡ write(remaining) — no remaining scan, no rewrite") {
     val t = "graft_ret_gram"
     val tRef = "graft_ret_gram_ref"
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
     val all = docs.filter(col("doc_id") % 7 =!= 0)
     val deleted = all.filter(col("doc_id") % 2 === 1)
     val remaining = all.filter(col("doc_id") % 2 === 0)
     CorpusWriter.writeGramIndex(all, "text", n = 4, t, buckets = 8)
-    CorpusWriter.retireFromGramIndex(deleted, remaining, "text", t)
+    val filesBefore = dataFiles(t)
+    // The retire signature takes ONLY the deleted docs (r18): the
+    // refcount layout needs no remaining-corpus re-tokenize.
+    CorpusWriter.retireFromGramIndex(deleted, "text", t)
+    // O(deleted) pin: the subtract landing only ADDED files — every
+    // pre-existing data file survives by name AND mtime (no rewrite).
+    assert(filesBefore.subsetOf(dataFiles(t)), "retire rewrote the index")
     CorpusWriter.writeGramIndex(remaining, "text", n = 4, tRef, buckets = 8)
+    // Live fold equals the remaining-corpus index from the commit on...
+    def live(tbl: String): Set[Long] =
+      CorpusWriter.readGramIndex(spark, tbl).collect().map(_.getLong(0)).toSet
+    assert(live(t) == live(tRef))
+    // ...and compaction makes the stored ROWS equal too.
+    CorpusWriter.compactGramIndex(spark, t)
     assert(rows(t) == rows(tRef))
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
-  test("winnow index: retire(deleted, remaining) ≡ write(remaining)") {
+  test("gram index: over-retirement (docs never landed) raises at read and compaction") {
+    val t = "graft_ret_gram_bad"
+    drop(t, s"${t}_meta", s"${t}_srcs")
+    CorpusWriter.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+      "text", n = 4, t, buckets = 8)
+    CorpusWriter.retireFromGramIndex(docs.filter(col("doc_id") % 4 === 1),
+      "text", t)
+    val e = intercept[Exception] {
+      CorpusWriter.readGramIndex(spark, t).collect()
+    }
+    assert((e.getMessage != null &&
+      e.getMessage.contains("below zero")) || e.getCause != null,
+      s"unexpected: $e")
+    val e2 = intercept[Exception] { CorpusWriter.compactGramIndex(spark, t) }
+    assert((e2.getMessage != null &&
+      e2.getMessage.contains("below zero")) || e2.getCause != null,
+      s"unexpected: $e2")
+    drop(t, s"${t}_meta", s"${t}_srcs", s"${t}__compact")
+  }
+
+  test("winnow index: retire(deleted) subtract landing ≡ write(remaining)") {
     val t = "graft_ret_winnow"
     val tRef = "graft_ret_winnow_ref"
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
     val deleted = docs.filter(col("doc_id") % 2 === 1)
     val remaining = docs.filter(col("doc_id") % 2 === 0)
     CorpusWriter.writeWinnowIndex(docs, "doc_id", "text", n = 4, w = 4, t,
       buckets = 8)
-    CorpusWriter.retireFromWinnowIndex(deleted, remaining, "doc_id", "text", t)
+    val filesBefore = dataFiles(t)
+    CorpusWriter.retireFromWinnowIndex(deleted, "doc_id", "text", t)
+    assert(filesBefore.subsetOf(dataFiles(t)), "retire rewrote the index")
     CorpusWriter.writeWinnowIndex(remaining, "doc_id", "text", n = 4, w = 4,
       tRef, buckets = 8)
+    def live(tbl: String): Set[Long] =
+      CorpusWriter.readWinnowIndex(spark, tbl).collect()
+        .map(_.getLong(0)).toSet
+    assert(live(t) == live(tRef))
+    CorpusWriter.compactWinnowIndex(spark, t)
     assert(rows(t) == rows(tRef))
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+  }
+
+  test("additive landings are idempotent per src: replayed subtract/append batches are skipped, even across compaction") {
+    val t = "graft_ret_lm_replay"
+    val tRef = "graft_ret_lm_replay_ref"
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
+    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
+    // Replayed append (same src): skipped.
+    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
+    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
+    // Replayed subtract (same src): skipped — the ADVICE r17 fix.
+    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
+    CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
+    def scores(tbl: String): Seq[String] = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", spark.table(tbl))
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(scores(t) == scores(tRef))
+    // Compaction folds the tagged rows away but records their srcs —
+    // a replay arriving after it must STILL be recognized and skipped.
+    CorpusWriter.compactLmModel(spark, t)
+    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
+    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
+    assert(scores(t) == scores(tRef))
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
   test("stratified index: retire(ids) — member/payload rows ≡ write(remaining); probe bit-equal despite the _levels superset") {
