@@ -47,12 +47,21 @@ object Tables {
     * same location (ADVICE r14) — regenerating the data now changes the
     * key, so the artifact rebuilds instead of silently answering from
     * the old corpus. Pure file metadata: no Spark job, no data read. */
+  /** Bump when any sidecar's stored FORMAT changes (columns, layout,
+    * retire discipline): the version feeds every fixture table name,
+    * so old-format tables persisted in a warehouse are abandoned and
+    * rebuilt instead of erroring in the new readers (ADVICE r18 —
+    * r17-era gram/winnow/LM sidecars lack the c/src columns the r18+
+    * readers select). v2: refcounted gram/winnow + src-tagged additive
+    * landings. */
+  private val SidecarFormatVersion = 2
+
   def fixtureKey(sfDir: String, table: String): String = {
     val dir = new java.io.File(s"$sfDir/$table.parquet")
     val files: Seq[java.io.File] =
       if (dir.isDirectory) dir.listFiles().toSeq.sortBy(_.getName)
       else Seq(dir)
-    val state = (sfDir +: files.map(f =>
+    val state = (s"v$SidecarFormatVersion" +: sfDir +: files.map(f =>
       s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
     // MD5 over the metadata string: stable across JVMs (String.hashCode
     // would be too, but 32 bits of a structured string invites

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Hot-key cap for [[autoJoinWithProfile]]'s driver collect + double
+    * broadcast. A genuine skew profile is a short head of a power law;
+    * 100k (key, salts) rows ≈ a few MB broadcast — safely inside the
+    * broadcast contract the repo's other loud guards use. */
+  val MaxProfileKeys = 100000
+
   def join(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame =
     join(left, right, key, key, salts)
 
@@ -84,11 +90,16 @@ object SaltedJoin {
     // `left`'s and `right`'s subtrees on BOTH sides of the final join
     // (a joinProfile derives from both), which Spark's self-join
     // disambiguation rejects as ambiguous.
-    val rawRows = prof0.collect()
-    require(rawRows.length <= 10000000,
-      s"join profile has ${rawRows.length} hot keys — above the " +
-        "broadcast-hint contract; salt statically (SaltedJoin.join) or " +
+    // Guard BEFORE collecting: the profile is driver-collected and
+    // broadcast twice, so the bound is the broadcast contract (~100k
+    // hot keys), not driver heap — a profile that size means the join
+    // isn't "a few hot keys on a power law" and wants static salting.
+    val profRowCount = prof0.limit(MaxProfileKeys + 1).count()
+    require(profRowCount <= MaxProfileKeys,
+      s"join profile exceeds $MaxProfileKeys hot keys — above the " +
+        "broadcast contract; salt statically (SaltedJoin.join) or " +
         "raise targetRowsPerTask")
+    val rawRows = prof0.collect()
     require(rawRows.forall(_.getInt(1) >= 1),
       "profile fan-outs must be >= 1")
     // Fold duplicate keys to their max fan-out (ADVICE r16): a profile

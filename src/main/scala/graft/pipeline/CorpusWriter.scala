@@ -82,6 +82,9 @@ object CorpusWriter {
       table: String, buckets: Int = 256): Unit = {
     val spark = corpus.sparkSession
     dropOrphanedLocation(spark, table)
+    // A fresh index invalidates all landing history: stale src tags
+    // would silently skip legitimate landings into the new index.
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs")
     gramCounts(corpus, textCol, n, src = None)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "gram_fp")
@@ -119,6 +122,7 @@ object CorpusWriter {
       buckets: Int = 64): Unit = {
     val spark = train.sparkSession
     dropOrphanedLocation(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs") // stale landing history
     TrigramModel.modelCounts(train, textCol)
       .withColumn("src", lit(null).cast("string"))
       .write.mode(SaveMode.Overwrite)
@@ -134,22 +138,27 @@ object CorpusWriter {
 
   /** Land another training batch's counts into a [[writeLmModel]]
     * sidecar (plain append under the stored bucket spec — the reader
-    * sums). `src` is the at-least-once idempotency tag: a replay of an
-    * already-landed `src` is skipped ([[srcApplied]]). */
+    * sums). `src` is the MANDATORY landing-idempotency tag (r19): a
+    * replay of an already-landed `src` is skipped ([[srcApplied]]), so
+    * re-landing the same batch is a no-op — the seatbelt the additive
+    * layout can't give structurally (a plain re-append would silently
+    * double counts). Name landings stably: the same doc batch must
+    * carry the same tag across retries. */
   def appendToLmModel(train: DataFrame, textCol: String,
-      table: String, src: Option[String] = None): Unit = {
+      table: String, src: String): Unit = {
     val spark = train.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed LM model meta: ${meta.length} rows")
     TrigramModel.modelCounts(train, textCol)
-      .withColumn("src", src.map(lit(_)).getOrElse(lit(null)).cast("string"))
+      .withColumn("src", lit(src).cast("string"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
       .sortBy("gram")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** Store a trained BPE merge table ([[BpeMerges.trainMerges]]) as a
@@ -231,23 +240,28 @@ object CorpusWriter {
     * refcounts plainly APPEND (the [[appendToLmModel]] additive
     * discipline — no anti-join, no rewrite; the reader sums), so
     * write+append ≡ one write over the union at the fold, in any
-    * landing order. Contract: landings are DISJOINT doc batches —
-    * re-landing the same docs inflates refcounts (exactly like
-    * [[appendToLmModel]]); an at-least-once caller (streaming
-    * foreachBatch) passes a unique `src` per batch and replays are
-    * skipped ([[srcApplied]] — the exactly-once seam). */
+    * landing order. Contract: landings are DISJOINT doc batches, and
+    * `src` is the MANDATORY per-batch tag (r19) — re-submitting the
+    * same tag is a skipped no-op ([[srcApplied]]), restoring the
+    * re-landing safety the pre-r18 anti-join layout gave for free
+    * (a refcount re-append would otherwise silently inflate counts,
+    * leaving a doc's fps live after its retirement). Distinct batches
+    * whose CONTENT happens to repeat (duplicate docs across batches —
+    * the norm in dirty corpora) must carry distinct tags: identity is
+    * the batch, not its bytes. */
   def appendToGramIndex(landing: DataFrame, textCol: String,
-      table: String, src: Option[String] = None): Unit = {
+      table: String, src: String): Unit = {
     val spark = landing.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
-    gramCounts(landing, textCol, meta(0).getAs[Int]("n"), src)
+    gramCounts(landing, textCol, meta(0).getAs[Int]("n"), Some(src))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram_fp")
       .sortBy("gram_fp")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** Store the corpus's WINNOWED fingerprint selection REFCOUNTED — the
@@ -264,6 +278,7 @@ object CorpusWriter {
       n: Int, w: Int, table: String, buckets: Int = 256): Unit = {
     val spark = corpus.sparkSession
     dropOrphanedLocation(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs") // stale landing history
     winnowCounts(corpus, idCol, textCol, n, w, src = None)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "fp")
@@ -350,22 +365,23 @@ object CorpusWriter {
 
   /** Land a new batch into a [[writeWinnowIndex]] sidecar: the
     * [[appendToGramIndex]] additive discipline at winnow grain (plain
-    * refcount append, disjoint-batch contract, `src` for at-least-once
-    * callers). */
+    * refcount append, disjoint-batch contract, mandatory per-batch
+    * `src` tag — a re-submitted tag is a skipped no-op). */
   def appendToWinnowIndex(landing: DataFrame, idCol: String,
-      textCol: String, table: String, src: Option[String] = None): Unit = {
+      textCol: String, table: String, src: String): Unit = {
     val spark = landing.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed winnow-index meta: ${meta.length} rows")
     winnowCounts(landing, idCol, textCol, meta(0).getAs[Int]("n"),
-        meta(0).getAs[Int]("w"), src)
+        meta(0).getAs[Int]("w"), Some(src))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "fp")
       .sortBy("fp")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** Store the corpus's IVF-ANN index as a sidecar — the sidecar
@@ -963,24 +979,26 @@ object CorpusWriter {
     * [[compactLmModel]] periodically to drop the zero-sum tombstones;
     * retiring docs that never trained surfaces there as a loud
     * negative-count error (and at the read fold's own guard). `src` is
-    * the at-least-once idempotency tag (streaming deletes replay after
-    * failure; a replayed `src` is skipped, so the subtract never
-    * double-applies — the ADVICE r17 fix). */
+    * the MANDATORY at-least-once idempotency tag (r19 — a replayed
+    * retire would otherwise silently decrement grams other docs still
+    * hold, not just raise on the ones netting negative); a replayed
+    * `src` is skipped, so the subtract never double-applies. */
   def retireFromLmModel(deleted: DataFrame, textCol: String,
-      table: String, src: Option[String] = None): Unit = {
+      table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed LM model meta: ${meta.length} rows")
     TrigramModel.modelCounts(deleted, textCol)
       .withColumn("c", -col("c"))
-      .withColumn("src", src.map(lit(_)).getOrElse(lit(null)).cast("string"))
+      .withColumn("src", lit(src).cast("string"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
       .sortBy("gram")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** Compact a [[writeLmModel]] sidecar after append/subtract landings:
@@ -1008,27 +1026,58 @@ object CorpusWriter {
   // Additive landings (LM counts, gram/winnow refcounts) are NOT
   // naturally replay-safe: foreachBatch is at-least-once, and a
   // re-executed micro-batch would double-apply its counts. The seam:
-  // every landing may carry a caller-unique `src` tag; a landing whose
-  // `src` is already present — as live tagged rows, or recorded in
-  // `{table}_srcs` by a compaction that folded them away — is skipped.
-  // The landing itself IS the applied-marker (one atomic append), so
-  // there is no crash window between "apply" and "mark applied".
+  // every landing carries a caller-unique `src` tag (mandatory since
+  // r19); a landing whose `src` is already present — in the slim
+  // `{table}_srcs` record, or as live tagged rows — is skipped. The
+  // landing itself IS the applied-marker (one atomic append), so there
+  // is no crash window between "apply" and "mark applied": `_srcs` is
+  // only an ACCELERATOR, recorded right after each landing commits
+  // ([[recordSrc]]) and by compactions before their fold erases live
+  // tags ([[recordSrcs]]). A crash between landing and record leaves
+  // the live-row check authoritative for exactly that one landing.
 
-  /** True if additive sidecar `table` already holds landing `src`. */
+  /** True if additive sidecar `table` already holds landing `src`.
+    * Cost at 100 TB: the `_srcs` probe is O(landings) — slim by
+    * construction. The live-table fallback scans only parquet FOOTERS
+    * plus matching row groups: each landing's files carry one constant
+    * `src` (min = max = the tag) and untagged initial-write files are
+    * all-null (null-count stats), so the filter prunes every row group
+    * except a true replay's own — O(files), which compaction bounds. */
   private[graft] def srcApplied(spark: org.apache.spark.sql.SparkSession,
-      table: String, src: String): Boolean =
+      table: String, src: String): Boolean = {
+    require(src.nonEmpty, "landing src tag must be non-empty")
     (spark.catalog.tableExists(s"${table}_srcs") &&
       !spark.table(s"${table}_srcs").filter(col("src") === src).isEmpty) ||
-    !spark.table(table).filter(col("src") === src).isEmpty
+    !spark.table(table)
+      .filter(col("src").isNotNull && col("src") === src).isEmpty
+  }
+
+  /** Record one just-committed landing's `src` into `{table}_srcs` —
+    * runs AFTER the landing append (the landing stays the authoritative
+    * marker; this bounds later [[srcApplied]] probes at O(srcs)). */
+  private def recordSrc(spark: org.apache.spark.sql.SparkSession,
+      table: String, src: String): Unit = {
+    import spark.implicits._
+    val t = s"${table}_srcs"
+    if (!spark.catalog.tableExists(t)) dropOrphanedLocation(spark, t)
+    else if (!spark.table(t).filter(col("src") === src).isEmpty) return
+    Seq(src).toDF("src")
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(t)
+  }
 
   /** Record `table`'s live `src` tags into `{table}_srcs` — run by
-    * compactions before their fold erases the tags. */
+    * compactions before their fold erases the tags. Tags [[recordSrc]]
+    * already landed are skipped (anti-join on the slim record). */
   private def recordSrcs(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    val srcs = spark.table(table).filter(col("src").isNotNull)
+    val live = spark.table(table).filter(col("src").isNotNull)
       .select("src").distinct()
+    val t = s"${table}_srcs"
+    val srcs =
+      if (spark.catalog.tableExists(t))
+        live.join(spark.table(t), Seq("src"), "left_anti")
+      else live
     if (!srcs.isEmpty) {
-      val t = s"${table}_srcs"
       if (!spark.catalog.tableExists(t)) dropOrphanedLocation(spark, t)
       srcs.write.mode(SaveMode.Append).format("parquet").saveAsTable(t)
     }
@@ -1042,38 +1091,40 @@ object CorpusWriter {
     * rewrite (r17's one weak edge, closed). [[compactGramIndex]] folds
     * the tombstone rows away and raises loudly on over-retirement. */
   def retireFromGramIndex(deleted: DataFrame, textCol: String,
-      table: String, src: Option[String] = None): Unit = {
+      table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
-    gramCounts(deleted, textCol, meta(0).getAs[Int]("n"), src)
+    gramCounts(deleted, textCol, meta(0).getAs[Int]("n"), Some(src))
       .withColumn("c", -col("c"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram_fp")
       .sortBy("gram_fp")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** Retire docs from a [[writeWinnowIndex]] sidecar — the
     * [[retireFromGramIndex]] subtract landing at winnowed-fingerprint
     * grain. */
   def retireFromWinnowIndex(deleted: DataFrame, idCol: String,
-      textCol: String, table: String, src: Option[String] = None): Unit = {
+      textCol: String, table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (src.exists(srcApplied(spark, table, _))) return
+    if (srcApplied(spark, table, src)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed winnow-index meta: ${meta.length} rows")
     winnowCounts(deleted, idCol, textCol, meta(0).getAs[Int]("n"),
-        meta(0).getAs[Int]("w"), src)
+        meta(0).getAs[Int]("w"), Some(src))
       .withColumn("c", -col("c"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "fp")
       .sortBy("fp")
       .format("parquet")
       .saveAsTable(table)
+    recordSrc(spark, table, src)
   }
 
   /** The LIVE fingerprint set of a [[writeGramIndex]] sidecar: one

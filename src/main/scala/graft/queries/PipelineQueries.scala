@@ -162,7 +162,8 @@ object PipelineQueries {
         graft.pipeline.CorpusWriter.writeLmModel(
           docs.filter(col("doc_id") % 4 === 0), "text", tbl, buckets = 32)
         graft.pipeline.CorpusWriter.appendToLmModel(
-          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl,
+          src = "q155:land2")
       }
       TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", s.table(tbl))
@@ -322,9 +323,11 @@ object PipelineQueries {
         graft.pipeline.CorpusWriter.writeLmModel(
           docs.filter(col("doc_id") % 4 === 0), "text", tbl, buckets = 32)
         graft.pipeline.CorpusWriter.appendToLmModel(
-          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl,
+          src = "q170:land2")
         graft.pipeline.CorpusWriter.retireFromLmModel(
-          docs.filter(col("doc_id") % 4 === 2), "text", tbl)
+          docs.filter(col("doc_id") % 4 === 2), "text", tbl,
+          src = "q170:retire2")
         graft.pipeline.CorpusWriter.compactLmModel(s, tbl)
       }
       TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
@@ -363,7 +366,8 @@ object PipelineQueries {
         graft.pipeline.CorpusWriter.writeGramIndex(
           docs.filter(!inc), "text", n = 4, tbl, buckets = 32)
         graft.pipeline.CorpusWriter.retireFromGramIndex(
-          docs.filter(!inc && col("doc_id") % 2 === 1), "text", tbl)
+          docs.filter(!inc && col("doc_id") % 2 === 1), "text", tbl,
+          src = "q172:retire")
       }
       Novelty.noveltyAgainstIndex(s, tbl, docs.filter(inc), "doc_id",
         "text", n = 4)
@@ -384,7 +388,7 @@ object PipelineQueries {
           buckets = 32)
         graft.pipeline.CorpusWriter.retireFromWinnowIndex(
           docs.filter(!inc && col("doc_id") % 2 === 1), "doc_id", "text",
-          tbl)
+          tbl, src = "q179:retire")
         graft.pipeline.CorpusWriter.compactWinnowIndex(s, tbl)
       }
       graft.pipeline.Winnow.admitAgainstIndex(s, tbl, docs.filter(inc),
@@ -404,7 +408,8 @@ object PipelineQueries {
           docs.filter(!pred && col("doc_id") % 2 === 0), "text", n = 4,
           tbl, buckets = 32)
         graft.pipeline.CorpusWriter.appendToGramIndex(
-          docs.filter(!pred && col("doc_id") % 2 === 1), "text", tbl)
+          docs.filter(!pred && col("doc_id") % 2 === 1), "text", tbl,
+          src = "q110:land2")
       }
       Novelty.noveltyAgainstIndex(s, tbl, docs.filter(pred), "doc_id",
         "text", n = 4)
@@ -1350,7 +1355,7 @@ object PipelineQueries {
           n = 4, w = 4, tbl, buckets = 32)
         graft.pipeline.CorpusWriter.appendToWinnowIndex(
           docs.filter(!pred && col("doc_id") % 2 === 1), "doc_id", "text",
-          tbl)
+          tbl, src = "q131:land2")
       }
       graft.pipeline.Winnow.admitAgainstIndex(s, tbl, docs.filter(pred),
         "doc_id", "text", n = 4, w = 4)

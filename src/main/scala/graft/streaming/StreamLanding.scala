@@ -21,8 +21,12 @@ import graft.pipeline.CorpusWriter
   * and a replayed batch is skipped ([[CorpusWriter.srcApplied]] — the
   * landing itself is the applied-marker, no separate-write crash
   * window). Restarting a landing stream against the SAME sidecar from
-  * a FRESH checkpoint (batch ids restart at 0) needs a new `srcPrefix`.
-  * The vector-index landings keep their anti-join idempotency.
+  * a FRESH checkpoint (batch ids restart at 0) needs a new `srcPrefix`,
+  * and two streams landing into one sidecar must use distinct prefixes
+  * — which is why `srcPrefix` is EXPLICIT (no default, r19): a shared
+  * accidental prefix would collide on `src` and silently skip
+  * legitimate batches. The vector-index landings keep their anti-join
+  * idempotency.
   *
   * The landing stream and any probe streams over the same sidecar must
   * not interleave mid-batch semantics: a probe sees the sidecar as of
@@ -35,28 +39,28 @@ object StreamLanding {
     * `table` (a [[CorpusWriter.writeGramIndex]] sidecar). `onBatch`
     * fires after each landing commits (checkpoint/telemetry hook). */
   def intoGramIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String, srcPrefix: String = "land")(
+      table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           CorpusWriter.appendToGramIndex(batch, textCol, table,
-            src = Some(s"$srcPrefix:$batchId"))
+            src = s"$srcPrefix:$batchId")
         onBatch(batchId)
       }
 
   /** Configure (not start) winnow-index landing: the [[intoGramIndex]]
     * discipline at [[graft.pipeline.Winnow]] fingerprint grain. */
   def intoWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, table: String, srcPrefix: String = "land")(
+      textCol: String, table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           CorpusWriter.appendToWinnowIndex(batch, idCol, textCol, table,
-            src = Some(s"$srcPrefix:$batchId"))
+            src = s"$srcPrefix:$batchId")
         onBatch(batchId)
       }
 

@@ -33,7 +33,17 @@ import graft.pipeline.CorpusWriter
   * `src = "{prefix}:{batchId}"` and a replayed `src` is skipped
   * ([[CorpusWriter.srcApplied]]; the landing is its own applied-marker,
   * so there is no separate-write crash window). Restarting against the
-  * same sidecar from a FRESH checkpoint needs a new `srcPrefix`. */
+  * same sidecar from a FRESH checkpoint needs a new `srcPrefix` —
+  * `srcPrefix` is therefore EXPLICIT (no default, r19): two streams
+  * retiring into one sidecar under an accidental shared prefix would
+  * collide on `src` and silently skip legitimate batches. Ordering
+  * contract with a concurrent landing stream: a retire stream must
+  * TRAIL the landing stream for the same docs — landings only commute
+  * in the END state, and a retire batch committing before its docs'
+  * land batch drives nets negative, which the read-fold guard turns
+  * into hard probe failures until the land batch commits (correct
+  * final state, loud interim). Gate retire batches on their docs'
+  * land `src` being present if the two streams share a sidecar. */
 object StreamRetire {
 
   /** Configure (not start) tombstone landing for a stored index:
@@ -52,7 +62,7 @@ object StreamRetire {
     * retired TRAINING DOCS subtract-lands its counts, idempotently per
     * batch id. */
   def fromLmModel(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String, srcPrefix: String = "retire")(
+      table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
@@ -60,7 +70,7 @@ object StreamRetire {
         if (!batch.isEmpty) {
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromLmModel(batch, textCol, table,
-              src = Some(s"$srcPrefix:$batchId"))
+              src = s"$srcPrefix:$batchId")
           }
           graft.ops.Materialize.release(frames)
         }
@@ -73,7 +83,7 @@ object StreamRetire {
     * commit on ([[CorpusWriter.readGramIndex]]'s fold), O(batch) per
     * batch, idempotent per batch id. */
   def fromGramIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String, srcPrefix: String = "retire")(
+      table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
@@ -81,7 +91,7 @@ object StreamRetire {
         if (!batch.isEmpty) {
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromGramIndex(batch, textCol, table,
-              src = Some(s"$srcPrefix:$batchId"))
+              src = s"$srcPrefix:$batchId")
           }
           graft.ops.Materialize.release(frames)
         }
@@ -90,7 +100,7 @@ object StreamRetire {
 
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, table: String, srcPrefix: String = "retire")(
+      textCol: String, table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
@@ -98,7 +108,7 @@ object StreamRetire {
         if (!batch.isEmpty) {
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromWinnowIndex(batch, idCol, textCol, table,
-              src = Some(s"$srcPrefix:$batchId"))
+              src = s"$srcPrefix:$batchId")
           }
           graft.ops.Materialize.release(frames)
         }

@@ -98,6 +98,17 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(prof == Seq(("a", 2L)))
   }
 
+  test("autoJoinWithProfile refuses an over-broadcast profile BEFORE collecting it") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", "x")).toDF("k", "tag")
+    val tooBig = spark.range(SaltedJoin.MaxProfileKeys + 1)
+      .selectExpr("CAST(id AS STRING) AS key", "2 AS salts")
+    val e = intercept[IllegalArgumentException] {
+      SaltedJoin.autoJoinWithProfile(left, right, "k", "k", tooBig)
+    }
+    assert(e.getMessage.contains("broadcast contract"), e.getMessage)
+  }
+
   test("the join key includes the salt (the skew actually spreads)") {
     val left = Seq(("a", 1)).toDF("k", "v")
     val right = Seq(("a", "x")).toDF("k", "tag")

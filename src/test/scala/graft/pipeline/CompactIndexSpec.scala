@@ -89,7 +89,8 @@ class CompactIndexSpec extends AnyFunSuite {
     CorpusWriter.writeGramIndex(
       corpusBatches.head.toDF("doc_id", "text"), "text", n = 3, tbl, buckets = 4)
     corpusBatches.tail.foreach(b =>
-      CorpusWriter.appendToGramIndex(b.toDF("doc_id", "text"), "text", tbl))
+      CorpusWriter.appendToGramIndex(b.toDF("doc_id", "text"), "text", tbl,
+        src = s"compactspec:${b.hashCode}"))
 
     def probe(): Set[(Long, Long, Long)] = released {
       Novelty.noveltyAgainstIndex(spark, tbl, increment, "doc_id", "text", n = 3)

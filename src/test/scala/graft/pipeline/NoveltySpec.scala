@@ -50,7 +50,7 @@ class NoveltySpec extends AnyFunSuite {
     }
   }
 
-  test("write+append ≡ one write over the union; index stays duplicate-free") {
+  test("write+append ≡ one write over the union at the refcount fold") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val pred = col("doc_id") % 7 === 0
@@ -61,12 +61,21 @@ class NoveltySpec extends AnyFunSuite {
     val two = "graft_test_novelty_two"
     CorpusWriter.writeGramIndex(corpus, "text", n = 4, one, buckets = 8)
     CorpusWriter.writeGramIndex(first, "text", n = 4, two, buckets = 8)
-    CorpusWriter.appendToGramIndex(second, "text", two)
+    CorpusWriter.appendToGramIndex(second, "text", two,
+      src = "noveltyspec:second")
+    // The r18 refcount layout holds MULTIPLE (gram_fp, c, src) rows per
+    // fingerprint across landings — equality lives at the read fold:
+    // same live fp set AND same net doc-refcount per fp as one union
+    // write, whatever the physical row split.
+    def fold(t: String): Map[Long, Long] =
+      spark.table(t).groupBy("gram_fp").agg(sum("c").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     try {
-      val a = spark.table(one).collect().map(_.getLong(0))
-      val b = spark.table(two).collect().map(_.getLong(0))
-      assert(a.sorted.toSeq === b.sorted.toSeq)
-      assert(b.length === b.distinct.length)
+      assert(fold(two) === fold(one))
+      assert(CorpusWriter.readGramIndex(spark, two)
+          .collect().map(_.getLong(0)).toSet ===
+        CorpusWriter.readGramIndex(spark, one)
+          .collect().map(_.getLong(0)).toSet)
       // And the scored answer is identical through either index.
       val inc = docs.filter(pred)
       val r1 = Novelty.noveltyAgainstIndex(spark, one, inc, "doc_id", "text", 4)
@@ -74,9 +83,20 @@ class NoveltySpec extends AnyFunSuite {
       val r2 = Novelty.noveltyAgainstIndex(spark, two, inc, "doc_id", "text", 4)
         .collect().map(_.toSeq)
       assert(r1.toSeq === r2.toSeq)
+      // Compaction restores the one-row-per-fp PHYSICAL layout — the
+      // raw-row pin lives here, where the layout guarantees it again —
+      // without moving the fold or the answer.
+      CorpusWriter.compactGramIndex(spark, two)
+      val raw = spark.table(two).collect().map(_.getLong(0))
+      assert(raw.length === raw.distinct.length)
+      assert(fold(two) === fold(one))
+      val r3 = Novelty.noveltyAgainstIndex(spark, two, inc, "doc_id", "text", 4)
+        .collect().map(_.toSeq)
+      assert(r3.toSeq === r1.toSeq)
     } finally Seq(one, two).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_srcs")
     }
   }
 

@@ -111,12 +111,12 @@ class RetirementSpec extends AnyFunSuite {
   test("LM: subtract landing + compaction ≡ model written on the remaining train set") {
     val t = "graft_ret_lm"
     val tRef = "graft_ret_lm_ref"
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
     val a = docs.filter(col("doc_id") % 4 === 0)
     val b = docs.filter(col("doc_id") % 4 === 2)
     CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
-    CorpusWriter.appendToLmModel(b, "text", t)
-    CorpusWriter.retireFromLmModel(b, "text", t)
+    CorpusWriter.appendToLmModel(b, "text", t, src = "retspec:land-b")
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "retspec:retire-b")
     CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
     def scores(tbl: String): Seq[String] = {
       val (r, frames) = graft.ops.Materialize.collecting {
@@ -133,21 +133,21 @@ class RetirementSpec extends AnyFunSuite {
     CorpusWriter.compactLmModel(spark, t)
     assert(rows(t) == rows(tRef))
     assert(scores(t) == scores(tRef))
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
   test("LM: over-retirement (docs that never trained) raises at compaction") {
     val t = "graft_ret_lm_bad"
-    drop(t, s"${t}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs")
     CorpusWriter.writeLmModel(docs.filter(col("doc_id") % 4 === 0), "text",
       t, buckets = 8)
     CorpusWriter.retireFromLmModel(docs.filter(col("doc_id") % 4 === 1),
-      "text", t)
+      "text", t, src = "retspec:bad")
     val e = intercept[Exception] { CorpusWriter.compactLmModel(spark, t) }
     assert(e.getMessage != null &&
       e.getMessage.contains("below zero") || e.getCause != null,
       s"unexpected: $e")
-    drop(t, s"${t}_meta", s"${t}__compact")
+    drop(t, s"${t}_meta", s"${t}_srcs", s"${t}__compact")
   }
 
   private def dataFiles(t: String): Set[String] = {
@@ -170,7 +170,8 @@ class RetirementSpec extends AnyFunSuite {
     val filesBefore = dataFiles(t)
     // The retire signature takes ONLY the deleted docs (r18): the
     // refcount layout needs no remaining-corpus re-tokenize.
-    CorpusWriter.retireFromGramIndex(deleted, "text", t)
+    CorpusWriter.retireFromGramIndex(deleted, "text", t,
+      src = "retspec:gram-del")
     // O(deleted) pin: the subtract landing only ADDED files — every
     // pre-existing data file survives by name AND mtime (no rewrite).
     assert(filesBefore.subsetOf(dataFiles(t)), "retire rewrote the index")
@@ -191,7 +192,7 @@ class RetirementSpec extends AnyFunSuite {
     CorpusWriter.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
       "text", n = 4, t, buckets = 8)
     CorpusWriter.retireFromGramIndex(docs.filter(col("doc_id") % 4 === 1),
-      "text", t)
+      "text", t, src = "retspec:gram-bad")
     val e = intercept[Exception] {
       CorpusWriter.readGramIndex(spark, t).collect()
     }
@@ -214,7 +215,8 @@ class RetirementSpec extends AnyFunSuite {
     CorpusWriter.writeWinnowIndex(docs, "doc_id", "text", n = 4, w = 4, t,
       buckets = 8)
     val filesBefore = dataFiles(t)
-    CorpusWriter.retireFromWinnowIndex(deleted, "doc_id", "text", t)
+    CorpusWriter.retireFromWinnowIndex(deleted, "doc_id", "text", t,
+      src = "retspec:win-del")
     assert(filesBefore.subsetOf(dataFiles(t)), "retire rewrote the index")
     CorpusWriter.writeWinnowIndex(remaining, "doc_id", "text", n = 4, w = 4,
       tRef, buckets = 8)
@@ -234,12 +236,12 @@ class RetirementSpec extends AnyFunSuite {
     val a = docs.filter(col("doc_id") % 4 === 0)
     val b = docs.filter(col("doc_id") % 4 === 2)
     CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
-    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
+    CorpusWriter.appendToLmModel(b, "text", t, src = "land:0")
     // Replayed append (same src): skipped.
-    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
-    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
+    CorpusWriter.appendToLmModel(b, "text", t, src = "land:0")
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "retire:0")
     // Replayed subtract (same src): skipped — the ADVICE r17 fix.
-    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "retire:0")
     CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
     def scores(tbl: String): Seq[String] = {
       val (r, frames) = graft.ops.Materialize.collecting {
@@ -254,10 +256,46 @@ class RetirementSpec extends AnyFunSuite {
     // Compaction folds the tagged rows away but records their srcs —
     // a replay arriving after it must STILL be recognized and skipped.
     CorpusWriter.compactLmModel(spark, t)
-    CorpusWriter.retireFromLmModel(b, "text", t, src = Some("retire:0"))
-    CorpusWriter.appendToLmModel(b, "text", t, src = Some("land:0"))
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "retire:0")
+    CorpusWriter.appendToLmModel(b, "text", t, src = "land:0")
     assert(scores(t) == scores(tRef))
     drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+  }
+
+  test("gram/winnow batch appends: same-src double-append leaves the fold unchanged (the r19 seatbelt)") {
+    val tg = "graft_ret_gram_dup"
+    val tw = "graft_ret_win_dup"
+    drop(tg, s"${tg}_meta", s"${tg}_srcs", tw, s"${tw}_meta", s"${tw}_srcs")
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    CorpusWriter.writeGramIndex(a, "text", n = 4, tg, buckets = 8)
+    CorpusWriter.appendToGramIndex(b, "text", tg, src = "dup:land")
+    def gfold(): Map[Long, Long] =
+      spark.table(tg).groupBy("gram_fp").agg(sum("c").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = gfold()
+    // A batch re-landed under its own tag (retry, operator error) is a
+    // skipped no-op — pre-r19 this silently inflated refcounts, leaving
+    // a doc's fps live after its retirement.
+    CorpusWriter.appendToGramIndex(b, "text", tg, src = "dup:land")
+    assert(gfold() === before)
+    // And the skip survives a compaction folding the tags away.
+    CorpusWriter.compactGramIndex(spark, tg)
+    CorpusWriter.appendToGramIndex(b, "text", tg, src = "dup:land")
+    assert(gfold() === before)
+
+    CorpusWriter.writeWinnowIndex(a, "doc_id", "text", n = 4, w = 4, tw,
+      buckets = 8)
+    CorpusWriter.appendToWinnowIndex(b, "doc_id", "text", tw,
+      src = "dup:wland")
+    def wfold(): Map[Long, Long] =
+      spark.table(tw).groupBy("fp").agg(sum("c").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wBefore = wfold()
+    CorpusWriter.appendToWinnowIndex(b, "doc_id", "text", tw,
+      src = "dup:wland")
+    assert(wfold() === wBefore)
+    drop(tg, s"${tg}_meta", s"${tg}_srcs", tw, s"${tw}_meta", s"${tw}_srcs")
   }
 
   test("stratified index: retire(ids) — member/payload rows ≡ write(remaining); probe bit-equal despite the _levels superset") {

@@ -62,7 +62,7 @@ class TrigramModelSpec extends AnyFunSuite {
     CorpusWriter.writeLmModel(train.filter(col("doc_id") % 4 === 0),
       "text", "graft_test_lm", buckets = 8)
     CorpusWriter.appendToLmModel(train.filter(col("doc_id") % 4 === 2),
-      "text", "graft_test_lm")
+      "text", "graft_test_lm", src = "tgspec:odds")
     val (stored, f2) = graft.ops.Materialize.collecting {
       rows(TrigramModel.scoreFromModel(score, "doc_id", "text",
         spark.table("graft_test_lm")))

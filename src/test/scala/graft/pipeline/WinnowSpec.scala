@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -102,25 +102,34 @@ class WinnowSpec extends AnyFunSuite {
     assert(e.getMessage.contains("broadcast contract"))
   }
 
-  test("landed index: write+append == write-union; probe matches direct") {
+  test("landed index: write+append ≡ write-union at the refcount fold; probe matches direct") {
     val spark0 = spark
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val pred = col("doc_id") % 5 === 0
     val tbl = "graft_winnowspec_idx"
-    Seq(tbl, s"${tbl}_meta", s"${tbl}_u", s"${tbl}_u_meta").foreach(t =>
+    Seq(tbl, s"${tbl}_meta", s"${tbl}_srcs",
+      s"${tbl}_u", s"${tbl}_u_meta").foreach(t =>
       spark0.sql(s"DROP TABLE IF EXISTS $t"))
     CorpusWriter.writeWinnowIndex(
       docs.filter(!pred && col("doc_id") % 2 === 0), "doc_id", "text",
       n = 4, w = 4, tbl, buckets = 8)
     CorpusWriter.appendToWinnowIndex(
-      docs.filter(!pred && col("doc_id") % 2 === 1), "doc_id", "text", tbl)
+      docs.filter(!pred && col("doc_id") % 2 === 1), "doc_id", "text", tbl,
+      src = "winnowspec:odds")
     CorpusWriter.writeWinnowIndex(
       docs.filter(!pred), "doc_id", "text", n = 4, w = 4, s"${tbl}_u",
       buckets = 8)
-    val appended = spark0.table(tbl).collect().map(_.getLong(0)).sorted
-    val union = spark0.table(s"${tbl}_u").collect().map(_.getLong(0)).sorted
-    assert(appended.sameElements(union), "append landing changed the set")
-    assert(appended.length == appended.distinct.length, "duplicate fps")
+    // The r18 refcount layout holds multiple (fp, c, src) rows per
+    // fingerprint across landings — equality lives at the read fold:
+    // same live fp set AND same net doc-refcount per fp as a union write.
+    def fold(t: String): Map[Long, Long] =
+      spark0.table(t).groupBy("fp").agg(sum("c").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold(tbl) === fold(s"${tbl}_u"), "append landing changed the fold")
+    assert(CorpusWriter.readWinnowIndex(spark0, tbl)
+        .collect().map(_.getLong(0)).toSet ===
+      CorpusWriter.readWinnowIndex(spark0, s"${tbl}_u")
+        .collect().map(_.getLong(0)).toSet)
 
     val viaIndex = Winnow.admitAgainstIndex(spark0, tbl,
         docs.filter(pred), "doc_id", "text", n = 4, w = 4)
@@ -128,12 +137,24 @@ class WinnowSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
     assert(viaIndex.exists(_._3 > 0L), "fixture increment shares fps")
 
+    // Compaction restores the one-row-per-fp PHYSICAL layout (the raw
+    // pin lives here) without moving the fold or the probe.
+    CorpusWriter.compactWinnowIndex(spark0, tbl)
+    val raw = spark0.table(tbl).collect().map(_.getLong(0))
+    assert(raw.length == raw.distinct.length, "duplicate fps post-compaction")
+    assert(fold(tbl) === fold(s"${tbl}_u"))
+    val viaCompacted = Winnow.admitAgainstIndex(spark0, tbl,
+        docs.filter(pred), "doc_id", "text", n = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaCompacted === viaIndex)
+
     val e = intercept[IllegalArgumentException] {
       Winnow.admitAgainstIndex(spark0, tbl, docs.filter(pred),
         "doc_id", "text", n = 4, w = 9)
     }
     assert(e.getMessage.contains("written under"))
-    Seq(tbl, s"${tbl}_meta", s"${tbl}_u", s"${tbl}_u_meta").foreach(t =>
+    Seq(tbl, s"${tbl}_meta", s"${tbl}_srcs",
+      s"${tbl}_u", s"${tbl}_u_meta").foreach(t =>
       spark0.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

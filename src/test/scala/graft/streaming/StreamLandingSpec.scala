@@ -24,8 +24,13 @@ class StreamLandingSpec extends AnyFunSuite {
     val b = docs.filter(col("doc_id") % 2 === 1)
 
     val batchTbl = "graft_test_land_gram_batch"
+    Seq(batchTbl, s"${batchTbl}_meta", s"${batchTbl}_srcs",
+      "graft_test_land_gram_stream", "graft_test_land_gram_stream_meta",
+      "graft_test_land_gram_stream_srcs", s"${batchTbl}_srcs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CorpusWriter.writeGramIndex(a, "text", n = 4, batchTbl, buckets = 8)
-    CorpusWriter.appendToGramIndex(b, "text", batchTbl)
+    CorpusWriter.appendToGramIndex(b, "text", batchTbl,
+      src = "slandspec:odds")
 
     val streamTbl = "graft_test_land_gram_stream"
     CorpusWriter.writeGramIndex(a, "text", n = 4, streamTbl, buckets = 8)
@@ -37,7 +42,8 @@ class StreamLandingSpec extends AnyFunSuite {
     val landed = scala.collection.mutable.ArrayBuffer.empty[Long]
     val input = MemoryStream[(Long, String)]
     val q = StreamLanding.intoGramIndex(spark,
-        input.toDF().toDF("doc_id", "text"), "text", streamTbl) {
+        input.toDF().toDF("doc_id", "text"), "text", streamTbl,
+        srcPrefix = "slandspec") {
         id => landed += id
       }
       .queryName("stream_landing_fixture_test")
@@ -49,8 +55,20 @@ class StreamLandingSpec extends AnyFunSuite {
     val batchSet = fps(batchTbl, "gram_fp")
     val streamSet = fps(streamTbl, "gram_fp")
     assert(streamSet == batchSet)
-    // Anti-join discipline held per batch: no duplicate fingerprints.
+    // Refcount discipline (r18): the stream's per-batch landings hold
+    // MULTIPLE (gram_fp, c, src) rows per fingerprint; equality lives at
+    // the read fold — same net doc-refcount per fp as the batch chain.
+    def fold(t: String): Map[Long, Long] =
+      spark.table(t).groupBy("gram_fp").agg(sum("c").as("c"))
+        .collect().map(_.toSeq match {
+          case Seq(fp: Long, c: Long) => fp -> c
+        }).toMap
+    assert(fold(streamTbl) == fold(batchTbl))
+    // Compaction restores the one-row-per-fp physical layout — the raw
+    // pin lives here — without moving the fold.
+    CorpusWriter.compactGramIndex(spark, streamTbl)
     assert(spark.table(streamTbl).count() == streamSet.size)
+    assert(fold(streamTbl) == fold(batchTbl))
   }
 
   private def vecParts(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)

@@ -63,18 +63,19 @@ class StreamRetireSpec extends AnyFunSuite {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
     val t = "graft_sretire_lm"
     val tRef = "graft_sretire_lm_ref"
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
     val a = docs.filter(col("doc_id") % 4 === 0)
     val b = docs.filter(col("doc_id") % 4 === 2)
     CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
-    CorpusWriter.appendToLmModel(b, "text", t)
+    CorpusWriter.appendToLmModel(b, "text", t, src = "sretirespec:b")
     CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
     val bRows = b.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     val parts = (0 until 3).map(r => bRows.filter(_._1 % 3 == r))
     val input = MemoryStream[(Long, String)]
     val q = StreamRetire.fromLmModel(spark,
-        input.toDF().toDF("doc_id", "text"), "text", t)()
+        input.toDF().toDF("doc_id", "text"), "text", t,
+        srcPrefix = "sretirespec")()
       .queryName("stream_retire_lm_test")
       .start()
     try {
@@ -90,6 +91,6 @@ class StreamRetireSpec extends AnyFunSuite {
       r
     }
     assert(scores(t) == scores(tRef))
-    drop(t, s"${t}_meta", tRef, s"${tRef}_meta")
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 }
