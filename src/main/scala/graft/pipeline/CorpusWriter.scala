@@ -303,24 +303,34 @@ object CorpusWriter {
 
   /** Store the corpus's per-key HyperLogLog register state as a
     * sidecar — the LIGHTEST landing discipline in the family: the
-    * whole artifact is ≤ keys × [[HyperLogLog.M]] slim rows, and
-    * because register merge is MAX (commutative, idempotent,
+    * whole artifact is ≤ landings × keys × [[HyperLogLog.M]] slim
+    * rows, and because register merge is MAX (commutative, idempotent,
     * associative), landings [[appendToHllRegisters]] plainly APPEND
     * their batch registers with no anti-join, no rewrite, and no
     * read-modify-write race surface: the reader folds duplicates by
     * max ([[HyperLogLog.reportFromRegisters]]), so write+append ≡ one
     * write over the union BIT-exactly, whatever the landing order.
-    * Gram order `n` rides in `{table}_meta` and is `require`d to
-    * match at read. Periodic [[compactHllRegisters]] keeps the row
-    * count at keys × M after many landings (answer-invisible — it runs
-    * the reader's own max fold). */
+    *
+    * Rows are PARTITIONED by a `landing` tag (r19) — max-merged
+    * registers are not subtractable, but per-landing register rows are
+    * DROPPABLE: [[retireFromHllRegisters]] drops one landing's
+    * directory and the reader's max re-fold serves the remaining
+    * landings' union — an O(landings) delete, never a corpus rebuild
+    * (the design the r18 verdict carried as a comment). Gram order `n`
+    * rides in `{table}_meta` and is `require`d to match at read.
+    * Periodic [[compactHllRegisters]] folds cold landings into one
+    * `__base` partition (answer-invisible — it runs the reader's own
+    * max fold; the folded landings forfeit individual retirement). */
   def writeHllRegisters(corpus: DataFrame, textCol: String,
-      keyCol: String, table: String, n: Int = 3): Unit = {
+      keyCol: String, table: String, n: Int = 3,
+      landing: String = "init"): Unit = {
     val spark = corpus.sparkSession
     dropOrphanedLocation(spark, table)
     HyperLogLog.registers(corpus, textCol, keyCol, n)
-      .select(col("key"), col("register"), col("mj"))
+      .select(col("key"), col("register"), col("mj"),
+        lit(landing).as("landing"))
       .write.mode(SaveMode.Overwrite)
+      .partitionBy("landing")
       .format("parquet").saveAsTable(table)
     dropOrphanedLocation(spark, s"${table}_meta")
     import spark.implicits._
@@ -329,38 +339,74 @@ object CorpusWriter {
       .format("parquet").saveAsTable(s"${table}_meta")
   }
 
-  /** Land a batch's registers beside the standing ones (duplicates by
-    * (key, register) are FINE — the reader's max folds them). */
+  /** Land a batch's registers beside the standing ones under its own
+    * `landing` tag (duplicates by (key, register) ACROSS landings are
+    * fine — the reader's max folds them). Re-landing an already-present
+    * tag is a skipped no-op (the directory is the applied-marker —
+    * at-least-once callers replay safely), so tags must be unique per
+    * batch, stable across retries — the additive-sidecar `src`
+    * discipline. */
   def appendToHllRegisters(landing: DataFrame, textCol: String,
-      keyCol: String, table: String): Unit = {
+      keyCol: String, table: String, landingTag: String): Unit = {
     val spark = landing.sparkSession
+    require(landingTag.nonEmpty && landingTag != "__base",
+      "landing tag must be non-empty and not the reserved __base")
+    if (!spark.table(table).filter(col("landing") === landingTag).isEmpty)
+      return // replay of an applied landing — partition-pruned probe
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed HLL register meta: ${meta.length} rows")
     HyperLogLog.registers(landing, textCol, keyCol,
         meta(0).getAs[Int]("n"))
-      .select(col("key"), col("register"), col("mj"))
+      .select(col("key"), col("register"), col("mj"),
+        lit(landingTag).as("landing"))
       .write.mode(SaveMode.Append)
+      .partitionBy("landing")
       .format("parquet").saveAsTable(table)
   }
 
+  /** Retire one landing's registers: drop its partition directory —
+    * O(1) metadata + that landing's files; the reader's max re-fold
+    * then serves exactly the remaining landings' union (max-merge has
+    * no inverse, but per-landing rows need none). A tag already folded
+    * by [[compactHllRegisters]] is gone — retiring it raises. */
+  def retireFromHllRegisters(spark: org.apache.spark.sql.SparkSession,
+      table: String, landingTag: String): Unit = {
+    require(landingTag != "__base",
+      "cannot retire the compacted base — its landings folded away")
+    require(
+      !spark.table(table).filter(col("landing") === landingTag).isEmpty,
+      s"landing '$landingTag' is not present in $table (never landed, " +
+        "already retired, or folded into __base by compaction)")
+    val esc = landingTag.replace("'", "''")
+    spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (landing = '$esc')")
+  }
+
   /** Compact a [[writeHllRegisters]] sidecar after many landings: fold
-    * duplicate (key, register) rows by MAX — the reader's own merge, so
-    * every later report is BIT-identical — and swap-and-rename the
-    * plain table. Row count returns to ≤ keys × [[HyperLogLog.M]];
-    * idempotent (max of one row is itself). Unlike [[compactTable]]
-    * this is a fold, not just a file rewrite — the landing discipline
-    * here accumulates duplicate ROWS by design, not just files. */
+    * every landing NOT in `keepLandings` into one `__base` partition by
+    * the reader's own (key, register) MAX — every later report is
+    * BIT-identical — and swap-and-rename. Folded rows return to ≤
+    * keys × [[HyperLogLog.M]]; kept landings stay individually
+    * retireable ([[retireFromHllRegisters]]); folded ones forfeit that
+    * (the explicit trade — fold only landings past their retention
+    * horizon). Idempotent (max of one row is itself). */
   def compactHllRegisters(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String, keepLandings: Seq[String] = Nil): Unit = {
     val swap = s"${table}__compact"
     dropOrphanedLocation(spark, swap)
-    spark.table(table)
+    val all = spark.table(table)
+    val kept = all.filter(col("landing").isin(keepLandings: _*))
+    val folded = all.filter(!col("landing").isin(keepLandings: _*))
       .groupBy("key", "register").agg(max("mj").as("mj"))
+      .select(col("key"), col("register"), col("mj"),
+        lit("__base").as("landing"))
+    folded.unionByName(kept.select("key", "register", "mj", "landing"))
       .write.mode(SaveMode.Overwrite)
+      .partitionBy("landing")
       .format("parquet").saveAsTable(swap)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $swap RENAME TO $table")
+    spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
   /** Land a new batch into a [[writeWinnowIndex]] sidecar: the
@@ -897,9 +943,10 @@ object CorpusWriter {
   //    effect at the read fold the moment the landing commits — no
   //    tombstone consultation problem left for these probes;
   //  - max-merged register state (HLL) is NOT subtractable, but
-  //    per-landing register rows are DROPPABLE: land registers tagged
-  //    by landing, retire = drop that landing's rows + the reader's own
-  //    max re-fold — O(landings), never O(corpus).
+  //    per-landing register rows are DROPPABLE: registers land
+  //    partitioned by landing tag, retire = drop that landing's
+  //    partition + the reader's own max re-fold — O(landings), never
+  //    O(corpus) ([[retireFromHllRegisters]], r19).
 
   /** Retire vectors from a [[writeSq8Index]] sidecar: one anti-join
     * rewrite of the member table under its bucket spec. The GRID stays

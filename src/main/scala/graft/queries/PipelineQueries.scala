@@ -231,6 +231,17 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedAssets(
           Tables.load(s, sf, "documents")), minShared = 2)),
 
+    // Shift-tolerant frame overlap (r19): q168's aligned detector
+    // scores a one-frame-shifted re-edit 0 — here content fingerprints
+    // as a block-print SEQUENCE shingled pairwise (the winnow
+    // discipline at frame grain), matched position-free, so the
+    // planted ShiftPad variants (asset_id + 30000) pair with their
+    // originals on every interior shingle.
+    "q180_shifted_overlap" -> ((s, sf) =>
+      graft.pipeline.Multimodal.shiftTolerantOverlapPairs(
+        graft.pipeline.Multimodal.plantedShiftedAssets(
+          Tables.load(s, sf, "documents")), minShared = 2)),
+
     // Multimodal embedding near-dup (r17): the extract output plugged
     // straight into the banded sign-LSH + exact-cosine machinery
     // (q33's pipeline at stub-embedding grain) — exact replicas land
@@ -1391,7 +1402,8 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 2 === 0), "text", "source", tbl,
           n = 3)
         graft.pipeline.CorpusWriter.appendToHllRegisters(
-          docs.filter(col("doc_id") % 2 === 1), "text", "source", tbl)
+          docs.filter(col("doc_id") % 2 === 1), "text", "source", tbl,
+          landingTag = "q135:odds")
       }
       graft.pipeline.HyperLogLog.reportFromRegisters(s, tbl, "source",
         n = 3)
@@ -1550,6 +1562,9 @@ object PipelineQueries {
 
     "q168_frame_overlap" ->
       graft.pipeline.Multimodal.frameOverlapOracleSql(minShared = 2),
+
+    "q180_shifted_overlap" ->
+      graft.pipeline.Multimodal.shiftTolerantOracleSql(minShared = 2),
 
     "q169_asset_embedding_dedup" ->
       graft.pipeline.Multimodal.embeddingNearDupOracleSql(minCos = 0.9),

@@ -86,11 +86,18 @@ class HyperLogLogSpec extends AnyFunSuite {
     CorpusWriter.writeHllRegisters(docs.filter(col("doc_id") % 2 === 0),
       "text", "source", tbl, n = 3)
     CorpusWriter.appendToHllRegisters(docs.filter(col("doc_id") % 2 === 1),
-      "text", "source", tbl)
-    // Land a batch twice: duplicates by (key, register) accumulate ROWS
-    // (harmless to the reader) — exactly what compaction folds.
+      "text", "source", tbl, landingTag = "odds")
+    // The same BATCH under a second tag: duplicates by (key, register)
+    // accumulate ROWS across landings (harmless to the reader's max) —
+    // exactly what compaction folds.
     CorpusWriter.appendToHllRegisters(docs.filter(col("doc_id") % 2 === 1),
-      "text", "source", tbl)
+      "text", "source", tbl, landingTag = "odds-again")
+    // A REPLAY of an applied tag is skipped (the partition is the
+    // applied-marker) — rows unchanged.
+    val rowsPreReplay = spark.table(tbl).count()
+    CorpusWriter.appendToHllRegisters(docs.filter(col("doc_id") % 2 === 1),
+      "text", "source", tbl, landingTag = "odds")
+    assert(spark.table(tbl).count() == rowsPreReplay)
     def report() = HyperLogLog.reportFromRegisters(spark, tbl, "source", n = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
@@ -100,9 +107,46 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(report() == before)
     val rowsAfter = spark.table(tbl).count()
     assert(rowsAfter < rowsBefore, s"$rowsBefore -> $rowsAfter")
-    // Fully folded: one row per distinct (key, register) pair.
+    // Fully folded: one row per distinct (key, register) pair, all in
+    // the __base partition.
     assert(rowsAfter ==
       spark.table(tbl).select("key", "register").distinct().count())
+    assert(spark.table(tbl).select("landing").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("__base"))
+  }
+
+  test("per-landing retirement: dropping a landing's partition serves the remaining union (r19)") {
+    val tbl = "graft_test_hll_retire"
+    val tRef = "graft_test_hll_retire_ref"
+    Seq(tbl, s"${tbl}_meta", tRef, s"${tRef}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    CorpusWriter.writeHllRegisters(evens, "text", "source", tbl, n = 3)
+    CorpusWriter.appendToHllRegisters(odds, "text", "source", tbl,
+      landingTag = "odds")
+    // Retire the odds landing: O(1) partition drop, no corpus re-read.
+    CorpusWriter.retireFromHllRegisters(spark, tbl, "odds")
+    CorpusWriter.writeHllRegisters(evens, "text", "source", tRef, n = 3)
+    def report(t: String) =
+      HyperLogLog.reportFromRegisters(spark, t, "source", n = 3)
+        .collect().map(_.mkString("|")).toSeq
+    assert(report(tbl) == report(tRef),
+      "retired landing still visible in the fold")
+    // Retiring a tag that is not present raises loudly.
+    val e = intercept[IllegalArgumentException] {
+      CorpusWriter.retireFromHllRegisters(spark, tbl, "odds")
+    }
+    assert(e.getMessage.contains("not present"))
+    // A kept landing survives compaction retireable; a folded one not.
+    CorpusWriter.appendToHllRegisters(odds, "text", "source", tbl,
+      landingTag = "odds2")
+    CorpusWriter.compactHllRegisters(spark, tbl,
+      keepLandings = Seq("odds2"))
+    CorpusWriter.retireFromHllRegisters(spark, tbl, "odds2")
+    assert(report(tbl) == report(tRef))
+    Seq(tbl, s"${tbl}_meta", tRef, s"${tRef}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("rho rank: saturation and width arithmetic") {

@@ -87,4 +87,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.toSeq != c.toSeq)
   }
+
+  test("shift tolerance (r19): a one-frame-shifted copy pairs; the aligned detector misses it") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val assets = Multimodal.plantedShiftedAssets(docs)
+    val shiftedIds = assets.filter(col("asset_id") >= 30000L)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(shiftedIds.nonEmpty)
+    // Shift-tolerant shingles catch every (base, base + 30000) pair.
+    val tolerant = Multimodal.shiftTolerantOverlapPairs(assets, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    shiftedIds.foreach { s =>
+      assert(tolerant.contains((s - 30000L, s)),
+        s"shifted copy $s not paired with its original")
+    }
+    // The ALIGNED detector scores those same pairs 0 (the r18 weakness
+    // this op exists to cover): a whole-block prefix pad moves every
+    // byte-quarter boundary, so no aligned frame print survives.
+    val aligned = Multimodal.frameOverlapPairs(assets, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shiftedIds.forall(s => !aligned.contains((s - 30000L, s))),
+      "aligned detector unexpectedly caught a shifted copy")
+  }
+
+  test("frame shingles: shift invariance and order sensitivity at the stub level") {
+    val orig = Array.tabulate(80)(i => ((i * 13 + 7) % 251).toByte)
+    val pad = Array.tabulate(Multimodal.FrameBlockBytes)(i => (i + 1).toByte)
+    val shifted = pad ++ orig
+    val so = Multimodal.frameShingles(orig).toSet
+    val ss = Multimodal.frameShingles(shifted).toSet
+    // Every original shingle survives the one-block shift...
+    assert(so.subsetOf(ss))
+    // ...and exactly one new shingle appears (pad -> first block).
+    assert(ss.size == so.size + 1)
+    // A re-CUT (blocks reordered) does NOT keep shingles: local order
+    // is evidence, unlike bare position-free prints.
+    val blocks = orig.grouped(Multimodal.FrameBlockBytes).toArray
+    val recut = (blocks.reverse).flatten
+    val sr = Multimodal.frameShingles(recut).toSet
+    assert(so.intersect(sr).isEmpty)
+  }
 }
