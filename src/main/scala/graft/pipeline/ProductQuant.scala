@@ -306,6 +306,112 @@ object ProductQuant {
       .orderBy("qid", "vec_id")
   }
 
+  // ------------------------------------------------------- residual form
+
+  /** The residual corpus (vec_id, emb): each vector minus its coarse
+    * centroid, RE-QUANTIZED to the fixed-point grid (floor(Δ + 0.5) in
+    * the lifted domain) and expressed back in the unlifted domain
+    * (÷ [[Clustering.Scale]], exact — dyadic over integer values), so
+    * the standard lift re-derives exactly these integers and the whole
+    * PQ machinery (training, encode, oracle chains) applies verbatim.
+    * One broadcast join against the ≤ kCoarse centroid rows — no new
+    * corpus-side shuffle. */
+  private def residualCorpus(assigned: DataFrame,
+      coarse: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = coarse.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "c")
+    assigned.join(broadcast(cents), col("cluster") === col("cid"))
+      .select(col("vec_id"),
+        expr("transform(zip_with(fxd, c, (a, b) -> floor(a - b + 0.5D)), " +
+          s"v -> v / ${Clustering.Scale}D)").as("emb"))
+  }
+
+  /** Residual IVF-PQ retrieval — IVFADC WITH the residual encoding
+    * (Jégou et al. §5.1.2: PQ quantizes `vec − coarse_centroid`, not the
+    * raw vector): residuals concentrate around the origin per subspace,
+    * so the same m·k codebook budget spends its resolution on the part
+    * of the vector the coarse quantizer did NOT explain — the
+    * public-knowledge lever that buys recall at the same m (q175's
+    * staleness meter showed raw-vector IVF-PQ recall 0.2–0.3 on stale
+    * fixtures; ResidualPqSpec measures the gain here). Score =
+    * ⟨q, c_cell⟩ + Σ_mi LUT[mi][code] — the exact expansion of
+    * ⟨q, c_cell + r̂⟩, so the only new arithmetic is one per-(q, cell)
+    * driver dot added ahead of the same ascending-`mi` fold.
+    *
+    * Scale shape unchanged from [[ivfAdcTopK]]: the per-(qid, cell)
+    * cdot rides INSIDE the broadcast probe relation (≤ |Q|·nprobe
+    * rows), so the corpus-side scan still touches only code arrays —
+    * no vector math, no new shuffle. Degeneracy: at nprobe = kCoarse
+    * every vector is a candidate and the retrieval ranks the full
+    * corpus by the residual-ADC score (ResidualPqSpec pins it against
+    * an independent driver-side recomputation). */
+  def residualIvfAdcTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      residualIvfAdcScored(corpus, idCol, embCol, queryIds, kCoarse,
+        coarseRounds, m, k, pqRounds, dim, nprobe), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  /** The pre-ranking candidate scores of [[residualIvfAdcTopK]] — the
+    * audit seam ([[ivfAdcScored]]'s convention). */
+  private[graft] def residualIvfAdcScored(corpus: DataFrame, idCol: String,
+      embCol: String, queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCoarse,
+      s"nprobe must be in [1, $kCoarse]: $nprobe")
+    require(queryIds.nonEmpty && queryIds.size <= 1000,
+      s"query batch of ${queryIds.size} exceeds the broadcast contract")
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (assigned, coarse) = Clustering.trainAssign(e, kCoarse, coarseRounds)
+    val (codes, books) = codeArrays(residualCorpus(assigned, coarse),
+      "vec_id", "emb", m, k, pqRounds, dim)
+    val base = graft.ops.Materialize.barrier(
+      assigned.select(col("vec_id"), col("cluster").as("cell"))
+        .join(codes, "vec_id"))
+    val d = dim / m
+    val qRows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("fxd")).collect()
+    val halfNorms = coarse.map { case (cid, c) => (cid, c, 0.5 * VecOps.normSq(c)) }
+    val (probes, luts) = qRows.map { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+      val cells = halfNorms.map { case (cid, c, hn) =>
+        (cid, VecOps.dot(fxd, c) - hn)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(nprobe).map(_._1)
+      // cdot = ⟨q, c_cell⟩ — the residual expansion's cell term, exact
+      // driver arithmetic like the LUT's (the oracle replays the fold).
+      val coarseByCid = coarse.toMap
+      (cells.map(c => (qid, c, VecOps.dot(fxd, coarseByCid(c)))),
+        (qid, lutFor(fxd, books, m, k, d).toSeq))
+    }.unzip match { case (ps, ls) => (ps.flatten.toSeq, ls.toSeq) }
+    residualIvfAdcScores(base, probes, luts, m, k)
+  }
+
+  /** [[ivfAdcScores]] with the per-(qid, cell) cell-dot term riding in
+    * the broadcast probe relation: score = cdot + the ascending-`mi`
+    * LUT fold (addition order = the oracle's `cdot + list_reduce`). */
+  private[graft] def residualIvfAdcScores(base: DataFrame,
+      probes: Seq[(Long, Long, Double)], luts: Seq[(Long, Seq[Double])],
+      m: Int, k: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    require(luts.nonEmpty && luts.size <= 1000,
+      s"query batch of ${luts.size} exceeds the broadcast contract")
+    val allCells = probes.map(_._2).distinct.sorted
+    val probeDf = probes.sortBy(p => (p._1, p._2)).toDF("qid", "cell", "cdot")
+    val lutDf = luts.sortBy(_._1).toDF("qid", "lut")
+    base.filter(col("cell").isin(allCells: _*))
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(lutDf), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("cdot") + adcScore(col("lut"), m, k)).as("cos"))
+  }
+
   /** IVF-PQ retrieval against a STORED index sidecar
     * ([[CorpusWriter.writeIvfPqIndex]] + landings) — the deployment form
     * of [[ivfAdcTopK]] and the artifact a 100 TB ANN store actually
@@ -553,6 +659,54 @@ object ProductQuant {
            dim, nprobe)}
        |${rankTailSql(topK)}""".stripMargin
 
+  /** DuckDB oracle for [[residualIvfAdcTopK]]: the coarse chain first,
+    * a `resid` CTE (per-vector residual, re-quantized and unlifted so
+    * the per-subspace chains' own lift re-derives the exact integers),
+    * PQ chains over residual slices, then the ADC block with the
+    * per-(query, cell) coarse dot added ahead of the ordered fold. */
+  def residualIvfAdcOracleSql(queryIds: Seq[Long], kCoarse: Int,
+      coarseRounds: Int, m: Int, k: Int, pqRounds: Int, dim: Int,
+      nprobe: Int, topK: Int): String = {
+    val d = dim / m
+    val coarseChain = Clustering.kmeansCtes(kCoarse, coarseRounds, dim,
+      Clustering.EmbeddingsSql, "cg_").stripPrefix("WITH ")
+    val residSql =
+      s"""resid AS (SELECT e.vec_id,
+         |    list_transform(range(1, ${dim + 1}),
+         |      __i -> floor(e.fxd[__i] - c.c[__i] + 0.5) / ${Clustering.Scale}) AS emb
+         |  FROM cg_e e
+         |  JOIN cg_a$coarseRounds a USING (vec_id)
+         |  JOIN cg_c$coarseRounds c ON c.cid = a.cluster)""".stripMargin
+    def residSlice(mi: Int): String = {
+      val lo = mi * d + 1
+      s"(SELECT vec_id, (emb)[$lo:${lo + d - 1}] AS emb FROM resid)"
+    }
+    val chains = (0 until m).map(mi =>
+      Clustering.kmeansCtes(k, pqRounds, d, residSlice(mi), s"m${mi}_")
+        .stripPrefix("WITH "))
+    s"""WITH $coarseChain,
+       |$residSql,
+       |${chains.mkString(",\n")},
+       |${adcCtes(queryIds, m, k, pqRounds, d)},
+       |pcd AS (SELECT qid, cid AS cell, cdot FROM (
+       |    SELECT q.qid, c.cid,
+       |      ${Clustering.dotSql("q.fxd", "c.c", dim)} AS cdot,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        ${Clustering.dotSql("q.fxd", "c.c", dim)} - 0.5 * ${
+             Clustering.dotSql("c.c", "c.c", dim)} DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cg_c$coarseRounds c)
+       |  WHERE prn <= $nprobe),
+       |scored AS (SELECT pcd.qid, cj.vec_id,
+       |    max(pcd.cdot) + ${Clustering.fold("list(lut.part ORDER BY lut.m)")} AS score
+       |  FROM pcd
+       |  JOIN cg_a$coarseRounds a ON a.cluster = pcd.cell
+       |  JOIN codes cj ON cj.vec_id = a.vec_id
+       |  JOIN lut ON lut.qid = pcd.qid AND lut.m = cj.m AND lut.cid = cj.code
+       |  WHERE cj.vec_id <> pcd.qid
+       |  GROUP BY pcd.qid, cj.vec_id)
+       |${rankTailSql(topK)}""".stripMargin
+  }
+
   /** ANN recall@k evaluation — the "measure, don't guess" op for tuning
     * `nprobe`/`m`/`k`: per query, how many of the EXACT top-`topK`
     * neighbors (by the full lifted-domain dot — exact integer values in
@@ -566,9 +720,24 @@ object ProductQuant {
     * scan per sampled query is the point, not a scale hazard. */
   def annRecall(corpus: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
-      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
-    val ann = ivfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
-      coarseRounds, m, k, pqRounds, dim, nprobe, topK)
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame =
+    recallAgainst(corpus, idCol, embCol, queryIds, topK,
+      ivfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
+        coarseRounds, m, k, pqRounds, dim, nprobe, topK))
+
+  /** [[annRecall]] with the ANN side answered by the RESIDUAL form —
+    * the head-to-head meter ResidualPqSpec runs (residual ≥ raw on the
+    * fixture is the r19 acceptance bar). */
+  def annRecallResidual(corpus: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], kCoarse: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, dim: Int, nprobe: Int, topK: Int): DataFrame =
+    recallAgainst(corpus, idCol, embCol, queryIds, topK,
+      residualIvfAdcTopK(corpus, idCol, embCol, queryIds, kCoarse,
+        coarseRounds, m, k, pqRounds, dim, nprobe, topK))
+
+  private def recallAgainst(corpus: DataFrame, idCol: String,
+      embCol: String, queryIds: Seq[Long], topK: Int,
+      ann: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -968,6 +968,16 @@ object PipelineQueries {
         coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
         nprobe = 3, topK = 10)),
 
+    // Residual IVF-PQ (r19): q86 with the codebooks trained on
+    // vec − coarse_centroid residuals (IVFADC's standard refinement) —
+    // the same m·k budget spent on what the coarse quantizer did NOT
+    // explain; score = ⟨q, c_cell⟩ + the residual LUT fold.
+    "q181_residual_ivfpq" -> ((s, sf) =>
+      ProductQuant.residualIvfAdcTopK(Tables.load(s, sf, "embeddings"),
+        "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), kCoarse = 8,
+        coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
+        nprobe = 3, topK = 10)),
+
     // ANN recall evaluation (r14): per query, how many exact
     // lifted-dot top-10 neighbors the composed IVF-PQ (q86 settings)
     // recovers — the measure-don't-guess op for tuning nprobe/m/k.
@@ -1768,6 +1778,10 @@ object PipelineQueries {
     "q86_ivf_pq_topk" -> ProductQuant.ivfAdcOracleSql(Seq(0L, 1L, 2L),
       kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
       nprobe = 3, topK = 10),
+
+    "q181_residual_ivfpq" -> ProductQuant.residualIvfAdcOracleSql(
+      Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = 64, nprobe = 3, topK = 10),
 
     "q87_ann_recall" -> ProductQuant.recallOracleSql(Seq(0L, 1L, 2L),
       kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
