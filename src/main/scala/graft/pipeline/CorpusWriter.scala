@@ -888,6 +888,92 @@ object CorpusWriter {
       table: String): Unit =
     compactPartitionedTable(spark, table)
 
+  /** Per-CELL staleness of a [[writeIvfIndex]] sidecar against the
+    * CURRENT corpus — the maintenance meter that decides WHICH cells
+    * [[relandStaleIvfCells]] touches (q175's index-level staleness
+    * localized to the partition grain the fix operates at): assign the
+    * corpus under the STORED centroids (one zero-shuffle `argmax_dot`
+    * scan — training stays frozen), then per cell count `n_stored`
+    * members, `n_current` members, `n_missing` (current but never
+    * landed — unlanded growth) and `n_orphaned` (stored but gone from
+    * the corpus — unretired deletes); `staleness` = (missing +
+    * orphaned) / max(current, 1). One vec_id-keyed join + one cell
+    * aggregation — never a probe, never a recall evaluation. */
+  def ivfCellStaleness(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val current = Clustering.withCluster(
+        Clustering.lifted(corpus, idCol, embCol), cents)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val stored = spark.table(table).select("vec_id", "cell")
+    val joined = current.withColumn("__cur", lit(1))
+      .join(stored.withColumn("__sto", lit(1)),
+        Seq("vec_id", "cell"), "full_outer")
+    joined.groupBy("cell")
+      .agg(sum(coalesce(col("__sto"), lit(0))).as("n_stored"),
+        sum(coalesce(col("__cur"), lit(0))).as("n_current"),
+        sum(when(col("__sto").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("__cur").isNull, 1L).otherwise(0L)).as("n_orphaned"))
+      .withColumn("staleness",
+        (col("n_missing") + col("n_orphaned")).cast("double") /
+          greatest(col("n_current"), lit(1L)).cast("double"))
+      .orderBy("cell")
+  }
+
+  /** Staleness-DRIVEN partial re-land (r19, VERDICT r18 #7): refresh
+    * ONLY the cells whose [[ivfCellStaleness]] exceeds `bar`, instead
+    * of the full retrain a stale index otherwise forces — the
+    * [[retireFromIvfIndex]] partition machinery pointed at growth as
+    * well as deletes. Stale cells get their CURRENT membership (one
+    * frozen-centroid assignment of the corpus, filtered to those
+    * cells) written through a dynamic partition overwrite; cells whose
+    * members all vanished drop explicitly; untouched cells' files are
+    * never read or written (LandedIvfSpec pins name+mtime equality).
+    * Centroids stay frozen — at bar = 0 the member table converges to
+    * exactly the write-under-stored-centroids of the current corpus,
+    * while genuine centroid DRIFT (cells stale because the data moved,
+    * not because landings lagged) still wants the explicit retrain.
+    * Returns the re-landed cell ids. */
+  def relandStaleIvfCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String, embCol: String,
+      bar: Double): Seq[Long] = {
+    require(bar >= 0.0, s"staleness bar must be >= 0: $bar")
+    val stale = ivfCellStaleness(spark, table, corpus, idCol, embCol)
+      .filter(col("staleness") > bar)
+      .select("cell").collect().map(_.getLong(0)).toSeq // ≤ k cells
+    if (stale.nonEmpty) {
+      val cents = spark.table(s"${table}_cent").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      val fresh = Clustering.withCluster(
+          Clustering.lifted(corpus, idCol, embCol), cents)
+        .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
+        .filter(col("cell").isin(stale: _*))
+      val swap = s"${table}__reland"
+      dropOrphanedLocation(spark, swap)
+      fresh.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(swap)
+      val keptCells = spark.table(swap)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.table(swap).write.mode(SaveMode.Overwrite).insertInto(table)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      stale.filterNot(keptCells).foreach { c =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell = $c)")
+      }
+      spark.sql(s"DROP TABLE $swap")
+    }
+    stale
+  }
+
   def appendToStratifiedIndex(landing: DataFrame, idCol: String,
       textCol: String, table: String): Unit = {
     val spark = landing.sparkSession

@@ -118,6 +118,79 @@ class LandedIvfSpec extends AnyFunSuite {
     assert(filesAfter <= 8, s"filesAfter=$filesAfter")
   }
 
+  private def partFiles(tbl: String): Map[String, Long] = {
+    val cat = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    val root = new java.io.File(new java.net.URI(cat.location.toString).getPath)
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) f.listFiles().iterator.flatMap(walk)
+      else Iterator.single(f)
+    walk(root).filter(_.getName.startsWith("part-"))
+      .map(f => (root.toPath.relativize(f.toPath).toString, f.lastModified))
+      .toMap
+  }
+
+  test("staleness-driven partial re-land: only stale cells rewrite; untouched files byte-stable (r19)") {
+    import spark.implicits._
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val tbl = "graft_test_ivf_reland"
+    val ref = "graft_test_ivf_reland_ref"
+    Seq(tbl, ref).foreach(t => Seq("", "_cent", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    CorpusWriter.writeIvfIndex(evens, "vec_id", "embedding", tbl,
+      k = 8, rounds = 2)
+    // Localize the corpus change to two cells: delete half of c1's
+    // members, add clones (new ids, same embeddings → same cell) of
+    // two c2 members.
+    val byCell = spark.table(tbl).select("cell", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val bigCells = byCell.filter(_._2.length >= 4).keys.toSeq.sorted
+    assert(bigCells.size >= 3, s"fixture yielded too few populated cells: $byCell")
+    val (c1, c2) = (bigCells(0), bigCells(1))
+    val deleted = byCell(c1).take(byCell(c1).length / 2).toSet
+    val cloneSrc = byCell(c2).take(2).toSet
+    val added = emb.filter(col("vec_id").isin(cloneSrc.toSeq: _*))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val current = evens.filter(!col("vec_id").isin(deleted.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(added)
+    // Staleness localizes: exactly c1 (orphans) and c2 (missing) over 0.
+    val report = CorpusWriter.ivfCellStaleness(spark, tbl, current,
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val staleCells = report.filter { case (_, (_, _, mi, or)) => mi + or > 0 }
+    assert(staleCells.keySet == Set(c1, c2), s"stale = $staleCells")
+    val filesBefore = partFiles(tbl)
+    val relanded = CorpusWriter.relandStaleIvfCells(spark, tbl, current,
+      "vec_id", "embedding", bar = 0.0)
+    assert(relanded.toSet == Set(c1, c2))
+    // Untouched cells' files unchanged by name AND mtime.
+    val filesAfter = partFiles(tbl)
+    val untouched = (p: String) =>
+      !p.startsWith(s"cell=$c1/") && !p.startsWith(s"cell=$c2/")
+    assert(filesBefore.filter(kv => untouched(kv._1)) ==
+      filesAfter.filter(kv => untouched(kv._1)),
+      "partial re-land touched a non-stale cell's files")
+    // Member state converged: deleted gone, clones present in c2.
+    val members = spark.table(tbl).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deleted.forall(!members.contains(_)))
+    cloneSrc.foreach(s => assert(members.get(s + 100000L).contains(c2)))
+    // Probe ≡ the established retire+append chain on a twin index.
+    CorpusWriter.writeIvfIndex(evens, "vec_id", "embedding", ref,
+      k = 8, rounds = 2)
+    CorpusWriter.retireFromIvfIndex(spark, ref,
+      deleted.toSeq.toDF("vec_id"), "vec_id")
+    CorpusWriter.appendToIvfIndex(added, "vec_id", "embedding", ref)
+    assert(probeBits(tbl) == probeBits(ref))
+    // And re-running at the same bar is a no-op: nothing stale remains.
+    assert(CorpusWriter.relandStaleIvfCells(spark, tbl, current,
+      "vec_id", "embedding", bar = 0.0).isEmpty)
+    Seq(tbl, ref).foreach(t => Seq("", "_cent", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
   test("meta contract: nprobe beyond the stored k refuses loudly") {
     val tbl = "graft_test_ivf_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
