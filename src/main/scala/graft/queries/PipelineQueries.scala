@@ -426,6 +426,28 @@ object PipelineQueries {
         "text", n = 4)
     }),
 
+    // Compacted landed novelty (r19): q110's fixture taken through
+    // compactGramIndex — the refcount fold's read-time cost (q110 paid
+    // +0.4 s at sf0.1 for the O(deleted) delete path) collapses back to
+    // the one-row-per-fp fast path; the answer is pinned unchanged
+    // (q106's oracle). The bench point the r18 verdict asked for.
+    "q182_compacted_novelty" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q182_gramidx_${Tables.fixtureKey(sf, "documents")}"
+      val pred = col("doc_id") % 7 === 0
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeGramIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 0), "text", n = 4,
+          tbl, buckets = 32)
+        graft.pipeline.CorpusWriter.appendToGramIndex(
+          docs.filter(!pred && col("doc_id") % 2 === 1), "text", tbl,
+          src = "q182:land2")
+        graft.pipeline.CorpusWriter.compactGramIndex(s, tbl)
+      }
+      Novelty.noveltyAgainstIndex(s, tbl, docs.filter(pred), "doc_id",
+        "text", n = 4)
+    }),
+
     // Partitioned corpus store + pruned read (r14): the dedup sink
     // (CorpusWriter.writeDeduped, partitionBy lang) written at landing,
     // then read back under a partition filter — PlanAuditSpec asserts
@@ -1611,6 +1633,9 @@ object PipelineQueries {
       n = 4, w = 4),
 
     "q110_landed_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
+
+    // Compaction must be answer-invisible: q110's oracle verbatim.
+    "q182_compacted_novelty" -> Novelty.oracleSql("doc_id % 7 = 0", n = 4),
 
     "q114_bm25_mrr" -> Bm25.mrrOracleSql(),
 
