@@ -572,27 +572,7 @@ object CorpusWriter {
   def appendToIvfPqIndex(landing: DataFrame, idCol: String, embCol: String,
       table: String): Unit = {
     val spark = landing.sparkSession
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
-    val mr = meta(0)
-    val m = mr.getAs[Int]("m")
-    val dim = mr.getAs[Int]("dim")
-    val (coarse, books) = ProductQuant.readPqSidecars(spark, table, m, dim)
-    val d = dim / m
-    val e = Clustering.lifted(landing, idCol, embCol)
-    val assigned = Clustering.withCluster(e, coarse)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val codeRows = (0 until m).map { mi =>
-      val em = e.select(col("vec_id"),
-        slice(col("fxd"), mi * d + 1, d).as("fxd"))
-      Clustering.withCluster(em, books(mi))
-        .select(col("vec_id"), lit(mi).as("m"), col("cluster").as("code"))
-    }.reduce(_ unionAll _)
-    val codes = codeRows.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
-        .as("codes"))
-    val a = assigned.join(codes, "vec_id")
-      .select(col("vec_id"), col("codes"), col("cell"))
+    val a = assignEncodeUnderStored(spark, table, landing, idCol, embCol)
     // Unpruned vec_id anti-join — the appendToIvfIndex rationale: a
     // changed-embedding re-landing may assign to a new cell, and only
     // the whole-table probe (vec_id column only, 8 B/row) catches it.
@@ -901,8 +881,22 @@ object CorpusWriter {
     * aggregation — never a probe, never a recall evaluation. */
   def ivfCellStaleness(spark: org.apache.spark.sql.SparkSession,
       table: String, corpus: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    cellStalenessAgainst(spark, table, s"${table}_cent", corpus, idCol,
+      embCol)
+
+  /** [[ivfCellStaleness]] for a [[writeIvfPqIndex]] sidecar (the coarse
+    * centroids live in `{table}_coarse`). */
+  def ivfPqCellStaleness(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    cellStalenessAgainst(spark, table, s"${table}_coarse", corpus, idCol,
+      embCol)
+
+  private def cellStalenessAgainst(spark: org.apache.spark.sql.SparkSession,
+      table: String, centTable: String, corpus: DataFrame, idCol: String,
       embCol: String): DataFrame = {
-    val cents = spark.table(s"${table}_cent").collect()
+    val cents = spark.table(centTable).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
     val current = Clustering.withCluster(
@@ -952,26 +946,86 @@ object CorpusWriter {
           Clustering.lifted(corpus, idCol, embCol), cents)
         .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
         .filter(col("cell").isin(stale: _*))
-      val swap = s"${table}__reland"
-      dropOrphanedLocation(spark, swap)
-      fresh.write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(swap)
-      val keptCells = spark.table(swap)
-        .select("cell").distinct().collect().map(_.getLong(0)).toSet
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        spark.table(swap).write.mode(SaveMode.Overwrite).insertInto(table)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      stale.filterNot(keptCells).foreach { c =>
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell = $c)")
-      }
-      spark.sql(s"DROP TABLE $swap")
+      overwriteStaleCells(spark, table, fresh, stale)
     }
     stale
+  }
+
+  /** [[relandStaleIvfCells]] for a [[writeIvfPqIndex]] sidecar: stale
+    * cells' CURRENT membership assigns AND PQ-encodes under the stored
+    * codebooks ([[appendToIvfPqIndex]]'s frozen-artifact discipline)
+    * before the same dynamic partition overwrite — untouched cells'
+    * files never read or written, codebooks never retrained. */
+  def relandStaleIvfPqCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String, embCol: String,
+      bar: Double): Seq[Long] = {
+    require(bar >= 0.0, s"staleness bar must be >= 0: $bar")
+    val stale = ivfPqCellStaleness(spark, table, corpus, idCol, embCol)
+      .filter(col("staleness") > bar)
+      .select("cell").collect().map(_.getLong(0)).toSeq // ≤ kCoarse cells
+    if (stale.nonEmpty) {
+      val fresh = assignEncodeUnderStored(spark, table, corpus, idCol,
+          embCol)
+        .filter(col("cell").isin(stale: _*))
+      overwriteStaleCells(spark, table, fresh, stale)
+    }
+    stale
+  }
+
+  /** Dynamic-partition-overwrite `stale` cells of `table` with `fresh`
+    * (the member table's own schema, partition column last); cells
+    * whose members all vanished drop explicitly — shared by the
+    * partial re-land forms (the [[retireFromIvfIndex]] machinery). */
+  private def overwriteStaleCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, fresh: DataFrame, stale: Seq[Long]): Unit = {
+    val swap = s"${table}__reland"
+    dropOrphanedLocation(spark, swap)
+    fresh.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(swap)
+    val keptCells = spark.table(swap)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.table(swap).write.mode(SaveMode.Overwrite).insertInto(table)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    stale.filterNot(keptCells).foreach { c =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell = $c)")
+    }
+    spark.sql(s"DROP TABLE $swap")
+  }
+
+  /** The current corpus assigned AND PQ-encoded under `table`'s stored
+    * coarse centroids + codebooks — (vec_id, codes, cell), the frozen-
+    * artifact scan [[appendToIvfPqIndex]] and [[relandStaleIvfPqCells]]
+    * share. */
+  private def assignEncodeUnderStored(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
+    val mr = meta(0)
+    val m = mr.getAs[Int]("m")
+    val dim = mr.getAs[Int]("dim")
+    val (coarse, books) = ProductQuant.readPqSidecars(spark, table, m, dim)
+    val d = dim / m
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val assigned = Clustering.withCluster(e, coarse)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val codeRows = (0 until m).map { mi =>
+      val em = e.select(col("vec_id"),
+        slice(col("fxd"), mi * d + 1, d).as("fxd"))
+      Clustering.withCluster(em, books(mi))
+        .select(col("vec_id"), lit(mi).as("m"), col("cluster").as("code"))
+    }.reduce(_ unionAll _)
+    val codes = codeRows.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+    assigned.join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"))
   }
 
   def appendToStratifiedIndex(landing: DataFrame, idCol: String,

@@ -77,6 +77,56 @@ class LandedIvfPqSpec extends AnyFunSuite {
     assert(probeBits(one) == probeBits(two))
   }
 
+  test("staleness-driven partial re-land at PQ grain: stale cells re-encode under frozen books; untouched files stable (r19)") {
+    import spark.implicits._
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val tbl = "graft_test_ivfpq_reland"
+    val ref = "graft_test_ivfpq_reland_ref"
+    Seq(tbl, ref).foreach(t => Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    CorpusWriter.writeIvfPqIndex(evens, "vec_id", "embedding", tbl,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    val byCell = spark.table(tbl).select("cell", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val bigCells = byCell.filter(_._2.length >= 4).keys.toSeq.sorted
+    assert(bigCells.size >= 2, s"too few populated cells: $byCell")
+    val c1 = bigCells.head
+    val deleted = byCell(c1).take(byCell(c1).length / 2).toSet
+    val current = evens.filter(!col("vec_id").isin(deleted.toSeq: _*))
+    val report = CorpusWriter.ivfPqCellStaleness(spark, tbl, current,
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(report.filter { case (_, (mi, or)) => mi + or > 0 }.keySet == Set(c1))
+    def partFiles(t: String): Map[String, Long] = {
+      val cat = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t))
+      val root = new java.io.File(new java.net.URI(cat.location.toString).getPath)
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) f.listFiles().iterator.flatMap(walk)
+        else Iterator.single(f)
+      walk(root).filter(_.getName.startsWith("part-"))
+        .map(f => (root.toPath.relativize(f.toPath).toString, f.lastModified))
+        .toMap
+    }
+    val before = partFiles(tbl)
+    assert(CorpusWriter.relandStaleIvfPqCells(spark, tbl, current,
+      "vec_id", "embedding", bar = 0.0) == Seq(c1))
+    val after = partFiles(tbl)
+    val untouched = (p: String) => !p.startsWith(s"cell=$c1/")
+    assert(before.filter(kv => untouched(kv._1)) ==
+      after.filter(kv => untouched(kv._1)))
+    // Probe ≡ the established partition-scoped retirement on a twin.
+    CorpusWriter.writeIvfPqIndex(evens, "vec_id", "embedding", ref,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    CorpusWriter.retireFromIvfPqIndex(spark, ref,
+      deleted.toSeq.toDF("vec_id"), "vec_id")
+    assert(probeBits(tbl) == probeBits(ref))
+    assert(CorpusWriter.relandStaleIvfPqCells(spark, tbl, current,
+      "vec_id", "embedding", bar = 0.0).isEmpty)
+    Seq(tbl, ref).foreach(t => Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
   test("member table stores codes, not vectors (the byte cut)") {
     val tbl = "graft_test_ivfpq_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
