@@ -555,10 +555,112 @@ object CorpusWriter {
       .coalesce(1) // ≤ m·k slim rows
       .write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_books")
-    Seq((kCoarse, coarseRounds, m, k, pqRounds, dim))
-      .toDF("k_coarse", "coarse_rounds", "m", "k", "pq_rounds", "dim")
+    Seq((kCoarse, coarseRounds, m, k, pqRounds, dim, "raw"))
+      .toDF("k_coarse", "coarse_rounds", "m", "k", "pq_rounds", "dim", "enc")
       .write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** The stored code ENCODING of an IVF-PQ meta row: "raw" (codes
+    * quantize raw vectors — [[writeIvfPqIndex]]) or "residual" (codes
+    * quantize vec − coarse_centroid — [[writeResidualIvfPqIndex]]);
+    * pre-r19 sidecars lack the column and are raw. Probes and landings
+    * `require` the encoding they implement, so a residual index can
+    * never silently serve raw arithmetic or vice versa. */
+  private[pipeline] def pqEncoding(mr: org.apache.spark.sql.Row): String =
+    scala.util.Try(mr.getAs[String]("enc")).toOption
+      .filter(_ != null).getOrElse("raw")
+
+  /** [[writeIvfPqIndex]] with RESIDUAL encoding (r19 — IVFADC's
+    * standard refinement, [[ProductQuant.residualIvfAdcTopK]]'s
+    * deployment artifact): PQ codebooks train on vec − coarse_centroid
+    * and the member table stores residual codes; same four-table
+    * layout, meta `enc = residual`. Probes
+    * ([[ProductQuant.residualIvfAdcTopKFromIndex]]) add the
+    * per-(query, cell) coarse dot; landings
+    * ([[appendToResidualIvfPqIndex]]) residual-encode under the frozen
+    * books. */
+  def writeResidualIvfPqIndex(corpus: DataFrame, idCol: String,
+      embCol: String, table: String, kCoarse: Int, coarseRounds: Int,
+      m: Int, k: Int, pqRounds: Int, dim: Int): Unit = {
+    val spark = corpus.sparkSession
+    Seq("", "_coarse", "_books", "_meta")
+      .foreach(x => dropOrphanedLocation(spark, table + x))
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val (assigned, coarse) = Clustering.trainAssign(e, kCoarse, coarseRounds)
+    val (codes, books) = ProductQuant.codeArrays(
+      ProductQuant.residualCorpus(assigned, coarse),
+      "vec_id", "emb", m, k, pqRounds, dim)
+    assigned.select(col("vec_id"), col("cluster").as("cell"))
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    coarse.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+      .coalesce(1) // ≤ kCoarse slim rows
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_coarse")
+    books.zipWithIndex.flatMap { case (b, mi) =>
+      b.map { case (cid, c) => (mi, cid, c.toSeq) }
+    }.toDF("m", "cid", "c")
+      .coalesce(1) // ≤ m·k slim rows
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_books")
+    Seq((kCoarse, coarseRounds, m, k, pqRounds, dim, "residual"))
+      .toDF("k_coarse", "coarse_rounds", "m", "k", "pq_rounds", "dim", "enc")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land a batch into a [[writeResidualIvfPqIndex]] sidecar: assign
+    * to coarse cells, RESIDUAL-encode under the frozen stored books,
+    * append unseen vectors ([[appendToIvfPqIndex]]'s anti-join). */
+  def appendToResidualIvfPqIndex(landing: DataFrame, idCol: String,
+      embCol: String, table: String): Unit = {
+    val spark = landing.sparkSession
+    val a = assignEncodeResidualUnderStored(spark, table, landing, idCol,
+      embCol)
+    a.join(spark.table(table).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[assignEncodeUnderStored]] with RESIDUAL encoding: the landing's
+    * residuals against its assigned cells' stored centroids encode
+    * under the stored (residual-trained) books. */
+  private def assignEncodeResidualUnderStored(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
+    val mr = meta(0)
+    require(pqEncoding(mr) == "residual",
+      s"index $table stores ${pqEncoding(mr)}-encoded codes; land with " +
+        "appendToIvfPqIndex")
+    val m = mr.getAs[Int]("m")
+    val dim = mr.getAs[Int]("dim")
+    val (coarse, books) = ProductQuant.readPqSidecars(spark, table, m, dim)
+    val d = dim / m
+    val e = Clustering.lifted(corpus, idCol, embCol)
+    val assigned = Clustering.withCluster(e, coarse)
+    val re = Clustering.lifted(
+      ProductQuant.residualCorpus(assigned, coarse), "vec_id", "emb")
+    val codeRows = (0 until m).map { mi =>
+      val em = re.select(col("vec_id"),
+        slice(col("fxd"), mi * d + 1, d).as("fxd"))
+      Clustering.withCluster(em, books(mi))
+        .select(col("vec_id"), lit(mi).as("m"), col("cluster").as("code"))
+    }.reduce(_ unionAll _)
+    val codes = codeRows.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+    assigned.select(col("vec_id"), col("cluster").as("cell"))
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("codes"), col("cell"))
   }
 
   /** Land a batch into a [[writeIvfPqIndex]] sidecar: assign to coarse
@@ -1008,6 +1110,9 @@ object CorpusWriter {
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
     val mr = meta(0)
+    require(pqEncoding(mr) == "raw",
+      s"index $table stores ${pqEncoding(mr)}-encoded codes; land with " +
+        "appendToResidualIvfPqIndex")
     val m = mr.getAs[Int]("m")
     val dim = mr.getAs[Int]("dim")
     val (coarse, books) = ProductQuant.readPqSidecars(spark, table, m, dim)

@@ -316,7 +316,7 @@ object ProductQuant {
     * PQ machinery (training, encode, oracle chains) applies verbatim.
     * One broadcast join against the ≤ kCoarse centroid rows — no new
     * corpus-side shuffle. */
-  private def residualCorpus(assigned: DataFrame,
+  private[pipeline] def residualCorpus(assigned: DataFrame,
       coarse: Seq[(Long, Array[Double])]): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
@@ -443,6 +443,9 @@ object ProductQuant {
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
     val mr = meta(0)
+    require(CorpusWriter.pqEncoding(mr) == "raw",
+      s"index $table stores ${CorpusWriter.pqEncoding(mr)}-encoded codes; " +
+        "probe it with residualIvfAdcTopKFromIndex")
     val kCoarse = mr.getAs[Int]("k_coarse")
     val m = mr.getAs[Int]("m")
     val k = mr.getAs[Int]("k")
@@ -472,6 +475,65 @@ object ProductQuant {
         (qid, lutFor(fxd, books, m, k, d).toSeq))
     }.unzip match { case (ps, ls) => (ps.flatten.toSeq, ls.toSeq) }
     ivfAdcScores(base, probes, luts, m, k)
+  }
+
+  /** [[residualIvfAdcTopK]] against a STORED index sidecar
+    * ([[CorpusWriter.writeResidualIvfPqIndex]] + landings) — the
+    * deployment form of the residual decomposition: the member table
+    * carries RESIDUAL codes (meta `enc = residual`, `require`d here so
+    * a raw index can never serve the wrong arithmetic), and the probe
+    * adds the per-(query, cell) coarse dot ahead of the same LUT fold.
+    * Partition-pruned directories, tombstone-aware, bit-equal to the
+    * in-session path under the same training corpus (LandedIvfPqSpec
+    * pins it). */
+  def residualIvfAdcTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int, topK: Int): DataFrame =
+    Similarity.topKPerQid(
+      residualIvfAdcScoredFromIndex(spark, table, queries, idCol, embCol,
+        nprobe), topK)
+      .select(col("qid"), col("vec_id"), col("cos").as("score"), col("rn"))
+      .orderBy("qid", "vec_id")
+
+  private[graft] def residualIvfAdcScoredFromIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, embCol: String,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1, s"malformed IVF-PQ meta: ${meta.length} rows")
+    val mr = meta(0)
+    require(CorpusWriter.pqEncoding(mr) == "residual",
+      s"index $table stores ${CorpusWriter.pqEncoding(mr)}-encoded codes; " +
+        "probe it with ivfAdcTopKFromIndex")
+    val kCoarse = mr.getAs[Int]("k_coarse")
+    val m = mr.getAs[Int]("m")
+    val k = mr.getAs[Int]("k")
+    val dim = mr.getAs[Int]("dim")
+    require(nprobe >= 1 && nprobe <= kCoarse,
+      s"nprobe must be in [1, $kCoarse]: $nprobe")
+    val (coarse, books) = readPqSidecars(spark, table, m, dim)
+    val d = dim / m
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 1000,
+      s"query batch of ${qRows.length} exceeds the broadcast contract")
+    val halfNorms = coarse.map { case (cid, c) => (cid, c, 0.5 * VecOps.normSq(c)) }
+    val coarseByCid = coarse.toMap
+    val base = CorpusWriter.withoutTombstones(spark, table,
+      spark.table(table))
+    val (probes, luts) = qRows.map { r =>
+      val qid = r.getLong(0)
+      val fxd = r.getSeq[Double](1).toArray
+        .map(v => math.floor(v * Clustering.Scale + 0.5))
+      val cells = halfNorms.map { case (cid, c, hn) =>
+        (cid, VecOps.dot(fxd, c) - hn)
+      }.sortBy { case (cid, sc) => (-sc, cid) }.take(nprobe).map(_._1)
+      (cells.map(c => (qid, c, VecOps.dot(fxd, coarseByCid(c)))),
+        (qid, lutFor(fxd, books, m, k, d).toSeq))
+    }.unzip match { case (ps, ls) => (ps.flatten.toSeq, ls.toSeq) }
+    residualIvfAdcScores(base, probes, luts, m, k)
   }
 
   /** Collect a stored index's coarse centroids and per-subspace PQ

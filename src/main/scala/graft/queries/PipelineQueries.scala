@@ -990,6 +990,23 @@ object PipelineQueries {
         coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64,
         nprobe = 3, topK = 10)),
 
+    // Landed residual IVF-PQ (r19): q181 answered from a STORED
+    // residual-encoded sidecar (member table carries residual codes,
+    // meta enc=residual refuses the raw probe) — training on the full
+    // corpus, so the oracle IS q181's in-session replay.
+    "q183_landed_residual" -> ((s, sf) => {
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q183_rivfpq_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.CorpusWriter.writeResidualIvfPqIndex(
+          emb, "vec_id", "embedding", tbl, kCoarse = 8, coarseRounds = 2,
+          m = 8, k = 16, pqRounds = 2, dim = 64)
+      }
+      ProductQuant.residualIvfAdcTopKFromIndex(s, tbl,
+        emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "embedding",
+        nprobe = 3, topK = 10)
+    }),
+
     // Residual IVF-PQ (r19): q86 with the codebooks trained on
     // vec − coarse_centroid residuals (IVFADC's standard refinement) —
     // the same m·k budget spent on what the coarse quantizer did NOT
@@ -1805,6 +1822,12 @@ object PipelineQueries {
       nprobe = 3, topK = 10),
 
     "q181_residual_ivfpq" -> ProductQuant.residualIvfAdcOracleSql(
+      Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = 64, nprobe = 3, topK = 10),
+
+    // The stored residual sidecar must be invisible: q181's oracle
+    // verbatim (full-corpus training).
+    "q183_landed_residual" -> ProductQuant.residualIvfAdcOracleSql(
       Seq(0L, 1L, 2L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
       pqRounds = 2, dim = 64, nprobe = 3, topK = 10),
 

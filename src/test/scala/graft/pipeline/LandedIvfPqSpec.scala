@@ -77,6 +77,71 @@ class LandedIvfPqSpec extends AnyFunSuite {
     assert(probeBits(one) == probeBits(two))
   }
 
+  test("residual sidecar: stored probe ≡ in-session residualIvfAdcTopK; landing identity; encoding guards (r19)") {
+    val tbl = "graft_test_rivfpq_full"
+    Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    CorpusWriter.writeResidualIvfPqIndex(emb, "vec_id", "embedding", tbl,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    def rBits(t: String) =
+      ProductQuant.residualIvfAdcTopKFromIndex(spark, t, queries,
+          "vec_id", "embedding", nprobe = 3, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+        .toSeq
+    val live = ProductQuant.residualIvfAdcTopK(emb, "vec_id", "embedding",
+        qids, kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2,
+        dim = 64, nprobe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .toSeq
+    assert(rBits(tbl) == live)
+    // Encoding guards both ways: the raw probe and the raw landing
+    // refuse a residual index...
+    val e1 = intercept[IllegalArgumentException] {
+      ProductQuant.ivfAdcTopKFromIndex(spark, tbl, queries, "vec_id",
+        "embedding", nprobe = 3, topK = 10)
+    }
+    assert(e1.getMessage.contains("residual-encoded"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusWriter.appendToIvfPqIndex(emb.limit(1), "vec_id", "embedding", tbl)
+    }
+    assert(e2.getMessage.contains("residual-encoded"))
+    // ...and the residual probe refuses a raw index.
+    val rawTbl = "graft_test_ivfpq_full"
+    if (!spark.catalog.tableExists(s"${rawTbl}_meta"))
+      CorpusWriter.writeIvfPqIndex(emb, "vec_id", "embedding", rawTbl,
+        kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    val e3 = intercept[IllegalArgumentException] {
+      ProductQuant.residualIvfAdcTopKFromIndex(spark, rawTbl, queries,
+        "vec_id", "embedding", nprobe = 3, topK = 10)
+    }
+    assert(e3.getMessage.contains("raw-encoded"))
+    // Landing identity: write(evens)+append(odds in two batches) probes
+    // bit-equal to one append, and re-landing is a no-op.
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val one = "graft_test_rivfpq_one"
+    val two = "graft_test_rivfpq_two"
+    Seq(one, two).foreach(t => Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    CorpusWriter.writeResidualIvfPqIndex(a, "vec_id", "embedding", one,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    CorpusWriter.appendToResidualIvfPqIndex(b, "vec_id", "embedding", one)
+    CorpusWriter.writeResidualIvfPqIndex(a, "vec_id", "embedding", two,
+      kCoarse = 8, coarseRounds = 2, m = 8, k = 16, pqRounds = 2, dim = 64)
+    CorpusWriter.appendToResidualIvfPqIndex(
+      b.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", two)
+    CorpusWriter.appendToResidualIvfPqIndex(
+      b.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", two)
+    assert(rBits(one) == rBits(two))
+    val before = spark.table(one).count()
+    CorpusWriter.appendToResidualIvfPqIndex(b, "vec_id", "embedding", one)
+    assert(spark.table(one).count() == before)
+    Seq(tbl, one, two).foreach(t => Seq("", "_coarse", "_books", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+  }
+
   test("staleness-driven partial re-land at PQ grain: stale cells re-encode under frozen books; untouched files stable (r19)") {
     import spark.implicits._
     val evens = emb.filter(col("vec_id") % 2 === 0)
