@@ -914,17 +914,27 @@ object CorpusWriter {
       table: String): Unit =
     compactAdditiveIndex(spark, table, "fp", "winnow index")
 
-  private def compactAdditiveIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, keyCol: String, what: String): Unit = {
+  private[pipeline] def compactAdditiveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCol: String, what: String): Unit =
+    compactAdditiveIndexMulti(spark, table, Seq(keyCol), what)
+
+  /** [[compactAdditiveIndex]] over a COMPOSITE key (the frame index's
+    * (f, print), r19). */
+  private[pipeline] def compactAdditiveIndexMulti(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCols: Seq[String], what: String): Unit = {
     recordSrcs(spark, table)
+    val keyStr = keyCols.map(k => s"CAST($k AS STRING)").mkString(", ' ', ")
     rewriteBucketed(spark, table) { df =>
-      df.groupBy(keyCol).agg(sum("c").as("c"))
+      df.groupBy(keyCols.map(col): _*).agg(sum("c").as("c"))
         .withColumn("c", when(col("c") < 0, expr(
           s"CAST(raise_error(CONCAT('$what retirement drove ', " +
-            s"CAST($keyCol AS STRING), ' below zero')) AS BIGINT)"))
+            s"$keyStr, ' below zero')) AS BIGINT)"))
           .otherwise(col("c")))
         .filter(col("c") > 0)
-        .select(col(keyCol), col("c"), lit(null).cast("string").as("src"))
+        .select(keyCols.map(col) ++
+          Seq(col("c"), lit(null).cast("string").as("src")): _*)
     }
   }
 
@@ -1347,7 +1357,7 @@ object CorpusWriter {
   /** Record one just-committed landing's `src` into `{table}_srcs` —
     * runs AFTER the landing append (the landing stays the authoritative
     * marker; this bounds later [[srcApplied]] probes at O(srcs)). */
-  private def recordSrc(spark: org.apache.spark.sql.SparkSession,
+  private[pipeline] def recordSrc(spark: org.apache.spark.sql.SparkSession,
       table: String, src: String): Unit = {
     import spark.implicits._
     val t = s"${table}_srcs"
@@ -1439,13 +1449,23 @@ object CorpusWriter {
     * count as absent (the [[compactLmModel]] guard applied at read). */
   private def liveAdditiveKeys(df: DataFrame, keyCol: String,
       what: String): DataFrame =
-    df.groupBy(keyCol).agg(sum("c").as("c"))
+    liveAdditiveKeysMulti(df, Seq(keyCol), what)
+
+  /** [[liveAdditiveKeys]] over a COMPOSITE key (the frame index's
+    * (f, print), r19) — still bucket-local when the table buckets on
+    * any subset of the keys (HashPartitioning on a key subset
+    * satisfies the grouping's clustering). */
+  private[pipeline] def liveAdditiveKeysMulti(df: DataFrame,
+      keyCols: Seq[String], what: String): DataFrame = {
+    val keyStr = keyCols.map(k => s"CAST($k AS STRING)").mkString(", ' ', ")
+    df.groupBy(keyCols.map(col): _*).agg(sum("c").as("c"))
       .withColumn("c", when(col("c") < 0, expr(
         s"CAST(raise_error(CONCAT('$what retirement drove ', " +
-          s"CAST($keyCol AS STRING), ' below zero')) AS BIGINT)"))
+          s"$keyStr, ' below zero')) AS BIGINT)"))
         .otherwise(col("c")))
       .filter(col("c") > 0)
-      .select(keyCol)
+      .select(keyCols.map(col): _*)
+  }
 
   /** Retire docs from a [[writeStratifiedIndex]] sidecar (the q67/q68/
     * q121 admission corpus): `_mem` and `_payload` are doc-attributed —

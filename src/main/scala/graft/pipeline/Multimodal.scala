@@ -305,19 +305,26 @@ object Multimodal {
 
   /** Store an asset corpus's sampled-frame fingerprints as a sidecar —
     * the content-ID reference set (the [[CorpusWriter.writeGramIndex]]
-    * discipline at frame grain): `{table}` ((f, print) DISTINCT,
-    * bucketed+sorted by print so the probe join meets a hash layout)
-    * and `{table}_meta` (frame_samples, buckets), `require`d to match
-    * at read. Landings ([[appendToFrameIndex]]) append only unseen
-    * (f, print) rows — write+append ≡ write-union, the q68 identity. */
+    * REFCOUNT discipline at frame grain, r19): `{table}` ((f, print,
+    * c, src) — c = how many assets sample (f, print), bucketed+sorted
+    * by print so the read fold and probe join meet a hash layout) and
+    * `{table}_meta` (frame_samples, buckets), `require`d to match at
+    * read. Landings ([[appendToFrameIndex]]) plainly append asset
+    * refcounts under a mandatory per-batch `src` tag; a TAKEDOWN
+    * ([[retireFromFrameIndex]] — content-ID's defining delete) is an
+    * O(deleted) subtract landing, in force at [[readFrameIndex]]'s
+    * fold from its commit; [[compactFrameIndex]] restores
+    * one-row-per-(f, print). Pre-r19 this was an attribution-free
+    * distinct set whose takedown needed the remaining corpus
+    * re-extracted — the r17 gram-index weakness at the one grain where
+    * removals are the business case. */
   def writeFrameIndex(assets: Dataset[MediaAsset], table: String,
       buckets: Int = 64): Unit = {
     import org.apache.spark.sql.functions._
     val spark = assets.sparkSession
     CorpusWriter.dropOrphanedLocation(spark, table)
-    Multimodal.extract(assets).toDF()
-      .select(posexplode(col("frame_prints")).as(Seq("f", "print")))
-      .distinct()
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs") // stale landing history
+    frameCounts(assets, src = None)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "print")
       .sortBy("print")
@@ -330,25 +337,79 @@ object Multimodal {
       .format("parquet").saveAsTable(s"${table}_meta")
   }
 
-  /** Land another asset batch's frame prints (unseen rows only). */
-  def appendToFrameIndex(assets: Dataset[MediaAsset], table: String): Unit = {
+  /** (f, print, c, src) asset-refcounts of one landing. Each asset
+    * contributes each (f, print) at most once by construction (one
+    * print per frame slot), so an append and a later retire of the
+    * same assets net to exactly zero. */
+  private def frameCounts(assets: Dataset[MediaAsset],
+      src: Option[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = assets.sparkSession
+    Multimodal.extract(assets).toDF()
+      .select(posexplode(col("frame_prints")).as(Seq("f", "print")))
+      .groupBy("f", "print").agg(count(lit(1)).as("c"))
+      .withColumn("src", src.map(lit(_)).getOrElse(lit(null)).cast("string"))
+  }
+
+  private def frameMeta(spark: SparkSession, table: String): Int = {
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed frame-index meta: ${meta.length} rows")
     require(meta(0).getAs[Int]("frame_samples") == FrameSamples,
       s"frame index $table was written under a different frame count")
-    Multimodal.extract(assets).toDF()
-      .select(posexplode(col("frame_prints")).as(Seq("f", "print")))
-      .distinct()
-      .join(spark.table(table), Seq("f", "print"), "left_anti")
+    meta(0).getAs[Int]("buckets")
+  }
+
+  /** Land another asset batch's frame refcounts (additive append;
+    * `src` is the mandatory per-batch tag — a re-submitted tag is a
+    * skipped no-op, the [[CorpusWriter.appendToGramIndex]] seatbelt). */
+  def appendToFrameIndex(assets: Dataset[MediaAsset], table: String,
+      src: String): Unit = {
+    val spark = assets.sparkSession
+    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val buckets = frameMeta(spark, table)
+    frameCounts(assets, Some(src))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(meta(0).getAs[Int]("buckets"), "print")
+      .bucketBy(buckets, "print")
       .sortBy("print")
       .format("parquet")
       .saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, src)
   }
+
+  /** Retire assets from a [[writeFrameIndex]] sidecar — the TAKEDOWN
+    * path: the retired assets' frame refcounts append negated
+    * (O(deleted assets), no remaining-corpus re-extract, no rewrite)
+    * and [[readFrameIndex]] keeps (f, print) cells netting > 0, so the
+    * content stops matching from this commit on. */
+  def retireFromFrameIndex(assets: Dataset[MediaAsset], table: String,
+      src: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = assets.sparkSession
+    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val buckets = frameMeta(spark, table)
+    frameCounts(assets, Some(src))
+      .withColumn("c", -col("c"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "print")
+      .sortBy("print")
+      .format("parquet")
+      .saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, src)
+  }
+
+  /** The LIVE (f, print) set: cells netting a positive refcount —
+    * the frame every content-ID probe joins. Bucket-local fold
+    * (bucketed by print — a key subset satisfies the grouping). */
+  def readFrameIndex(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame =
+    CorpusWriter.liveAdditiveKeysMulti(spark.table(table),
+      Seq("f", "print"), "frame index")
+
+  /** Fold a [[writeFrameIndex]] sidecar to one row per (f, print),
+    * dropping zero-net takedown tombstones; raises on over-retirement;
+    * applied srcs survive in `{table}_srcs`. Answer-invisible. */
+  def compactFrameIndex(spark: SparkSession, table: String): Unit =
+    CorpusWriter.compactAdditiveIndexMulti(spark, table,
+      Seq("f", "print"), "frame index")
 
   /** Content-ID admission against a stored frame index — "does this
     * arriving asset match content we already hold?": per probe asset,
@@ -369,15 +430,11 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     require(minShared >= 1 && minShared <= FrameSamples,
       s"minShared must be in [1, $FrameSamples]: $minShared")
-    val meta = spark.table(s"${table}_meta").collect()
-    require(meta.length == 1,
-      s"malformed frame-index meta: ${meta.length} rows")
-    require(meta(0).getAs[Int]("frame_samples") == FrameSamples,
-      s"frame index $table was written under a different frame count")
+    frameMeta(spark, table)
     val probe = Multimodal.extract(assets).toDF()
       .select(col("asset_id"), posexplode(col("frame_prints")).as(Seq("f", "print")))
     val matched = probe
-      .join(spark.table(table), Seq("f", "print"), "left_semi")
+      .join(readFrameIndex(spark, table), Seq("f", "print"), "left_semi")
       .groupBy("asset_id").agg(count(lit(1)).as("n_matched"))
     probe.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .join(matched, Seq("asset_id"), "left")

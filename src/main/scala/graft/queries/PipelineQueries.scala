@@ -266,7 +266,29 @@ object PipelineQueries {
           tbl, buckets = 16)
         graft.pipeline.Multimodal.appendToFrameIndex(
           assets.filter(col("asset_id") < 10000 && col("asset_id") % 2 === 1),
-          tbl)
+          tbl, src = "q178:odds")
+      }
+      graft.pipeline.Multimodal.contentIdAgainstIndex(s, tbl,
+        assets.filter(col("asset_id") >= 10000), minShared = 2)
+    }),
+
+    // Content-ID TAKEDOWN (r19): the frame index is now asset-
+    // refcounted (the r18 gram discipline at the one grain where
+    // removals are the business case) — retire the odd base assets by
+    // an O(deleted) subtract landing + compaction; probes must answer
+    // ≡ an index of the remaining (even) reference assets, so the
+    // oracle is q178's with the tighter index predicate.
+    "q184_retired_content_id" -> ((s, sf) => {
+      val assets = graft.pipeline.Multimodal.plantedAssets(
+        Tables.load(s, sf, "documents"))
+      val tbl = s"graft_q184_frames_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.Multimodal.writeFrameIndex(
+          assets.filter(col("asset_id") < 10000), tbl, buckets = 16)
+        graft.pipeline.Multimodal.retireFromFrameIndex(
+          assets.filter(col("asset_id") < 10000 && col("asset_id") % 2 === 1),
+          tbl, src = "q184:takedown")
+        graft.pipeline.Multimodal.compactFrameIndex(s, tbl)
       }
       graft.pipeline.Multimodal.contentIdAgainstIndex(s, tbl,
         assets.filter(col("asset_id") >= 10000), minShared = 2)
@@ -1628,6 +1650,11 @@ object PipelineQueries {
 
     "q178_content_id" -> graft.pipeline.Multimodal.contentIdOracleSql(
       "asset_id < 10000", "asset_id >= 10000", minShared = 2),
+
+    // Takedown ≡ index-of-remaining: q178's oracle, even reference only.
+    "q184_retired_content_id" -> graft.pipeline.Multimodal.contentIdOracleSql(
+      "asset_id < 10000 AND asset_id % 2 = 0", "asset_id >= 10000",
+      minShared = 2),
 
     "q175_index_staleness" -> ProductQuant.stalenessOracleSql(
       Seq(1L, 2L, 3L), kCoarse = 8, coarseRounds = 2, m = 8, k = 16,

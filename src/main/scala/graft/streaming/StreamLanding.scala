@@ -107,11 +107,12 @@ object StreamLanding {
       }
 
   /** Configure (not start) frame-index landing: each micro-batch of
-    * assets extracts map-side and appends its unseen (frame, print)
-    * rows ([[graft.pipeline.Multimodal.appendToFrameIndex]]) — the
-    * content-ID reference set grown at ingest. */
+    * assets extracts map-side and appends its (frame, print) asset
+    * refcounts ([[graft.pipeline.Multimodal.appendToFrameIndex]]) — the
+    * content-ID reference set grown at ingest, replay-safe per batch
+    * under `src = "{prefix}:{batchId}"`. */
   def intoFrameIndex(spark: SparkSession, assets: DataFrame,
-      table: String)(
+      table: String, srcPrefix: String)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     assets.writeStream
       .outputMode("append")
@@ -119,7 +120,8 @@ object StreamLanding {
         if (!batch.isEmpty) {
           import graft.pipeline.Multimodal.assetEnc
           graft.pipeline.Multimodal.appendToFrameIndex(
-            batch.as[graft.pipeline.Multimodal.MediaAsset], table)
+            batch.as[graft.pipeline.Multimodal.MediaAsset], table,
+            src = s"$srcPrefix:$batchId")
         }
         onBatch(batchId)
       }

@@ -98,6 +98,26 @@ object StreamRetire {
         onBatch(batchId)
       }
 
+  /** [[fromGramIndex]] at frame grain — the streaming TAKEDOWN path
+    * for the content-ID reference set: each micro-batch of retired
+    * ASSETS subtract-lands its frame refcounts, un-matchable from the
+    * landing commit on ([[graft.pipeline.Multimodal.readFrameIndex]]'s
+    * fold). */
+  def fromFrameIndex(spark: SparkSession, assets: DataFrame,
+      table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.pipeline.Multimodal.assetEnc
+          graft.pipeline.Multimodal.retireFromFrameIndex(
+            batch.as[graft.pipeline.Multimodal.MediaAsset], table,
+            src = s"$srcPrefix:$batchId")
+        }
+        onBatch(batchId)
+      }
+
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, table: String, srcPrefix: String)(

@@ -46,7 +46,7 @@ class StreamContentIdSpec extends AnyFunSuite {
     drop(tbl, s"${tbl}_meta")
   }
 
-  test("streamed frame-index landing ≡ the batch write+append union") {
+  test("streamed frame-index landing ≡ the batch write+append union at the refcount fold") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -55,23 +55,68 @@ class StreamContentIdSpec extends AnyFunSuite {
     val b = base.filter(col("asset_id") % 2 === 1)
     val batchTbl = "graft_test_cid_land_batch"
     val streamTbl = "graft_test_cid_land_stream"
-    drop(batchTbl, s"${batchTbl}_meta", streamTbl, s"${streamTbl}_meta")
+    drop(batchTbl, s"${batchTbl}_meta", s"${batchTbl}_srcs",
+      streamTbl, s"${streamTbl}_meta", s"${streamTbl}_srcs")
     Multimodal.writeFrameIndex(a, batchTbl, buckets = 8)
-    Multimodal.appendToFrameIndex(b, batchTbl)
+    Multimodal.appendToFrameIndex(b, batchTbl, src = "cidspec:odds")
     Multimodal.writeFrameIndex(a, streamTbl, buckets = 8)
     val rows = b.collect().toSeq.sortBy(_.asset_id)
     val parts = (0 until 3).map(r => rows.filter(_.asset_id % 3 == r))
     val input = MemoryStream[Multimodal.MediaAsset]
-    val q = StreamLanding.intoFrameIndex(spark, input.toDF(), streamTbl)()
+    val q = StreamLanding.intoFrameIndex(spark, input.toDF(), streamTbl,
+        srcPrefix = "cidspec")()
       .queryName("stream_cid_landing_test")
       .start()
     try {
       parts.foreach { p => input.addData(p); q.processAllAvailable() }
     } finally q.stop()
-    def rowSet(t: String) =
-      spark.table(t).collect().map(_.mkString("|")).toSet
-    assert(rowSet(streamTbl) == rowSet(batchTbl))
-    assert(spark.table(streamTbl).count() == rowSet(streamTbl).size)
-    drop(batchTbl, s"${batchTbl}_meta", streamTbl, s"${streamTbl}_meta")
+    // Refcount discipline (r19): equality lives at the read fold.
+    def fold(t: String): Map[(Int, Long), Long] =
+      spark.table(t).groupBy("f", "print").agg(sum("c").as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(fold(streamTbl) == fold(batchTbl))
+    // Compaction restores one row per (f, print).
+    Multimodal.compactFrameIndex(spark, streamTbl)
+    assert(spark.table(streamTbl).count() == fold(batchTbl).size)
+    assert(fold(streamTbl) == fold(batchTbl))
+    drop(batchTbl, s"${batchTbl}_meta", s"${batchTbl}_srcs",
+      streamTbl, s"${streamTbl}_meta", s"${streamTbl}_srcs")
+  }
+
+  test("streamed takedown: retired assets stop matching from the commit on (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = assets.filter(col("asset_id") < 10000)
+    val doomed = base.filter(col("asset_id") % 2 === 1)
+    val tbl = "graft_test_cid_takedown"
+    val ref = "graft_test_cid_takedown_ref"
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
+    Multimodal.writeFrameIndex(base, tbl, buckets = 8)
+    Multimodal.writeFrameIndex(base.filter(col("asset_id") % 2 === 0),
+      ref, buckets = 8)
+    val rows = doomed.collect().toSeq.sortBy(_.asset_id)
+    val parts = (0 until 3).map(r => rows.filter(_.asset_id % 3 == r))
+    val input = MemoryStream[Multimodal.MediaAsset]
+    val q = StreamRetire.fromFrameIndex(spark, input.toDF(), tbl,
+        srcPrefix = "cidspec-td")()
+      .queryName("stream_cid_takedown_test")
+      .start()
+    try {
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+    } finally q.stop()
+    val probes = assets.filter(col("asset_id") >= 10000)
+    def verdicts(t: String) =
+      Multimodal.contentIdAgainstIndex(spark, t, probes, minShared = 2)
+        .collect().map(_.mkString("|")).toSeq
+    // Takedown ≡ an index of the remaining reference assets...
+    assert(verdicts(tbl) == verdicts(ref))
+    // ...including after compaction folds the tombstones away.
+    Multimodal.compactFrameIndex(spark, tbl)
+    assert(verdicts(tbl) == verdicts(ref))
+    assert(spark.table(tbl).select("f", "print").collect().map(_.toSeq).toSet
+      == spark.table(ref).select("f", "print").collect().map(_.toSeq).toSet)
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
   }
 }
