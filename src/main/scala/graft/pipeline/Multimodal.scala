@@ -578,11 +578,11 @@ object Multimodal {
       .orderBy("asset_a", "asset_b")
   }
 
-  /** DuckDB oracle for [[shiftTolerantOverlapPairs]] over the planted
-    * shifted corpus: blocks → shingles → position-free self-join. */
-  def shiftTolerantOracleSql(minShared: Int = 2): String = {
+  /** The shared blocks → distinct-shingles CTE chain over the planted
+    * shifted corpus ([[plantedShiftedAssetsSql]]). */
+  private def shingleCtes: String = {
     val b = FrameBlockBytes
-    s"""WITH ${byteListCtesFor(plantedShiftedAssetsSql)},
+    s"""${byteListCtesFor(plantedShiftedAssetsSql)},
        |blocks AS (SELECT asset_id, i,
        |    list_reduce(list_prepend(0::BIGINT,
        |      bs[($b*i + 1)::INT : LEAST($b*(i+1), n)::INT]),
@@ -591,7 +591,13 @@ object Multimodal {
        |sh AS (SELECT DISTINCT b1.asset_id,
        |    ((b1.print * 31 + b2.print) & 4294967295) AS shingle
        |  FROM blocks b1 JOIN blocks b2
-       |    ON b2.asset_id = b1.asset_id AND b2.i = b1.i + 1),
+       |    ON b2.asset_id = b1.asset_id AND b2.i = b1.i + 1)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[shiftTolerantOverlapPairs]] over the planted
+    * shifted corpus: blocks → shingles → position-free self-join. */
+  def shiftTolerantOracleSql(minShared: Int = 2): String =
+    s"""WITH $shingleCtes,
        |pairs AS (SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
        |    count(*) AS n_shared
        |  FROM sh x JOIN sh y
@@ -600,7 +606,157 @@ object Multimodal {
        |SELECT asset_a, asset_b, CAST(n_shared AS BIGINT) AS n_shared
        |FROM pairs WHERE n_shared >= $minShared
        |ORDER BY asset_a, asset_b""".stripMargin
+
+  /** One (asset_id, DISTINCT shingles) row per asset — the shared
+    * map-side pass of the stored shingle family (an asset CAN repeat a
+    * shingle when content blocks repeat; the per-asset distinct keeps
+    * append/retire of the same assets netting exactly zero). */
+  private def assetShingles(assets: Dataset[MediaAsset]): org.apache.spark.sql.DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    assets.mapPartitions(_.map(a =>
+        (a.asset_id, frameShingles(a.content).distinct.toSeq)))
+      .toDF("asset_id", "shingles")
+      .select(col("asset_id"), explode(col("shingles")).as("shingle"))
   }
+
+  /** (shingle, c, src) asset-refcounts of one landing. */
+  private def shingleCounts(assets: Dataset[MediaAsset],
+      src: Option[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    assetShingles(assets)
+      .groupBy("shingle").agg(count(lit(1)).as("c"))
+      .withColumn("src", src.map(lit(_)).getOrElse(lit(null)).cast("string"))
+  }
+
+  /** Store an asset corpus's consecutive-frame SHINGLES as a
+    * refcounted sidecar — the SHIFT-TOLERANT content-ID reference set
+    * (the [[writeFrameIndex]] discipline at shingle grain): a stored
+    * shingle survives any whole-frame shift of the copy, so a
+    * re-trimmed upload still matches ([[shiftContentIdAgainstIndex]]).
+    * Same landing/retire/compact story: additive refcounts, mandatory
+    * per-batch `src`, O(deleted) takedowns, fold at read. */
+  def writeShingleIndex(assets: Dataset[MediaAsset], table: String,
+      buckets: Int = 64): Unit = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    CorpusWriter.dropOrphanedLocation(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs") // stale landing history
+    shingleCounts(assets, src = None)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "shingle")
+      .sortBy("shingle")
+      .format("parquet")
+      .saveAsTable(table)
+    CorpusWriter.dropOrphanedLocation(spark, s"${table}_meta")
+    Seq((FrameBlockBytes, buckets)).toDF("block_bytes", "buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  private def shingleMeta(spark: SparkSession, table: String): Int = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed shingle-index meta: ${meta.length} rows")
+    require(meta(0).getAs[Int]("block_bytes") == FrameBlockBytes,
+      s"shingle index $table was written under a different block size")
+    meta(0).getAs[Int]("buckets")
+  }
+
+  /** Land another asset batch's shingle refcounts (additive append,
+    * mandatory per-batch `src` — a re-submitted tag is a skipped
+    * no-op). */
+  def appendToShingleIndex(assets: Dataset[MediaAsset], table: String,
+      src: String): Unit = {
+    val spark = assets.sparkSession
+    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val buckets = shingleMeta(spark, table)
+    shingleCounts(assets, Some(src))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "shingle")
+      .sortBy("shingle")
+      .format("parquet")
+      .saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, src)
+  }
+
+  /** Takedown from a [[writeShingleIndex]] sidecar: an O(deleted)
+    * subtract landing, un-matchable at [[readShingleIndex]]'s fold
+    * from this commit. */
+  def retireFromShingleIndex(assets: Dataset[MediaAsset], table: String,
+      src: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = assets.sparkSession
+    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val buckets = shingleMeta(spark, table)
+    shingleCounts(assets, Some(src))
+      .withColumn("c", -col("c"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "shingle")
+      .sortBy("shingle")
+      .format("parquet")
+      .saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, src)
+  }
+
+  /** The LIVE shingle set (net refcount > 0). */
+  def readShingleIndex(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame =
+    CorpusWriter.liveAdditiveKeysMulti(spark.table(table),
+      Seq("shingle"), "shingle index")
+
+  /** Fold to one row per shingle, dropping zero-net tombstones;
+    * raises on over-retirement; applied srcs survive in
+    * `{table}_srcs`. */
+  def compactShingleIndex(spark: SparkSession, table: String): Unit =
+    CorpusWriter.compactAdditiveIndexMulti(spark, table,
+      Seq("shingle"), "shingle index")
+
+  /** SHIFT-TOLERANT content-ID admission: per arriving asset, how many
+    * of its distinct consecutive-frame shingles exist in the stored
+    * reference set — a whole-frame-shifted copy of held content keeps
+    * every interior shingle, so it matches where [[contentIdAgainstIndex]]
+    * (aligned frames) scores 0. Returns (asset_id, n_shingles,
+    * n_matched, matched), asset_id ascending; assets too short for a
+    * single shingle (< 2 blocks) carry no row, exactly like the
+    * oracle. Scale shape: probe explodes to slim shingle rows and
+    * LEFT-SEMI-joins the bucketed live fold — exchange-free on the
+    * stored side; probe content never moves past its map-side
+    * extract. */
+  def shiftContentIdAgainstIndex(spark: SparkSession, table: String,
+      assets: Dataset[MediaAsset], minShared: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    shingleMeta(spark, table)
+    val probe = assetShingles(assets)
+    val matched = probe
+      .join(readShingleIndex(spark, table), Seq("shingle"), "left_semi")
+      .groupBy("asset_id").agg(count(lit(1)).as("n_matched"))
+    probe.groupBy("asset_id").agg(count(lit(1)).as("n_shingles"))
+      .join(matched, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("matched", col("n_matched") >= minShared)
+      .orderBy("asset_id")
+  }
+
+  /** DuckDB oracle for [[shiftContentIdAgainstIndex]] over the planted
+    * shifted corpus: reference = distinct shingles of `indexPredSql`'s
+    * assets, probes = `probePredSql`'s. */
+  def shiftContentIdOracleSql(indexPredSql: String, probePredSql: String,
+      minShared: Int): String =
+    s"""WITH $shingleCtes,
+       |idx AS (SELECT DISTINCT shingle FROM sh WHERE ($indexPredSql)),
+       |probe AS (SELECT asset_id, shingle FROM sh
+       |          WHERE ($probePredSql)),
+       |m AS (SELECT p.asset_id, count(*) AS n_matched
+       |  FROM probe p JOIN idx USING (shingle) GROUP BY 1)
+       |SELECT p.asset_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(max(m.n_matched), 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(max(m.n_matched), 0) AS BIGINT) >= $minShared
+       |    AS matched
+       |FROM probe p LEFT JOIN m ON m.asset_id = p.asset_id
+       |GROUP BY p.asset_id ORDER BY p.asset_id""".stripMargin
 
   /** Embedding near-dup over the stub features: [[Similarity
     * .bucketedNearDupPairs]] (banded sign-LSH + exact-cosine verify)

@@ -242,6 +242,32 @@ object PipelineQueries {
         graft.pipeline.Multimodal.plantedShiftedAssets(
           Tables.load(s, sf, "documents")), minShared = 2)),
 
+    // Shift-tolerant content-ID (r19): the q180 shingles as a STORED
+    // refcounted reference set with an O(deleted) takedown — index on
+    // the %20 base assets in two landings, take one slice back DOWN,
+    // probe the shifted variants: variants of indexed-and-kept content
+    // match on their interior shingles (where q178's aligned frames
+    // score 0); variants of retired or never-indexed content miss.
+    "q185_shifted_content_id" -> ((s, sf) => {
+      val assets = graft.pipeline.Multimodal.plantedShiftedAssets(
+        Tables.load(s, sf, "documents"))
+      val tbl = s"graft_q185_shingles_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.Multimodal.writeShingleIndex(
+          assets.filter(col("asset_id") < 30000 &&
+            col("asset_id") % 40 === 0), tbl, buckets = 16)
+        graft.pipeline.Multimodal.appendToShingleIndex(
+          assets.filter(col("asset_id") < 30000 &&
+            col("asset_id") % 40 === 20), tbl, src = "q185:land2")
+        graft.pipeline.Multimodal.retireFromShingleIndex(
+          assets.filter(col("asset_id") < 30000 &&
+            col("asset_id") % 80 === 40), tbl, src = "q185:takedown")
+        graft.pipeline.Multimodal.compactShingleIndex(s, tbl)
+      }
+      graft.pipeline.Multimodal.shiftContentIdAgainstIndex(s, tbl,
+        assets.filter(col("asset_id") >= 30000), minShared = 2)
+    }),
+
     // Multimodal embedding near-dup (r17): the extract output plugged
     // straight into the banded sign-LSH + exact-cosine machinery
     // (q33's pipeline at stub-embedding grain) — exact replicas land
@@ -1636,6 +1662,13 @@ object PipelineQueries {
 
     "q180_shifted_overlap" ->
       graft.pipeline.Multimodal.shiftTolerantOracleSql(minShared = 2),
+
+    // Index = %20 base assets minus the %80=40 takedown slice.
+    "q185_shifted_content_id" ->
+      graft.pipeline.Multimodal.shiftContentIdOracleSql(
+        "asset_id < 30000 AND asset_id % 20 = 0 " +
+          "AND NOT (asset_id % 80 = 40)",
+        "asset_id >= 30000", minShared = 2),
 
     "q169_asset_embedding_dedup" ->
       graft.pipeline.Multimodal.embeddingNearDupOracleSql(minCos = 0.9),

@@ -31,4 +31,22 @@ object StreamContentId {
             batch.as[Multimodal.MediaAsset], minShared), batchId)
         }
       }
+
+  /** The SHIFT-TOLERANT prober (r19): each micro-batch probes the
+    * stored shingle index ([[Multimodal.shiftContentIdAgainstIndex]])
+    * — a re-trimmed upload of held content still matches at ingest
+    * latency, where the aligned [[probe]] scores it 0. Same
+    * no-state-store / arrival-order-independent contract. */
+  def probeShifted(spark: SparkSession, assets: DataFrame, table: String,
+      minShared: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import Multimodal.assetEnc
+          sink(Multimodal.shiftContentIdAgainstIndex(spark, table,
+            batch.as[Multimodal.MediaAsset], minShared), batchId)
+        }
+      }
 }

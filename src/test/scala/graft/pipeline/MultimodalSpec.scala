@@ -111,6 +111,43 @@ class MultimodalSpec extends AnyFunSuite {
       "aligned detector unexpectedly caught a shifted copy")
   }
 
+  test("stored shingle index: shifted copies match; takedown ≡ index-of-remaining (r19)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val assets = Multimodal.plantedShiftedAssets(docs)
+    val tbl = "graft_test_shingle_idx"
+    val ref = "graft_test_shingle_idx_ref"
+    Seq(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val base = assets.filter(col("asset_id") < 30000L)
+    Multimodal.writeShingleIndex(base, tbl, buckets = 8)
+    val probes = assets.filter(col("asset_id") >= 30000L)
+    val verdicts = Multimodal.shiftContentIdAgainstIndex(spark, tbl,
+        probes, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // Every shifted variant matches its indexed original through the
+    // shift — the admission form of the q180 pair claim.
+    assert(verdicts.nonEmpty && verdicts.values.forall(identity))
+    // Takedown: retire the originals of half the variants; those
+    // variants stop matching, and the verdicts equal an index written
+    // on the remaining reference assets — across compaction too.
+    val doomed = base.filter(col("asset_id") % 20 === 0)
+    Multimodal.retireFromShingleIndex(doomed, tbl, src = "spec:takedown")
+    Multimodal.writeShingleIndex(
+      base.filter(col("asset_id") % 20 =!= 0), ref, buckets = 8)
+    def v(t: String) = Multimodal.shiftContentIdAgainstIndex(spark, t,
+        probes, minShared = 2)
+      .collect().map(_.mkString("|")).toSeq
+    assert(v(tbl) == v(ref))
+    Multimodal.compactShingleIndex(spark, tbl)
+    assert(v(tbl) == v(ref))
+    // A replayed takedown src is skipped, not double-applied.
+    Multimodal.retireFromShingleIndex(doomed, tbl, src = "spec:takedown")
+    assert(v(tbl) == v(ref))
+    Seq(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("frame shingles: shift invariance and order sensitivity at the stub level") {
     val orig = Array.tabulate(80)(i => ((i * 13 + 7) % 251).toByte)
     val pad = Array.tabulate(Multimodal.FrameBlockBytes)(i => (i + 1).toByte)

@@ -46,6 +46,38 @@ class StreamContentIdSpec extends AnyFunSuite {
     drop(tbl, s"${tbl}_meta")
   }
 
+  test("shift-tolerant streamed probe ≡ the batch replay against the same shingle index (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shifted = Multimodal.plantedShiftedAssets(
+      graft.core.Tables.load(spark, TestSpark.Sf, "documents"))
+    val tbl = "graft_test_scid_idx"
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs")
+    Multimodal.writeShingleIndex(shifted.filter(col("asset_id") < 30000),
+      tbl, buckets = 8)
+    val probes = shifted.filter(col("asset_id") >= 30000)
+    val want = Multimodal.shiftContentIdAgainstIndex(spark, tbl, probes,
+        minShared = 2)
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val rows = probes.collect().toSeq.sortBy(_.asset_id)
+    val parts = (0 until 3).map(r => rows.filter(_.asset_id % 3 == r))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[Multimodal.MediaAsset]
+    val q = StreamContentId.probeShifted(spark, input.toDF(), tbl,
+        minShared = 2) {
+        (df, _) => got ++= df.collect().map(_.mkString("|"))
+      }
+      .queryName("stream_shift_content_id_test")
+      .start()
+    try {
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.toSeq.sorted == want)
+    assert(want.nonEmpty)
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs")
+  }
+
   test("streamed frame-index landing ≡ the batch write+append union at the refcount fold") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
