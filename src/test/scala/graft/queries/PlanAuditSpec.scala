@@ -795,6 +795,36 @@ class PlanAuditSpec extends AnyFunSuite {
         !l.contains("doc_id")), p)
   }
 
+  test("q180: shingle pairs emit from grouped cells — no cartesian, no nested loop") {
+    val p = plan("q180_shifted_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q185: shift content-ID probes the bucketed shingle fold — no cartesian; probe content never re-extracts") {
+    val df = SparkEntry.queries("q185_shifted_content_id")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // The reference corpus contributes through the stored index scan.
+    assert(p.contains("graft_q185_shingles"), p)
+  }
+
+  test("q183: the stored residual probe partition-prunes the member table to the probed cells") {
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    // Build via the registered query (fixture reuse), then audit the seam.
+    SparkEntry.queries("q183_landed_residual")(spark, TestSpark.Sf)
+    val tbl = s"graft_q183_rivfpq_${graft.core.Tables.fixtureKey(TestSpark.Sf, "embeddings")}"
+    val scored = graft.pipeline.ProductQuant.residualIvfAdcScoredFromIndex(
+      spark, tbl, emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(0L, 1L, 2L)), "vec_id", "embedding", nprobe = 3)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("cell")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
