@@ -126,6 +126,26 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) shingle-index landing (r19): each
+    * micro-batch of assets appends its shingle refcounts
+    * ([[graft.pipeline.Multimodal.appendToShingleIndex]]) — the
+    * shift-tolerant content-ID reference set grown at ingest,
+    * replay-safe per batch under `src = "{prefix}:{batchId}"`. */
+  def intoShingleIndex(spark: SparkSession, assets: DataFrame,
+      table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.pipeline.Multimodal.assetEnc
+          graft.pipeline.Multimodal.appendToShingleIndex(
+            batch.as[graft.pipeline.Multimodal.MediaAsset], table,
+            src = s"$srcPrefix:$batchId")
+        }
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */

@@ -118,6 +118,23 @@ object StreamRetire {
         onBatch(batchId)
       }
 
+  /** [[fromFrameIndex]] at SHINGLE grain — the streaming takedown for
+    * the shift-tolerant content-ID reference set. */
+  def fromShingleIndex(spark: SparkSession, assets: DataFrame,
+      table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.pipeline.Multimodal.assetEnc
+          graft.pipeline.Multimodal.retireFromShingleIndex(
+            batch.as[graft.pipeline.Multimodal.MediaAsset], table,
+            src = s"$srcPrefix:$batchId")
+        }
+        onBatch(batchId)
+      }
+
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, table: String, srcPrefix: String)(

@@ -116,6 +116,52 @@ class StreamContentIdSpec extends AnyFunSuite {
       streamTbl, s"${streamTbl}_meta", s"${streamTbl}_srcs")
   }
 
+  test("streamed shingle landing + takedown ≡ the batch chain at the fold (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shifted = Multimodal.plantedShiftedAssets(
+      graft.core.Tables.load(spark, TestSpark.Sf, "documents"))
+    val base = shifted.filter(col("asset_id") < 30000)
+    val a = base.filter(col("asset_id") % 2 === 0)
+    val b = base.filter(col("asset_id") % 2 === 1)
+    val tbl = "graft_test_shingle_stream"
+    val ref = "graft_test_shingle_stream_ref"
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
+    Multimodal.writeShingleIndex(a, tbl, buckets = 8)
+    val rows = b.collect().toSeq.sortBy(_.asset_id)
+    val parts = (0 until 3).map(r => rows.filter(_.asset_id % 3 == r))
+    val input = MemoryStream[Multimodal.MediaAsset]
+    val q = StreamLanding.intoShingleIndex(spark, input.toDF(), tbl,
+        srcPrefix = "shspec-land")()
+      .queryName("stream_shingle_landing_test")
+      .start()
+    try {
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+    } finally q.stop()
+    // Then take the streamed half back DOWN in micro-batches: the fold
+    // must land back at the initial write.
+    val input2 = MemoryStream[Multimodal.MediaAsset]
+    val q2 = StreamRetire.fromShingleIndex(spark, input2.toDF(), tbl,
+        srcPrefix = "shspec-td")()
+      .queryName("stream_shingle_takedown_test")
+      .start()
+    try {
+      parts.foreach { p => input2.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    Multimodal.writeShingleIndex(a, ref, buckets = 8)
+    val probes = shifted.filter(col("asset_id") >= 30000)
+    def v(t: String) = Multimodal.shiftContentIdAgainstIndex(spark, t,
+        probes, minShared = 2)
+      .collect().map(_.mkString("|")).toSeq
+    assert(v(tbl) == v(ref))
+    Multimodal.compactShingleIndex(spark, tbl)
+    assert(v(tbl) == v(ref))
+    assert(spark.table(tbl).select("shingle").collect().map(_.getLong(0)).toSet
+      == spark.table(ref).select("shingle").collect().map(_.getLong(0)).toSet)
+    drop(tbl, s"${tbl}_meta", s"${tbl}_srcs", ref, s"${ref}_meta")
+  }
+
   test("streamed takedown: retired assets stop matching from the commit on (r19)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
