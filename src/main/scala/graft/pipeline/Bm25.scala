@@ -229,6 +229,234 @@ object Bm25 {
        |FROM (SELECT qid FROM qd) q LEFT JOIN self s USING (qid)
        |ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------------ stored index
+  // The INVERTED-INDEX sidecar (r19): q89/q127 recompute postings per
+  // query — one text scan each time — where a lexical-search deployment
+  // persists them once and probes them forever. Three refcounted
+  // tables, all subtract-landable (the additive discipline):
+  //  - `{table}`       (term, doc_id, tf, src)  bucketed+sorted by term
+  //  - `{table}_lens`  (doc_id, dl, src)        bucketed+sorted by doc_id
+  //  - `{table}_stats` (n_docs, dl_sum, src)    one slim row per landing
+  // A landing appends its docs' postings/lengths/stats; a retirement
+  // appends them NEGATED (O(deleted docs) — no index rewrite); readers
+  // fold per key keeping nets > 0 and raise on negatives; compaction
+  // restores one row per key. Each of the three appends is individually
+  // src-guarded, so a crash between them retries idempotently (the
+  // single-table "landing is its own marker" trick, applied per table).
+
+  private def indexTables(table: String): Seq[String] =
+    Seq(table, s"${table}_lens", s"${table}_stats")
+
+  /** One landing's (postings, lens, stats) frames — `sign` = -1 for a
+    * retirement. Docs with zero tokens drop (the [[topK]] rule, so the
+    * stored stats equal the in-session ones). */
+  private def landingFrames(docs: DataFrame, idCol: String,
+      textCol: String, src: String, sign: Int): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
+    val base = Materialize.barrier(docs.select(
+        col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+      .filter(col("dl") > 0))
+    val postings = base.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg((count(lit(1)) * lit(sign.toLong)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"),
+        lit(src).cast("string").as("src"))
+    val lens = base.select(col("doc_id"),
+      (col("dl") * lit(sign.toLong)).as("dl"),
+      lit(src).cast("string").as("src"))
+    val stats = base.agg(
+        (count(lit(1)) * lit(sign.toLong)).as("n_docs"),
+        (sum("dl") * lit(sign.toLong)).as("dl_sum"))
+      .select(col("n_docs"), col("dl_sum"), lit(src).cast("string").as("src"))
+    (postings, lens, stats)
+  }
+
+  private def appendFrames(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int,
+      frames: (DataFrame, DataFrame, DataFrame), src: String): Unit = {
+    val (postings, lens, stats) = frames
+    if (!CorpusWriter.srcApplied(spark, table, src)) {
+      postings.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(table)
+      CorpusWriter.recordSrc(spark, table, src)
+    }
+    if (!CorpusWriter.srcApplied(spark, s"${table}_lens", src)) {
+      lens.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${table}_lens")
+      CorpusWriter.recordSrc(spark, s"${table}_lens", src)
+    }
+    if (!CorpusWriter.srcApplied(spark, s"${table}_stats", src)) {
+      stats.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(s"${table}_stats")
+      CorpusWriter.recordSrc(spark, s"${table}_stats", src)
+    }
+  }
+
+  /** Store the corpus's inverted index. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    indexTables(table).foreach { t =>
+      CorpusWriter.dropOrphanedLocation(spark, t)
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_srcs") // stale landing history
+    }
+    CorpusWriter.dropOrphanedLocation(spark, s"${table}_meta")
+    val (postings, lens, stats) =
+      landingFrames(docs, idCol, textCol, src = "init", sign = 1)
+    postings.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    lens.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${table}_lens")
+    stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_stats")
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  private def metaBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed postings-index meta: ${meta.length} rows")
+    meta(0).getAs[Int]("buckets")
+  }
+
+  /** Land another doc batch (disjoint-batch contract; `src` is the
+    * mandatory per-batch tag — a re-submitted tag is a skipped no-op,
+    * per table, so a crash mid-landing retries to completion). */
+  def appendToPostingsIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String, src: String): Unit = {
+    val spark = docs.sparkSession
+    appendFrames(spark, table, metaBuckets(spark, table),
+      landingFrames(docs, idCol, textCol, src, sign = 1), src)
+  }
+
+  /** Retire docs: a SUBTRACT landing of their postings, lengths, and
+    * stats — O(deleted docs), in force at the read folds from the
+    * commit on. */
+  def retireFromPostingsIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String, src: String): Unit = {
+    val spark = docs.sparkSession
+    appendFrames(spark, table, metaBuckets(spark, table),
+      landingFrames(docs, idCol, textCol, src, sign = -1), src)
+  }
+
+  private def guarded(c: org.apache.spark.sql.Column, keySql: String,
+      what: String): org.apache.spark.sql.Column =
+    when(c < 0, expr(
+      s"CAST(raise_error(CONCAT('$what retirement drove ', $keySql, " +
+        "' below zero')) AS BIGINT)")).otherwise(c)
+
+  /** Live postings (term, doc_id, tf): per-key net, nets > 0 kept,
+    * negatives raise. Optionally term-restricted BEFORE the fold (the
+    * probe path — the filter pushes into the bucketed scan). */
+  private[pipeline] def livePostings(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Option[Seq[String]] = None): DataFrame = {
+    val t = spark.table(table)
+    val scoped = terms.map(ts => t.filter(col("term").isin(ts: _*))).getOrElse(t)
+    scoped.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+      .withColumn("tf",
+        guarded(col("tf"), "term, ' ', CAST(doc_id AS STRING)", "postings"))
+      .filter(col("tf") > 0)
+  }
+
+  /** Live doc lengths (doc_id, dl). */
+  private[pipeline] def liveLens(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(s"${table}_lens").groupBy("doc_id").agg(sum("dl").as("dl"))
+      .withColumn("dl",
+        guarded(col("dl"), "CAST(doc_id AS STRING)", "doc lengths"))
+      .filter(col("dl") > 0)
+
+  /** Net corpus stats from the O(landings) stats rows. */
+  private def liveStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Double) = {
+    val r = spark.table(s"${table}_stats")
+      .agg(sum("n_docs").as("n"), sum("dl_sum").as("s")).collect()(0)
+    val n = r.getLong(0)
+    require(n > 0, s"postings index $table has no live docs (n_docs=$n)")
+    // The same IEEE division topK's stats frame performs.
+    (n, r.getLong(1).toDouble / n.toDouble)
+  }
+
+  /** Fold the three tables to one row per key, dropping zero-net
+    * tombstones (raises on over-retirement; srcs survive in each
+    * table's `_srcs`). Answer-invisible. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    CorpusWriter.rewriteBucketed(spark, table) { df =>
+      df.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+        .withColumn("tf",
+          guarded(col("tf"), "term, ' ', CAST(doc_id AS STRING)", "postings"))
+        .filter(col("tf") > 0)
+        .select(col("term"), col("doc_id"), col("tf"),
+          lit(null).cast("string").as("src"))
+    }
+    CorpusWriter.rewriteBucketed(spark, s"${table}_lens") { df =>
+      df.groupBy("doc_id").agg(sum("dl").as("dl"))
+        .withColumn("dl",
+          guarded(col("dl"), "CAST(doc_id AS STRING)", "doc lengths"))
+        .filter(col("dl") > 0)
+        .select(col("doc_id"), col("dl"), lit(null).cast("string").as("src"))
+    }
+    // Stats fold to one row (plain table, slim by construction).
+    val swap = s"${table}_stats__compact"
+    CorpusWriter.dropOrphanedLocation(spark, swap)
+    spark.table(s"${table}_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+      .select(col("n_docs"), col("dl_sum"),
+        lit(null).cast("string").as("src"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(swap)
+    spark.sql(s"DROP TABLE ${table}_stats")
+    spark.sql(s"ALTER TABLE $swap RENAME TO ${table}_stats")
+  }
+
+  /** BM25 top-`k` against the STORED index — the deployment form of
+    * [[topK]]: no text scan, no tokenization; the probe reads the
+    * bucketed postings restricted to the |Q| query terms (filter pushed
+    * into the scan), folds per (term, doc) net tf, joins the slim
+    * lens fold doc-keyed, and reuses [[topK]]'s exact per-term IEEE op
+    * sequence with the corpus stats as driver literals (the same
+    * division) — bit-equal to [[topK]] over the landed corpus
+    * (Bm25IndexSpec + q186 pin it). */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
+    val qts = terms.map(_.toLowerCase)
+    val posts = livePostings(spark, table, Some(qts))
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val lens = liveLens(spark, table)
+      .join(posts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val (nDocs, avgdl) = liveStats(spark, table)
+    posts
+      .join(broadcast(dfT), "term")
+      .join(lens, "doc_id")
+      .select(col("doc_id"),
+        floor((((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))) *
+          lit(Scale.toDouble)).cast("long").as("s_fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("s_fp").as("score_fp"))
+      .select(col("doc_id"), col("n_hits"), col("score_fp"),
+        (col("score_fp").cast("double") / lit(Scale.toDouble)).as("score"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** DuckDB oracle for [[topK]] over table `documents` — the same IEEE
     * op sequence per term (idf ratio, saturation, 2^20 lift, floor),
     * integer sums cast back from HUGEINT. */

@@ -846,7 +846,7 @@ object CorpusWriter {
     * route one task per bucket, write a swap table, rename into place.
     * Shared by compaction (identity) and retirement (anti-join /
     * subtract-fold transforms). */
-  private def rewriteBucketed(spark: org.apache.spark.sql.SparkSession,
+  private[pipeline] def rewriteBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String)(
       transform: DataFrame => DataFrame): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)

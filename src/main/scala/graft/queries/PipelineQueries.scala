@@ -880,6 +880,25 @@ object PipelineQueries {
       Bm25.topK(Tables.load(s, sf, "documents"), "doc_id", "text",
         terms = Seq("dup", "vector", "scan"), k = 10)),
 
+    // Stored inverted index (r19): q89 answered from a PERSISTED
+    // postings sidecar built in TWO landings (the retire path is
+    // spec-gated in Bm25IndexSpec). The probe reads the term-restricted
+    // bucketed postings + the slim lens fold — NO text scan, no
+    // tokenization — bit-equal to the in-session q89 over the landed
+    // corpus, so the oracle IS q89's.
+    "q186_landed_bm25" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q186:odds")
+      }
+      Bm25.topKFromIndex(s, tbl, terms = Seq("dup", "vector", "scan"),
+        k = 10)
+    }),
+
     // Hard-negative mining (r14): q41's broadcast-scan shape with the
     // label-exclusion that turns ANN into contrastive-training prep —
     // top-10 most-similar DIFFERENT-label vectors per query.
@@ -1850,6 +1869,11 @@ object PipelineQueries {
     "q94_cms_commonness" -> CountMin.oracleSql,
 
     "q89_bm25_topk" -> Bm25.oracleSql(Seq("dup", "vector", "scan"), k = 10),
+
+    // The stored postings sidecar must be invisible: q89's oracle
+    // verbatim (write+append ≡ one corpus at the read folds).
+    "q186_landed_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
+      k = 10),
 
     "q90_hard_negatives" ->
       Similarity.hardNegativesOracleSql(Seq(0L, 1L, 2L, 3L), k = 10),
