@@ -146,6 +146,27 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) postings-index landing (r19): each
+    * micro-batch of documents appends its postings/lengths/stats
+    * ([[graft.pipeline.Bm25.appendToPostingsIndex]]) — the lexical
+    * search index grown at ingest, replay-safe per batch AND per
+    * sub-table under `src = "{prefix}:{batchId}"`. */
+  def intoPostingsIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            graft.pipeline.Bm25.appendToPostingsIndex(batch, idCol,
+              textCol, table, src = s"$srcPrefix:$batchId")
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */

@@ -135,6 +135,27 @@ object StreamRetire {
         onBatch(batchId)
       }
 
+  /** The postings-index delete stream (r19): each micro-batch of
+    * retired DOCS subtract-lands its postings, lengths, and stats —
+    * BM25 idf/avgdl renormalize through the netted stats from the
+    * landing commit on ([[graft.pipeline.Bm25.retireFromPostingsIndex]]),
+    * O(batch), idempotent per batch id per sub-table. */
+  def fromPostingsIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            graft.pipeline.Bm25.retireFromPostingsIndex(batch, idCol,
+              textCol, table, src = s"$srcPrefix:$batchId")
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, table: String, srcPrefix: String)(

@@ -56,6 +56,55 @@ class StreamRetireSpec extends AnyFunSuite {
       tB, s"${tB}_grid", s"${tB}_meta")
   }
 
+  test("streamed postings landing then delete stream ≡ write-on-remaining BM25 (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val t = "graft_sretire_postings"
+    val tRef = "graft_sretire_postings_ref"
+    def dropAll(x: String): Unit =
+      Seq(x, s"${x}_lens", s"${x}_stats", s"${x}_meta").foreach { y =>
+        spark.sql(s"DROP TABLE IF EXISTS $y")
+        spark.sql(s"DROP TABLE IF EXISTS ${y}_srcs")
+      }
+    dropAll(t); dropAll(tRef)
+    val keep = docs.filter(col("doc_id") % 3 =!= 0)
+    val doomed = docs.filter(col("doc_id") % 3 === 0)
+    graft.pipeline.Bm25.writePostingsIndex(keep, "doc_id", "text", t,
+      buckets = 8)
+    // Land the doomed docs as a STREAM, then delete them as a STREAM —
+    // the fold must come back to the initial write exactly.
+    val rows = doomed.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val parts = (0 until 3).map(r => rows.filter(_._1 % 3 == 0).filter(x => (x._1 / 3) % 3 == r))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamLanding.intoPostingsIndex(spark,
+        in1.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "spost-land")()
+      .queryName("stream_postings_landing_test").start()
+    try {
+      parts.foreach { p => in1.addData(p); q1.processAllAvailable() }
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamRetire.fromPostingsIndex(spark,
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "spost-td")()
+      .queryName("stream_postings_retire_test").start()
+    try {
+      parts.foreach { p => in2.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    graft.pipeline.Bm25.writePostingsIndex(keep, "doc_id", "text", tRef,
+      buckets = 8)
+    def probe(x: String) = graft.pipeline.Bm25.topKFromIndex(spark, x,
+        Seq("dup", "vector", "scan"), k = 10)
+      .collect().map(_.mkString("|")).toSeq
+    assert(probe(t) == probe(tRef))
+    graft.pipeline.Bm25.compactPostingsIndex(spark, t)
+    assert(probe(t) == probe(tRef))
+    dropAll(t); dropAll(tRef)
+  }
+
   test("streamed LM subtract landings ≡ the batch retirement (scores)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
