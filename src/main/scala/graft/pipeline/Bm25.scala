@@ -249,24 +249,28 @@ object Bm25 {
 
   /** One landing's (postings, lens, stats) frames — `sign` = -1 for a
     * retirement. Docs with zero tokens drop (the [[topK]] rule, so the
-    * stored stats equal the in-session ones). */
+    * stored stats equal the in-session ones). One tokenize scan total:
+    * lens and stats DERIVE from the postings aggregate (dl = Σ tf per
+    * doc, exactly), so the materialized frame is the slim (term,
+    * doc_id, tf) postings — what gets written anyway — never the raw
+    * token arrays. */
   private def landingFrames(docs: DataFrame, idCol: String,
       textCol: String, src: String, sign: Int): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
-    val base = Materialize.barrier(docs.select(
+    val posAgg = Materialize.barrier(docs.select(
         col(idCol).cast("long").as("doc_id"), toks.as("t"))
-      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
-      .filter(col("dl") > 0))
-    val postings = base.select(col("doc_id"), explode(col("t")).as("term"))
-      .groupBy("term", "doc_id")
-      .agg((count(lit(1)) * lit(sign.toLong)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"),
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+    val lenAgg = posAgg.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val postings = posAgg
+      .select(col("term"), col("doc_id"),
+        (col("tf") * lit(sign.toLong)).as("tf"),
         lit(src).cast("string").as("src"))
-    val lens = base.select(col("doc_id"),
+    val lens = lenAgg.select(col("doc_id"),
       (col("dl") * lit(sign.toLong)).as("dl"),
       lit(src).cast("string").as("src"))
-    val stats = base.agg(
+    val stats = lenAgg.agg(
         (count(lit(1)) * lit(sign.toLong)).as("n_docs"),
         (sum("dl") * lit(sign.toLong)).as("dl_sum"))
       .select(col("n_docs"), col("dl_sum"), lit(src).cast("string").as("src"))
@@ -392,6 +396,7 @@ object Bm25 {
     * table's `_srcs`). Answer-invisible. */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
+    indexTables(table).foreach(t => CorpusWriter.compactSrcs(spark, t))
     CorpusWriter.rewriteBucketed(spark, table) { df =>
       df.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
         .withColumn("tf",

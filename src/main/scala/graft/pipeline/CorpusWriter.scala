@@ -925,6 +925,7 @@ object CorpusWriter {
       spark: org.apache.spark.sql.SparkSession,
       table: String, keyCols: Seq[String], what: String): Unit = {
     recordSrcs(spark, table)
+    compactSrcs(spark, table)
     val keyStr = keyCols.map(k => s"CAST($k AS STRING)").mkString(", ' ', ")
     rewriteBucketed(spark, table) { df =>
       df.groupBy(keyCols.map(col): _*).agg(sum("c").as("c"))
@@ -1313,6 +1314,7 @@ object CorpusWriter {
   def compactLmModel(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     recordSrcs(spark, table)
+    compactSrcs(spark, table)
     rewriteBucketed(spark, table) { df =>
       df.groupBy("level", "gram").agg(sum("c").as("c"))
         .withColumn("c", when(col("c") < 0, expr(
@@ -1365,6 +1367,24 @@ object CorpusWriter {
     else if (!spark.table(t).filter(col("src") === src).isEmpty) return
     Seq(src).toDF("src")
       .write.mode(SaveMode.Append).format("parquet").saveAsTable(t)
+  }
+
+  /** Compact `{table}_srcs` itself: [[recordSrc]] lands one tiny file
+    * per landing, so after many landings the O(srcs) probe pays
+    * O(landings) file opens — fold to one distinct file. Run by the
+    * sidecar compactions. */
+  private[pipeline] def compactSrcs(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val t = s"${table}_srcs"
+    if (spark.catalog.tableExists(t)) {
+      val swap = s"${t}__compact"
+      dropOrphanedLocation(spark, swap)
+      spark.table(t).distinct().coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(swap)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE $swap RENAME TO $t")
+    }
   }
 
   /** Record `table`'s live `src` tags into `{table}_srcs` — run by
