@@ -339,6 +339,10 @@ object Bm25 {
   def appendToPostingsIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = docs.sparkSession
+    // Early-out before the (eager) tokenize aggregate: a fully-applied
+    // replay must not pay the landing's compute to learn it's a no-op.
+    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, src)))
+      return
     appendFrames(spark, table, metaBuckets(spark, table),
       landingFrames(docs, idCol, textCol, src, sign = 1), src)
   }
@@ -349,6 +353,8 @@ object Bm25 {
   def retireFromPostingsIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = docs.sparkSession
+    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, src)))
+      return
     appendFrames(spark, table, metaBuckets(spark, table),
       landingFrames(docs, idCol, textCol, src, sign = -1), src)
   }
@@ -439,7 +445,10 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
     val qts = terms.map(_.toLowerCase)
-    val posts = livePostings(spark, table, Some(qts))
+    // Posting-list-sized by the term restriction; materialized because
+    // the df derivation, the score join, and the lens semi-join all
+    // consume it — one bucketed scan, not three.
+    val posts = Materialize.barrier(livePostings(spark, table, Some(qts)))
     val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val lens = liveLens(spark, table)
       .join(posts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
