@@ -386,6 +386,11 @@ object Bm25 {
         guarded(col("dl"), "CAST(doc_id AS STRING)", "doc lengths"))
       .filter(col("dl") > 0)
 
+  /** The netted live-doc count — N for stored-index consumers that
+    * weight by rarity ([[TfIdf.topTermsFromIndex]]). */
+  private[pipeline] def liveDocCount(spark: org.apache.spark.sql.SparkSession,
+      table: String): Long = liveStats(spark, table)._1
+
   /** Net corpus stats from the O(landings) stats rows. */
   private def liveStats(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Double) = {

@@ -67,6 +67,59 @@ object TfIdf {
       .orderBy("doc_id", "rnk")
   }
 
+  /** [[topTerms]] answered from a STORED postings sidecar
+    * ([[Bm25.writePostingsIndex]] — the "one index, many consumers"
+    * argument for persisting postings: BM25 retrieval AND keyword
+    * extraction read the same artifact): the (doc, term, tf) aggregate
+    * is the live postings fold (bucket-local — the table buckets on
+    * term, a key subset of the grouping), df folds on the same layout,
+    * and N is the netted live-doc count from the stats rows. NO text
+    * scan, no tokenization; retirement renormalizes df and N through
+    * the same netted folds. One principled divergence from [[topTerms]]:
+    * N counts docs the index HOLDS (≥ 1 token) — an index cannot count
+    * docs it never indexed; identical when no empty docs exist
+    * ([[storedOracleSql]] states it relationally). */
+  def topTermsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be positive: $topN")
+    val tf = graft.ops.Materialize.barrier(
+      Bm25.livePostings(spark, table)
+        .select(col("doc_id"), col("term"), col("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Bm25.liveDocCount(spark, table)
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast("double") *
+          (lit((n + 1).toDouble) / (col("df") + lit(1L)).cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[topTermsFromIndex]] over an index landed from
+    * the whole `documents` table: [[oracleSql]] with N = the count of
+    * token-bearing docs (what the index holds). */
+  def storedOracleSql(topN: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+       |SELECT doc_id, term, tf, df, score, rnk FROM (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+       |      CAST(tf.tf AS DOUBLE) *
+       |        (CAST(n.n + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) DESC,
+       |      tf.term) AS rnk
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |WHERE rnk <= $topN ORDER BY doc_id, rnk""".stripMargin
+
   /** DuckDB oracle for [[topTerms]] over table `documents` — same
     * tokenization (`\S+` on lowered text, the q42 parity-pinned
     * rendering of `word_grams(text, 1)`), same two-op score. */

@@ -880,6 +880,24 @@ object PipelineQueries {
       Bm25.topK(Tables.load(s, sf, "documents"), "doc_id", "text",
         terms = Seq("dup", "vector", "scan"), k = 10)),
 
+    // Stored TF-IDF (r19): q51's keyword extraction answered from the
+    // SAME postings sidecar q186 probes — the "one index, many
+    // consumers" argument for persisting postings. No text scan; the
+    // (doc, term, tf) aggregate is the bucket-local live fold; N is the
+    // netted live-doc count (what the index holds — ≡ q51's N when no
+    // empty docs exist, stated relationally in the oracle).
+    "q187_stored_tfidf" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q186:odds")
+      }
+      TfIdf.topTermsFromIndex(s, tbl, topN = 3)
+    }),
+
     // Stored inverted index (r19): q89 answered from a PERSISTED
     // postings sidecar built in TWO landings (the retire path is
     // spec-gated in Bm25IndexSpec). The probe reads the term-restricted
@@ -1874,6 +1892,8 @@ object PipelineQueries {
     // verbatim (write+append ≡ one corpus at the read folds).
     "q186_landed_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
       k = 10),
+
+    "q187_stored_tfidf" -> TfIdf.storedOracleSql(topN = 3),
 
     "q90_hard_negatives" ->
       Similarity.hardNegativesOracleSql(Seq(0L, 1L, 2L, 3L), k = 10),
