@@ -825,6 +825,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q186/q187: stored postings probes never touch text — no tokenize anywhere in the plan") {
+    for (name <- Seq("q186_landed_bm25", "q187_stored_tfidf")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val p = df.queryExecution.executedPlan.toString
+      // The whole point of the sidecar: the probe reads postings and
+      // folds — documents.text never scans, word_grams never runs.
+      assert(!p.contains("word_grams"), s"$name tokenizes: $p")
+      assert(!p.linesIterator.exists(l => l.contains("Scan parquet") &&
+        l.contains("documents")), s"$name scans the corpus: $p")
+      assert(p.contains("graft_q186_postings"), s"$name misses the index: $p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
