@@ -407,7 +407,13 @@ object Bm25 {
     * table's `_srcs`). Answer-invisible. */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    indexTables(table).foreach(t => CorpusWriter.compactSrcs(spark, t))
+    // Record any live tags the per-landing recordSrc missed (the crash
+    // window between a landing and its record) BEFORE the folds erase
+    // them — a replay across this compaction must still be recognized.
+    indexTables(table).foreach { t =>
+      CorpusWriter.recordSrcs(spark, t)
+      CorpusWriter.compactSrcs(spark, t)
+    }
     CorpusWriter.rewriteBucketed(spark, table) { df =>
       df.groupBy("term", "doc_id").agg(sum("tf").as("tf"))
         .withColumn("tf",

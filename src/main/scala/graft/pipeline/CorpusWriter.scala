@@ -1390,7 +1390,7 @@ object CorpusWriter {
   /** Record `table`'s live `src` tags into `{table}_srcs` — run by
     * compactions before their fold erases the tags. Tags [[recordSrc]]
     * already landed are skipped (anti-join on the slim record). */
-  private def recordSrcs(spark: org.apache.spark.sql.SparkSession,
+  private[pipeline] def recordSrcs(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val live = spark.table(table).filter(col("src").isNotNull)
       .select("src").distinct()
