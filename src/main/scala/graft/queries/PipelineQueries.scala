@@ -880,6 +880,23 @@ object PipelineQueries {
       Bm25.topK(Tables.load(s, sf, "documents"), "doc_id", "text",
         terms = Seq("dup", "vector", "scan"), k = 10)),
 
+    // Postings-index takedown (r19): retire a third of the docs by a
+    // subtract landing + compaction — BM25 must answer ≡ an index of
+    // the remaining corpus, idf/avgdl renormalized through the netted
+    // stats, so the oracle is q89's over the remaining-docs CTE.
+    "q188_retired_bm25" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q188_postings_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        Bm25.writePostingsIndex(docs, "doc_id", "text", tbl, buckets = 32)
+        Bm25.retireFromPostingsIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", tbl, src = "q188:takedown")
+        Bm25.compactPostingsIndex(s, tbl)
+      }
+      Bm25.topKFromIndex(s, tbl, terms = Seq("dup", "vector", "scan"),
+        k = 10)
+    }),
+
     // Stored TF-IDF (r19): q51's keyword extraction answered from the
     // SAME postings sidecar q186 probes — the "one index, many
     // consumers" argument for persisting postings. No text scan; the
@@ -1894,6 +1911,11 @@ object PipelineQueries {
       k = 10),
 
     "q187_stored_tfidf" -> TfIdf.storedOracleSql(topN = 3),
+
+    // Takedown ≡ write-on-remaining: q89's oracle over the kept docs.
+    "q188_retired_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
+      k = 10,
+      corpusSql = "(SELECT * FROM documents WHERE doc_id % 3 <> 0)"),
 
     "q90_hard_negatives" ->
       Similarity.hardNegativesOracleSql(Seq(0L, 1L, 2L, 3L), k = 10),

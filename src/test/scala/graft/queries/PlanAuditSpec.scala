@@ -825,6 +825,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q186: the term restriction prunes BUCKETS of the postings scan") {
+    val df = SparkEntry.queries("q186_landed_bm25")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Bucket pruning fires on the isin over the bucket column: the scan
+    // line reports selected buckets strictly under the 32 written.
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(sel.isDefined, s"no bucket pruning in: $p")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt, p)
+  }
+
   test("q186/q187: stored postings probes never touch text — no tokenize anywhere in the plan") {
     for (name <- Seq("q186_landed_bm25", "q187_stored_tfidf")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
