@@ -1476,6 +1476,24 @@ object PipelineQueries {
           size = 32, stride = 16),
         "doc_id", "text", terms = Seq("dup", "vector", "scan"), k = 10)),
 
+    // Chunk-grain stored postings (r19): the q186 inverted index over
+    // the CHUNKED corpus — retrieval-window search from a persisted
+    // sidecar, proving the index machinery is grain-generic (the
+    // packed chunk key rides through unchanged); no text scan, no
+    // re-chunking at query time. Oracle IS q127's.
+    "q189_chunk_postings_bm25" -> ((s, sf) => {
+      val tbl = s"graft_q189_cpostings_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        Bm25.writePostingsIndex(
+          graft.pipeline.Chunker.chunkCorpus(
+            Tables.load(s, sf, "documents"), "doc_id", "text",
+            size = 32, stride = 16),
+          "doc_id", "text", tbl, buckets = 32)
+      }
+      Bm25.topKFromIndex(s, tbl, terms = Seq("dup", "vector", "scan"),
+        k = 10)
+    }),
+
     // Winnowing selection report (r15, SIGMOD'03/MOSS): per doc the
     // ~2/(w+1)-dense window-min fingerprint subset, witnessed by an
     // order-free xor fold so the oracle checks the selected SET.
@@ -2047,6 +2065,12 @@ object PipelineQueries {
 
     "q127_chunk_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
       k = 10, corpusSql = graft.pipeline.Chunker.chunkCorpusSql(
+        size = 32, stride = 16)),
+
+    // The stored chunk index must be invisible: q127's oracle verbatim.
+    "q189_chunk_postings_bm25" -> Bm25.oracleSql(
+      Seq("dup", "vector", "scan"), k = 10,
+      corpusSql = graft.pipeline.Chunker.chunkCorpusSql(
         size = 32, stride = 16)),
 
     "q128_winnow_report" ->
