@@ -443,6 +443,68 @@ object Bm25 {
     spark.sql(s"ALTER TABLE $swap RENAME TO ${table}_stats")
   }
 
+  /** [[selfRetrievalMrr]] against the STORED index — the index-QUALITY
+    * meter of the lexical family (the q175 staleness-meter analogue):
+    * queries still derive from corpus text (a bounded ≤ maxQueries
+    * collect — the probe side owns its text), but every score reads
+    * the term-restricted postings fold, the lens fold, and the netted
+    * stats — so after landings and takedowns this number says whether
+    * the SERVED index still retrieves what it should, without
+    * re-tokenizing the corpus. Bit-equal to [[selfRetrievalMrr]] when
+    * the index holds exactly the corpus (q190's oracle is q114's). */
+  def selfRetrievalMrrFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      mod: Long = 997L, maxQueries: Int = 8, nTerms: Int = 5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
+    val qRows = docs.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), slice(col("t"), 1, nTerms).as("qt"))
+      .orderBy("doc_id").limit(maxQueries)
+      .as[(Long, Seq[String])].collect()
+    require(qRows.nonEmpty, s"no query documents under doc_id % $mod == 0")
+    val qterm = qRows.toSeq.flatMap { case (qid, ts) =>
+      ts.distinct.map(qid -> _)
+    }
+    val termSet = qterm.map(_._2).distinct
+    val posts = Materialize.barrier(livePostings(spark, table, Some(termSet)))
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val lens = liveLens(spark, table)
+      .join(posts.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val (nDocs, avgdl) = liveStats(spark, table)
+    val scored = posts
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qterm.toDF("qid", "term")), "term")
+      .join(lens, "doc_id")
+      .select(col("qid"), col("doc_id"),
+        // byte-identical op sequence to topK/selfRetrievalMrr's oracle
+        floor((((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))) *
+          lit(Scale.toDouble)).cast("long").as("s_fp"))
+      .groupBy("qid", "doc_id").agg(sum("s_fp").as("score_fp"))
+    val keyed = scored.select(col("qid").cast("string").as("stratum"),
+      col("doc_id"), col("score_fp"))
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (sc, id) => (-sc, id) }
+    val ranked = Sampling.heapRank[Long](keyed, k, worstFirst,
+      Seq(col("score_fp").desc, col("doc_id").asc))
+    val self = ranked
+      .filter(col("stratum") === col("doc_id").cast("string"))
+      .select(col("doc_id").as("query_id"), col("rn"))
+    qRows.map(_._1).toSeq.toDF("query_id")
+      .join(self, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rn"), lit(0L)).as("rank"),
+        coalesce(expr(s"$Scale DIV rn"), lit(0L)).as("rr_fp"))
+      .orderBy("query_id")
+  }
+
   /** BM25 top-`k` against the STORED index — the deployment form of
     * [[topK]]: no text scan, no tokenization; the probe reads the
     * bucketed postings restricted to the |Q| query terms (filter pushed

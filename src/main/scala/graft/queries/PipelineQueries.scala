@@ -897,6 +897,24 @@ object PipelineQueries {
         k = 10)
     }),
 
+    // Stored MRR meter (r19): q114's self-retrieval quality meter
+    // answered from the q186 sidecar — the lexical analogue of q175's
+    // index staleness: after landings and takedowns, does the SERVED
+    // index still retrieve what it should? Queries derive from text
+    // (bounded probe-side collect); every score reads stored folds.
+    // Full-corpus index ⇒ the oracle IS q114's.
+    "q190_stored_mrr" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q186:odds")
+      }
+      Bm25.selfRetrievalMrrFromIndex(s, tbl, docs, "doc_id", "text")
+    }),
+
     // Stored TF-IDF (r19): q51's keyword extraction answered from the
     // SAME postings sidecar q186 probes — the "one index, many
     // consumers" argument for persisting postings. No text scan; the
@@ -1929,6 +1947,9 @@ object PipelineQueries {
       k = 10),
 
     "q187_stored_tfidf" -> TfIdf.storedOracleSql(topN = 3),
+
+    // The stored index must be invisible to the meter: q114's oracle.
+    "q190_stored_mrr" -> Bm25.mrrOracleSql(),
 
     // Takedown ≡ write-on-remaining: q89's oracle over the kept docs.
     "q188_retired_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),
