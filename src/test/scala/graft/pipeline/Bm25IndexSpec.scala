@@ -45,6 +45,37 @@ class Bm25IndexSpec extends AnyFunSuite {
     drop(tbl)
   }
 
+  test("stored MRR meter ≡ the text form; a takedown shows up as the rank dropping to 0") {
+    val tbl = "graft_test_postings_mrr"
+    drop(tbl)
+    Bm25.writePostingsIndex(docs, "doc_id", "text", tbl, buckets = 8)
+    // mod = 131: the fixture's self-retrieval succeeds for two of the
+    // four queries (measured; the default 997 draws only doc 0, whose
+    // common first tokens never rank it top-10 — a true meter reading,
+    // but no signal for the takedown half below).
+    def fromIdx() = Bm25.selfRetrievalMrrFromIndex(spark, tbl, docs,
+        "doc_id", "text", mod = 131L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaText = Bm25.selfRetrievalMrr(docs, "doc_id", "text", mod = 131L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = fromIdx()
+    assert(before == viaText)
+    assert(before.exists(_._2 > 0L), "no query retrieved itself at all")
+    // Retire the query docs from the index: the meter — reading stored
+    // folds, not text — must now report rank 0 for every query (the
+    // doc cannot be retrieved from an index it left), which is exactly
+    // the staleness signal the meter exists to surface.
+    val qids = before.map(_._1)
+    Bm25.retireFromPostingsIndex(
+      docs.filter(col("doc_id").isin(qids: _*)), "doc_id", "text", tbl,
+      src = "spec:mrr-takedown")
+    val after = fromIdx()
+    assert(after.map(_._1) == qids)
+    assert(after.forall(r => r._2 == 0L && r._3 == 0L),
+      s"retired query docs still retrieved: $after")
+    drop(tbl)
+  }
+
   test("retire ≡ write-on-remaining; compaction answer-invisible; over-retire raises") {
     val tbl = "graft_test_postings_ret"
     val ref = "graft_test_postings_ret_ref"
