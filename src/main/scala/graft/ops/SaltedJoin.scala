@@ -94,12 +94,13 @@ object SaltedJoin {
     // broadcast twice, so the bound is the broadcast contract (~100k
     // hot keys), not driver heap — a profile that size means the join
     // isn't "a few hot keys on a power law" and wants static salting.
-    val profRowCount = prof0.limit(MaxProfileKeys + 1).count()
-    require(profRowCount <= MaxProfileKeys,
+    // One evaluation: collect bounded at MaxProfileKeys + 1 rows (the
+    // +1 detects overflow without a second profile-aggregation pass).
+    val rawRows = prof0.limit(MaxProfileKeys + 1).collect()
+    require(rawRows.length <= MaxProfileKeys,
       s"join profile exceeds $MaxProfileKeys hot keys — above the " +
         "broadcast contract; salt statically (SaltedJoin.join) or " +
         "raise targetRowsPerTask")
-    val rawRows = prof0.collect()
     require(rawRows.forall(_.getInt(1) >= 1),
       "profile fan-outs must be >= 1")
     // Fold duplicate keys to their max fan-out (ADVICE r16): a profile

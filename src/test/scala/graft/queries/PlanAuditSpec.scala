@@ -836,6 +836,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, p)
   }
 
+  test("q186/q190: the lens fold runs BELOW the candidate semi-join — posting-list-sized, never corpus-doc-count") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // Build the index through the registered query (fixture reuse).
+    SparkEntry.queries("q186_landed_bm25")(spark, TestSpark.Sf)
+    val tbl = s"graft_q186_postings_${graft.core.Tables.fixtureKey(TestSpark.Sf, "documents")}"
+    val df = graft.pipeline.Bm25.topKFromIndex(spark, tbl,
+      Seq("the", "of"), k = 10)
+    val lp = df.queryExecution.optimizedPlan
+    // Every aggregate folding the _lens sidecar must have the
+    // candidate semi-join INSIDE its subtree (the r19 verdict's weak
+    // spot: folding all docs, then semi-joining, is linear in corpus
+    // doc count per probe).
+    val lensAggs = lp.collect {
+      case a: Aggregate
+          if a.collectLeaves().exists(_.toString.contains("_lens")) => a
+    }
+    assert(lensAggs.nonEmpty, lp.toString)
+    lensAggs.foreach { a =>
+      val semiBelow = a.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semiBelow.nonEmpty,
+        s"lens fold without a candidate semi-join beneath it:\n$a")
+    }
+  }
+
   test("q186/q187: stored postings probes never touch text — no tokenize anywhere in the plan") {
     for (name <- Seq("q186_landed_bm25", "q187_stored_tfidf")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
