@@ -147,18 +147,19 @@ object CorpusWriter {
   def appendToLmModel(train: DataFrame, textCol: String,
       table: String, src: String): Unit = {
     val spark = train.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = landTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed LM model meta: ${meta.length} rows")
     TrigramModel.modelCounts(train, textCol)
-      .withColumn("src", lit(src).cast("string"))
+      .withColumn("src", lit(tag).cast("string"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
       .sortBy("gram")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** Store a trained BPE merge table ([[BpeMerges.trainMerges]]) as a
@@ -252,16 +253,17 @@ object CorpusWriter {
   def appendToGramIndex(landing: DataFrame, textCol: String,
       table: String, src: String): Unit = {
     val spark = landing.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = landTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
-    gramCounts(landing, textCol, meta(0).getAs[Int]("n"), Some(src))
+    gramCounts(landing, textCol, meta(0).getAs[Int]("n"), Some(tag))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram_fp")
       .sortBy("gram_fp")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** Store the corpus's WINNOWED fingerprint selection REFCOUNTED — the
@@ -416,18 +418,19 @@ object CorpusWriter {
   def appendToWinnowIndex(landing: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = landing.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = landTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed winnow-index meta: ${meta.length} rows")
     winnowCounts(landing, idCol, textCol, meta(0).getAs[Int]("n"),
-        meta(0).getAs[Int]("w"), Some(src))
+        meta(0).getAs[Int]("w"), Some(tag))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "fp")
       .sortBy("fp")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** Store the corpus's IVF-ANN index as a sidecar — the sidecar
@@ -1008,6 +1011,16 @@ object CorpusWriter {
 
   private def cellStalenessAgainst(spark: org.apache.spark.sql.SparkSession,
       table: String, centTable: String, corpus: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    stalenessAgg(stalenessJoined(spark, table, centTable, corpus, idCol,
+      embCol))
+
+  /** The per-vec (vec_id, cell, __cur, __sto) comparison frame
+    * [[cellStalenessAgainst]] aggregates — factored out so the reland
+    * path can derive BOTH the cell aggregate and the moved-vector cell
+    * edges from one assignment scan. */
+  private def stalenessJoined(spark: org.apache.spark.sql.SparkSession,
+      table: String, centTable: String, corpus: DataFrame, idCol: String,
       embCol: String): DataFrame = {
     val cents = spark.table(centTable).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -1016,9 +1029,12 @@ object CorpusWriter {
         Clustering.lifted(corpus, idCol, embCol), cents)
       .select(col("vec_id"), col("cluster").as("cell"))
     val stored = spark.table(table).select("vec_id", "cell")
-    val joined = current.withColumn("__cur", lit(1))
+    current.withColumn("__cur", lit(1))
       .join(stored.withColumn("__sto", lit(1)),
         Seq("vec_id", "cell"), "full_outer")
+  }
+
+  private def stalenessAgg(joined: DataFrame): DataFrame =
     joined.groupBy("cell")
       .agg(sum(coalesce(col("__sto"), lit(0))).as("n_stored"),
         sum(coalesce(col("__cur"), lit(0))).as("n_current"),
@@ -1028,6 +1044,41 @@ object CorpusWriter {
         (col("n_missing") + col("n_orphaned")).cast("double") /
           greatest(col("n_current"), lit(1L)).cast("double"))
       .orderBy("cell")
+
+  /** Distinct (from_cell, to_cell) edges of MOVED vectors — vec_ids
+    * present in both the stored index and the current corpus but under
+    * DIFFERENT cells (a re-embedded vector drifting across the frozen
+    * centroid boundary). Bounded: distinct cell pairs ≤ k², and k (the
+    * cell count) is already a driver-side quantity (the centroids
+    * collect). */
+  private def movedCellEdges(joined: DataFrame): Seq[(Long, Long)] = {
+    val curOnly = joined.filter(col("__sto").isNull)
+      .select(col("vec_id"), col("cell").as("to_cell"))
+    val stoOnly = joined.filter(col("__cur").isNull)
+      .select(col("vec_id"), col("cell").as("from_cell"))
+    stoOnly.join(curOnly, "vec_id")
+      .select("from_cell", "to_cell").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** Close a reland set over moved-vector edges: whenever a DESTINATION
+    * cell relands (writing the moved vec fresh), the vec's ORIGIN cell
+    * must reland too, or its stale row there survives and the vec_id
+    * occupies two cells — breaking the duplicate-free invariant
+    * [[appendToIvfIndex]]'s anti-join maintains (a probe whose nprobe
+    * covers both cells would score it twice). Origin-only relands are
+    * safe unclosed: they drop the stale row and leave ordinary
+    * `n_missing` staleness at the destination, never a duplicate. */
+  private def closeOverMoves(stale: Set[Long],
+      edges: Seq[(Long, Long)]): Set[Long] = {
+    @annotation.tailrec
+    def go(s: Set[Long]): Set[Long] = {
+      val add = edges.collect {
+        case (from, to) if s(to) && !s(from) => from
+      }.toSet
+      if (add.isEmpty) s else go(s ++ add)
+    }
+    go(stale)
   }
 
   /** Staleness-DRIVEN partial re-land (r19, VERDICT r18 #7): refresh
@@ -1043,14 +1094,24 @@ object CorpusWriter {
     * exactly the write-under-stored-centroids of the current corpus,
     * while genuine centroid DRIFT (cells stale because the data moved,
     * not because landings lagged) still wants the explicit retrain.
-    * Returns the re-landed cell ids. */
+    * The chosen set is CLOSED over moved-vector edges
+    * ([[closeOverMoves]]): a re-embedded vector whose destination cell
+    * relands drags its origin cell in too, so the duplicate-free
+    * invariant survives any bar. Returns the re-landed cell ids. */
   def relandStaleIvfCells(spark: org.apache.spark.sql.SparkSession,
       table: String, corpus: DataFrame, idCol: String, embCol: String,
       bar: Double): Seq[Long] = {
     require(bar >= 0.0, s"staleness bar must be >= 0: $bar")
-    val stale = ivfCellStaleness(spark, table, corpus, idCol, embCol)
+    // One assignment scan feeds both the cell aggregate and the
+    // moved-vector edges (ADVICE r19: with bar > 0, relanding a moved
+    // vec's DESTINATION cell without its origin would duplicate the
+    // vec_id across cells — close the set over the move edges).
+    val joined = graft.ops.Materialize.barrier(
+      stalenessJoined(spark, table, s"${table}_cent", corpus, idCol, embCol))
+    val bare = stalenessAgg(joined)
       .filter(col("staleness") > bar)
-      .select("cell").collect().map(_.getLong(0)).toSeq // ≤ k cells
+      .select("cell").collect().map(_.getLong(0)).toSet // ≤ k cells
+    val stale = closeOverMoves(bare, movedCellEdges(joined)).toSeq.sorted
     if (stale.nonEmpty) {
       val cents = spark.table(s"${table}_cent").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -1073,9 +1134,13 @@ object CorpusWriter {
       table: String, corpus: DataFrame, idCol: String, embCol: String,
       bar: Double): Seq[Long] = {
     require(bar >= 0.0, s"staleness bar must be >= 0: $bar")
-    val stale = ivfPqCellStaleness(spark, table, corpus, idCol, embCol)
+    val joined = graft.ops.Materialize.barrier(
+      stalenessJoined(spark, table, s"${table}_coarse", corpus, idCol,
+        embCol))
+    val bare = stalenessAgg(joined)
       .filter(col("staleness") > bar)
-      .select("cell").collect().map(_.getLong(0)).toSeq // ≤ kCoarse cells
+      .select("cell").collect().map(_.getLong(0)).toSet // ≤ kCoarse cells
+    val stale = closeOverMoves(bare, movedCellEdges(joined)).toSeq.sorted
     if (stale.nonEmpty) {
       val fresh = assignEncodeUnderStored(spark, table, corpus, idCol,
           embCol)
@@ -1289,19 +1354,20 @@ object CorpusWriter {
   def retireFromLmModel(deleted: DataFrame, textCol: String,
       table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = retireTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed LM model meta: ${meta.length} rows")
     TrigramModel.modelCounts(deleted, textCol)
       .withColumn("c", -col("c"))
-      .withColumn("src", lit(src).cast("string"))
+      .withColumn("src", lit(tag).cast("string"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram")
       .sortBy("gram")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** Compact a [[writeLmModel]] sidecar after append/subtract landings:
@@ -1339,6 +1405,21 @@ object CorpusWriter {
   // ([[recordSrc]]) and by compactions before their fold erases live
   // tags ([[recordSrcs]]). A crash between landing and record leaves
   // the live-row check authoritative for exactly that one landing.
+
+  /** Operation-NAMESPACED marker for an additive landing (ADVICE r19):
+    * append and retire tags would otherwise share one src namespace
+    * per table, so a retire whose caller tag equals a previously
+    * applied append tag — an operator naturally reusing the batch's
+    * own tag for its deletion — would read as a replay and silently
+    * not happen. The prefix is applied at the sidecar boundary: it is
+    * what lands in the rows' src column, in `_srcs`, and what
+    * [[srcApplied]] probes, so the two operations can never shadow
+    * each other (an append replays only an append, a retire only a
+    * retire). */
+  private[graft] def landTag(src: String): String = s"land:$src"
+
+  /** [[landTag]]'s retire-side twin. */
+  private[graft] def retireTag(src: String): String = s"retire:$src"
 
   /** True if additive sidecar `table` already holds landing `src`.
     * Cost at 100 TB: the `_srcs` probe is O(landings) — slim by
@@ -1415,17 +1496,18 @@ object CorpusWriter {
   def retireFromGramIndex(deleted: DataFrame, textCol: String,
       table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = retireTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed gram-index meta: ${meta.length} rows")
-    gramCounts(deleted, textCol, meta(0).getAs[Int]("n"), Some(src))
+    gramCounts(deleted, textCol, meta(0).getAs[Int]("n"), Some(tag))
       .withColumn("c", -col("c"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "gram_fp")
       .sortBy("gram_fp")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** Retire docs from a [[writeWinnowIndex]] sidecar — the
@@ -1434,19 +1516,20 @@ object CorpusWriter {
   def retireFromWinnowIndex(deleted: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = deleted.sparkSession
-    if (srcApplied(spark, table, src)) return
+    val tag = retireTag(src)
+    if (srcApplied(spark, table, tag)) return
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1,
       s"malformed winnow-index meta: ${meta.length} rows")
     winnowCounts(deleted, idCol, textCol, meta(0).getAs[Int]("n"),
-        meta(0).getAs[Int]("w"), Some(src))
+        meta(0).getAs[Int]("w"), Some(tag))
       .withColumn("c", -col("c"))
       .write.mode(SaveMode.Append)
       .bucketBy(meta(0).getAs[Int]("buckets"), "fp")
       .sortBy("fp")
       .format("parquet")
       .saveAsTable(table)
-    recordSrc(spark, table, src)
+    recordSrc(spark, table, tag)
   }
 
   /** The LIVE fingerprint set of a [[writeGramIndex]] sidecar: one

@@ -191,6 +191,53 @@ class LandedIvfSpec extends AnyFunSuite {
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
   }
 
+  test("moved vector: relanding only the destination cell drags the origin in — no duplicate vec_id (r20)") {
+    import spark.implicits._
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val tbl = "graft_test_ivf_moved"
+    Seq("", "_cent", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    CorpusWriter.writeIvfIndex(evens, "vec_id", "embedding", tbl,
+      k = 8, rounds = 2)
+    val byCell = spark.table(tbl).select("cell", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    // Origin = the LARGEST cell (one orphan barely moves its
+    // staleness); destination = another populated cell, pushed over
+    // the bar by cloning all its members as unlanded growth.
+    val c1 = byCell.maxBy(_._2.length)._1
+    val c2 = byCell.filter(kv => kv._1 != c1 && kv._2.length >= 2)
+      .keys.min
+    val v = byCell(c1).head
+    val donor = byCell(c2).head
+    // v re-embeds to the donor's embedding: same frozen-centroid argmax
+    // → v now assigns to c2, leaving its stale row in c1.
+    val current = evens.filter(col("vec_id") =!= v)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") === donor)
+        .select(lit(v).as("vec_id"), col("embedding")))
+      .unionAll(emb.filter(col("vec_id").isin(byCell(c2): _*))
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val rep = CorpusWriter.ivfCellStaleness(spark, tbl, current,
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(rep(c2) > rep(c1), s"fixture: want dest staler — $rep")
+    // A bar strictly between the two: only the DESTINATION exceeds it.
+    val bar = (rep(c1) + rep(c2)) / 2.0
+    val relanded = CorpusWriter.relandStaleIvfCells(spark, tbl, current,
+      "vec_id", "embedding", bar)
+    // The move closure drags the origin cell in alongside the
+    // destination (without it, v's stale c1 row would survive and the
+    // vec_id would occupy two cells).
+    assert(relanded.contains(c2) && relanded.contains(c1), s"$relanded")
+    val members = spark.table(tbl).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(members.map(_._1).distinct.length == members.length,
+      "duplicate vec_id across cells after partial re-land")
+    assert(members.toMap.get(v).contains(c2))
+    Seq("", "_cent", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
   test("meta contract: nprobe beyond the stored k refuses loudly") {
     val tbl = "graft_test_ivf_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
