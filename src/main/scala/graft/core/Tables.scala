@@ -53,8 +53,10 @@ object Tables {
     * rebuilt instead of erroring in the new readers (ADVICE r18 —
     * r17-era gram/winnow/LM sidecars lack the c/src columns the r18+
     * readers select). v2: refcounted gram/winnow + src-tagged additive
-    * landings. */
-  private val SidecarFormatVersion = 2
+    * landings. v3: operation-namespaced marker tags (land:/retire: —
+    * a v2 table's unprefixed markers would let this session's prefixed
+    * replays re-apply). */
+  private val SidecarFormatVersion = 3
 
   def fixtureKey(sfDir: String, table: String): String = {
     val dir = new java.io.File(s"$sfDir/$table.parquet")

@@ -364,12 +364,13 @@ object Bm25 {
   def appendToPostingsIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = docs.sparkSession
+    val tag = CorpusWriter.landTag(src)
     // Early-out before the (eager) tokenize aggregate: a fully-applied
     // replay must not pay the landing's compute to learn it's a no-op.
-    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, src)))
+    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, tag)))
       return
     appendFrames(spark, table, metaBuckets(spark, table),
-      landingFrames(docs, idCol, textCol, src, sign = 1), src,
+      landingFrames(docs, idCol, textCol, tag, sign = 1), tag,
       statsFirst = false)
   }
 
@@ -379,10 +380,11 @@ object Bm25 {
   def retireFromPostingsIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, src: String): Unit = {
     val spark = docs.sparkSession
-    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, src)))
+    val tag = CorpusWriter.retireTag(src)
+    if (indexTables(table).forall(CorpusWriter.srcApplied(spark, _, tag)))
       return
     appendFrames(spark, table, metaBuckets(spark, table),
-      landingFrames(docs, idCol, textCol, src, sign = -1), src,
+      landingFrames(docs, idCol, textCol, tag, sign = -1), tag,
       statsFirst = true)
   }
 

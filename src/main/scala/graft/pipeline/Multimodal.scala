@@ -365,15 +365,16 @@ object Multimodal {
   def appendToFrameIndex(assets: Dataset[MediaAsset], table: String,
       src: String): Unit = {
     val spark = assets.sparkSession
-    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val tag = CorpusWriter.landTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
     val buckets = frameMeta(spark, table)
-    frameCounts(assets, Some(src))
+    frameCounts(assets, Some(tag))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "print")
       .sortBy("print")
       .format("parquet")
       .saveAsTable(table)
-    CorpusWriter.recordSrc(spark, table, src)
+    CorpusWriter.recordSrc(spark, table, tag)
   }
 
   /** Retire assets from a [[writeFrameIndex]] sidecar — the TAKEDOWN
@@ -385,16 +386,17 @@ object Multimodal {
       src: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = assets.sparkSession
-    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val tag = CorpusWriter.retireTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
     val buckets = frameMeta(spark, table)
-    frameCounts(assets, Some(src))
+    frameCounts(assets, Some(tag))
       .withColumn("c", -col("c"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "print")
       .sortBy("print")
       .format("parquet")
       .saveAsTable(table)
-    CorpusWriter.recordSrc(spark, table, src)
+    CorpusWriter.recordSrc(spark, table, tag)
   }
 
   /** The LIVE (f, print) set: cells netting a positive refcount —
@@ -670,15 +672,16 @@ object Multimodal {
   def appendToShingleIndex(assets: Dataset[MediaAsset], table: String,
       src: String): Unit = {
     val spark = assets.sparkSession
-    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val tag = CorpusWriter.landTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
     val buckets = shingleMeta(spark, table)
-    shingleCounts(assets, Some(src))
+    shingleCounts(assets, Some(tag))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "shingle")
       .sortBy("shingle")
       .format("parquet")
       .saveAsTable(table)
-    CorpusWriter.recordSrc(spark, table, src)
+    CorpusWriter.recordSrc(spark, table, tag)
   }
 
   /** Takedown from a [[writeShingleIndex]] sidecar: an O(deleted)
@@ -688,16 +691,17 @@ object Multimodal {
       src: String): Unit = {
     import org.apache.spark.sql.functions._
     val spark = assets.sparkSession
-    if (CorpusWriter.srcApplied(spark, table, src)) return
+    val tag = CorpusWriter.retireTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
     val buckets = shingleMeta(spark, table)
-    shingleCounts(assets, Some(src))
+    shingleCounts(assets, Some(tag))
       .withColumn("c", -col("c"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(buckets, "shingle")
       .sortBy("shingle")
       .format("parquet")
       .saveAsTable(table)
-    CorpusWriter.recordSrc(spark, table, src)
+    CorpusWriter.recordSrc(spark, table, tag)
   }
 
   /** The LIVE shingle set (net refcount > 0). */

@@ -262,6 +262,41 @@ class RetirementSpec extends AnyFunSuite {
     drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
+  test("a retire reusing its batch's own landing tag still happens — markers are op-namespaced (r20)") {
+    // ADVICE r19: append and retire used to share one src namespace per
+    // table, so a takedown tagged with the batch's own landing tag was
+    // read as a replay and silently skipped. land:/retire: prefixes
+    // make the two operations unshadowable.
+    val t = "graft_ret_lm_samesrc"
+    val tRef = "graft_ret_lm_samesrc_ref"
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+    val a = docs.filter(col("doc_id") % 4 === 0)
+    val b = docs.filter(col("doc_id") % 4 === 2)
+    CorpusWriter.writeLmModel(a, "text", t, buckets = 8)
+    CorpusWriter.appendToLmModel(b, "text", t, src = "batch7")
+    // The natural tag reuse: the operator deletes the batch it just
+    // landed, under the batch's own name.
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "batch7")
+    CorpusWriter.writeLmModel(a, "text", tRef, buckets = 8)
+    def scores(tbl: String): Seq[String] = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        TrigramModel.scoreFromModel(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", spark.table(tbl))
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(scores(t) == scores(tRef),
+      "same-tag retire was silently skipped as an append replay")
+    // And each op's OWN replay protection still holds under reuse.
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "batch7")
+    CorpusWriter.appendToLmModel(b, "text", t, src = "batch7")
+    CorpusWriter.retireFromLmModel(b, "text", t, src = "batch7")
+    assert(scores(t) == scores(tRef))
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+  }
+
   test("gram/winnow batch appends: same-src double-append leaves the fold unchanged (the r19 seatbelt)") {
     val tg = "graft_ret_gram_dup"
     val tw = "graft_ret_win_dup"
