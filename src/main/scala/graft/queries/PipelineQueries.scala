@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, TrigramModel, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, PhraseIndex, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, TrigramModel, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -913,6 +913,27 @@ object PipelineQueries {
           "doc_id", "text", tbl, src = "q186:odds")
       }
       Bm25.selfRetrievalMrrFromIndex(s, tbl, docs, "doc_id", "text")
+    }),
+
+    // Positional postings → exact phrase search (r20): the r19 verdict
+    // named the bag-of-words index's one semantic gap — no positions,
+    // no adjacency, the index-speed analogue of kbrowse's substring
+    // grep left unserved. The sidecar stores one refcounted (term,
+    // doc_id, pos) row per occurrence in TWO landings; the probe reads
+    // the bucket-pruned term slices and matches by shifted-position
+    // equi-joins — no text scan, no tokenization, O(deleted) takedowns
+    // (spec-gated in PhraseIndexSpec). Oracle re-derives positions from
+    // text, so the gate also proves the index isn't stale.
+    "q191_phrase_search" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q191_phrase_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q191:odds")
+      }
+      PhraseIndex.occurrencesFromIndex(s, tbl, Seq("hash", "agg"))
     }),
 
     // Stored TF-IDF (r19): q51's keyword extraction answered from the
@@ -1950,6 +1971,7 @@ object PipelineQueries {
 
     // The stored index must be invisible to the meter: q114's oracle.
     "q190_stored_mrr" -> Bm25.mrrOracleSql(),
+    "q191_phrase_search" -> PhraseIndex.oracleSql(Seq("hash", "agg")),
 
     // Takedown ≡ write-on-remaining: q89's oracle over the kept docs.
     "q188_retired_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),

@@ -106,6 +106,30 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) RESIDUAL IVF-PQ landing (r20 — the r19
+    * verdict's "a stream cannot grow a residual index today" gap):
+    * [[intoIvfPqIndex]] with the batch assigning under the frozen
+    * coarse centroids and PQ-encoding its RESIDUALS under the frozen
+    * residual codebooks ([[CorpusWriter.appendToResidualIvfPqIndex]]
+    * guards enc=residual both ways, so this dual can never land raw
+    * codes into a residual sidecar). Anti-join idempotency like the
+    * other vector landings. */
+  def intoResidualIvfPqIndex(spark: SparkSession, vecs: DataFrame,
+      idCol: String, embCol: String, table: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            CorpusWriter.appendToResidualIvfPqIndex(batch, idCol, embCol,
+              table)
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        onBatch(batchId)
+      }
+
   /** Configure (not start) frame-index landing: each micro-batch of
     * assets extracts map-side and appends its (frame, print) asset
     * refcounts ([[graft.pipeline.Multimodal.appendToFrameIndex]]) — the

@@ -877,6 +877,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q191: the phrase probe never tokenizes, never scans the corpus, and prunes postings buckets") {
+    val df = SparkEntry.queries("q191_phrase_search")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("word_grams"), s"q191 tokenizes: $p")
+    assert(!p.linesIterator.exists(l => l.contains("Scan parquet") &&
+      l.contains("documents")), s"q191 scans the corpus: $p")
+    assert(p.contains("graft_q191_phrase"), s"q191 misses the index: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(sel.isDefined, s"no bucket pruning in: $p")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt, p)
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)

@@ -159,6 +159,44 @@ class StreamLandingSpec extends AnyFunSuite {
     assert(probe(streamTbl) == probe(batchTbl))
   }
 
+  test("streamed RESIDUAL IVF-PQ landing ≡ the batch write+append union; probe bit-equal (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (a, b, parts) = vecParts(identity)
+    val batchTbl = "graft_test_land_rivfpq_batch"
+    val streamTbl = "graft_test_land_rivfpq_stream"
+    Seq(batchTbl, streamTbl).foreach(t =>
+      Seq("", "_coarse", "_books", "_meta")
+        .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    CorpusWriter.writeResidualIvfPqIndex(a, "vec_id", "embedding",
+      batchTbl, kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = 64)
+    CorpusWriter.appendToResidualIvfPqIndex(b, "vec_id", "embedding",
+      batchTbl)
+    CorpusWriter.writeResidualIvfPqIndex(a, "vec_id", "embedding",
+      streamTbl, kCoarse = 8, coarseRounds = 2, m = 8, k = 16,
+      pqRounds = 2, dim = 64)
+    val input = MemoryStream[(Long, Seq[Float])]
+    runLanding(input, StreamLanding.intoResidualIvfPqIndex(spark,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      streamTbl)(), parts)
+    assert(rowSet(streamTbl) == rowSet(batchTbl))
+    // The served answer is bit-equal, not just the member rows.
+    val emb = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    def probe(t: String) = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        graft.pipeline.ProductQuant.residualIvfAdcTopKFromIndex(spark, t,
+            emb.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id",
+            "embedding", nprobe = 2, topK = 10)
+          .collect().map(_.mkString("|")).toSeq
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(probe(streamTbl) == probe(batchTbl))
+  }
+
   test("streamed IVF-PQ-index landing ≡ the batch write+append union") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
