@@ -127,7 +127,7 @@ object Clustering {
     * component on the driver ([[MaxCentroidCells]] bounds the collect;
     * the caller `require`s it). Empty clusters yield no rows and drop
     * out. */
-  private def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Long, Array[Double])] = {
+  private[pipeline] def updateCentroids(assigned: DataFrame, dim: Int): Seq[(Long, Array[Double])] = {
     val rows = assigned
       .select(col("cluster"), posexplode(col("fx")).as(Seq("pos", "v")))
       .groupBy("cluster", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -651,6 +651,50 @@ object Clustering {
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |  FROM cand)
        |WHERE rn <= $topK ORDER BY qid, vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[CorpusWriter.ivfCentroidDrift]] over a
+    * [[CorpusWriter.writeIvfIndex]] sidecar trained on
+    * `trainPredSql`'s rows, probed with the corpus drifted by `+delta`
+    * (double arithmetic) on `driftPredSql`'s rows: re-derives the
+    * stored centroids through the shared Lloyd CTEs, assigns the
+    * drifted corpus, takes exact per-(cell, pos) fx means, and states
+    * drift through the decomposed dot identity — the same
+    * left-associated op sequence the Scala side computes. */
+  def centroidDriftOracleSql(k: Int, rounds: Int, dim: Int,
+      trainPredSql: String, driftPredSql: String, delta: Double,
+      corpusSql: String = EmbeddingsSql): String = {
+    val trainSql = s"(SELECT * FROM $corpusSql t WHERE $trainPredSql)"
+    val lift = s"list_transform(emb2, v -> CAST(floor(v * $Scale + 0.5) AS BIGINT))"
+    s"""${kmeansCtes(k, rounds, dim, trainSql, "t_")},
+       |cur AS (SELECT vec_id,
+       |    CASE WHEN $driftPredSql
+       |      THEN list_transform(emb, v -> CAST(v AS DOUBLE) + CAST($delta AS DOUBLE))
+       |      ELSE list_transform(emb, v -> CAST(v AS DOUBLE)) END AS emb2
+       |  FROM $corpusSql),
+       |ce AS (SELECT vec_id, $lift AS fx,
+       |    list_transform($lift, v -> CAST(v AS DOUBLE)) AS fxd FROM cur),
+       |ca AS (SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dotSql("e.fxd", "c.c", dim)} - 0.5 * ${dotSql("c.c", "c.c", dim)} DESC,
+       |        c.cid) AS rn
+       |    FROM ce e CROSS JOIN t_c$rounds c)
+       |  WHERE rn = 1),
+       |ms AS (SELECT a.cluster AS cid, t.i AS pos,
+       |    CAST(sum(e.fx[t.i]) AS BIGINT) AS s, count(*) AS n
+       |  FROM ca a JOIN ce e USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  GROUP BY a.cluster, t.i),
+       |mm AS (SELECT cid,
+       |    list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS m,
+       |    CAST(max(n) AS BIGINT) AS n_members
+       |  FROM ms GROUP BY cid)
+       |SELECT c.cid AS cell, mm.n_members,
+       |  (${dotSql("c.c", "c.c", dim)} - 2 * ${dotSql("c.c", "mm.m", dim)}
+       |     + ${dotSql("mm.m", "mm.m", dim)})
+       |    / greatest(${dotSql("c.c", "c.c", dim)}, 1e-300) AS drift
+       |FROM t_c$rounds c JOIN mm ON mm.cid = c.cid
+       |ORDER BY cell""".stripMargin
   }
 
   /** DuckDB oracle for [[semanticDedup]]. */

@@ -1150,6 +1150,100 @@ object CorpusWriter {
     stale
   }
 
+  /** Per-CELL centroid DRIFT of a [[writeIvfIndex]] sidecar against
+    * the CURRENT corpus — the meter for the failure mode
+    * [[ivfCellStaleness]] deliberately does not treat (r19 verdict:
+    * "cells stale because the data MOVED, not because landings
+    * lagged"): even with membership fully re-landed, a stored centroid
+    * can sit far from its current members' mean, degrading every
+    * probe's cell selection. Assign the corpus under the stored
+    * centroids (frozen, one argmax scan), take the per-cell member
+    * mean via the exact Lloyd sum collect (O(k×dim) driver metadata,
+    * [[Clustering.MaxCentroidCells]]'s contract), and report
+    * `drift` = |stored − mean|² / |stored|² per populated cell. */
+  def ivfCentroidDrift(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String,
+      embCol: String): Seq[(Long, Long, Double)] = {
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val dim = cents.head._2.length
+    val assigned = graft.ops.Materialize.barrier(Clustering.withCluster(
+      Clustering.lifted(corpus, idCol, embCol), cents))
+    val counts = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val means = Clustering.updateCentroids(assigned, dim).toMap
+    cents.flatMap { case (cid, c) =>
+      means.get(cid).map { m =>
+        (cid, counts.getOrElse(cid, 0L), driftOf(c, m))
+      }
+    }
+  }
+
+  /** |c − m|² / |c|² through the DECOMPOSED dot identity
+    * (|c|² − 2⟨c,m⟩) + |m|² — the exact left-associated IEEE op
+    * sequence q192's oracle states in SQL (the [[VecOps]] index-order
+    * folds both sides), so the reported double is bit-reproducible
+    * against DuckDB. */
+  private def driftOf(c: Array[Double], m: Array[Double]): Double =
+    ((VecOps.normSq(c) - 2.0 * VecOps.dot(c, m)) + VecOps.normSq(m)) /
+      math.max(VecOps.normSq(c), 1e-300)
+
+  /** Recenter DRIFTED cells and re-converge membership — the
+    * between-retrains maintenance op for genuine data drift: cells
+    * whose [[ivfCentroidDrift]] exceeds `bar` get their centroid
+    * REPLACED by the current member mean (one Lloyd refinement
+    * restricted to drifted cells — `{table}_cent` rewrites, slim by
+    * contract), then [[relandStaleIvfCells]] at bar = 0 rewrites
+    * exactly the cells whose membership changed under the updated
+    * centroids (ripple moves included — the move closure holds the
+    * duplicate-free invariant). Lloyd monotonicity carries over: the
+    * recenter step cannot increase within-cell SSE under the frozen
+    * assignment, and the reassignment step cannot increase it under
+    * the new centroids, so the index's quantization error never
+    * degrades (LandedIvfSpec pins total assignment score
+    * non-decreasing). NOT offered for the residual IVF-PQ sidecar:
+    * its PQ books are trained on residuals against the stored coarse
+    * centroids, so moving a centroid invalidates the code basis —
+    * residual drift wants the explicit retrain, stated loudly here
+    * rather than approximated silently. Returns (recentered cells,
+    * re-landed cells). */
+  def recenterDriftedIvfCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, corpus: DataFrame, idCol: String, embCol: String,
+      bar: Double): (Seq[Long], Seq[Long]) = {
+    require(bar >= 0.0, s"drift bar must be >= 0: $bar")
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val dim = cents.head._2.length
+    val assigned = graft.ops.Materialize.barrier(Clustering.withCluster(
+      Clustering.lifted(corpus, idCol, embCol), cents))
+    val means = Clustering.updateCentroids(assigned, dim).toMap
+    val drifted = cents.collect {
+      case (cid, c) if means.contains(cid) && driftOf(c, means(cid)) > bar =>
+        cid
+    }
+    if (drifted.nonEmpty) {
+      val updated = cents.map { case (cid, c) =>
+        (cid, if (drifted.contains(cid)) means(cid) else c)
+      }
+      import spark.implicits._
+      val swap = s"${table}_cent__recenter"
+      dropOrphanedLocation(spark, swap)
+      updated.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c")
+        .coalesce(1) // ≤ k slim rows
+        .write.mode(SaveMode.Overwrite)
+        .format("parquet").saveAsTable(swap)
+      spark.sql(s"DROP TABLE ${table}_cent")
+      spark.sql(s"ALTER TABLE $swap RENAME TO ${table}_cent")
+    }
+    // Membership re-converges under the (possibly) updated centroids;
+    // at bar = 0 this touches exactly the cells whose members moved.
+    val relanded = relandStaleIvfCells(spark, table, corpus, idCol,
+      embCol, bar = 0.0)
+    (drifted, relanded)
+  }
+
   /** Dynamic-partition-overwrite `stale` cells of `table` with `fresh`
     * (the member table's own schema, partition column last); cells
     * whose members all vanished drop explicitly — shared by the

@@ -936,6 +936,34 @@ object PipelineQueries {
       PhraseIndex.occurrencesFromIndex(s, tbl, Seq("hash", "agg"))
     }),
 
+    // Centroid-drift meter (r20): the failure mode staleness can't see
+    // — membership fully landed, but the DATA under a cell moved, so
+    // the stored centroid no longer sits at its members' mean and
+    // every probe's cell selection degrades. The meter assigns the
+    // current corpus under the FROZEN stored centroids (one argmax
+    // scan), takes the exact Lloyd per-cell fx means (O(k×dim) driver
+    // metadata), and reports |c−m|²/|c|² per populated cell through
+    // the decomposed dot identity so the double is oracle-exact.
+    // CorpusWriter.recenterDriftedIvfCells consumes it (spec-gated in
+    // LandedIvfSpec: recenter + re-land never degrades quantization).
+    "q192_centroid_drift" -> ((s, sf) => {
+      import s.implicits._
+      val emb = Tables.load(s, sf, "embeddings")
+      val tbl = s"graft_q192_ivf_${Tables.fixtureKey(sf, "embeddings")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta"))
+        graft.pipeline.CorpusWriter.writeIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          tbl, k = 8, rounds = 2)
+      val current = emb.select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+          expr("transform(embedding, v -> CAST(v AS DOUBLE) + 0.25D)"))
+          .otherwise(expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+          .as("embedding"))
+      graft.pipeline.CorpusWriter.ivfCentroidDrift(s, tbl, current,
+          "vec_id", "embedding")
+        .toDF("cell", "n_members", "drift")
+    }),
+
     // Stored TF-IDF (r19): q51's keyword extraction answered from the
     // SAME postings sidecar q186 probes — the "one index, many
     // consumers" argument for persisting postings. No text scan; the
@@ -1972,6 +2000,10 @@ object PipelineQueries {
     // The stored index must be invisible to the meter: q114's oracle.
     "q190_stored_mrr" -> Bm25.mrrOracleSql(),
     "q191_phrase_search" -> PhraseIndex.oracleSql(Seq("hash", "agg")),
+    "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(
+      k = 8, rounds = 2, dim = EmbeddingDim,
+      trainPredSql = "vec_id % 2 = 0", driftPredSql = "vec_id % 5 = 0",
+      delta = 0.25),
 
     // Takedown ≡ write-on-remaining: q89's oracle over the kept docs.
     "q188_retired_bm25" -> Bm25.oracleSql(Seq("dup", "vector", "scan"),

@@ -238,6 +238,62 @@ class LandedIvfSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("centroid drift: recenter targets the drifted cell, never degrades quantization, membership re-converges (r20)") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val tbl = "graft_test_ivf_drift"
+    Seq("", "_cent", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    CorpusWriter.writeIvfIndex(evens, "vec_id", "embedding", tbl,
+      k = 8, rounds = 2)
+    // Manufacture drift: every member of one populated cell translates
+    // by +0.5 per component — the cell's data moved, not its landings.
+    val byCell = spark.table(tbl).select("cell", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val cMoved = byCell.maxBy(_._2.length)._1
+    val movedIds = byCell(cMoved).toSeq
+    val current = evens.select(col("vec_id"),
+      when(col("vec_id").isin(movedIds: _*),
+        expr("transform(embedding, v -> v + 0.5F)"))
+        .otherwise(col("embedding")).as("embedding"))
+    val rep = CorpusWriter.ivfCentroidDrift(spark, tbl, current,
+      "vec_id", "embedding").sortBy(-_._3)
+    assert(rep.head._3 > rep(1)._3 * 1.5,
+      s"fixture: want one clearly-drifted cell — $rep")
+    val bar = (rep.head._3 + rep(1)._3) / 2.0
+    // Quantization quality meter: total assignment score (dot − ½|c|²)
+    // — SSE differs from it by a centroid-independent constant, so
+    // score non-decreasing ⇔ SSE non-increasing.
+    def scoreSum(): Double = {
+      val cents = spark.table(s"${tbl}_cent").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      Clustering.withCluster(
+          Clustering.lifted(current, "vec_id", "embedding"), cents)
+        .agg(sum("score")).collect()(0).getDouble(0)
+    }
+    val before = scoreSum()
+    val (recentered, _) = CorpusWriter.recenterDriftedIvfCells(spark,
+      tbl, current, "vec_id", "embedding", bar)
+    assert(recentered == Seq(rep.head._1), s"$recentered vs $rep")
+    assert(scoreSum() >= before, "recenter degraded quantization")
+    // Membership converged to the updated-centroid assignment exactly.
+    val cents = spark.table(s"${tbl}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val want = Clustering.withCluster(
+        Clustering.lifted(current, "vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.table(tbl).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // And nothing remains stale.
+    assert(CorpusWriter.relandStaleIvfCells(spark, tbl, current,
+      "vec_id", "embedding", bar = 0.0).isEmpty)
+    Seq("", "_cent", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
   test("meta contract: nprobe beyond the stored k refuses loudly") {
     val tbl = "graft_test_ivf_full"
     if (!spark.catalog.tableExists(s"${tbl}_meta"))
