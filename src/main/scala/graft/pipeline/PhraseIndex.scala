@@ -173,6 +173,51 @@ object PhraseIndex {
     matchCounts(positions, qts)
   }
 
+  /** PROXIMITY search from the same positional sidecar — the other
+    * half of the adjacency family: per doc, the count of (posA, posB)
+    * occurrence pairs of two terms within `window` positions
+    * (0 < |pa − pb| ≤ window), ordered by doc_id. The join is a
+    * RANGE predicate, but bounded: each side is one term's
+    * term-restricted live fold, equi-keyed on doc_id first — the range
+    * condition only runs inside a doc's own posting cells, so the
+    * worst case is (occurrences of a per doc) × (occurrences of b per
+    * doc), the same per-doc envelope the phrase join has. */
+  def withinWindowFromIndex(spark: SparkSession, table: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    val live = Materialize.barrier(
+      livePositions(spark, table, Seq(a, b).distinct))
+    val pa = live.filter(col("term") === a).select(col("doc_id"), col("pos").as("pa"))
+    val pb = live.filter(col("term") === b).select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window &&
+        col("pa") =!= col("pb"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[withinWindowFromIndex]] over `documents`. */
+  def windowOracleSql(termA: String, termB: String, window: Int,
+      corpusSql: String = "documents"): String = {
+    def esc(t: String) = t.replace("'", "''").toLowerCase
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+       |  FROM $corpusSql),
+       |pos AS (
+       |  SELECT doc_id, unnest(t) AS term,
+       |         CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+       |  FROM toks),
+       |m AS (
+       |  SELECT a.doc_id FROM pos a
+       |  JOIN pos b ON b.doc_id = a.doc_id
+       |    AND abs(a.pos - b.pos) <= $window AND a.pos <> b.pos
+       |    AND b.term = '${esc(termB)}'
+       |  WHERE a.term = '${esc(termA)}')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle over table `documents`: the same tokenization as
     * q89's oracle, positions via generate_subscripts (base cancels in
     * the join offsets), one CTE per phrase position. */

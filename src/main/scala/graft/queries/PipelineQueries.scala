@@ -936,6 +936,24 @@ object PipelineQueries {
       PhraseIndex.occurrencesFromIndex(s, tbl, Seq("hash", "agg"))
     }),
 
+    // Proximity search (r20): the q191 positional sidecar's other
+    // consumer — per doc, occurrence pairs of two terms within a
+    // position window (the "near" operator; one index, many
+    // consumers, like q186/q187/q190 over the BM25 sidecar). The join
+    // is doc_id-equi FIRST, so the range predicate only runs inside a
+    // doc's own posting cells — per-doc envelope, never corpus-sized.
+    "q193_proximity_search" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q191_phrase_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q191:odds")
+      }
+      PhraseIndex.withinWindowFromIndex(s, tbl, "table", "scan", window = 4)
+    }),
+
     // Centroid-drift meter (r20): the failure mode staleness can't see
     // — membership fully landed, but the DATA under a cell moved, so
     // the stored centroid no longer sits at its members' mean and
@@ -2000,6 +2018,8 @@ object PipelineQueries {
     // The stored index must be invisible to the meter: q114's oracle.
     "q190_stored_mrr" -> Bm25.mrrOracleSql(),
     "q191_phrase_search" -> PhraseIndex.oracleSql(Seq("hash", "agg")),
+    "q193_proximity_search" -> PhraseIndex.windowOracleSql(
+      "table", "scan", window = 4),
     "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(
       k = 8, rounds = 2, dim = EmbeddingDim,
       trainPredSql = "vec_id % 2 = 0", driftPredSql = "vec_id % 5 = 0",

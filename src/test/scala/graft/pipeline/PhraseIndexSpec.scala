@@ -61,6 +61,28 @@ class PhraseIndexSpec extends AnyFunSuite {
     drop(tbl)
   }
 
+  test("proximity: window bound inclusive, self-pairs excluded, same-term form counts ordered pairs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "alpha x x beta"),   // distance 3
+      (2L, "alpha beta alpha"), // beta at 1, alphas at 0 and 2
+      (3L, "beta y alpha")      // distance 2, reversed order
+    ).toDF("doc_id", "text")
+    val tbl = "graft_test_phrase_prox"
+    drop(tbl)
+    PhraseIndex.writePhraseIndex(crafted, "doc_id", "text", tbl, buckets = 4)
+    def win(a: String, b: String, w: Int) =
+      rows(PhraseIndex.withinWindowFromIndex(spark, tbl, a, b, w))
+    assert(win("alpha", "beta", 3) == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    assert(win("alpha", "beta", 2) == Seq((2L, 2L), (3L, 1L)))
+    assert(win("alpha", "beta", 1) == Seq((2L, 2L)))
+    // Order-free: the window is symmetric.
+    assert(win("beta", "alpha", 2) == Seq((2L, 2L), (3L, 1L)))
+    // Same-term: ordered occurrence pairs, self-pairs excluded.
+    assert(win("alpha", "alpha", 2) == Seq((2L, 2L)))
+    drop(tbl)
+  }
+
   test("retire ≡ write-on-remaining; compaction answer-invisible; over-retire raises") {
     val tbl = "graft_test_phrase_ret"
     val ref = "graft_test_phrase_ret_ref"
