@@ -1515,6 +1515,39 @@ object CorpusWriter {
   /** [[landTag]]'s retire-side twin. */
   private[graft] def retireTag(src: String): String = s"retire:$src"
 
+  /** Bound on distinct landing tags one retire batch may name through
+    * [[requireLanded]] — keeps the gate's driver collect bounded; a
+    * retire batch spanning more landings than this is malformed (tags
+    * are per-ingest-batch, and retire batches are batch-shaped). */
+  val MaxGateLandings = 1000
+
+  /** The ENFORCEABLE retire-ordering gate (r20 — the
+    * [[graft.streaming.StreamRetire]] contract's documented "gate
+    * retire batches on their docs' land src being present", made an
+    * error instead of prose): every landing tag named in `batch`'s
+    * `landSrcCol` must already be applied to `table` — a retire batch
+    * committing before its docs' landing drives nets negative, which
+    * the read-fold guard turns into hard probe failures until the
+    * landing arrives; this raises BEFORE any subtract lands, so the
+    * sidecar never enters the loud-interim state. */
+  private[graft] def requireLanded(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, landSrcCol: String): Unit = {
+    val tags = batch.select(col(landSrcCol).cast("string"))
+      .distinct().limit(MaxGateLandings + 1)
+      .collect().map(_.getString(0))
+    require(tags.length <= MaxGateLandings,
+      s"retire-ordering gate: batch names more than $MaxGateLandings " +
+        s"distinct '$landSrcCol' landing tags — malformed retire batch")
+    require(!tags.contains(null),
+      s"retire-ordering gate: NULL '$landSrcCol' in retire batch — " +
+        "every retired row must name the landing that carried it")
+    tags.foreach { s =>
+      require(srcApplied(spark, table, landTag(s)),
+        s"retire-ordering gate: landing '$s' has not committed into " +
+          s"$table — retire batches must trail their docs' landings")
+    }
+  }
+
   /** True if additive sidecar `table` already holds landing `src`.
     * Cost at 100 TB: the `_srcs` probe is O(landings) — slim by
     * construction. The live-table fallback scans only parquet FOOTERS

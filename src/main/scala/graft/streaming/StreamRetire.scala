@@ -42,8 +42,14 @@ import graft.pipeline.CorpusWriter
   * in the END state, and a retire batch committing before its docs'
   * land batch drives nets negative, which the read-fold guard turns
   * into hard probe failures until the land batch commits (correct
-  * final state, loud interim). Gate retire batches on their docs'
-  * land `src` being present if the two streams share a sidecar. */
+  * final state, loud interim). The gate is ENFORCEABLE (r20):
+  * pass `gateOnLandSrcCol` naming a column of the retire stream that
+  * carries each row's landing tag, and every batch `require`s those
+  * landings applied ([[CorpusWriter.requireLanded]]) BEFORE any
+  * subtract lands — a premature retire fails the stream loudly
+  * instead of putting the sidecar in the loud-interim state. Gated
+  * streams suit the all-landed deployment; docs from a tag-less
+  * initial `write*` have no landing to name and retire ungated. */
 object StreamRetire {
 
   /** Configure (not start) tombstone landing for a stored index:
@@ -62,12 +68,15 @@ object StreamRetire {
     * retired TRAINING DOCS subtract-lands its counts, idempotently per
     * batch id. */
   def fromLmModel(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String, srcPrefix: String)(
+      table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromLmModel(batch, textCol, table,
               src = s"$srcPrefix:$batchId")
@@ -83,12 +92,15 @@ object StreamRetire {
     * commit on ([[CorpusWriter.readGramIndex]]'s fold), O(batch) per
     * batch, idempotent per batch id. */
   def fromGramIndex(spark: SparkSession, docs: DataFrame, textCol: String,
-      table: String, srcPrefix: String)(
+      table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromGramIndex(batch, textCol, table,
               src = s"$srcPrefix:$batchId")
@@ -104,12 +116,15 @@ object StreamRetire {
     * landing commit on ([[graft.pipeline.Multimodal.readFrameIndex]]'s
     * fold). */
   def fromFrameIndex(spark: SparkSession, assets: DataFrame,
-      table: String, srcPrefix: String)(
+      table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     assets.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
           import graft.pipeline.Multimodal.assetEnc
           graft.pipeline.Multimodal.retireFromFrameIndex(
             batch.as[graft.pipeline.Multimodal.MediaAsset], table,
@@ -121,12 +136,15 @@ object StreamRetire {
   /** [[fromFrameIndex]] at SHINGLE grain — the streaming takedown for
     * the shift-tolerant content-ID reference set. */
   def fromShingleIndex(spark: SparkSession, assets: DataFrame,
-      table: String, srcPrefix: String)(
+      table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     assets.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
           import graft.pipeline.Multimodal.assetEnc
           graft.pipeline.Multimodal.retireFromShingleIndex(
             batch.as[graft.pipeline.Multimodal.MediaAsset], table,
@@ -141,12 +159,20 @@ object StreamRetire {
     * landing commit on ([[graft.pipeline.Bm25.retireFromPostingsIndex]]),
     * O(batch), idempotent per batch id per sub-table. */
   def fromPostingsIndex(spark: SparkSession, docs: DataFrame,
-      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      idCol: String, textCol: String, table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // The postings landing commits THREE sub-tables (stats last)
+          // — gate on all three, or a retire could subtract stats a
+          // mid-crash landing never added.
+          gateOnLandSrcCol.foreach { c =>
+            Seq(table, s"${table}_lens", s"${table}_stats").foreach(
+              CorpusWriter.requireLanded(spark, _, batch, c))
+          }
           val (_, frames) = graft.ops.Materialize.collecting {
             graft.pipeline.Bm25.retireFromPostingsIndex(batch, idCol,
               textCol, table, src = s"$srcPrefix:$batchId")
@@ -158,12 +184,15 @@ object StreamRetire {
 
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, table: String, srcPrefix: String)(
+      textCol: String, table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
       onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
           val (_, frames) = graft.ops.Materialize.collecting {
             CorpusWriter.retireFromWinnowIndex(batch, idCol, textCol, table,
               src = s"$srcPrefix:$batchId")

@@ -105,6 +105,52 @@ class StreamRetireSpec extends AnyFunSuite {
     dropAll(t); dropAll(tRef)
   }
 
+  test("retire-ordering gate: a retire naming an uncommitted landing fails BEFORE any subtract lands (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val t = "graft_sretire_gate"
+    drop(t, s"${t}_meta", s"${t}_srcs")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val landing = docs.filter(col("doc_id") % 2 === 1)
+    CorpusWriter.writeGramIndex(base, "text", n = 4, t, buckets = 8)
+    val doomed = landing.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1).take(20)
+      .map { case (id, tx) => (id, tx, "wave1") } // rows name their landing
+    def retire(prefix: String): Unit = {
+      val in = MemoryStream[(Long, String, String)]
+      val q = StreamRetire.fromGramIndex(spark,
+          in.toDF().toDF("doc_id", "text", "land_src"), "text", t,
+          srcPrefix = prefix, gateOnLandSrcCol = Some("land_src"))()
+        .queryName(s"stream_gate_test_$prefix").start()
+      try {
+        in.addData(doomed); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val rowsBefore = spark.table(t).count()
+    // 'wave1' has not landed: the gate fails the batch loudly...
+    val e = intercept[Exception] { retire("gate-early") }
+    assert(Option(e.getMessage).exists(_.contains("retire-ordering gate")) ||
+      Option(e.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("retire-ordering gate")), s"unexpected: $e")
+    // ...and nothing subtracted.
+    assert(spark.table(t).count() == rowsBefore)
+    // After the landing commits, the SAME retire goes through.
+    CorpusWriter.appendToGramIndex(landing, "text", t, src = "wave1")
+    retire("gate-late")
+    val live = CorpusWriter.readGramIndex(spark, t).count()
+    // The 20 retired docs' fingerprints net out of the landed wave.
+    val ref = "graft_sretire_gate_ref"
+    drop(ref, s"${ref}_meta")
+    val doomedIds = doomed.map(_._1)
+    CorpusWriter.writeGramIndex(
+      base.unionAll(landing.filter(!col("doc_id").isin(doomedIds: _*))),
+      "text", n = 4, ref, buckets = 8)
+    assert(live == CorpusWriter.readGramIndex(spark, ref).count())
+    drop(t, s"${t}_meta", s"${t}_srcs", ref, s"${ref}_meta")
+  }
+
   test("streamed LM subtract landings ≡ the batch retirement (scores)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
