@@ -191,6 +191,23 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) POSITIONAL-index landing (r20): each
+    * micro-batch of documents appends its (term, doc_id, pos)
+    * occurrence refcounts ([[graft.pipeline.PhraseIndex
+    * .appendToPhraseIndex]]) — phrase/proximity search grown at
+    * ingest, replay-safe per batch under `src = "{prefix}:{batchId}"`. */
+  def intoPhraseIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.PhraseIndex.appendToPhraseIndex(batch, idCol,
+            textCol, table, src = s"$srcPrefix:$batchId")
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */

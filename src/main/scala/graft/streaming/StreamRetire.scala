@@ -182,6 +182,28 @@ object StreamRetire {
         onBatch(batchId)
       }
 
+  /** The positional-index delete stream (r20): each micro-batch of
+    * retired DOCS subtract-lands its (term, doc_id, pos) occurrence
+    * refcounts — phrase/proximity matches stop serving the deleted
+    * docs from the landing commit on
+    * ([[graft.pipeline.PhraseIndex.retireFromPhraseIndex]]), O(batch),
+    * idempotent per batch id. */
+  def fromPhraseIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
+          graft.pipeline.PhraseIndex.retireFromPhraseIndex(batch, idCol,
+            textCol, table, src = s"$srcPrefix:$batchId")
+        }
+        onBatch(batchId)
+      }
+
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, table: String, srcPrefix: String,

@@ -105,6 +105,56 @@ class StreamRetireSpec extends AnyFunSuite {
     dropAll(t); dropAll(tRef)
   }
 
+  test("streamed phrase-index landing then delete stream ≡ write-on-remaining (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val t = "graft_sretire_phrase"
+    val tRef = "graft_sretire_phrase_ref"
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+    val keep = docs.filter(col("doc_id") % 3 =!= 0)
+    val doomed = docs.filter(col("doc_id") % 3 === 0)
+    graft.pipeline.PhraseIndex.writePhraseIndex(keep, "doc_id", "text",
+      t, buckets = 8)
+    val rows = doomed.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val parts = (0 until 3).map(r => rows.filter(x => (x._1 / 3) % 3 == r))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamLanding.intoPhraseIndex(spark,
+        in1.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "sphr-land")()
+      .queryName("stream_phrase_landing_test").start()
+    try {
+      parts.foreach { p => in1.addData(p); q1.processAllAvailable() }
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamRetire.fromPhraseIndex(spark,
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "sphr-td")()
+      .queryName("stream_phrase_retire_test").start()
+    try {
+      parts.foreach { p => in2.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    graft.pipeline.PhraseIndex.writePhraseIndex(keep, "doc_id", "text",
+      tRef, buckets = 8)
+    def probe(x: String) = {
+      val (r, frames) = graft.ops.Materialize.collecting {
+        (graft.pipeline.PhraseIndex.occurrencesFromIndex(spark, x,
+            Seq("hash", "agg")).collect().map(_.mkString("|")).toSeq,
+          graft.pipeline.PhraseIndex.withinWindowFromIndex(spark, x,
+            "table", "scan", window = 4)
+            .collect().map(_.mkString("|")).toSeq)
+      }
+      graft.ops.Materialize.release(frames)
+      r
+    }
+    assert(probe(t) == probe(tRef))
+    graft.pipeline.PhraseIndex.compactPhraseIndex(spark, t)
+    assert(probe(t) == probe(tRef))
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+  }
+
   test("retire-ordering gate: a retire naming an uncommitted landing fails BEFORE any subtract lands (r20)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
