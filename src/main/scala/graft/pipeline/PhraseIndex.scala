@@ -176,21 +176,38 @@ object PhraseIndex {
   /** PROXIMITY search from the same positional sidecar — the other
     * half of the adjacency family: per doc, the count of (posA, posB)
     * occurrence pairs of two terms within `window` positions
-    * (0 < |pa − pb| ≤ window), ordered by doc_id. The join is a
-    * RANGE predicate, but bounded: each side is one term's
-    * term-restricted live fold, equi-keyed on doc_id first — the range
-    * condition only runs inside a doc's own posting cells, so the
-    * worst case is (occurrences of a per doc) × (occurrences of b per
-    * doc), the same per-doc envelope the phrase join has. */
+    * (0 < |pa − pb| ≤ window), ordered by doc_id.
+    *
+    * Scale shape: a doc_id-only equi-join with the range checked after
+    * would pay f_a·f_b candidate pairs per doc — quadratic in per-doc
+    * term frequency, exactly the blow-up a stopword pair hits at
+    * corpus scale. Instead the join is BANDED (the interval-join
+    * discipline): positions band at width `window + 1`, term A's rows
+    * explode to their own band ±1 (3 slim longs each), and the
+    * equi-join runs on (doc_id, band) — |pa − pb| ≤ window forces the
+    * bands within ±1, and each true pair meets exactly once (B's band
+    * equals exactly one of A's three), so candidate work is bounded by
+    * pairs within distance ≤ 2·window + 1 — OUTPUT-linear, never
+    * frequency-quadratic. The exact predicate then filters, making the
+    * banding answer-invisible (PhraseIndexSpec's cases pin the exact
+    * semantics; the oracle never sees the bands). */
   def withinWindowFromIndex(spark: SparkSession, table: String,
       termA: String, termB: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     val (a, b) = (termA.toLowerCase, termB.toLowerCase)
     val live = Materialize.barrier(
       livePositions(spark, table, Seq(a, b).distinct))
-    val pa = live.filter(col("term") === a).select(col("doc_id"), col("pos").as("pa"))
-    val pb = live.filter(col("term") === b).select(col("doc_id"), col("pos").as("pb"))
-    pa.join(pb, Seq("doc_id"))
+    val w1 = (window + 1).toLong
+    val pa = live.filter(col("term") === a)
+      .select(col("doc_id"), col("pos").as("pa"),
+        (col("pos") / lit(w1)).cast("long").as("__b0"))
+      .withColumn("band", explode(array(
+        col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val pb = live.filter(col("term") === b)
+      .select(col("doc_id"), col("pos").as("pb"),
+        (col("pos") / lit(w1)).cast("long").as("band"))
+    pa.join(pb, Seq("doc_id", "band"))
       .filter(abs(col("pa") - col("pb")) <= window &&
         col("pa") =!= col("pb"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))

@@ -892,6 +892,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, p)
   }
 
+  test("q193: the proximity probe is a BANDED equi-join — no tokenize, no corpus scan, no cartesian") {
+    val df = SparkEntry.queries("q193_proximity_search")(spark, TestSpark.Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("word_grams"), s"q193 tokenizes: $p")
+    assert(!p.linesIterator.exists(l => l.contains("Scan parquet") &&
+      l.contains("documents")), s"q193 scans the corpus: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // The band column participates in the join key (the interval-join
+    // discipline — candidate work output-linear, never f_a·f_b).
+    assert(p.contains("band"), s"q193 lost the banded join: $p")
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
