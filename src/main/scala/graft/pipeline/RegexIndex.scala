@@ -1,0 +1,441 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trigram-index-accelerated REGEX search — the index-speed path for
+  * the reference's defining operation: kbrowse exists to regex-grep
+  * record values (`/root/reference/src/kbrowse/search.clj:74-81`
+  * re-finds the compiled pattern per record, a full scan per query).
+  * The positional sidecar ([[PhraseIndex]]) answers exact phrases and
+  * proximity, but a regex with classes/quantifiers/alternation still
+  * had only the full text scan. This module closes that gap with the
+  * public codesearch design (R. Cox, "Regular Expression Matching with
+  * a Trigram Index", 2012): a stored character-trigram presence index
+  * plus a CONSERVATIVE compiler from the pattern to required literal
+  * factors. Candidates = docs holding every trigram of every required
+  * factor of some alternation branch (a provable SUPERSET of the
+  * matches); the exact `rlike` then confirms on candidate rows only —
+  * regex evaluation cost collapses from corpus-sized to
+  * candidate-sized, and the index never has to be regex-aware.
+  *
+  * Layout: `{table}` (gram: 3-char string, doc_id, c, src) bucketed +
+  * sorted by gram — a probe's `gram IN (...)` restriction prunes
+  * buckets and sorted row groups exactly like the BM25 probe's term
+  * restriction — and `{table}_meta` (buckets). Grams are per-doc
+  * DISTINCT (presence, not frequency): landings append c=+1 rows,
+  * retirements the same rows negated, readers fold per (gram, doc_id)
+  * keeping nets > 0 (raising on negatives), compaction restores one
+  * row per key. `src` markers are operation-namespaced
+  * ([[CorpusWriter.landTag]]); takedowns are O(deleted docs).
+  *
+  * Soundness contract (RegexIndexSpec pins it): for every string with
+  * an (unanchored) match of the pattern, some top-level alternation
+  * branch matched, and that branch's required factors — maximal
+  * literal runs that survive quantifier analysis — each occur in the
+  * string verbatim; length-≥3 factors make every trigram of every
+  * factor present (the index is case-folded, so a leading `(?i)` is
+  * served too — nomination folds, the confirm keeps the pattern's own
+  * case semantics). When the analysis cannot GUARANTEE a factor (class
+  * at top level, mid-pattern flag groups, a lookaround, `\d`-style
+  * escapes swallowing every literal run), it returns None and the
+  * probe either refuses loudly or — under `allowScan = true` — states
+  * the full scan it is about to pay. Unanalyzable never means wrong,
+  * only unpruned.
+  */
+object RegexIndex {
+
+  /** Distinct character trigrams of LOWERCASED `textCol` (empty below
+    * 3 chars — a length-≥3 factor can never match such a doc, so the
+    * index correctly never nominates it). The index is case-FOLDED so
+    * one sidecar serves both case-sensitive and `(?i)` probes: a doc
+    * containing a factor verbatim (or any case variant, for `(?i)`)
+    * always contains its lowercased trigrams case-folded — nomination
+    * stays a superset either way, and the exact `rlike` keeps the
+    * original pattern's case semantics. Folding costs a little
+    * selectivity (case-variant collisions), never correctness. */
+  private def triGrams(textCol: Column): Column = {
+    val t = lower(textCol)
+    when(length(t) >= 3,
+      array_distinct(transform(sequence(lit(1), length(t) - 2),
+        i => t.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One landing's (gram, doc_id, c, src) presence rows. */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+      src: String, sign: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(triGrams(col(textCol))).as("gram"))
+      .select(col("gram"), col("doc_id"),
+        lit(sign.toLong).as("c"), lit(src).cast("string").as("src"))
+
+  /** Store the corpus's trigram index. */
+  def writeRegexIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    CorpusWriter.dropOrphanedLocation(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs")
+    CorpusWriter.dropOrphanedLocation(spark, s"${table}_meta")
+    gramRows(docs, idCol, textCol, src = null, sign = 1)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "gram").sortBy("gram")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  private def metaBuckets(spark: SparkSession, table: String): Int = {
+    val meta = spark.table(s"${table}_meta").collect()
+    require(meta.length == 1,
+      s"malformed regex-index meta: ${meta.length} rows")
+    meta(0).getAs[Int]("buckets")
+  }
+
+  /** Land another doc batch (disjoint-batch contract, mandatory
+    * per-batch `src` — a replayed tag is a skipped no-op). */
+  def appendToRegexIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String, src: String): Unit = {
+    val spark = docs.sparkSession
+    val tag = CorpusWriter.landTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
+    gramRows(docs, idCol, textCol, tag, sign = 1)
+      .write.mode(SaveMode.Append)
+      .bucketBy(metaBuckets(spark, table), "gram").sortBy("gram")
+      .format("parquet").saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, tag)
+  }
+
+  /** Retire docs: their presence rows append NEGATED — O(deleted
+    * docs), in force at the read fold from the commit on. */
+  def retireFromRegexIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String, src: String): Unit = {
+    val spark = docs.sparkSession
+    val tag = CorpusWriter.retireTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
+    gramRows(docs, idCol, textCol, tag, sign = -1)
+      .write.mode(SaveMode.Append)
+      .bucketBy(metaBuckets(spark, table), "gram").sortBy("gram")
+      .format("parquet").saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, tag)
+  }
+
+  /** Fold to one row per (gram, doc_id), dropping zero-net tombstones
+    * (raises on over-retirement). Answer-invisible. */
+  def compactRegexIndex(spark: SparkSession, table: String): Unit =
+    CorpusWriter.compactAdditiveIndexMulti(spark, table,
+      Seq("gram", "doc_id"), "regex trigram index")
+
+  /** Live (gram, doc_id) presence of `grams` — bucket-pruned scan,
+    * bucket-local refcount fold. */
+  private def liveGrams(spark: SparkSession, table: String,
+      grams: Seq[String]): DataFrame =
+    CorpusWriter.liveAdditiveKeysMulti(
+      spark.table(table).filter(col("gram").isin(grams: _*)),
+      Seq("gram", "doc_id"), "regex trigram index")
+
+  // -------------------------------------------------------------------
+  // Pattern analysis: regex → required literal factors (conservative).
+  // -------------------------------------------------------------------
+
+  /** Required literal factors per top-level alternation branch, or
+    * None when no sound factoring exists. `Some(branches)` guarantees:
+    * any string containing a match of `pattern` contains, for at least
+    * one branch, EVERY factor of that branch as a verbatim substring;
+    * every factor has length ≥ 3 (so its trigrams exist in any doc it
+    * occurs in).
+    *
+    * The analysis is deliberately conservative — it must never
+    * over-claim. Handled: literal runs; punctuation escapes (`\.`
+    * contributes '.'); `\n \r \t \f` as their control characters;
+    * class/dot/group atoms as run BREAKS (their content claims
+    * nothing); `? *` and `{0,…}` dropping the preceding literal from
+    * its run; `+` and `{1,…}` keeping it (the first repetition is
+    * adjacent) but breaking the run after it; reluctant/possessive
+    * suffixes; anchors `^ $ \b \B` as breaks; top-level `|` as a
+    * branch split (respecting groups/classes/escapes). Bail-to-None:
+    * `(?` groups that are not plain `(?:` (flags like `(?i)` poison
+    * every literal after them; lookarounds and named groups ride the
+    * same prefix), `\p \x \u \c \k` and backreference escapes (they
+    * carry operands this analysis does not model), dangling
+    * quantifiers or braces, unbalanced structure, and any branch whose
+    * every literal run is shorter than 3. */
+  def requiredLiterals(pattern: String): Option[Seq[Seq[String]]] = {
+    // A LEADING `(?i)` flags the whole pattern (both engines keep the
+    // flag across top-level alternatives): the case-folded index
+    // nominates its factors soundly, so strip and analyze the rest.
+    // Mid-pattern flag groups still bail in skipGroup — a flag whose
+    // scope this analysis does not model must poison the pattern.
+    val body =
+      if (pattern.startsWith("(?i)")) pattern.substring(4) else pattern
+    if (body.isEmpty) return None
+    splitAlternation(body).flatMap { branches =>
+      val analyzed = branches.map(branchFactors)
+      // One unanalyzable branch poisons the union: a match may arrive
+      // through it carrying none of the other branches' factors.
+      if (analyzed.exists(_.isEmpty)) None
+      else Some(analyzed.map(_.get))
+    }
+  }
+
+  /** Split on top-level `|`, respecting escapes, classes, groups.
+    * None on unbalanced structure. */
+  private def splitAlternation(p: String): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var depth = 0
+    var inClass = false
+    while (i < p.length) {
+      val ch = p.charAt(i)
+      ch match {
+        case '\\' =>
+          if (i + 1 >= p.length) return None
+          cur.append(ch).append(p.charAt(i + 1)); i += 1
+        case '[' if !inClass => inClass = true; cur.append(ch)
+        case ']' if inClass => inClass = false; cur.append(ch)
+        case '(' if !inClass => depth += 1; cur.append(ch)
+        case ')' if !inClass =>
+          depth -= 1; if (depth < 0) return None; cur.append(ch)
+        case '|' if !inClass && depth == 0 =>
+          out += cur.result(); cur.clear()
+        case _ => cur.append(ch)
+      }
+      i += 1
+    }
+    if (depth != 0 || inClass) return None
+    out += cur.result()
+    Some(out.result())
+  }
+
+  /** Skip a character class starting at `[`; returns the index just
+    * past the closing `]`, or -1 if unterminated. */
+  private def skipClass(b: String, start: Int): Int = {
+    var i = start + 1
+    if (i < b.length && b.charAt(i) == '^') i += 1
+    if (i < b.length && b.charAt(i) == ']') i += 1 // literal ] first
+    while (i < b.length) {
+      b.charAt(i) match {
+        case '\\' => i += 2
+        case ']' => return i + 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** Skip a balanced group starting at `(`; returns the index just
+    * past the closing `)`, or -1 if unterminated / not plainly
+    * skippable (a `(?` prefix other than `(?:` bails — inline flags
+    * would poison literals AFTER the group, lookarounds and named
+    * groups share the prefix and are not worth modelling). */
+  private def skipGroup(b: String, start: Int): Int = {
+    var i = start + 1
+    if (i < b.length && b.charAt(i) == '?') {
+      if (i + 1 < b.length && b.charAt(i + 1) == ':') i += 2
+      else return -1
+    }
+    var depth = 1
+    var inClass = false
+    while (i < b.length) {
+      b.charAt(i) match {
+        case '\\' => i += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass => depth += 1
+        case ')' if !inClass =>
+          depth -= 1; if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a `{m[,n]}` quantifier at `start`; returns (indexPastBrace,
+    * minRepeats) or None if not a well-formed counted quantifier. */
+  private def parseBraces(b: String, start: Int): Option[(Int, Int)] = {
+    var i = start + 1
+    val m = new StringBuilder
+    while (i < b.length && b.charAt(i).isDigit) { m.append(b.charAt(i)); i += 1 }
+    if (m.isEmpty) return None
+    if (i < b.length && b.charAt(i) == ',') {
+      i += 1
+      while (i < b.length && b.charAt(i).isDigit) i += 1
+    }
+    if (i >= b.length || b.charAt(i) != '}') return None
+    Some((i + 1, m.result().toInt))
+  }
+
+  /** Escapes whose factor contribution is a known single literal. */
+  private def literalEscape(c: Char): Option[Char] = c match {
+    case 'n' => Some('\n')
+    case 'r' => Some('\r')
+    case 't' => Some('\t')
+    case 'f' => Some('\f')
+    case c if !c.isLetterOrDigit => Some(c) // \. \\ \+ \[ \| \ etc.
+    case _ => None
+  }
+
+  /** Zero-width / class-like escapes that break a run but claim
+    * nothing. Operand-carrying escapes are NOT here — they bail. */
+  private def breakingEscape(c: Char): Boolean =
+    "dDwWsSbBAZzG".indexOf(c.toInt) >= 0
+
+  /** Maximal required literal runs (length ≥ 3) of one branch, or
+    * None when unanalyzable / factorless. */
+  private def branchFactors(b: String): Option[Seq[String]] = {
+    val runs = Seq.newBuilder[String]
+    val run = new StringBuilder
+    def break(): Unit = { runs += run.result(); run.clear() }
+    var i = 0
+    // After any atom: consume a quantifier if present. `lastLiteral`
+    // is true when the atom was a literal char sitting at run's end
+    // (so `?`/`*`/`{0,…}` must drop it).
+    def quantify(lastLiteral: Boolean): Boolean = {
+      if (i >= b.length) return true
+      val keepMin: Option[Int] = b.charAt(i) match {
+        case '?' => i += 1; Some(0)
+        case '*' => i += 1; Some(0)
+        case '+' => i += 1; Some(1)
+        case '{' =>
+          parseBraces(b, i) match {
+            case Some((next, m)) => i = next; Some(m)
+            case None => return false // dangling `{` — bail, not guess
+          }
+        case _ => None
+      }
+      keepMin match {
+        case None => true
+        case Some(m) =>
+          // Reluctant / possessive suffix rides along.
+          if (i < b.length && (b.charAt(i) == '?' || b.charAt(i) == '+'))
+            i += 1
+          if (lastLiteral && m == 0 && run.nonEmpty)
+            run.deleteCharAt(run.length - 1)
+          break()
+          true
+      }
+    }
+    while (i < b.length) {
+      b.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= b.length) return None
+          val c = b.charAt(i + 1)
+          literalEscape(c) match {
+            case Some(lit0) =>
+              i += 2; run.append(lit0)
+              if (!quantify(lastLiteral = true)) return None
+            case None if breakingEscape(c) =>
+              i += 2; break()
+              if (!quantify(lastLiteral = false)) return None
+            case None => return None // \p \x \u \c \k, backrefs: operands
+          }
+        case '[' =>
+          val next = skipClass(b, i)
+          if (next < 0) return None
+          i = next; break()
+          if (!quantify(lastLiteral = false)) return None
+        case '(' =>
+          val next = skipGroup(b, i)
+          if (next < 0) return None
+          i = next; break()
+          if (!quantify(lastLiteral = false)) return None
+        case '.' =>
+          i += 1; break()
+          if (!quantify(lastLiteral = false)) return None
+        case '^' | '$' =>
+          i += 1; break()
+        case ')' | ']' => return None // unbalanced (splitter guards '(')
+        case '?' | '*' | '+' | '{' => return None // dangling quantifier
+        case ch =>
+          i += 1; run.append(ch)
+          if (!quantify(lastLiteral = true)) return None
+      }
+    }
+    break()
+    val factors = runs.result().filter(_.length >= 3)
+    if (factors.isEmpty) None else Some(factors)
+  }
+
+  // -------------------------------------------------------------------
+  // Probes.
+  // -------------------------------------------------------------------
+
+  /** Candidate doc_ids from the STORED index — docs holding every
+    * case-folded trigram of every required factor of some branch; a
+    * provable superset of the regex's matches. None when the pattern
+    * has no sound factoring, or when a factor leaves ASCII (driver
+    * `toLowerCase` and the index's `lower()` provably agree on ASCII;
+    * beyond it, locale-vs-UTF8 folding disagreements could turn the
+    * superset into a miss — bail to the scan instead). The scan is
+    * gram-restricted (bucket-pruned); the fold is bucket-local; each
+    * branch is one counting aggregate over its posting slices. */
+  def candidatesFromIndex(spark: SparkSession, table: String,
+      pattern: String): Option[DataFrame] =
+    requiredLiterals(pattern)
+      .filter(_.forall(_.forall(_.forall(_ < 128))))
+      .map { branches =>
+        branches.map { factors =>
+          val grams =
+            factors.flatMap(_.toLowerCase.sliding(3)).distinct
+          liveGrams(spark, table, grams)
+            .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+            .filter(col("n_grams") === grams.size)
+            .select("doc_id")
+        }.reduce(_ unionByName _).distinct()
+      }
+
+  /** Regex search answered through the index: candidates nominate,
+    * `rlike` confirms — equal to the full-scan `rlike` by
+    * construction (RegexIndexSpec pins it), with the regex evaluated
+    * on candidate rows only. The candidate frame (distinct doc_ids of
+    * selective factors) broadcasts into the confirm join, so the
+    * corpus never shuffles; on a doc_id-sorted corpus layout the
+    * candidate restriction additionally prunes row groups by footer
+    * stats. Returns matching doc_ids ordered.
+    *
+    * Unanalyzable patterns (no guaranteed factor — class-only
+    * patterns, mid-pattern flag groups, `\d`-style escapes
+    * everywhere) refuse loudly unless `allowScan = true`, which
+    * states and pays the full scan the reference pays on every
+    * query. */
+  def searchFromIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String, textCol: String, pattern: String,
+      allowScan: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    candidatesFromIndex(spark, table, pattern) match {
+      case Some(cands) =>
+        // The barrier is load-bearing, not a cache nicety: without it
+        // Catalyst pushes the rlike (it references only the docs side)
+        // BELOW the semi-join, evaluating the regex corpus-wide — the
+        // exact full scan the index exists to avoid. Materializing the
+        // candidate-restricted rows first pins the regex to
+        // candidate-sized work (PlanAuditSpec holds the shape).
+        graft.ops.Materialize.barrier(
+            base.join(broadcast(cands), Seq("doc_id"), "left_semi"))
+          .filter(col("__text").rlike(pattern))
+          .select("doc_id").orderBy("doc_id")
+      case None =>
+        require(allowScan,
+          s"regex '$pattern' has no required literal factor >= 3 chars " +
+            "— the index cannot prune it; pass allowScan = true to pay " +
+            "the full corpus scan explicitly")
+        base.filter(col("__text").rlike(pattern))
+          .select("doc_id").orderBy("doc_id")
+    }
+  }
+
+  /** DuckDB oracle: the same unanchored-contains semantics
+    * (`regexp_matches`) over the corpus — the oracle scans text, so a
+    * green gate proves the index-nominated path loses nothing. */
+  def oracleSql(pattern: String, corpusSql: String = "documents"): String = {
+    val esc = pattern.replace("'", "''")
+    s"""SELECT doc_id FROM $corpusSql
+       |WHERE regexp_matches(text, '$esc')
+       |ORDER BY doc_id""".stripMargin
+  }
+}

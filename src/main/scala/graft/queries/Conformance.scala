@@ -746,6 +746,33 @@ object Conformance {
         valRegex = Some(""".*"event_type": "(click|purchase)".*"""))
       LogQuery.canonical(LogQuery.resultsFrom(LogQuery.consumedFrom(recs, o), o))
         .select(col("offset").as("event_id"), col("key"), col("value"))
+    }),
+
+    // Q197 indexed log grep (r20): THE reference operation — regex
+    // over the record log's values (`search.clj:74-81` re-finds the
+    // compiled pattern per record, a full scan per query) — answered
+    // through the stored trigram sidecar: candidates nominate from the
+    // index, rlike confirms on candidate rows only. Record identity
+    // packs (partition, offset) into one long; the index lands in two
+    // landings (split by record parity) so the gate also proves
+    // landing freshness against the oracle's own log re-derivation.
+    "q197_indexed_log_grep" -> ((s, sf) => {
+      val recs = RecordLog.events(s, sf).select(
+        (col("partition").cast("long") * lit(1L << 40) + col("offset"))
+          .as("rec_id"),
+        col("value"))
+      val tbl = s"graft_q197_logrx_${Tables.fixtureKey(sf, "events")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        graft.pipeline.RegexIndex.writeRegexIndex(
+          recs.filter(col("rec_id") % 2 === 0), "rec_id", "value", tbl,
+          buckets = 32)
+        graft.pipeline.RegexIndex.appendToRegexIndex(
+          recs.filter(col("rec_id") % 2 === 1), "rec_id", "value", tbl,
+          src = "q197:odds")
+      }
+      graft.pipeline.RegexIndex.searchFromIndex(s, tbl, recs, "rec_id",
+          "value", """"k": 8[0-9]""")
+        .withColumnRenamed("doc_id", "rec_id")
     })
   )
 
@@ -1186,6 +1213,13 @@ object Conformance {
         |  '{"user_id": ' || user_id || ', "event_type": "' || event_type || '"}' AS "value"
         |FROM events
         |WHERE event_id < 500 AND event_type IN ('click', 'purchase')
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // The oracle re-derives the log (offsets included) and greps it —
+    // a stale or missing index nomination surfaces as a row diff.
+    "q197_indexed_log_grep" ->
+      s"""$R SELECT "partition"::BIGINT * 1099511627776 + "offset" AS rec_id
+         |FROM recs WHERE regexp_matches("value", '"k": 8[0-9]')
+         |ORDER BY rec_id""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.GraftFunctions
 import graft.oracle.Duck
-import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, PhraseIndex, ProductQuant, Projection, QualityClassifier, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, TrigramModel, Vocabulary}
+import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges, Clustering, Curriculum, CorpusDiff, DedupEval, CorpusStats, CountMin, Decontam, DupClusters, DiverseSelect, EpochShuffle, HeavyHitters, Importance, IncrementalDedup, MinHashDedup, Novelty, Passages, PhraseIndex, ProductQuant, Projection, QualityClassifier, RegexIndex, RepeatedSpans, Sampling, ShardPack, SimHash, Similarity, SnapshotLanding, SourceDrift, TermCommonness, TextStats, TfIdf, TrigramModel, Vocabulary}
 
 /** LLM-training-data pipeline operators as driver-checked conformance
   * queries over `documents.parquet` / `embeddings.parquet` (builder brief:
@@ -952,6 +952,71 @@ object PipelineQueries {
           "doc_id", "text", tbl, src = "q191:odds")
       }
       PhraseIndex.withinWindowFromIndex(s, tbl, "table", "scan", window = 4)
+    }),
+
+    // Trigram-indexed REGEX search (r20): the reference's defining
+    // operation — regex-grep the corpus (kbrowse search.clj:74-81
+    // re-finds the pattern per record, a full scan per query) — at
+    // index speed via the public codesearch design: a stored
+    // character-trigram presence sidecar plus a conservative
+    // pattern→required-literal-factor compiler; candidates = docs
+    // holding every trigram of some branch's factors (provable
+    // superset), rlike confirms on candidates only. The pattern
+    // exercises classes, quantifiers, nested groups AND top-level
+    // alternation; the index lands in TWO landings so a green gate
+    // also proves landing freshness. The oracle scans text, so it
+    // checks the nomination loses nothing.
+    "q194_regex_search" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q194:odds")
+      }
+      RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
+        "slow [a-z]+ join|fast (table|key) order")
+    }),
+
+    // Regex-index takedown (r20): the q194 sidecar with half the
+    // corpus RETIRED — the subtract landing is O(deleted docs) and the
+    // probe must stop nominating them from the commit on (the q188
+    // discipline at trigram grain). The search deliberately runs over
+    // the FULL corpus frame while the oracle covers the remaining half
+    // only: a retired doc's text still rlike-matches, so a stale
+    // nomination would surface as an extra row — the gate checks the
+    // index's nominations, not the confirm filter's mercy.
+    "q195_regex_takedown" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q195_regex_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        RegexIndex.writeRegexIndex(docs, "doc_id", "text", tbl,
+          buckets = 32)
+        RegexIndex.retireFromRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q195:odds")
+      }
+      RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
+        "vector window batch|customer data group")
+    }),
+
+    // Case-insensitive regex from the SAME case-folded sidecar (r20):
+    // a leading (?i) flags the whole pattern in both engines; the
+    // compiler strips it, nomination runs on folded trigrams, and the
+    // rlike confirm keeps the flag — one index serves both probe
+    // cases (the spec stresses mixed-case docs; this gate proves the
+    // (?i) path against DuckDB's own (?i) semantics end-to-end).
+    "q196_regex_nocase" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q194:odds")
+      }
+      RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
+        "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER")
     }),
 
     // Centroid-drift meter (r20): the failure mode staleness can't see
@@ -2018,6 +2083,16 @@ object PipelineQueries {
     // The stored index must be invisible to the meter: q114's oracle.
     "q190_stored_mrr" -> Bm25.mrrOracleSql(),
     "q191_phrase_search" -> PhraseIndex.oracleSql(Seq("hash", "agg")),
+
+    "q194_regex_search" -> RegexIndex.oracleSql(
+      "slow [a-z]+ join|fast (table|key) order"),
+
+    "q195_regex_takedown" -> RegexIndex.oracleSql(
+      "vector window batch|customer data group",
+      corpusSql = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"),
+
+    "q196_regex_nocase" -> RegexIndex.oracleSql(
+      "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER"),
     "q193_proximity_search" -> PhraseIndex.windowOracleSql(
       "table", "scan", window = 4),
     "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(

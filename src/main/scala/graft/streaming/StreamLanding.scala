@@ -208,6 +208,23 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) REGEX-trigram-index landing (r20): each
+    * micro-batch of documents appends its distinct (gram, doc_id)
+    * presence refcounts ([[graft.pipeline.RegexIndex
+    * .appendToRegexIndex]]) — indexed regex search grown at ingest,
+    * replay-safe per batch under `src = "{prefix}:{batchId}"`. */
+  def intoRegexIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.RegexIndex.appendToRegexIndex(batch, idCol,
+            textCol, table, src = s"$srcPrefix:$batchId")
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */

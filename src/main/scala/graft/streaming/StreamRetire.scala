@@ -204,6 +204,27 @@ object StreamRetire {
         onBatch(batchId)
       }
 
+  /** The regex-trigram-index delete stream (r20): each micro-batch of
+    * retired DOCS subtract-lands its (gram, doc_id) presence refcounts
+    * — indexed regex probes stop nominating the deleted docs from the
+    * landing commit on ([[graft.pipeline.RegexIndex
+    * .retireFromRegexIndex]]), O(batch), idempotent per batch id. */
+  def fromRegexIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String,
+      gateOnLandSrcCol: Option[String] = None)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLanded(spark, table, batch, _))
+          graft.pipeline.RegexIndex.retireFromRegexIndex(batch, idCol,
+            textCol, table, src = s"$srcPrefix:$batchId")
+        }
+        onBatch(batchId)
+      }
+
   /** [[fromGramIndex]] at winnowed-fingerprint grain. */
   def fromWinnowIndex(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, table: String, srcPrefix: String,

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The trigram regex index (q194/q195): the factor compiler's
+  * soundness (conservative, never over-claiming), candidate
+  * nomination as a provable superset, indexed search ≡ full-scan
+  * rlike, landing identities, the O(deleted) takedown, compaction
+  * invisibility, and the loud unanalyzable edge. */
+class RegexIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+
+  private def drop(t: String): Unit =
+    Seq(t, s"${t}_meta").foreach { x =>
+      spark.sql(s"DROP TABLE IF EXISTS $x")
+      spark.sql(s"DROP TABLE IF EXISTS ${x}_srcs")
+    }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  private def lits(p: String) = RegexIndex.requiredLiterals(p)
+
+  test("factor compiler: literal runs, quantifiers, classes, groups, escapes") {
+    assert(lits("abc") == Some(Seq(Seq("abc"))))
+    assert(lits("abcd|xyzw") == Some(Seq(Seq("abcd"), Seq("xyzw"))))
+    // Class + quantifier break runs; both flanks stay required.
+    assert(lits("slow [a-z]+ join") == Some(Seq(Seq("slow ", " join"))))
+    // `?` and `*` drop the preceding literal; `+` keeps it.
+    assert(lits("ab?cdef") == Some(Seq(Seq("cdef"))))
+    assert(lits("abc*def") == Some(Seq(Seq("def"))))
+    assert(lits("abc+def") == Some(Seq(Seq("abc", "def"))))
+    assert(lits("abc+?def") == Some(Seq(Seq("abc", "def"))))
+    // Counted repeats: {0,n} drops, {m>=1,...} keeps.
+    assert(lits("abcd{0,3}efg") == Some(Seq(Seq("abc", "efg"))))
+    assert(lits("abc{2,3}def") == Some(Seq(Seq("abc", "def"))))
+    // Punctuation escapes contribute their literal.
+    assert(lits("""foo\.bar""") == Some(Seq(Seq("foo.bar"))))
+    // Class-like escapes break without claiming.
+    assert(lits("""\d{3}-code""") == Some(Seq(Seq("-code"))))
+    // Dot breaks.
+    assert(lits("ab.cde") == Some(Seq(Seq("cde"))))
+    // Groups are skipped wholesale (their alternation never splits
+    // the top level); flanks stay required.
+    assert(lits("foo(bar|baz)qux") == Some(Seq(Seq("foo", "qux"))))
+    assert(lits("(?:abc)defg") == Some(Seq(Seq("defg"))))
+    assert(lits("a(b(c|d))efg") == Some(Seq(Seq("efg"))))
+    // Anchors break, claim nothing.
+    assert(lits("^abcd$") == Some(Seq(Seq("abcd"))))
+    // A LEADING (?i) flags the whole pattern: analyzable (the index
+    // is case-folded); factors keep their case for the confirm.
+    assert(lits("(?i)ABcd|efGH") == Some(Seq(Seq("ABcd"), Seq("efGH"))))
+  }
+
+  test("factor compiler bails to None rather than over-claim") {
+    assert(lits("").isEmpty)
+    assert(lits("[a-z]+").isEmpty)            // no literal at all
+    assert(lits("ab|cdef").isEmpty)           // one branch factorless
+    assert(lits("abc|").isEmpty)              // empty branch matches all
+    assert(lits("ab(?i)cd").isEmpty)          // mid-pattern flag group
+    assert(lits("(?=abc)def").isEmpty)        // lookaround
+    assert(lits("(?<name>abc)def").isEmpty)   // named group
+    assert(lits("""\p{Lu}abc""").isEmpty)     // operand-carrying escape
+    assert(lits("""\x41bcd""").isEmpty)
+    assert(lits("""(abc""").isEmpty)          // unbalanced
+    assert(lits("""abc)""").isEmpty)
+    assert(lits("*abc").isEmpty)              // dangling quantifier
+    assert(lits("abc{bad}def").isEmpty)       // malformed braces
+  }
+
+  test("candidates are a superset; rlike confirm makes search exact") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "qq abc def pp"),    // true match of "abc def"
+      (2L, "qq def abc dpp"),   // every trigram present, NOT contiguous
+      (3L, "abc only here"),    // half the trigrams
+      (4L, "nothing at all"),
+      (5L, "abc defg")          // match inside a longer token
+    ).toDF("doc_id", "text")
+    val tbl = "graft_test_regex_superset"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(crafted, "doc_id", "text", tbl, buckets = 4)
+    val pattern = "abc def"
+    val cands = ids(RegexIndex.candidatesFromIndex(spark, tbl, pattern)
+      .get.orderBy("doc_id"))
+    // Doc 2 holds all five trigrams without the contiguous factor —
+    // nominated by construction, rejected by the confirm.
+    assert(cands == Seq(1L, 2L, 5L), cands.toString)
+    val got = ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+      "doc_id", "text", pattern))
+    assert(got == Seq(1L, 5L), got.toString)
+    drop(tbl)
+  }
+
+  test("indexed search ≡ full-scan rlike across pattern shapes; write+append ≡ one write; replay skipped") {
+    val tbl = "graft_test_regex"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", tbl, buckets = 8)
+    RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", tbl, src = "spec:odds")
+    val patterns = Seq(
+      "slow [a-z]+ join|fast (table|key) order",
+      "vector window batch|customer data group",
+      "data (line|row)",
+      "big [a-z]+ [a-z]+ merge",
+      "window dup$")
+    patterns.foreach { p =>
+      val viaIndex = ids(RegexIndex.searchFromIndex(spark, tbl, docs,
+        "doc_id", "text", p))
+      val viaScan = ids(docs.filter(col("text").rlike(p))
+        .select(col("doc_id")).orderBy("doc_id"))
+      assert(viaIndex == viaScan, s"pattern '$p'")
+      assert(viaScan.nonEmpty || p.contains("$"), s"dead fixture for '$p'")
+    }
+    // Replayed landing src: skipped.
+    val before = spark.table(tbl).count()
+    RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", tbl, src = "spec:odds")
+    assert(spark.table(tbl).count() == before)
+    drop(tbl)
+  }
+
+  test("unanalyzable pattern refuses loudly; allowScan states and pays the scan") {
+    val tbl = "graft_test_regex_scan"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(docs.limit(50), "doc_id", "text", tbl,
+      buckets = 4)
+    val p = "(line|row) [a-z]+" // groups claim nothing; no factor >= 3
+    val e = intercept[IllegalArgumentException] {
+      RegexIndex.searchFromIndex(spark, tbl, docs, "doc_id", "text", p)
+    }
+    assert(e.getMessage.contains("no required literal factor"))
+    val got = ids(RegexIndex.searchFromIndex(spark, tbl, docs,
+      "doc_id", "text", p, allowScan = true))
+    val want = ids(docs.filter(col("text").rlike(p))
+      .select(col("doc_id")).orderBy("doc_id"))
+    assert(got == want && got.nonEmpty)
+    drop(tbl)
+  }
+
+  test("case-folded index serves leading-(?i) patterns and keeps case-sensitive confirms exact") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "xx SLOW deep JOIN yy"),  // (?i) match, case-sensitive miss
+      (2L, "xx slow deep join yy"),  // both match
+      (3L, "xx slow JOIN yy")        // neither (no middle word)
+    ).toDF("doc_id", "text")
+    val tbl = "graft_test_regex_ci"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(crafted, "doc_id", "text", tbl, buckets = 4)
+    val ci = ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+      "doc_id", "text", "(?i)SLOW [a-z]+ JOIN"))
+    assert(ci == Seq(1L, 2L), ci.toString)
+    // Same factors, case-sensitive: the folded index nominates doc 1
+    // too, the confirm rejects it.
+    val cs = ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+      "doc_id", "text", "slow [a-z]+ join"))
+    assert(cs == Seq(2L), cs.toString)
+    // Non-ASCII factors bail to None (folding agreement unprovable).
+    assert(RegexIndex.candidatesFromIndex(spark, tbl, "straße").isEmpty)
+    drop(tbl)
+  }
+
+  test("retire ≡ write-on-remaining; compaction answer-invisible; over-retire raises") {
+    val tbl = "graft_test_regex_ret"
+    val ref = "graft_test_regex_ret_ref"
+    drop(tbl); drop(ref)
+    val deleted = docs.filter(col("doc_id") % 3 === 0)
+    val remaining = docs.filter(col("doc_id") % 3 =!= 0)
+    RegexIndex.writeRegexIndex(docs, "doc_id", "text", tbl, buckets = 8)
+    RegexIndex.retireFromRegexIndex(deleted, "doc_id", "text", tbl,
+      src = "spec:del")
+    RegexIndex.writeRegexIndex(remaining, "doc_id", "text", ref,
+      buckets = 8)
+    val pattern = "slow [a-z]+ join"
+    // Probe CANDIDATES (not the confirmed search) so a stale
+    // nomination of a retired doc cannot hide behind the rlike.
+    def probe(t: String) = ids(RegexIndex.candidatesFromIndex(spark, t,
+      pattern).get.orderBy("doc_id"))
+    assert(probe(tbl) == probe(ref) && probe(tbl).nonEmpty)
+    // A retire reusing its batch's own landing tag still happens
+    // (op-namespaced markers), and each op's replay stays skipped.
+    RegexIndex.retireFromRegexIndex(deleted, "doc_id", "text", tbl,
+      src = "spec:del")
+    assert(probe(tbl) == probe(ref))
+    RegexIndex.compactRegexIndex(spark, tbl)
+    assert(probe(tbl) == probe(ref))
+    // Post-compaction: one row per (gram, doc_id).
+    val p = spark.table(tbl).select("gram", "doc_id").collect()
+      .map(_.toSeq)
+    assert(p.length == p.distinct.length)
+    // Over-retirement (docs never landed) raises at the read fold.
+    val tbl2 = "graft_test_regex_bad"
+    drop(tbl2)
+    RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", tbl2, buckets = 8)
+    RegexIndex.retireFromRegexIndex(docs.filter(col("doc_id") % 8 === 1),
+      "doc_id", "text", tbl2, src = "spec:bad")
+    val e = intercept[Exception] {
+      RegexIndex.candidatesFromIndex(spark, tbl2, pattern).get.collect()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("below zero")) ||
+      e.getCause != null, s"unexpected: $e")
+    drop(tbl); drop(ref); drop(tbl2)
+  }
+
+  test("short docs index no trigrams and are never nominated") {
+    import spark.implicits._
+    val crafted = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+    val tbl = "graft_test_regex_short"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(crafted, "doc_id", "text", tbl, buckets = 4)
+    assert(spark.table(tbl).filter(col("doc_id").isin(1L, 2L)).isEmpty)
+    val got = ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+      "doc_id", "text", "abc"))
+    assert(got == Seq(3L))
+    drop(tbl)
+  }
+}

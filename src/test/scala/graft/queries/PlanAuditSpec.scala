@@ -905,6 +905,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("band"), s"q193 lost the banded join: $p")
   }
 
+  test("q194: regex probe prunes index buckets; rlike runs ABOVE the materialized broadcast semi-join, never on the full corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val (df, frames) = graft.ops.Materialize.collecting {
+      SparkEntry.queries("q194_regex_search")(spark, TestSpark.Sf)
+    }
+    try {
+      // The regex is evaluated only on candidate rows: the RLIKE
+      // filter reads the MATERIALIZED candidate-join (the barrier
+      // that stops Catalyst pushing the rlike below the semi-join and
+      // back to a corpus-wide regex scan).
+      val lp = df.queryExecution.optimizedPlan
+      val rlikeFilters = lp.collect {
+        case f: Filter if f.condition.toString.contains("RLIKE") => f
+      }
+      assert(rlikeFilters.nonEmpty, lp.toString)
+      rlikeFilters.foreach { f =>
+        val barriers = f.child.collect { case m: InMemoryRelation => m }
+        assert(barriers.nonEmpty,
+          s"rlike evaluated without the candidate barrier beneath it:\n$f")
+        barriers.foreach { m =>
+          val cp = m.cachedPlan.toString
+          // The barrier holds the broadcast semi-join (the corpus
+          // never shuffles for the confirm) fed by the bucket-pruned
+          // trigram sidecar scan.
+          assert(cp.contains("BroadcastHashJoin") &&
+            cp.contains("LeftSemi"), cp)
+          assert(!cp.contains("CartesianProduct") &&
+            !cp.contains("BroadcastNestedLoopJoin"), cp)
+          assert(cp.contains("graft_q194_regex"),
+            s"confirm join misses the index: $cp")
+          val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+            .findFirstMatchIn(cp)
+          assert(sel.isDefined, s"no bucket pruning in: $cp")
+          assert(sel.get.group(1).toInt < sel.get.group(2).toInt, cp)
+        }
+      }
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)

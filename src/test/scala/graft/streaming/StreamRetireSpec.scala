@@ -155,6 +155,49 @@ class StreamRetireSpec extends AnyFunSuite {
     drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
+  test("streamed regex-index landing then delete stream ≡ write-on-remaining (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val t = "graft_sretire_regex"
+    val tRef = "graft_sretire_regex_ref"
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+    val keep = docs.filter(col("doc_id") % 3 =!= 0)
+    val doomed = docs.filter(col("doc_id") % 3 === 0)
+    graft.pipeline.RegexIndex.writeRegexIndex(keep, "doc_id", "text",
+      t, buckets = 8)
+    val rows = doomed.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val parts = (0 until 3).map(r => rows.filter(x => (x._1 / 3) % 3 == r))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamLanding.intoRegexIndex(spark,
+        in1.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "srgx-land")()
+      .queryName("stream_regex_landing_test").start()
+    try {
+      parts.foreach { p => in1.addData(p); q1.processAllAvailable() }
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamRetire.fromRegexIndex(spark,
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text", t,
+        srcPrefix = "srgx-td")()
+      .queryName("stream_regex_retire_test").start()
+    try {
+      parts.foreach { p => in2.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    graft.pipeline.RegexIndex.writeRegexIndex(keep, "doc_id", "text",
+      tRef, buckets = 8)
+    // Probe CANDIDATES so a stale nomination cannot hide behind rlike.
+    def probe(x: String) = graft.pipeline.RegexIndex
+      .candidatesFromIndex(spark, x, "slow [a-z]+ join").get
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(probe(t) == probe(tRef) && probe(t).nonEmpty)
+    graft.pipeline.RegexIndex.compactRegexIndex(spark, t)
+    assert(probe(t) == probe(tRef))
+    drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
+  }
+
   test("retire-ordering gate: a retire naming an uncommitted landing fails BEFORE any subtract lands (r20)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
