@@ -429,6 +429,165 @@ object RegexIndex {
     }
   }
 
+  /** BATCHED regex search — N patterns against one index scan (the
+    * q190/BatchScaleProbe |Q|-flat discipline at regex grain: a
+    * takedown sweep or PII audit carries hundreds of patterns, and N
+    * independent probes would re-read the shared gram slices N times).
+    * ONE bucket-pruned scan restricted to the union of every pattern's
+    * folded trigrams materializes once; each (pattern, branch)
+    * candidate aggregate and each pattern's confirm filter (a literal
+    * regex — codegen compiles each once) reads that frame. Returns
+    * (pattern_id, doc_id) for every match of every pattern, ordered.
+    * Every pattern must be analyzable — a batch sweep that silently
+    * fell back to N full scans would be the opposite of its promise,
+    * so the unanalyzable member raises, naming itself. */
+  def searchManyFromIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    val compiled: Seq[(Int, Seq[Seq[String]])] =
+      patterns.zipWithIndex.map { case (p, i) =>
+        val branches = requiredLiterals(p)
+          .filter(_.forall(_.forall(_.forall(_ < 128))))
+        require(branches.isDefined,
+          s"batched regex search: pattern $i '$p' has no required " +
+            "literal factor >= 3 chars — run it alone via " +
+            "searchFromIndex(allowScan = true) instead")
+        (i, branches.get)
+      }
+    val allGrams = compiled
+      .flatMap(_._2.flatMap(_.flatMap(_.toLowerCase.sliding(3)))).distinct
+    // One restricted scan + fold, many consumers.
+    val live = graft.ops.Materialize.barrier(
+      liveGrams(spark, table, allGrams))
+    val cands = compiled.flatMap { case (pid, branches) =>
+      branches.map { factors =>
+        val grams = factors.flatMap(_.toLowerCase.sliding(3)).distinct
+        live.filter(col("gram").isin(grams: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+          .filter(col("n_grams") === grams.size)
+          .select(lit(pid.toLong).as("pattern_id"), col("doc_id"))
+      }
+    }.reduce(_ unionByName _).distinct()
+    // One candidate-restricted text fetch serves every pattern's
+    // confirm (a doc nominated by several patterns fetches once).
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val fetched = graft.ops.Materialize.barrier(
+      base.join(broadcast(cands.select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi"))
+    patterns.zipWithIndex.map { case (p, pid) =>
+      fetched
+        .join(broadcast(cands.filter(col("pattern_id") === pid)),
+          Seq("doc_id"), "left_semi")
+        .filter(col("__text").rlike(p))
+        .select(lit(pid.toLong).as("pattern_id"), col("doc_id"))
+    }.reduce(_ unionByName _).orderBy("pattern_id", "doc_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Doc store: the codesearch deployment shape (index nominates, store
+  // serves the bytes).
+  // -------------------------------------------------------------------
+
+  /** Write the doc STORE next to the index: (doc_id, text, src)
+    * bucketed + SORTED by doc_id. [[searchFromIndex]]'s confirm over
+    * an arbitrary corpus frame reads every text byte (the semi-join
+    * cannot prune a scan) — the one corpus-shaped term left in the
+    * probe. Against this store, [[searchFromStore]] turns the
+    * candidate set into a LITERAL doc_id predicate, which reaches the
+    * parquet footers: sorted-by-doc_id row groups prune to the
+    * candidates' ranges and the fetch is candidate-sized, completing
+    * the codesearch pair (index + content store). */
+  def writeDocStore(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    CorpusWriter.dropOrphanedLocation(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_srcs")
+    CorpusWriter.dropOrphanedLocation(spark, s"${table}_meta")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), lit(null).cast("string").as("src"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Land another doc batch into the store (disjoint-batch contract,
+    * `src`-guarded replays like every landing). */
+  def appendToDocStore(docs: DataFrame, idCol: String, textCol: String,
+      table: String, src: String): Unit = {
+    val spark = docs.sparkSession
+    val tag = CorpusWriter.landTag(src)
+    if (CorpusWriter.srcApplied(spark, table, tag)) return
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), lit(tag).cast("string").as("src"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(metaBuckets(spark, table), "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    CorpusWriter.recordSrc(spark, table, tag)
+  }
+
+  /** Reclaim retired docs' storage: one anti-join rewrite under the
+    * store's bucket spec. NOT on the serving path's latency budget —
+    * a doc retired from the INDEX is never nominated, so its store row
+    * is unreachable garbage from the index retire's commit on; this
+    * rewrite is the storage-reclaim op, schedulable like compaction. */
+  def retireFromDocStore(spark: SparkSession, table: String,
+      retired: DataFrame, idCol: String): Unit = {
+    val ids = retired.select(col(idCol).cast("long").as("doc_id"))
+    CorpusWriter.rewriteBucketed(spark, table)(
+      _.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Regex search served by the index + store PAIR: candidates
+    * nominate from the trigram sidecar, their ids collect under a loud
+    * bound (`maxCandidates` — a probe whose nomination exceeds it is a
+    * scan in disguise and must say so), and the store fetch runs as a
+    * LITERAL doc_id predicate the parquet reader prunes by (sorted row
+    * groups → candidate-sized IO, no join at all). The literal path is
+    * capped at `maxLiteralIds` — a ten-thousand-literal In expression
+    * costs more to PLAN than it saves to scan (measured: tens of
+    * seconds at 30k literals) — beyond it the fetch degrades
+    * gracefully to a broadcast semi-join against the bucketed store
+    * (no store shuffle, no footer pruning; the width already says the
+    * pattern is weakly indexed here). The confirm `rlike` then runs on
+    * the fetched rows. Unanalyzable patterns raise — there is no
+    * corpus frame here to scan. */
+  def searchFromStore(spark: SparkSession, idxTable: String,
+      storeTable: String, pattern: String,
+      maxCandidates: Int = 100000, maxLiteralIds: Int = 1000): DataFrame = {
+    val cands = candidatesFromIndex(spark, idxTable, pattern)
+    require(cands.isDefined,
+      s"regex '$pattern' has no required literal factor >= 3 chars — " +
+        "the store path cannot nominate; scan a corpus frame via " +
+        "searchFromIndex(allowScan = true) instead")
+    val bounded = graft.ops.Materialize.barrier(cands.get)
+    val ids = bounded.limit(maxLiteralIds + 1).collect().map(_.getLong(0))
+    val fetched =
+      if (ids.length <= maxLiteralIds)
+        spark.table(storeTable)
+          .filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      else {
+        val n = bounded.limit(maxCandidates + 1).count()
+        require(n <= maxCandidates,
+          s"regex '$pattern' nominates more than $maxCandidates docs — " +
+            "a fetch at that width is a scan in disguise; raise " +
+            "maxCandidates deliberately or run searchFromIndex over the corpus")
+        // Same load-bearing barrier as searchFromIndex: without it the
+        // rlike pushes below the semi-join and back to a full scan.
+        graft.ops.Materialize.barrier(
+          spark.table(storeTable)
+            .join(broadcast(bounded), Seq("doc_id"), "left_semi"))
+      }
+    fetched
+      .filter(col("text").rlike(pattern))
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** DuckDB oracle: the same unanchored-contains semantics
     * (`regexp_matches`) over the corpus — the oracle scans text, so a
     * green gate proves the index-nominated path loses nothing. */
@@ -437,5 +596,17 @@ object RegexIndex {
     s"""SELECT doc_id FROM $corpusSql
        |WHERE regexp_matches(text, '$esc')
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[searchManyFromIndex]]: one UNION ALL branch
+    * per pattern, each the single-pattern oracle with its id. */
+  def batchOracleSql(patterns: Seq[String],
+      corpusSql: String = "documents"): String = {
+    val branches = patterns.zipWithIndex.map { case (p, i) =>
+      val esc = p.replace("'", "''")
+      s"""SELECT CAST($i AS BIGINT) AS pattern_id, doc_id FROM $corpusSql
+         |WHERE regexp_matches(text, '$esc')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$branches\nORDER BY pattern_id, doc_id"
   }
 }

@@ -14,6 +14,15 @@ import graft.pipeline.{BigramModel, Bm25, BloomDecontam, Boilerplate, BpeMerges,
   */
 object PipelineQueries {
 
+  /** q198's batch sweep — one pattern per compiler shape (plain
+    * class+quantifier, alternation, leading (?i), nested group),
+    * shared verbatim between the query and its oracle. */
+  private val BatchPatterns = Seq(
+    "slow [a-z]+ join",
+    "vector window batch|customer data group",
+    "(?i)FAST (TABLE|KEY) ORDER",
+    "data (line|row)")
+
   val EmbeddingDim = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1017,6 +1026,55 @@ object PipelineQueries {
       }
       RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
         "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER")
+    }),
+
+    // Batched regex sweep (r20): N patterns against ONE index scan —
+    // the |Q|-flat discipline (q190/BatchScaleProbe) at regex grain. A
+    // takedown or PII sweep carries many patterns; N independent
+    // probes would re-read the shared gram slices N times. One scan
+    // restricted to the union of every pattern's trigrams
+    // materializes once; per-(pattern, branch) candidate aggregates
+    // and per-pattern literal-regex confirms all read that frame, and
+    // a doc nominated by several patterns fetches its text once.
+    "q198_regex_batch" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q194:odds")
+      }
+      RegexIndex.searchManyFromIndex(s, tbl, docs, "doc_id", "text",
+        BatchPatterns)
+    }),
+
+    // Index + doc-store pair (r20): the codesearch deployment shape.
+    // searchFromIndex's confirm over an arbitrary corpus frame reads
+    // every text byte (a semi-join can't prune a scan) — here the
+    // candidates collect under a loud bound and fetch from a
+    // doc_id-sorted STORE with a literal predicate the parquet footers
+    // prune by, so the whole probe (nominate + fetch + confirm) is
+    // candidate-sized. Same answer as q194 (the oracle is q194's);
+    // both sidecars land in two landings.
+    "q199_regex_store" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val idx = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      val store = s"graft_q199_store_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${idx}_meta")) {
+        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idx, buckets = 32)
+        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", idx, src = "q194:odds")
+      }
+      if (!s.catalog.tableExists(s"${store}_meta")) {
+        RegexIndex.writeDocStore(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", store, buckets = 32)
+        RegexIndex.appendToDocStore(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", store, src = "q199:odds")
+      }
+      RegexIndex.searchFromStore(s, idx, store,
+        "slow [a-z]+ join|fast (table|key) order")
     }),
 
     // Centroid-drift meter (r20): the failure mode staleness can't see
@@ -2093,6 +2151,12 @@ object PipelineQueries {
 
     "q196_regex_nocase" -> RegexIndex.oracleSql(
       "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER"),
+
+    "q198_regex_batch" -> RegexIndex.batchOracleSql(BatchPatterns),
+
+    // The store path answers the same question as q194 — its oracle.
+    "q199_regex_store" -> RegexIndex.oracleSql(
+      "slow [a-z]+ join|fast (table|key) order"),
     "q193_proximity_search" -> PhraseIndex.windowOracleSql(
       "table", "scan", window = 4),
     "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(

@@ -210,6 +210,90 @@ class RegexIndexSpec extends AnyFunSuite {
     drop(tbl); drop(ref); drop(tbl2)
   }
 
+  test("batched search ≡ union of single-pattern searches; unanalyzable member raises naming itself") {
+    val tbl = "graft_test_regex_batch"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(docs, "doc_id", "text", tbl, buckets = 8)
+    val pats = Seq(
+      "slow [a-z]+ join",
+      "vector window batch|customer data group",
+      "(?i)FAST (TABLE|KEY) ORDER")
+    val (got, frames) = graft.ops.Materialize.collecting {
+      RegexIndex.searchManyFromIndex(spark, tbl, docs, "doc_id", "text",
+        pats).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val (want, frames2) = graft.ops.Materialize.collecting {
+      pats.zipWithIndex.flatMap { case (p, i) =>
+        ids(RegexIndex.searchFromIndex(spark, tbl, docs, "doc_id",
+          "text", p)).map(d => (i.toLong, d))
+      }
+    }
+    graft.ops.Materialize.release(frames)
+    graft.ops.Materialize.release(frames2)
+    assert(got.nonEmpty && got == want)
+    // One unanalyzable member poisons the BATCH promise — raise, name it.
+    val e = intercept[IllegalArgumentException] {
+      RegexIndex.searchManyFromIndex(spark, tbl, docs, "doc_id", "text",
+        Seq("slow [a-z]+ join", "[0-9]+"))
+    }
+    assert(e.getMessage.contains("pattern 1"))
+    drop(tbl)
+  }
+
+  test("doc store: store path ≡ index path; fetch bound raises loudly; reclaim after index retire") {
+    val idx = "graft_test_regex_store_idx"
+    val store = "graft_test_regex_store"
+    drop(idx); drop(store)
+    RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, buckets = 8)
+    RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx, src = "spec:odds")
+    RegexIndex.writeDocStore(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", store, buckets = 8)
+    RegexIndex.appendToDocStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", store, src = "spec:odds")
+    val p = "slow [a-z]+ join"
+    val viaStore = ids(RegexIndex.searchFromStore(spark, idx, store, p))
+    val viaIndex = ids(RegexIndex.searchFromIndex(spark, idx, docs,
+      "doc_id", "text", p))
+    assert(viaStore.nonEmpty && viaStore == viaIndex)
+    // The store fetch is a PUSHED literal predicate, not a join.
+    val plan = RegexIndex.searchFromStore(spark, idx, store, p)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("doc_id")), plan)
+    // Nomination wider than the bound refuses loudly (maxLiteralIds=0
+    // forces the join path, where the candidate-count gate lives).
+    val e = intercept[IllegalArgumentException] {
+      RegexIndex.searchFromStore(spark, idx, store, p, maxCandidates = 1,
+        maxLiteralIds = 0)
+    }
+    assert(e.getMessage.contains("scan in disguise"))
+    // The over-wide fetch degrades to the broadcast semi-join, same
+    // answer (maxLiteralIds=0 forces it without a huge fixture).
+    assert(ids(RegexIndex.searchFromStore(spark, idx, store, p,
+      maxLiteralIds = 0)) == viaIndex)
+    // Append replay is skipped.
+    val before = spark.table(store).count()
+    RegexIndex.appendToDocStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", store, src = "spec:odds")
+    assert(spark.table(store).count() == before)
+    // Retire from the INDEX: the store path stops serving those docs
+    // (nomination gone) even while their store rows still stand; the
+    // store rewrite then reclaims the bytes without changing answers.
+    RegexIndex.retireFromRegexIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", idx, src = "spec:del")
+    val remaining = ids(docs.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("text").rlike(p)).select(col("doc_id").cast("long"))
+      .orderBy("doc_id"))
+    assert(ids(RegexIndex.searchFromStore(spark, idx, store, p)) == remaining)
+    RegexIndex.retireFromDocStore(spark, store,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id")
+    assert(ids(RegexIndex.searchFromStore(spark, idx, store, p)) == remaining)
+    drop(idx); drop(store)
+  }
+
   test("short docs index no trigrams and are never nominated") {
     import spark.implicits._
     val crafted = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
