@@ -225,6 +225,23 @@ object StreamLanding {
         onBatch(batchId)
       }
 
+  /** Configure (not start) doc-STORE landing (r20): each micro-batch
+    * appends its (doc_id, text) rows to the [[graft.pipeline
+    * .RegexIndex.writeDocStore]] content store — the fetch half of the
+    * codesearch pair, grown at ingest beside [[intoRegexIndex]],
+    * replay-safe per batch. */
+  def intoDocStore(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, table: String, srcPrefix: String)(
+      onBatch: Long => Unit = _ => ()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.pipeline.RegexIndex.appendToDocStore(batch, idCol,
+            textCol, table, src = s"$srcPrefix:$batchId")
+        onBatch(batchId)
+      }
+
   /** Configure (not start) SQ8-index landing: each micro-batch encodes
     * under the frozen stored grid with CLAMPING (the q165 landing
     * discipline) and appends its unseen vec_ids. */

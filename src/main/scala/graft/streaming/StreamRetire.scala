@@ -208,7 +208,13 @@ object StreamRetire {
     * retired DOCS subtract-lands its (gram, doc_id) presence refcounts
     * — indexed regex probes stop nominating the deleted docs from the
     * landing commit on ([[graft.pipeline.RegexIndex
-    * .retireFromRegexIndex]]), O(batch), idempotent per batch id. */
+    * .retireFromRegexIndex]]), O(batch), idempotent per batch id.
+    * The doc STORE deliberately has no delete stream: a doc retired
+    * here is never nominated again, so its store row is unreachable
+    * from this commit on, and the store's reclaim
+    * ([[graft.pipeline.RegexIndex.retireFromDocStore]]) is a scheduled
+    * O(store) rewrite — per-micro-batch it would violate the O(batch)
+    * landing contract every stream in this module keeps. */
   def fromRegexIndex(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, table: String, srcPrefix: String,
       gateOnLandSrcCol: Option[String] = None)(

@@ -95,6 +95,60 @@ class StreamLandingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed regex index + doc store landings serve the store-pair search ≡ batch (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val idx = "graft_test_land_rgx_idx"
+    val store = "graft_test_land_rgx_store"
+    val refIdx = "graft_test_land_rgx_idx_ref"
+    val refStore = "graft_test_land_rgx_store_ref"
+    Seq(idx, store, refIdx, refStore).foreach { t =>
+      Seq(t, s"${t}_meta", s"${t}_srcs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    graft.pipeline.RegexIndex.writeRegexIndex(a, "doc_id", "text", idx,
+      buckets = 8)
+    graft.pipeline.RegexIndex.writeDocStore(a, "doc_id", "text", store,
+      buckets = 8)
+    val bRows = b.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val parts = (0 until 3).map(r => bRows.filter(x => (x._1 / 2) % 3 == r))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamLanding.intoRegexIndex(spark,
+        in1.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        srcPrefix = "srgxl")()
+      .queryName("stream_rgx_idx_landing_test").start()
+    try {
+      parts.foreach { p => in1.addData(p); q1.processAllAvailable() }
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamLanding.intoDocStore(spark,
+        in2.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+        srcPrefix = "sstorel")()
+      .queryName("stream_rgx_store_landing_test").start()
+    try {
+      parts.foreach { p => in2.addData(p); q2.processAllAvailable() }
+    } finally q2.stop()
+    graft.pipeline.RegexIndex.writeRegexIndex(docs, "doc_id", "text",
+      refIdx, buckets = 8)
+    graft.pipeline.RegexIndex.writeDocStore(docs, "doc_id", "text",
+      refStore, buckets = 8)
+    val p = "slow [a-z]+ join"
+    def probe(i: String, st: String) = graft.pipeline.RegexIndex
+      .searchFromStore(spark, i, st, p)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe(idx, store) == probe(refIdx, refStore))
+    assert(probe(idx, store).nonEmpty)
+    Seq(idx, store, refIdx, refStore).foreach { t =>
+      Seq(t, s"${t}_meta", s"${t}_srcs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
   test("streamed IVF-index landing ≡ the batch write+append union; probe bit-equal") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
