@@ -485,6 +485,57 @@ object RegexIndex {
     }.reduce(_ unionByName _).orderBy("pattern_id", "doc_id")
   }
 
+  /** CONJUNCTIVE regex search — every pattern must match the same doc
+    * (the reference's own `/search` semantics: its value-regex list is
+    * conjunctive, `search.clj:74-81` — every compiled pattern must
+    * re-find). The index serves this BETTER than the single-pattern
+    * form: candidate sets INTERSECT, so each analyzable pattern only
+    * shrinks the fetch, and — the asymmetry worth stating — an
+    * UNANALYZABLE member is gracefully tolerated here: in a
+    * conjunction it can only remove matches, never add them, so the
+    * other members' candidates remain a sound superset and the
+    * unindexable pattern just rides the confirm. (The batched UNION
+    * form has the opposite contract: one unanalyzable member poisons
+    * the sweep and raises.) Only when NO member is analyzable is there
+    * nothing to nominate from — loud refusal unless `allowScan`. */
+  def searchAllFromIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], allowScan: Boolean = false): DataFrame = {
+    require(patterns.nonEmpty, "patterns must be non-empty")
+    val candSets = patterns.flatMap(p =>
+      candidatesFromIndex(spark, table, p))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val fetched =
+      if (candSets.isEmpty) {
+        require(allowScan,
+          s"no pattern of ${patterns.mkString("[", ", ", "]")} has a " +
+            "required literal factor >= 3 chars — the conjunction " +
+            "cannot nominate; pass allowScan = true to pay the full " +
+            "corpus scan explicitly")
+        base
+      } else {
+        val cands = candSets.reduce((a, b) =>
+          a.join(b, Seq("doc_id"), "left_semi"))
+        // The searchFromIndex barrier, for the same reason.
+        graft.ops.Materialize.barrier(
+          base.join(broadcast(cands), Seq("doc_id"), "left_semi"))
+      }
+    patterns.foldLeft(fetched)((df, p) =>
+        df.filter(col("__text").rlike(p)))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[searchAllFromIndex]]: ANDed regexp_matches. */
+  def conjunctiveOracleSql(patterns: Seq[String],
+      corpusSql: String = "documents"): String = {
+    val conj = patterns.map(p =>
+      s"regexp_matches(text, '${p.replace("'", "''")}')").mkString(" AND ")
+    s"""SELECT doc_id FROM $corpusSql
+       |WHERE $conj
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Doc store: the codesearch deployment shape (index nominates, store
   // serves the bytes).

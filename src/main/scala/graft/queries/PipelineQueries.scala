@@ -23,6 +23,12 @@ object PipelineQueries {
     "(?i)FAST (TABLE|KEY) ORDER",
     "data (line|row)")
 
+  /** q200's conjunction — the second member is deliberately
+    * unanalyzable (tolerated in a conjunction, poison in a union). */
+  private val ConjunctivePatterns = Seq(
+    "slow [a-z]+ join",
+    "(line|row) [a-z]+")
+
   val EmbeddingDim = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1075,6 +1081,27 @@ object PipelineQueries {
       }
       RegexIndex.searchFromStore(s, idx, store,
         "slow [a-z]+ join|fast (table|key) order")
+    }),
+
+    // Conjunctive regex search (r20): the reference's own /search
+    // semantics — its value-regex list is conjunctive (every compiled
+    // pattern must re-find, search.clj:74-81). Candidate sets
+    // INTERSECT, so each analyzable pattern shrinks the fetch; the
+    // second pattern here is deliberately UNANALYZABLE (group claims
+    // nothing, no factor >= 3) — in a conjunction it can only remove
+    // matches, so it rides the confirm while the first pattern
+    // nominates. The batch (union) form has the opposite contract.
+    "q200_regex_conjunctive" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      if (!s.catalog.tableExists(s"${tbl}_meta")) {
+        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", tbl, buckets = 32)
+        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", tbl, src = "q194:odds")
+      }
+      RegexIndex.searchAllFromIndex(s, tbl, docs, "doc_id", "text",
+        ConjunctivePatterns)
     }),
 
     // Centroid-drift meter (r20): the failure mode staleness can't see
@@ -2157,6 +2184,9 @@ object PipelineQueries {
     // The store path answers the same question as q194 — its oracle.
     "q199_regex_store" -> RegexIndex.oracleSql(
       "slow [a-z]+ join|fast (table|key) order"),
+
+    "q200_regex_conjunctive" ->
+      RegexIndex.conjunctiveOracleSql(ConjunctivePatterns),
     "q193_proximity_search" -> PhraseIndex.windowOracleSql(
       "table", "scan", window = 4),
     "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(

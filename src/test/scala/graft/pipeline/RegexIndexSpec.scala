@@ -240,6 +240,50 @@ class RegexIndexSpec extends AnyFunSuite {
     drop(tbl)
   }
 
+  test("conjunctive search ≡ ANDed scan; unanalyzable member tolerated; all-unanalyzable refuses") {
+    val tbl = "graft_test_regex_conj"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(docs, "doc_id", "text", tbl, buckets = 8)
+    def scanAll(pats: Seq[String]) = ids(
+      pats.foldLeft(docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("text")))((df, p) => df.filter(col("text").rlike(p)))
+        .select("doc_id").orderBy("doc_id"))
+    val cases = Seq(
+      Seq("slow [a-z]+ join", "customer [a-z]+"),        // both analyzable
+      Seq("slow [a-z]+ join", "(line|row) [a-z]+"),      // 2nd unanalyzable
+      Seq("(?i)SLOW [a-z]+ JOIN", "customer [a-z]+ data"))
+    cases.foreach { pats =>
+      val (got, frames) = graft.ops.Materialize.collecting {
+        ids(RegexIndex.searchAllFromIndex(spark, tbl, docs, "doc_id",
+          "text", pats))
+      }
+      graft.ops.Materialize.release(frames)
+      assert(got == scanAll(pats), pats.toString)
+      assert(got.nonEmpty, s"dead fixture for $pats")
+    }
+    // Intersection shrinks: the conjunction is a subset of each member.
+    val (both, frames) = graft.ops.Materialize.collecting {
+      (ids(RegexIndex.searchAllFromIndex(spark, tbl, docs, "doc_id",
+          "text", Seq("slow [a-z]+ join", "customer [a-z]+"))),
+        ids(RegexIndex.searchFromIndex(spark, tbl, docs, "doc_id",
+          "text", "slow [a-z]+ join")))
+    }
+    graft.ops.Materialize.release(frames)
+    assert(both._1.toSet.subsetOf(both._2.toSet) &&
+      both._1.size < both._2.size)
+    // No analyzable member at all: loud, or explicit scan.
+    val e = intercept[IllegalArgumentException] {
+      RegexIndex.searchAllFromIndex(spark, tbl, docs, "doc_id", "text",
+        Seq("(line|row) [a-z]+", "[0-9]+"))
+    }
+    assert(e.getMessage.contains("cannot nominate"))
+    val viaScan = ids(RegexIndex.searchAllFromIndex(spark, tbl, docs,
+      "doc_id", "text", Seq("(line|row) [a-z]+", "big [a-z]+"),
+      allowScan = true))
+    assert(viaScan == scanAll(Seq("(line|row) [a-z]+", "big [a-z]+")))
+    drop(tbl)
+  }
+
   test("doc store: store path ≡ index path; fetch bound raises loudly; reclaim after index retire") {
     val idx = "graft_test_regex_store_idx"
     val store = "graft_test_regex_store"
