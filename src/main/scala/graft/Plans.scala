@@ -35,7 +35,11 @@ object Plans {
     "q167_asset_dedup", "q168_frame_overlap", "q169_asset_embedding_dedup",
     "q170_retired_lm", "q171_retired_sq8", "q172_retired_novelty",
     "q173_whole_repeats", "q174_tombstoned_sq8", "q175_index_staleness",
-    "q176_set_ops_all", "q177_lateral_topn", "q178_content_id")
+    "q176_set_ops_all", "q177_lateral_topn", "q178_content_id",
+    "q180_shifted_overlap", "q183_landed_residual", "q185_shifted_content_id",
+    "q186_landed_bm25", "q187_stored_tfidf", "q191_phrase_search",
+    "q193_proximity_search", "q194_regex_search", "q198_regex_batch",
+    "q199_regex_store", "q200_regex_conjunctive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
