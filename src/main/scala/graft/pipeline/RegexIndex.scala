@@ -460,15 +460,19 @@ object RegexIndex {
     // One restricted scan + fold, many consumers.
     val live = graft.ops.Materialize.barrier(
       liveGrams(spark, table, allGrams))
-    val cands = compiled.flatMap { case (pid, branches) =>
-      branches.map { factors =>
-        val grams = factors.flatMap(_.toLowerCase.sliding(3)).distinct
-        live.filter(col("gram").isin(grams: _*))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-          .filter(col("n_grams") === grams.size)
-          .select(lit(pid.toLong).as("pattern_id"), col("doc_id"))
-      }
-    }.reduce(_ unionByName _).distinct()
+    // Also materialized: the fetch AND every per-pattern confirm read
+    // it — without this each of the N confirms would recompute the
+    // whole candidate union from the gram fold.
+    val cands = graft.ops.Materialize.barrier(
+      compiled.flatMap { case (pid, branches) =>
+        branches.map { factors =>
+          val grams = factors.flatMap(_.toLowerCase.sliding(3)).distinct
+          live.filter(col("gram").isin(grams: _*))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+            .filter(col("n_grams") === grams.size)
+            .select(lit(pid.toLong).as("pattern_id"), col("doc_id"))
+        }
+      }.reduce(_ unionByName _).distinct())
     // One candidate-restricted text fetch serves every pattern's
     // confirm (a doc nominated by several patterns fetches once).
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
