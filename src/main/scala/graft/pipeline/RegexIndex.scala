@@ -586,6 +586,20 @@ object RegexIndex {
     CorpusWriter.recordSrc(spark, table, tag)
   }
 
+  /** Compact the store: each landing appends one file set per bucket,
+    * so after many landings a fetch opens O(landings) files per
+    * bucket. One rewrite under the store's bucket spec restores one
+    * file set; rows are untouched (the store has no refcounts to
+    * fold), so it is answer-invisible by construction. Records any
+    * live src tags first so replays stay recognized. */
+  def compactDocStore(spark: SparkSession, table: String): Unit = {
+    CorpusWriter.recordSrcs(spark, table)
+    CorpusWriter.compactSrcs(spark, table)
+    CorpusWriter.rewriteBucketed(spark, table)(df =>
+      df.select(col("doc_id"), col("text"),
+        lit(null).cast("string").as("src")))
+  }
+
   /** Reclaim retired docs' storage: one anti-join rewrite under the
     * store's bucket spec. NOT on the serving path's latency budget —
     * a doc retired from the INDEX is never nominated, so its store row

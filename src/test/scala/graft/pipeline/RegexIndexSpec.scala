@@ -335,6 +335,14 @@ class RegexIndexSpec extends AnyFunSuite {
     RegexIndex.retireFromDocStore(spark, store,
       docs.filter(col("doc_id") % 3 === 0), "doc_id")
     assert(ids(RegexIndex.searchFromStore(spark, idx, store, p)) == remaining)
+    // Store compaction: answer-invisible, one file set, replay still
+    // skipped after the fold erased the live tags.
+    RegexIndex.compactDocStore(spark, store)
+    assert(ids(RegexIndex.searchFromStore(spark, idx, store, p)) == remaining)
+    val afterCompact = spark.table(store).count()
+    RegexIndex.appendToDocStore(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", store, src = "spec:odds")
+    assert(spark.table(store).count() == afterCompact)
     drop(idx); drop(store)
   }
 
