@@ -46,7 +46,7 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val qts = terms.map(_.toLowerCase)
+    val qts = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
     // ONE text scan: per doc, the token count plus only the query-term
     // occurrences (an array-side filter — the posting restriction lands
@@ -559,7 +559,7 @@ object Bm25 {
       table: String, terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k > 0, s"need terms and k > 0: $terms, $k")
-    val qts = terms.map(_.toLowerCase)
+    val qts = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     // Posting-list-sized by the term restriction; materialized because
     // the df derivation, the score join, and the lens semi-join all
     // consume it — one bucketed scan, not three.
@@ -590,7 +590,7 @@ object Bm25 {
     * integer sums cast back from HUGEINT. */
   def oracleSql(terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75, corpusSql: String = "documents"): String = {
-    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    val termList = terms.map(t => s"'${t.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
     s"""WITH lens AS (
        |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS dl
        |  FROM $corpusSql

@@ -122,7 +122,7 @@ object PhraseIndex {
 
   private def matchCounts(positions: DataFrame,
       phrase: Seq[String]): DataFrame = {
-    val qts = phrase.map(_.toLowerCase)
+    val qts = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val base = positions.filter(col("term") === qts.head)
       .select(col("doc_id"), col("pos"))
     val starts = qts.zipWithIndex.drop(1).foldLeft(base) {
@@ -141,7 +141,7 @@ object PhraseIndex {
   def occurrencesFromIndex(spark: SparkSession, table: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val qts = phrase.map(_.toLowerCase)
+    val qts = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     // Materialized: every phrase position joins against it (n−1
     // consumers), and it is posting-list-sized by the term filter.
     matchCounts(
@@ -156,7 +156,7 @@ object PhraseIndex {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val qts = phrase.map(_.toLowerCase)
+    val qts = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val terms = qts.distinct
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
     val positions = Materialize.barrier(docs.select(
@@ -194,7 +194,7 @@ object PhraseIndex {
   def withinWindowFromIndex(spark: SparkSession, table: String,
       termA: String, termB: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
     val live = Materialize.barrier(
       livePositions(spark, table, Seq(a, b).distinct))
     val w1 = (window + 1).toLong
@@ -217,7 +217,7 @@ object PhraseIndex {
   /** DuckDB oracle for [[withinWindowFromIndex]] over `documents`. */
   def windowOracleSql(termA: String, termB: String, window: Int,
       corpusSql: String = "documents"): String = {
-    def esc(t: String) = t.replace("'", "''").toLowerCase
+    def esc(t: String) = t.replace("'", "''").toLowerCase(java.util.Locale.ROOT)
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
        |  FROM $corpusSql),
@@ -240,7 +240,7 @@ object PhraseIndex {
     * the join offsets), one CTE per phrase position. */
   def oracleSql(phrase: Seq[String], corpusSql: String = "documents"): String = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val qts = phrase.map(_.toLowerCase)
+    val qts = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     def esc(t: String) = t.replace("'", "''")
     val joins = qts.zipWithIndex.drop(1).map { case (t, i) =>
       s"JOIN pos p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i\n" +

@@ -128,6 +128,15 @@ object RegexIndex {
     CorpusWriter.compactAdditiveIndexMulti(spark, table,
       Seq("gram", "doc_id"), "regex trigram index")
 
+  /** Probe-side case folding: Locale.ROOT, NEVER the JVM default —
+    * under a tr_TR locale `"I".toLowerCase` is dotless 'ı' while the
+    * index side (`lower()` / UTF8String's ASCII fast path) stores 'i',
+    * and an ASCII factor would silently nominate nothing. With ROOT
+    * the two sides genuinely agree on the ASCII range the
+    * [[candidatesFromIndex]] guard admits. */
+  private def fold(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
   /** Live (gram, doc_id) presence of `grams` — bucket-pruned scan,
     * bucket-local refcount fold. */
   private def liveGrams(spark: SparkSession, table: String,
@@ -367,9 +376,9 @@ object RegexIndex {
   /** Candidate doc_ids from the STORED index — docs holding every
     * case-folded trigram of every required factor of some branch; a
     * provable superset of the regex's matches. None when the pattern
-    * has no sound factoring, or when a factor leaves ASCII (driver
-    * `toLowerCase` and the index's `lower()` provably agree on ASCII;
-    * beyond it, locale-vs-UTF8 folding disagreements could turn the
+    * has no sound factoring, or when a factor leaves ASCII (the
+    * Locale.ROOT probe fold and the index's `lower()` provably agree
+    * on ASCII; beyond it, folding disagreements could turn the
     * superset into a miss — bail to the scan instead). The scan is
     * gram-restricted (bucket-pruned); the fold is bucket-local; each
     * branch is one counting aggregate over its posting slices. */
@@ -380,7 +389,7 @@ object RegexIndex {
       .map { branches =>
         branches.map { factors =>
           val grams =
-            factors.flatMap(_.toLowerCase.sliding(3)).distinct
+            factors.flatMap(f => fold(f).sliding(3)).distinct
           liveGrams(spark, table, grams)
             .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
             .filter(col("n_grams") === grams.size)
@@ -422,8 +431,10 @@ object RegexIndex {
       case None =>
         require(allowScan,
           s"regex '$pattern' has no required literal factor >= 3 chars " +
-            "— the index cannot prune it; pass allowScan = true to pay " +
-            "the full corpus scan explicitly")
+            "within ASCII (unanalyzable pattern, or factors outside " +
+            "ASCII where case-fold agreement is unprovable) — the " +
+            "index cannot prune it; pass allowScan = true to pay the " +
+            "full corpus scan explicitly")
         base.filter(col("__text").rlike(pattern))
           .select("doc_id").orderBy("doc_id")
     }
@@ -451,12 +462,12 @@ object RegexIndex {
           .filter(_.forall(_.forall(_.forall(_ < 128))))
         require(branches.isDefined,
           s"batched regex search: pattern $i '$p' has no required " +
-            "literal factor >= 3 chars — run it alone via " +
-            "searchFromIndex(allowScan = true) instead")
+            "literal factor >= 3 chars within ASCII — run it alone " +
+            "via searchFromIndex(allowScan = true) instead")
         (i, branches.get)
       }
     val allGrams = compiled
-      .flatMap(_._2.flatMap(_.flatMap(_.toLowerCase.sliding(3)))).distinct
+      .flatMap(_._2.flatMap(_.flatMap(f => fold(f).sliding(3)))).distinct
     // One restricted scan + fold, many consumers.
     val live = graft.ops.Materialize.barrier(
       liveGrams(spark, table, allGrams))
@@ -466,7 +477,7 @@ object RegexIndex {
     val cands = graft.ops.Materialize.barrier(
       compiled.flatMap { case (pid, branches) =>
         branches.map { factors =>
-          val grams = factors.flatMap(_.toLowerCase.sliding(3)).distinct
+          val grams = factors.flatMap(f => fold(f).sliding(3)).distinct
           live.filter(col("gram").isin(grams: _*))
             .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
             .filter(col("n_grams") === grams.size)
@@ -480,13 +491,21 @@ object RegexIndex {
     val fetched = graft.ops.Materialize.barrier(
       base.join(broadcast(cands.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi"))
-    patterns.zipWithIndex.map { case (p, pid) =>
-      fetched
-        .join(broadcast(cands.filter(col("pattern_id") === pid)),
-          Seq("doc_id"), "left_semi")
-        .filter(col("__text").rlike(p))
-        .select(lit(pid.toLong).as("pattern_id"), col("doc_id"))
-    }.reduce(_ unionByName _).orderBy("pattern_id", "doc_id")
+    // Confirm: ONE inner join pairs each fetched doc with the
+    // pattern_ids that nominated it, then a guarded disjunction runs
+    // each row's OWN pattern only. The guard references both join
+    // sides, so Catalyst cannot push the regex below the join — a
+    // per-pattern filter over `fetched` would be pushed down and
+    // evaluate every pattern over the whole candidate UNION
+    // (N x union-sized regex work); this shape keeps the total regex
+    // work at sum over patterns of |candidates(pattern)|.
+    val confirm = patterns.zipWithIndex.map { case (p, pid) =>
+      col("pattern_id") === pid.toLong && col("__text").rlike(p)
+    }.reduce(_ || _)
+    fetched.join(broadcast(cands), Seq("doc_id"))
+      .filter(confirm)
+      .select(col("pattern_id"), col("doc_id"))
+      .orderBy("pattern_id", "doc_id")
   }
 
   /** CONJUNCTIVE regex search — every pattern must match the same doc
@@ -514,9 +533,9 @@ object RegexIndex {
       if (candSets.isEmpty) {
         require(allowScan,
           s"no pattern of ${patterns.mkString("[", ", ", "]")} has a " +
-            "required literal factor >= 3 chars — the conjunction " +
-            "cannot nominate; pass allowScan = true to pay the full " +
-            "corpus scan explicitly")
+            "required literal factor >= 3 chars within ASCII — the " +
+            "conjunction cannot nominate; pass allowScan = true to " +
+            "pay the full corpus scan explicitly")
         base
       } else {
         val cands = candSets.reduce((a, b) =>
@@ -631,9 +650,9 @@ object RegexIndex {
       maxCandidates: Int = 100000, maxLiteralIds: Int = 1000): DataFrame = {
     val cands = candidatesFromIndex(spark, idxTable, pattern)
     require(cands.isDefined,
-      s"regex '$pattern' has no required literal factor >= 3 chars — " +
-        "the store path cannot nominate; scan a corpus frame via " +
-        "searchFromIndex(allowScan = true) instead")
+      s"regex '$pattern' has no required literal factor >= 3 chars " +
+        "within ASCII — the store path cannot nominate; scan a corpus " +
+        "frame via searchFromIndex(allowScan = true) instead")
     val bounded = graft.ops.Materialize.barrier(cands.get)
     val ids = bounded.limit(maxLiteralIds + 1).collect().map(_.getLong(0))
     val fetched =

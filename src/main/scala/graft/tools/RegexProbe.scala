@@ -68,8 +68,12 @@ object RegexProbe {
           n
         }
         val viaStore = timed(s"$kind store-pair search pass $i") {
-          graft.pipeline.RegexIndex.searchFromStore(spark, tbl, store,
-            pattern, maxCandidates = 1000000).count()
+          val (n, frames) = graft.ops.Materialize.collecting {
+            graft.pipeline.RegexIndex.searchFromStore(spark, tbl, store,
+              pattern, maxCandidates = 1000000).count()
+          }
+          graft.ops.Materialize.release(frames)
+          n
         }
         val viaScan = timed(s"$kind full rlike scan pass $i") {
           docs.filter(col("text").rlike(pattern)).count()
