@@ -489,15 +489,30 @@ object CorpusWriter {
     * nowhere else; the stored side's scan partition-prunes to those
     * directories). Keeps the index duplicate-free, so re-landing a
     * batch is a no-op and write+append ≡ one write over the union. */
+  /** The stored coarse centroids of an IVF-family sidecar, read
+    * LOUDLY: a missing or empty `{table}_cent` names the contract
+    * (e.g. a residual sidecar's centroids live in `{table}_coarse`)
+    * instead of dying on a bare head-of-empty-collection. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(Long, Array[Double])] = {
+    require(spark.catalog.tableExists(s"${table}_cent"),
+      s"$table has no '${table}_cent' centroid sidecar — not an IVF " +
+        "index (a residual sidecar's coarse centroids live in " +
+        s"'${table}_coarse'; this op serves plain IVF tables)")
+    val cents = spark.table(s"${table}_cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"malformed IVF index: '${table}_cent' is empty")
+    cents
+  }
+
   def appendToIvfIndex(landing: DataFrame, idCol: String, embCol: String,
       table: String): Unit = {
     val spark = landing.sparkSession
     val meta = spark.table(s"${table}_meta").collect()
     require(meta.length == 1, s"malformed IVF-index meta: ${meta.length} rows")
     val dim = meta(0).getAs[Int]("dim")
-    val cents = spark.table(s"${table}_cent").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(spark, table)
     require(cents.forall(_._2.length == dim),
       s"IVF-index centroid dim mismatch against meta dim=$dim")
     val assigned = Clustering.withCluster(
@@ -1113,9 +1128,7 @@ object CorpusWriter {
       .select("cell").collect().map(_.getLong(0)).toSet // ≤ k cells
     val stale = closeOverMoves(bare, movedCellEdges(joined)).toSeq.sorted
     if (stale.nonEmpty) {
-      val cents = spark.table(s"${table}_cent").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+      val cents = readCentroids(spark, table)
       val fresh = Clustering.withCluster(
           Clustering.lifted(corpus, idCol, embCol), cents)
         .select(col("vec_id"), col("emb"), col("cluster").as("cell"))
@@ -1164,9 +1177,7 @@ object CorpusWriter {
   def ivfCentroidDrift(spark: org.apache.spark.sql.SparkSession,
       table: String, corpus: DataFrame, idCol: String,
       embCol: String): Seq[(Long, Long, Double)] = {
-    val cents = spark.table(s"${table}_cent").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(spark, table)
     val dim = cents.head._2.length
     val assigned = graft.ops.Materialize.barrier(Clustering.withCluster(
       Clustering.lifted(corpus, idCol, embCol), cents))
@@ -1212,9 +1223,7 @@ object CorpusWriter {
       table: String, corpus: DataFrame, idCol: String, embCol: String,
       bar: Double): (Seq[Long], Seq[Long]) = {
     require(bar >= 0.0, s"drift bar must be >= 0: $bar")
-    val cents = spark.table(s"${table}_cent").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = readCentroids(spark, table)
     val dim = cents.head._2.length
     val assigned = graft.ops.Materialize.barrier(Clustering.withCluster(
       Clustering.lifted(corpus, idCol, embCol), cents))
@@ -1531,7 +1540,15 @@ object CorpusWriter {
     * landing arrives; this raises BEFORE any subtract lands, so the
     * sidecar never enters the loud-interim state. */
   private[graft] def requireLanded(spark: org.apache.spark.sql.SparkSession,
-      table: String, batch: DataFrame, landSrcCol: String): Unit = {
+      table: String, batch: DataFrame, landSrcCol: String): Unit =
+    requireLandedAll(spark, Seq(table), batch, landSrcCol)
+
+  /** [[requireLanded]] against SEVERAL sub-tables (the postings gate):
+    * the batch's distinct-tag collect runs ONCE and the collected set
+    * probes each table — a per-table call would re-run that Spark job
+    * per sub-table on every micro-batch for no additional safety. */
+  private[graft] def requireLandedAll(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String], batch: DataFrame, landSrcCol: String): Unit = {
     val tags = batch.select(col(landSrcCol).cast("string"))
       .distinct().limit(MaxGateLandings + 1)
       .collect().map(_.getString(0))
@@ -1541,10 +1558,12 @@ object CorpusWriter {
     require(!tags.contains(null),
       s"retire-ordering gate: NULL '$landSrcCol' in retire batch — " +
         "every retired row must name the landing that carried it")
-    tags.foreach { s =>
-      require(srcApplied(spark, table, landTag(s)),
-        s"retire-ordering gate: landing '$s' has not committed into " +
-          s"$table — retire batches must trail their docs' landings")
+    tables.foreach { table =>
+      tags.foreach { s =>
+        require(srcApplied(spark, table, landTag(s)),
+          s"retire-ordering gate: landing '$s' has not committed into " +
+            s"$table — retire batches must trail their docs' landings")
+      }
     }
   }
 

@@ -29,6 +29,52 @@ object PipelineQueries {
     "slow [a-z]+ join",
     "(line|row) [a-z]+")
 
+  /** Build-once fixture: the q186 postings sidecar (evens written,
+    * odds landed) shared by every stored-postings consumer. ONE
+    * definition — the consumers used to carry byte-identical copies
+    * of this block, where a drifted copy would silently change
+    * whichever query ran second. */
+  private def ensurePostingsFixture(s: SparkSession, sf: String): String = {
+    val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
+    if (!s.catalog.tableExists(s"${tbl}_meta")) {
+      val docs = Tables.load(s, sf, "documents")
+      Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tbl, buckets = 32)
+      Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tbl, src = "q186:odds")
+    }
+    tbl
+  }
+
+  /** The q191 positional sidecar, shared by the phrase + proximity
+    * consumers (same one-definition rationale). */
+  private def ensurePhraseFixture(s: SparkSession, sf: String): String = {
+    val tbl = s"graft_q191_phrase_${Tables.fixtureKey(sf, "documents")}"
+    if (!s.catalog.tableExists(s"${tbl}_meta")) {
+      val docs = Tables.load(s, sf, "documents")
+      PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tbl, buckets = 32)
+      PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tbl, src = "q191:odds")
+    }
+    tbl
+  }
+
+  /** The q194 trigram sidecar, shared by every regex consumer (same
+    * one-definition rationale). */
+  private def ensureRegexFixture(s: SparkSession, sf: String): String = {
+    val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+    if (!s.catalog.tableExists(s"${tbl}_meta")) {
+      val docs = Tables.load(s, sf, "documents")
+      RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tbl, buckets = 32)
+      RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tbl, src = "q194:odds")
+    }
+    tbl
+  }
+
+
   val EmbeddingDim = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -920,13 +966,7 @@ object PipelineQueries {
     // Full-corpus index ⇒ the oracle IS q114's.
     "q190_stored_mrr" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q186:odds")
-      }
+      val tbl = ensurePostingsFixture(s, sf)
       Bm25.selfRetrievalMrrFromIndex(s, tbl, docs, "doc_id", "text")
     }),
 
@@ -939,17 +979,9 @@ object PipelineQueries {
     // equi-joins — no text scan, no tokenization, O(deleted) takedowns
     // (spec-gated in PhraseIndexSpec). Oracle re-derives positions from
     // text, so the gate also proves the index isn't stale.
-    "q191_phrase_search" -> ((s, sf) => {
-      val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q191_phrase_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q191:odds")
-      }
-      PhraseIndex.occurrencesFromIndex(s, tbl, Seq("hash", "agg"))
-    }),
+    "q191_phrase_search" -> ((s, sf) =>
+      PhraseIndex.occurrencesFromIndex(s, ensurePhraseFixture(s, sf),
+        Seq("hash", "agg"))),
 
     // Proximity search (r20): the q191 positional sidecar's other
     // consumer — per doc, occurrence pairs of two terms within a
@@ -957,17 +989,9 @@ object PipelineQueries {
     // consumers, like q186/q187/q190 over the BM25 sidecar). The join
     // is doc_id-equi FIRST, so the range predicate only runs inside a
     // doc's own posting cells — per-doc envelope, never corpus-sized.
-    "q193_proximity_search" -> ((s, sf) => {
-      val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q191_phrase_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q191:odds")
-      }
-      PhraseIndex.withinWindowFromIndex(s, tbl, "table", "scan", window = 4)
-    }),
+    "q193_proximity_search" -> ((s, sf) =>
+      PhraseIndex.withinWindowFromIndex(s, ensurePhraseFixture(s, sf),
+        "table", "scan", window = 4)),
 
     // Trigram-indexed REGEX search (r20): the reference's defining
     // operation — regex-grep the corpus (kbrowse search.clj:74-81
@@ -983,15 +1007,8 @@ object PipelineQueries {
     // checks the nomination loses nothing.
     "q194_regex_search" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q194:odds")
-      }
-      RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
-        "slow [a-z]+ join|fast (table|key) order")
+      RegexIndex.searchFromIndex(s, ensureRegexFixture(s, sf), docs,
+        "doc_id", "text", "slow [a-z]+ join|fast (table|key) order")
     }),
 
     // Regex-index takedown (r20): the q194 sidecar with half the
@@ -1023,15 +1040,8 @@ object PipelineQueries {
     // (?i) path against DuckDB's own (?i) semantics end-to-end).
     "q196_regex_nocase" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q194:odds")
-      }
-      RegexIndex.searchFromIndex(s, tbl, docs, "doc_id", "text",
-        "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER")
+      RegexIndex.searchFromIndex(s, ensureRegexFixture(s, sf), docs,
+        "doc_id", "text", "(?i)SLOW [a-z]+ JOIN|FAST (TABLE|KEY) ORDER")
     }),
 
     // Batched regex sweep (r20): N patterns against ONE index scan —
@@ -1044,15 +1054,8 @@ object PipelineQueries {
     // a doc nominated by several patterns fetches its text once.
     "q198_regex_batch" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q194:odds")
-      }
-      RegexIndex.searchManyFromIndex(s, tbl, docs, "doc_id", "text",
-        BatchPatterns)
+      RegexIndex.searchManyFromIndex(s, ensureRegexFixture(s, sf), docs,
+        "doc_id", "text", BatchPatterns)
     }),
 
     // Index + doc-store pair (r20): the codesearch deployment shape.
@@ -1064,16 +1067,10 @@ object PipelineQueries {
     // candidate-sized. Same answer as q194 (the oracle is q194's);
     // both sidecars land in two landings.
     "q199_regex_store" -> ((s, sf) => {
-      val docs = Tables.load(s, sf, "documents")
-      val idx = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
+      val idx = ensureRegexFixture(s, sf)
       val store = s"graft_q199_store_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${idx}_meta")) {
-        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", idx, buckets = 32)
-        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", idx, src = "q194:odds")
-      }
       if (!s.catalog.tableExists(s"${store}_meta")) {
+        val docs = Tables.load(s, sf, "documents")
         RegexIndex.writeDocStore(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", store, buckets = 32)
         RegexIndex.appendToDocStore(docs.filter(col("doc_id") % 2 === 1),
@@ -1093,15 +1090,8 @@ object PipelineQueries {
     // nominates. The batch (union) form has the opposite contract.
     "q200_regex_conjunctive" -> ((s, sf) => {
       val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q194_regex_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        RegexIndex.writeRegexIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        RegexIndex.appendToRegexIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q194:odds")
-      }
-      RegexIndex.searchAllFromIndex(s, tbl, docs, "doc_id", "text",
-        ConjunctivePatterns)
+      RegexIndex.searchAllFromIndex(s, ensureRegexFixture(s, sf), docs,
+        "doc_id", "text", ConjunctivePatterns)
     }),
 
     // Centroid-drift meter (r20): the failure mode staleness can't see
@@ -1138,17 +1128,8 @@ object PipelineQueries {
     // (doc, term, tf) aggregate is the bucket-local live fold; N is the
     // netted live-doc count (what the index holds — ≡ q51's N when no
     // empty docs exist, stated relationally in the oracle).
-    "q187_stored_tfidf" -> ((s, sf) => {
-      val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q186:odds")
-      }
-      TfIdf.topTermsFromIndex(s, tbl, topN = 3)
-    }),
+    "q187_stored_tfidf" -> ((s, sf) =>
+      TfIdf.topTermsFromIndex(s, ensurePostingsFixture(s, sf), topN = 3)),
 
     // Stored inverted index (r19): q89 answered from a PERSISTED
     // postings sidecar built in TWO landings (the retire path is
@@ -1156,18 +1137,9 @@ object PipelineQueries {
     // bucketed postings + the slim lens fold — NO text scan, no
     // tokenization — bit-equal to the in-session q89 over the landed
     // corpus, so the oracle IS q89's.
-    "q186_landed_bm25" -> ((s, sf) => {
-      val docs = Tables.load(s, sf, "documents")
-      val tbl = s"graft_q186_postings_${Tables.fixtureKey(sf, "documents")}"
-      if (!s.catalog.tableExists(s"${tbl}_meta")) {
-        Bm25.writePostingsIndex(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", tbl, buckets = 32)
-        Bm25.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", tbl, src = "q186:odds")
-      }
-      Bm25.topKFromIndex(s, tbl, terms = Seq("dup", "vector", "scan"),
-        k = 10)
-    }),
+    "q186_landed_bm25" -> ((s, sf) =>
+      Bm25.topKFromIndex(s, ensurePostingsFixture(s, sf),
+        terms = Seq("dup", "vector", "scan"), k = 10)),
 
     // Hard-negative mining (r14): q41's broadcast-scan shape with the
     // label-exclusion that turns ANN into contrastive-training prep —

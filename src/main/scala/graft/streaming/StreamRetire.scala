@@ -168,11 +168,11 @@ object StreamRetire {
         if (!batch.isEmpty) {
           // The postings landing commits THREE sub-tables (stats last)
           // — gate on all three, or a retire could subtract stats a
-          // mid-crash landing never added.
-          gateOnLandSrcCol.foreach { c =>
-            Seq(table, s"${table}_lens", s"${table}_stats").foreach(
-              CorpusWriter.requireLanded(spark, _, batch, c))
-          }
+          // mid-crash landing never added. One tag collect, three
+          // probes.
+          gateOnLandSrcCol.foreach(
+            CorpusWriter.requireLandedAll(spark,
+              Seq(table, s"${table}_lens", s"${table}_stats"), batch, _))
           val (_, frames) = graft.ops.Materialize.collecting {
             graft.pipeline.Bm25.retireFromPostingsIndex(batch, idCol,
               textCol, table, src = s"$srcPrefix:$batchId")
