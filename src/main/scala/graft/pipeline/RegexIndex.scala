@@ -492,16 +492,22 @@ object RegexIndex {
       base.join(broadcast(cands.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi"))
     // Confirm: ONE inner join pairs each fetched doc with the
-    // pattern_ids that nominated it, then a guarded disjunction runs
-    // each row's OWN pattern only. The guard references both join
-    // sides, so Catalyst cannot push the regex below the join — a
-    // per-pattern filter over `fetched` would be pushed down and
-    // evaluate every pattern over the whole candidate UNION
-    // (N x union-sized regex work); this shape keeps the total regex
-    // work at sum over patterns of |candidates(pattern)|.
-    val confirm = patterns.zipWithIndex.map { case (p, pid) =>
-      col("pattern_id") === pid.toLong && col("__text").rlike(p)
-    }.reduce(_ || _)
+    // pattern_ids that nominated it, then a CASE dispatch runs each
+    // row's OWN pattern only. Two shapes were tried and rejected:
+    // per-pattern filters over `fetched` get pushed below their
+    // semi-joins (every pattern over the whole candidate UNION), and
+    // a guarded OR-of-ANDs has its one-sided rlike disjunction
+    // EXTRACTED and pushed below the join by Catalyst's
+    // extra-predicate machinery — same union-wide evaluation through
+    // the back door. CaseWhen is not subject to that extraction and
+    // codegen evaluates exactly the matching branch, so total regex
+    // work stays at sum over patterns of |candidates(pattern)|
+    // (PlanAuditSpec pins the shape).
+    val confirm = patterns.zipWithIndex.foldLeft(lit(false)) {
+      case (acc, (p, pid)) =>
+        when(col("pattern_id") === pid.toLong,
+          col("__text").rlike(p)).otherwise(acc)
+    }
     fetched.join(broadcast(cands), Seq("doc_id"))
       .filter(confirm)
       .select(col("pattern_id"), col("doc_id"))

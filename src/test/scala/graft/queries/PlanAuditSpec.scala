@@ -945,6 +945,48 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.ops.Materialize.release(frames)
   }
 
+  test("q198: the batch confirm's guarded disjunction sits ABOVE the candidate join — unpushable by construction") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val (df, frames) = graft.ops.Materialize.collecting {
+      SparkEntry.queries("q198_regex_batch")(spark, TestSpark.Sf)
+    }
+    try {
+      // The confirm is a pattern_id-keyed CASE dispatch referencing
+      // both join sides: Catalyst folds it into the candidate JOIN
+      // CONDITION (each regex evaluates per matching candidate pair
+      // — per-pattern candidate-sized work) and, unlike the
+      // OR-of-ANDs shape, cannot extract a one-sided rlike
+      // disjunction to push below the join (that extraction
+      // re-evaluated every pattern over the whole candidate union).
+      val lp = df.queryExecution.optimizedPlan
+      val regexSites = lp.collect {
+        case f: Filter if f.condition.toString.contains("RLIKE") =>
+          ("filter", f.condition.toString,
+            f.child.collect { case j: Join => j }.nonEmpty)
+        case j: Join if j.condition.exists(
+            _.toString.contains("RLIKE")) =>
+          ("join", j.condition.get.toString, true)
+      }
+      assert(regexSites.nonEmpty, lp.toString)
+      regexSites.foreach { case (kind, c, aboveJoin) =>
+        assert(c.contains("pattern_id") && c.contains("CASE"),
+          s"confirm lost its pattern_id dispatch (pushable again):\n$c")
+        assert(aboveJoin,
+          s"confirm $kind no longer sits at/above the candidate join:\n$c")
+      }
+      // And nothing regex-shaped was derived below the join: the
+      // fetched barrier's cached plan holds the semi-join, no RLIKE.
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      lp.collect { case m: InMemoryRelation => m }.foreach { m =>
+        assert(!m.cachedPlan.toString.contains("RLIKE"),
+          s"regex pushed into a cached frame:\n${m.cachedPlan}")
+      }
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally graft.ops.Materialize.release(frames)
+  }
+
   test("q105: drift vocab is TakeOrderedAndProject; distance join is equi on term") {
     val (df, frames) = graft.ops.Materialize.collecting {
       val d = SparkEntry.queries("q105_source_drift")(spark, TestSpark.Sf)
