@@ -565,6 +565,57 @@ object RegexIndex {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Index-targeted SCRUB — the rewrite consumer of the sidecar: every
+    * doc flows through, but the regex (and its replacement machinery)
+    * evaluates ONLY on nominated docs; non-candidates pass through
+    * byte-identical without ever being matched against. Sound by the
+    * superset theorem: a non-candidate cannot contain a match, so
+    * skipping it IS the identity the full-scan scrub would compute.
+    * This is the PII/takedown rewrite shape at corpus scale — the
+    * full-scan `regexp_replace` pays the regex on every doc when the
+    * hits are one-in-a-million. The nomination flag arrives via a
+    * broadcast left join and the replace sits in a CaseWhen, so
+    * per-row work is one boolean check on the cold path. Unanalyzable
+    * patterns refuse loudly unless `allowScan` (then the full-scan
+    * scrub runs, stated). Returns (doc_id, text) for EVERY input doc,
+    * ordered. */
+  def scrubFromIndex(spark: SparkSession, table: String,
+      docs: DataFrame, idCol: String, textCol: String, pattern: String,
+      replacement: String, allowScan: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    candidatesFromIndex(spark, table, pattern) match {
+      case Some(cands) =>
+        base.join(broadcast(cands.withColumn("__hit", lit(true))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__hit"),
+              regexp_replace(col("__text"), pattern, replacement))
+              .otherwise(col("__text")).as("text"))
+          .orderBy("doc_id")
+      case None =>
+        require(allowScan,
+          s"regex '$pattern' has no required literal factor >= 3 chars " +
+            "within ASCII — the scrub cannot target; pass " +
+            "allowScan = true to pay the full-corpus rewrite explicitly")
+        base.select(col("doc_id"),
+            regexp_replace(col("__text"), pattern, replacement).as("text"))
+          .orderBy("doc_id")
+    }
+  }
+
+  /** DuckDB oracle for [[scrubFromIndex]]: the global replace over
+    * every doc — equality proves the skipped non-candidates truly had
+    * nothing to replace. */
+  def scrubOracleSql(pattern: String, replacement: String,
+      corpusSql: String = "documents"): String = {
+    val p = pattern.replace("'", "''")
+    val r = replacement.replace("'", "''")
+    s"""SELECT doc_id, regexp_replace(text, '$p', '$r', 'g') AS text
+       |FROM $corpusSql
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Doc store: the codesearch deployment shape (index nominates, store
   // serves the bytes).

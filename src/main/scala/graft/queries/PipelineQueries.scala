@@ -1094,6 +1094,18 @@ object PipelineQueries {
         "doc_id", "text", ConjunctivePatterns)
     }),
 
+    // Index-targeted scrub (r20): the PII/takedown REWRITE consumer of
+    // the trigram sidecar — every doc flows through, but the regex
+    // evaluates only on nominated docs (sound by the superset theorem:
+    // a non-candidate cannot contain a match, so skipping it IS the
+    // identity). The oracle rewrites EVERY doc, so equality proves the
+    // skipped docs truly had nothing to replace.
+    "q201_regex_scrub" -> ((s, sf) => {
+      val docs = Tables.load(s, sf, "documents")
+      RegexIndex.scrubFromIndex(s, ensureRegexFixture(s, sf), docs,
+        "doc_id", "text", "slow [a-z]+ join", "[SCRUBBED]")
+    }),
+
     // Centroid-drift meter (r20): the failure mode staleness can't see
     // — membership fully landed, but the DATA under a cell moved, so
     // the stored centroid no longer sits at its members' mean and
@@ -2159,6 +2171,9 @@ object PipelineQueries {
 
     "q200_regex_conjunctive" ->
       RegexIndex.conjunctiveOracleSql(ConjunctivePatterns),
+
+    "q201_regex_scrub" -> RegexIndex.scrubOracleSql(
+      "slow [a-z]+ join", "[SCRUBBED]"),
     "q193_proximity_search" -> PhraseIndex.windowOracleSql(
       "table", "scan", window = 4),
     "q192_centroid_drift" -> Clustering.centroidDriftOracleSql(

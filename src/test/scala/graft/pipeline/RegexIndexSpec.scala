@@ -346,6 +346,46 @@ class RegexIndexSpec extends AnyFunSuite {
     drop(idx); drop(store)
   }
 
+  test("index-targeted scrub ≡ full-scan replace; non-candidates pass through untouched; refusal path") {
+    import spark.implicits._
+    val tbl = "graft_test_regex_scrub"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(docs, "doc_id", "text", tbl, buckets = 8)
+    val (p, r) = ("slow [a-z]+ join", "[X]")
+    val (got, frames) = graft.ops.Materialize.collecting {
+      RegexIndex.scrubFromIndex(spark, tbl, docs, "doc_id", "text", p, r)
+        .collect().map(row => (row.getLong(0), row.getString(1))).toSeq
+    }
+    graft.ops.Materialize.release(frames)
+    val want = docs.select(col("doc_id").cast("long"),
+        regexp_replace(col("text"), p, r)).orderBy("doc_id")
+      .collect().map(row => (row.getLong(0), row.getString(1))).toSeq
+    assert(got == want && got.size == docs.count())
+    assert(got.exists(_._2.contains("[X]")), "dead fixture")
+    // Docs the index does not nominate flow through BYTE-identical.
+    val untouched = docs.filter(!col("text").rlike(p))
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(row => (row.getLong(0), row.getString(1))).toMap
+    got.filter(x => untouched.contains(x._1)).foreach { case (id, t) =>
+      assert(t == untouched(id))
+    }
+    // Unanalyzable: loud, or the stated full rewrite.
+    val e = intercept[IllegalArgumentException] {
+      RegexIndex.scrubFromIndex(spark, tbl, docs, "doc_id", "text",
+        "(line|row) [a-z]+", r)
+    }
+    assert(e.getMessage.contains("cannot target"))
+    val viaScan = RegexIndex.scrubFromIndex(spark, tbl, docs, "doc_id",
+        "text", "(line|row) [a-z]+", r, allowScan = true)
+      .collect().map(row => (row.getLong(0), row.getString(1))).toSeq
+    val wantScan = docs.select(col("doc_id").cast("long"),
+        regexp_replace(col("text"), "(line|row) [a-z]+", r))
+      .orderBy("doc_id")
+      .collect().map(row => (row.getLong(0), row.getString(1))).toSeq
+    assert(viaScan == wantScan)
+    drop(tbl)
+  }
+
   test("short docs index no trigrams and are never nominated") {
     import spark.implicits._
     val crafted = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
