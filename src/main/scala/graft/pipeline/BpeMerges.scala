@@ -37,15 +37,17 @@ import graft.ops.Materialize
   * feeding the word-frequency aggregate. Every round after runs over
   * the VOCABULARY frame (distinct words — bounded by language, not
   * corpus size; this is why BPE trainers operate on the word-count
-  * dict). Per round: one narrow pair-explode scan, one pair-keyed
-  * count exchange over vocab-sized data, a 1-row argmax via
-  * `orderBy.limit(1)` (Catalyst's TakeOrderedAndProject — bounded
-  * per-partition heaps, never a full sort) collected to the driver,
-  * and the codegen'd literal `replace` applying the merge. Each
-  * round's rewritten frame is [[Materialize.barrier]]ed so round r+1
-  * starts from materialized state instead of re-running rounds 1..r —
-  * k vocab-sized caches, released by the session owner per the
-  * Materialize contract.
+  * dict). Per round, ONE job: a narrow pair-explode scan, one
+  * pair-keyed count exchange over vocab-sized data, and a two-level
+  * aggregate whose single collected row carries both the argmax pair
+  * (min_by over the (−cnt, a, b) ordering struct) and the pair-count
+  * grand total — which IS the round's corpus token count via
+  * Σf·n_syms = Σcnt + Σf ([[pairStats]]); the codegen'd literal
+  * `replace` applies the merge. Each round's rewritten frame is
+  * [[Materialize.register]]ed (lazy cache, filled under the next
+  * round's job) so round r+1 starts from materialized state instead
+  * of re-running rounds 1..r — k vocab-sized caches, released by the
+  * session owner per the Materialize contract.
   *
   * Reference scope note: kbrowse (`src/kbrowse/search.clj`) has no
   * tokenizer surface — this op extends the engine toward training-data
@@ -63,8 +65,9 @@ object BpeMerges {
     *
     * Driver contract (the [[Clustering]] k-means convention): BPE is
     * inherently iterative with ONE global argmax per round, so each
-    * round collects exactly two single-row frames to the driver — the
-    * winning pair and the post-merge token total. The merged pair then
+    * round collects exactly one single-row frame to the driver — the
+    * winning pair plus the pair-count total (the post-merge token
+    * total in disguise, see [[trainMerges]]). The merged pair then
     * rides into the next round's plan as string LITERALS, keeping the
     * plan depth linear in `rounds` (an in-plan argmax would nest the
     * vocabulary subtree twice per round — exponential analysis cost). */
@@ -77,46 +80,101 @@ object BpeMerges {
   }
 
   /** [[merges]] as driver rows — the train-time artifact form (the
-    * q77-weights convention) consumed by [[encodeWith]]. */
+    * q77-weights convention) consumed by [[encodeWith]].
+    *
+    * One driver round trip PER ROUND (r21 — it was three: argmax
+    * collect, cache barrier, token-total collect; at fixture scale the
+    * bench measured the loop dominated by those round trips): the
+    * round's job computes the argmax pair AND the pair-count grand
+    * total in one aggregate ([[pairStats]]), the token total rides the
+    * identity Σ_w f·n_syms = Σ_pairs cnt + Σ_w f (every word
+    * contributes n_syms−1 adjacent pairs — overlaps included — so the
+    * post-merge total of round r is readable off round r+1's argmax
+    * job), and the per-round caches fill lazily under that same job
+    * ([[Materialize.register]] — the consumer chain is sequential, no
+    * concurrent-branch race to fence). */
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int)
       : Seq[(Int, String, String, Long, Long)] = {
     require(rounds >= 1 && rounds <= 64,
-      s"rounds must be in [1,64] (2 driver rows + 1 cached vocab frame each): $rounds")
+      s"rounds must be in [1,64] (1 driver row + 1 cached vocab frame each): $rounds")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val words = docs
       .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
     val wf = words.groupBy("word").agg(count(lit(1)).as("f"))
-    var cur = Materialize.barrier(wf.select(col("word"), col("f"),
+    var cur = Materialize.register(wf.select(col("word"), col("f"),
       concat(lit(" "),
         array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
         lit(" ")).as("seq")))
+    // Σ_w f — constant across rounds (merges change symbols, never
+    // words); the one corpus-tokenize pass lands in cur's cache here.
+    val totalF = cur.agg(sum("f")).collect()(0).getLong(0)
+
+    // (argmax pair or None, pair-count grand total) of one frame.
+    def roundStats(frame: DataFrame): (Option[(String, String, Long)], Long) = {
+      val row = pairStats(frame).collect()(0)
+      val grand = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val best =
+        if (row.isNullAt(0)) None
+        else {
+          val s = row.getStruct(0)
+          Some((s.getString(0), s.getString(1), s.getLong(2)))
+        }
+      (best, grand)
+    }
 
     val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    // Each round's token total arrives with the NEXT round's job, so
+    // the emitted row trails one round behind.
+    var pending: Option[(Int, String, String, Long)] = None
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // 1-row driver collect: the global argmax pair.
-      val top = bestPair(cur).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val next = Materialize.barrier(cur
-          .withColumn("seq", call_function("replace", col("seq"),
-            lit(s" $a  $b "), lit(s" $a$b ")))
-          .select("word", "f", "seq"))
-        // 1-row driver collect: frequency-weighted token total.
-        val toks = next
-          .agg(sum(col("f") * size(split(trim(col("seq")), "  "))))
-          .collect()(0).getLong(0)
-        rows += ((r, a, b, cnt, toks))
-        cur = next
+      val (best, grand) = roundStats(cur)
+      pending.foreach { case (pr, a, b, cnt) =>
+        rows += ((pr, a, b, cnt, grand + totalF))
+      }
+      pending = None
+      best match {
+        case None => exhausted = true
+        case Some((a, b, cnt)) =>
+          pending = Some((r, a, b, cnt))
+          cur = Materialize.register(cur
+            .withColumn("seq", call_function("replace", col("seq"),
+              lit(s" $a  $b "), lit(s" $a$b ")))
+            .select("word", "f", "seq"))
       }
       r += 1
     }
+    pending.foreach { case (pr, a, b, cnt) =>
+      val (_, grand) = roundStats(cur)
+      rows += ((pr, a, b, cnt, grand + totalF))
+    }
     rows.result()
+  }
+
+  /** One-job argmax + grand total over a round's pair counts:
+    * `best` = min_by over the (−cnt, a, b) ordering struct — the exact
+    * (count DESC, left ASC, right ASC) tie-break of [[bestPair]]
+    * (BpeMergesSpec pins the two equal) — and `grand` = Σ cnt, which
+    * by the adjacent-pair identity turns into the corpus token total
+    * (see [[trainMerges]]). One aggregate job where the old loop ran
+    * two plus a barrier. */
+  private[pipeline] def pairStats(cur: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), "  ")
+    val n = size(syms)
+    val idx = when(n >= 2, sequence(lit(0), n - 2))
+      .otherwise(array().cast("array<int>"))
+    cur.select(col("f"), explode(transform(idx, i =>
+        struct(element_at(syms, i + 1).as("a"),
+          element_at(syms, i + 2).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+      .agg(
+        min_by(struct(col("a"), col("b"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("best"),
+        sum("cnt").as("grand"))
   }
 
   /** BPE ENCODING under a frozen merge table — the apply step of the

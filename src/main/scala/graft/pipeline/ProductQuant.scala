@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * sample (a [[Clustering.MaxCentroidCells]]-bounded draw) — here it
   * trains on the full corpus so the oracle can replay it exactly; the
   * ENCODE pass is the full-corpus scan either way, and is the part that
-  * must scale: m zero-shuffle `argmax_dot` scans of the cached lifted
-  * frame, each reading only its slice.
+  * must scale: ONE zero-shuffle scan whose projection carries all m
+  * `argmax_dot` columns (r21 — previously m scans unioned), and the
+  * training rounds batch every subspace's refinement into one job
+  * ([[trainBooks]]).
   *
   * Retrieval ([[adcTopK]]) is asymmetric distance computation: the
   * query stays uncompressed; its dot product against every corpus
@@ -56,27 +58,95 @@ object ProductQuant {
       embCol: String, m: Int, k: Int, rounds: Int, dim: Int,
       sampleFrac: Double = 1.0)
       : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
+    val (e, books, codesCol) =
+      trained(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)
+    (e.select(col("vec_id"), posexplode(codesCol).as(Seq("m", "code"))),
+      books)
+  }
+
+  /** The lifted frame, trained codebooks, and the m-long code-array
+    * COLUMN over it — the shared seam of [[encodeWithBooks]] (which
+    * posexplodes it to rows) and [[codeArrays]] (which keeps the
+    * array). One projection carries every subspace's `argmax_dot`, so
+    * the encode pass is ONE zero-shuffle corpus scan however large `m`
+    * is (r21: it was m scans unioned, and the code-ARRAY form paid a
+    * further corpus shuffle re-assembling rows it had just exploded). */
+  private def trained(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, rounds: Int, dim: Int, sampleFrac: Double)
+      : (DataFrame, Seq[Seq[(Long, Array[Double])]], Column) = {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split evenly into m=$m subspaces")
     val e = Clustering.lifted(corpus, idCol, embCol)
     val d = dim / m
-    val per = (0 until m).map { mi =>
-      val lo = mi * d + 1
-      val em = e.select(col("vec_id"),
-        slice(col("emb"), lo, d).as("emb"),
-        slice(col("fx"), lo, d).as("fx"),
-        slice(col("fxd"), lo, d).as("fxd"))
-      val (assigned, cents) =
-        if (sampleFrac >= 1.0) Clustering.trainAssign(em, k, rounds)
-        else {
-          val (_, c) = Clustering.trainAssign(
-            em.filter(Clustering.sampleGate(sampleFrac)), k, rounds)
-          (Clustering.withCluster(em, c), c)
-        }
-      (assigned.select(col("vec_id"), lit(mi).as("m"),
-        col("cluster").as("code")), cents)
+    val books = trainBooks(e, m, k, rounds, d, sampleFrac)
+    val codeCols = (0 until m).map(mi => subAssign(mi, books(mi), d))
+    (e, books, array(codeCols: _*))
+  }
+
+  /** Subspace `mi`'s assignment column: `argmax_dot` over the sliced
+    * lifted vector — the exact [[Clustering.withCluster]] expression on
+    * `slice(fxd)`, so codes are bit-identical to training each
+    * subspace through [[Clustering.trainAssign]] (ProductQuantSpec
+    * pins subspace 0 against a standalone k-means). */
+  private def subAssign(mi: Int, cents: Seq[(Long, Array[Double])],
+      d: Int): Column =
+    graft.functions.GraftFunctions.argmaxDot(
+      slice(col("fxd"), mi * d + 1, d),
+      typedLit(cents.map(_._2.toSeq)),
+      typedLit(cents.map { case (_, c) => 0.5 * VecOps.normSq(c) }),
+      typedLit(cents.map(_._1))).getField("cluster")
+
+  /** All `m` subspace codebooks trained JOINTLY: per Lloyd's round ONE
+    * job computes every subspace's assignment (m `argmax_dot` columns
+    * in one projection) and every subspace's exact per-(cluster, pos)
+    * integer sums (one (mi, cluster, pos)-keyed aggregate, collected
+    * once). Arithmetic is verbatim [[Clustering.trainAssign]] +
+    * [[Clustering.updateCentroids]] per subspace — same seeds (the k
+    * lowest-id vectors' subvectors), same argmax, same long sums, same
+    * driver division — so books are bit-identical; what changes is the
+    * driver-round-trip count: 2·m jobs per round → 1 (the r21 bench
+    * measured the PQ family dominated by those round trips, not by
+    * data). The collect is ≤ m·k·d = k·dim cells — exactly ONE
+    * full-dim k-means' [[Clustering.MaxCentroidCells]] contract. */
+  private def trainBooks(e: DataFrame, m: Int, k: Int, rounds: Int,
+      d: Int, sampleFrac: Double): Seq[Seq[(Long, Array[Double])]] = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    require(k.toLong * d * m <= Clustering.MaxCentroidCells,
+      s"k×dim = ${k.toLong * d * m} exceeds the O(k×dim) driver-metadata " +
+        s"contract (${Clustering.MaxCentroidCells} cells) — see " +
+        "Clustering.MaxCentroidCells")
+    val trainE =
+      if (sampleFrac >= 1.0) e
+      else e.filter(Clustering.sampleGate(sampleFrac))
+    val seedRows = trainE.orderBy("vec_id").limit(k).select("fxd").collect()
+    var books: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { mi =>
+      seedRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](0).slice(mi * d, mi * d + d).toArray)
+      }.toSeq
     }
-    (per.map(_._1).reduce(_ unionAll _), per.map(_._2))
+    for (_ <- 2 to rounds) {
+      val assign = array((0 until m).map(mi => subAssign(mi, books(mi), d)): _*)
+      val rows = trainE
+        .select(assign.as("cs"), posexplode(col("fx")).as(Seq("pos", "v")))
+        .select((col("pos") / d).cast("int").as("mi"),
+          element_at(col("cs"), (col("pos") / d).cast("int") + 1).as("cluster"),
+          (col("pos") % d).as("pos"), col("v"))
+        .groupBy("mi", "cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byMi = rows.groupBy(_.getInt(0))
+      books = (0 until m).map { mi =>
+        byMi.getOrElse(mi, Array.empty[org.apache.spark.sql.Row]).toSeq
+          .groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+            val c = new Array[Double](d)
+            rs.foreach { r =>
+              c(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4).toDouble
+            }
+            (cid, c)
+          }
+      }
+    }
+    books
   }
 
   /** [[encode]] under SAMPLE-TRAINED codebooks (VERDICT r14 #2): the
@@ -90,17 +160,18 @@ object ProductQuant {
       .orderBy("vec_id", "m")
 
   /** One m-long code array per vector, ascending-subspace order, plus
-    * the codebooks. Materialized: every query branch re-consumes it, and
-    * without the barrier each branch would re-run all m assignment
-    * scans. */
+    * the codebooks. The array assembles IN the encode projection (one
+    * zero-shuffle scan — it used to posexplode per subspace and pay a
+    * corpus shuffle re-grouping rows back into arrays). Materialized:
+    * every query branch re-consumes it, and without the barrier each
+    * branch would re-run the assignment scan. */
   private[pipeline] def codeArrays(corpus: DataFrame, idCol: String, embCol: String,
       m: Int, k: Int, rounds: Int, dim: Int, sampleFrac: Double = 1.0)
       : (DataFrame, Seq[Seq[(Long, Array[Double])]]) = {
-    val (codeRows, books) =
-      encodeWithBooks(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)
-    val codes = graft.ops.Materialize.barrier(codeRows.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
-        .as("codes")))
+    val (e, books, codesCol) =
+      trained(corpus, idCol, embCol, m, k, rounds, dim, sampleFrac)
+    val codes = graft.ops.Materialize.barrier(
+      e.select(col("vec_id"), codesCol.as("codes")))
     (codes, books)
   }
 

@@ -45,17 +45,29 @@ import org.apache.spark.sql.functions._
   */
 object RegexIndex {
 
-  /** Distinct character trigrams of LOWERCASED `textCol` (empty below
+  /** Distinct character trigrams of CASE-FOLDED `textCol` (empty below
     * 3 chars — a length-≥3 factor can never match such a doc, so the
-    * index correctly never nominates it). The index is case-FOLDED so
+    * index correctly never nominates it). The index is case-folded so
     * one sidecar serves both case-sensitive and `(?i)` probes: a doc
     * containing a factor verbatim (or any case variant, for `(?i)`)
-    * always contains its lowercased trigrams case-folded — nomination
-    * stays a superset either way, and the exact `rlike` keeps the
-    * original pattern's case semantics. Folding costs a little
-    * selectivity (case-variant collisions), never correctness. */
+    * always contains its folded trigrams — nomination stays a superset
+    * either way, and the exact `rlike` keeps the original pattern's
+    * case semantics. Folding costs a little selectivity (case-variant
+    * collisions), never correctness.
+    *
+    * The fold is ASCII-ONLY `translate`, NOT `lower()` (ADVICE r20):
+    * `lower()` on any non-pure-ASCII string falls back to
+    * `String.toLowerCase()` under the JVM DEFAULT locale, so under a
+    * tr/az locale a mixed-content doc stores 'I' as dotless 'ı' while
+    * the probe folds with Locale.ROOT ('i') — an ASCII factor
+    * containing i/I would silently never nominate that doc, a missed
+    * true match the rlike confirm cannot recover. Probe factors are
+    * already ASCII-guarded ([[candidatesFromIndex]]), so only ASCII
+    * folding can ever matter for nomination; `translate` folds exactly
+    * that range, locale-independently, in codegen. */
   private def triGrams(textCol: Column): Column = {
-    val t = lower(textCol)
+    val t = translate(textCol,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     when(length(t) >= 3,
       array_distinct(transform(sequence(lit(1), length(t) - 2),
         i => t.substr(i, lit(3)))))
@@ -130,10 +142,10 @@ object RegexIndex {
 
   /** Probe-side case folding: Locale.ROOT, NEVER the JVM default —
     * under a tr_TR locale `"I".toLowerCase` is dotless 'ı' while the
-    * index side (`lower()` / UTF8String's ASCII fast path) stores 'i',
-    * and an ASCII factor would silently nominate nothing. With ROOT
-    * the two sides genuinely agree on the ASCII range the
-    * [[candidatesFromIndex]] guard admits. */
+    * index side ([[triGrams]]' ASCII-only `translate`) stores 'i',
+    * and an ASCII factor would silently nominate nothing. Both sides
+    * are locale-independent on the ASCII range the
+    * [[candidatesFromIndex]] guard admits, so they provably agree. */
   private def fold(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT)
 
@@ -373,23 +385,58 @@ object RegexIndex {
   // Probes.
   // -------------------------------------------------------------------
 
+  /** Per-branch FOLDED gram requirement of `pattern`, or None when the
+    * pattern has no sound factoring or a factor leaves ASCII (the
+    * Locale.ROOT probe fold and the index's ASCII `translate` provably
+    * agree on ASCII; beyond it, folding disagreements could turn the
+    * superset into a miss — bail to the scan instead). */
+  private[pipeline] def branchGrams(pattern: String): Option[Seq[Seq[String]]] =
+    requiredLiterals(pattern)
+      .filter(_.forall(_.forall(_.forall(_ < 128))))
+      .map(_.map(_.flatMap(f => fold(f).sliding(3)).distinct))
+
+  /** Drop stopword-common grams from each branch's requirement
+    * (VERDICT r20 #2, Cox 2012: query only SELECTIVE trigrams).
+    * Nomination is conjunctive — docs holding EVERY required gram — so
+    * dropping a gram can only GROW the candidate superset: soundness
+    * is free, and what it buys is a bound on nomination cost when a
+    * pattern contains a common English run (a required gram like
+    * `"the"` otherwise reads a corpus-wide posting slice per probe).
+    * Governed by `spark.graft.regexMaxGramDf` (a doc-frequency bound;
+    * unset = keep every gram): one bucket-pruned df aggregate over the
+    * probe's grams (pattern-sized collect), grams with df > bound are
+    * dropped. None when some branch loses its LAST gram — that branch
+    * can no longer nominate, so the probe must bail to the scan rather
+    * than silently fetch the corpus. */
+  private def selectiveGrams(spark: SparkSession, table: String,
+      branches: Seq[Seq[String]]): Option[Seq[Seq[String]]] = {
+    val bound = spark.conf.getOption("spark.graft.regexMaxGramDf")
+    if (bound.isEmpty) return Some(branches)
+    val maxDf = bound.get.toLong
+    val all = branches.flatten.distinct
+    val dfs = liveGrams(spark, table, all)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // df 0 (gram absent from the index) is maximally selective: the
+    // branch nominates nothing, which is exactly right.
+    val kept = branches.map(_.filter(g => dfs.getOrElse(g, 0L) <= maxDf))
+    if (kept.exists(_.isEmpty)) None else Some(kept)
+  }
+
   /** Candidate doc_ids from the STORED index — docs holding every
     * case-folded trigram of every required factor of some branch; a
     * provable superset of the regex's matches. None when the pattern
-    * has no sound factoring, or when a factor leaves ASCII (the
-    * Locale.ROOT probe fold and the index's `lower()` provably agree
-    * on ASCII; beyond it, folding disagreements could turn the
-    * superset into a miss — bail to the scan instead). The scan is
-    * gram-restricted (bucket-pruned); the fold is bucket-local; each
-    * branch is one counting aggregate over its posting slices. */
+    * has no sound factoring ([[branchGrams]]) or when stopword-gram
+    * dropping leaves a branch unservable ([[selectiveGrams]]). The
+    * scan is gram-restricted (bucket-pruned); the fold is
+    * bucket-local; each branch is one counting aggregate over its
+    * posting slices. */
   def candidatesFromIndex(spark: SparkSession, table: String,
       pattern: String): Option[DataFrame] =
-    requiredLiterals(pattern)
-      .filter(_.forall(_.forall(_.forall(_ < 128))))
+    branchGrams(pattern)
+      .flatMap(selectiveGrams(spark, table, _))
       .map { branches =>
-        branches.map { factors =>
-          val grams =
-            factors.flatMap(f => fold(f).sliding(3)).distinct
+        branches.map { grams =>
           liveGrams(spark, table, grams)
             .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
             .filter(col("n_grams") === grams.size)
@@ -401,10 +448,13 @@ object RegexIndex {
     * `rlike` confirms — equal to the full-scan `rlike` by
     * construction (RegexIndexSpec pins it), with the regex evaluated
     * on candidate rows only. The candidate frame (distinct doc_ids of
-    * selective factors) broadcasts into the confirm join, so the
-    * corpus never shuffles; on a doc_id-sorted corpus layout the
-    * candidate restriction additionally prunes row groups by footer
-    * stats. Returns matching doc_ids ordered.
+    * selective factors) joins semi into the confirm with NO forced
+    * broadcast — AQE broadcasts it at runtime whenever it is actually
+    * small, and a corpus-sized candidate set (a low-selectivity
+    * pattern) degrades to a shuffled join instead of hitting the 8 GB
+    * broadcast wall; on a doc_id-sorted corpus layout the candidate
+    * restriction additionally prunes row groups by footer stats.
+    * Returns matching doc_ids ordered.
     *
     * Unanalyzable patterns (no guaranteed factor — class-only
     * patterns, mid-pattern flag groups, `\d`-style escapes
@@ -424,8 +474,14 @@ object RegexIndex {
         // exact full scan the index exists to avoid. Materializing the
         // candidate-restricted rows first pins the regex to
         // candidate-sized work (PlanAuditSpec holds the shape).
+        // No forced broadcast (VERDICT r20 #1, the liveLens fix): a
+        // low-selectivity pattern's candidate set approaches corpus doc
+        // count, and a forced broadcast fails at the 8 GB wall exactly
+        // when it is largest — AQE picks broadcast at runtime whenever
+        // the set is actually small; the barrier pins the rlike above
+        // the join under ANY strategy.
         graft.ops.Materialize.barrier(
-            base.join(broadcast(cands), Seq("doc_id"), "left_semi"))
+            base.join(cands, Seq("doc_id"), "left_semi"))
           .filter(col("__text").rlike(pattern))
           .select("doc_id").orderBy("doc_id")
       case None =>
@@ -458,16 +514,16 @@ object RegexIndex {
     require(patterns.nonEmpty, "patterns must be non-empty")
     val compiled: Seq[(Int, Seq[Seq[String]])] =
       patterns.zipWithIndex.map { case (p, i) =>
-        val branches = requiredLiterals(p)
-          .filter(_.forall(_.forall(_.forall(_ < 128))))
+        val branches = branchGrams(p)
+          .flatMap(selectiveGrams(spark, table, _))
         require(branches.isDefined,
           s"batched regex search: pattern $i '$p' has no required " +
-            "literal factor >= 3 chars within ASCII — run it alone " +
+            "literal factor >= 3 chars within ASCII (or no selective " +
+            "gram under spark.graft.regexMaxGramDf) — run it alone " +
             "via searchFromIndex(allowScan = true) instead")
         (i, branches.get)
       }
-    val allGrams = compiled
-      .flatMap(_._2.flatMap(_.flatMap(f => fold(f).sliding(3)))).distinct
+    val allGrams = compiled.flatMap(_._2.flatten).distinct
     // One restricted scan + fold, many consumers.
     val live = graft.ops.Materialize.barrier(
       liveGrams(spark, table, allGrams))
@@ -476,8 +532,7 @@ object RegexIndex {
     // whole candidate union from the gram fold.
     val cands = graft.ops.Materialize.barrier(
       compiled.flatMap { case (pid, branches) =>
-        branches.map { factors =>
-          val grams = factors.flatMap(f => fold(f).sliding(3)).distinct
+        branches.map { grams =>
           live.filter(col("gram").isin(grams: _*))
             .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
             .filter(col("n_grams") === grams.size)
@@ -489,7 +544,7 @@ object RegexIndex {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
     val fetched = graft.ops.Materialize.barrier(
-      base.join(broadcast(cands.select("doc_id").distinct()),
+      base.join(cands.select("doc_id").distinct(),
         Seq("doc_id"), "left_semi"))
     // Confirm: ONE inner join pairs each fetched doc with the
     // pattern_ids that nominated it, then a CASE dispatch runs each
@@ -508,7 +563,7 @@ object RegexIndex {
         when(col("pattern_id") === pid.toLong,
           col("__text").rlike(p)).otherwise(acc)
     }
-    fetched.join(broadcast(cands), Seq("doc_id"))
+    fetched.join(cands, Seq("doc_id"))
       .filter(confirm)
       .select(col("pattern_id"), col("doc_id"))
       .orderBy("pattern_id", "doc_id")
@@ -546,9 +601,11 @@ object RegexIndex {
       } else {
         val cands = candSets.reduce((a, b) =>
           a.join(b, Seq("doc_id"), "left_semi"))
-        // The searchFromIndex barrier, for the same reason.
+        // The searchFromIndex barrier, for the same reason — and the
+        // same unforced join (the intersected candidate set is the
+        // SMALLEST frame here, but nothing bounds it by contract).
         graft.ops.Materialize.barrier(
-          base.join(broadcast(cands), Seq("doc_id"), "left_semi"))
+          base.join(cands, Seq("doc_id"), "left_semi"))
       }
     patterns.foldLeft(fetched)((df, p) =>
         df.filter(col("__text").rlike(p)))
@@ -586,7 +643,7 @@ object RegexIndex {
       col(textCol).as("__text"))
     candidatesFromIndex(spark, table, pattern) match {
       case Some(cands) =>
-        base.join(broadcast(cands.withColumn("__hit", lit(true))),
+        base.join(cands.withColumn("__hit", lit(true)),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("__hit"),
@@ -683,6 +740,12 @@ object RegexIndex {
     * rewrite is the storage-reclaim op, schedulable like compaction. */
   def retireFromDocStore(spark: SparkSession, table: String,
       retired: DataFrame, idCol: String): Unit = {
+    // Record any in-row src tags BEFORE the anti-join rewrite (ADVICE
+    // r20, mirroring compactDocStore): if a landing committed store
+    // rows but crashed before recordSrc, and all of that landing's
+    // docs are retired here, the rewrite would otherwise erase the
+    // only replay marker and a replay would re-append duplicates.
+    CorpusWriter.recordSrcs(spark, table)
     val ids = retired.select(col(idCol).cast("long").as("doc_id"))
     CorpusWriter.rewriteBucketed(spark, table)(
       _.join(ids, Seq("doc_id"), "left_anti"))
@@ -705,6 +768,12 @@ object RegexIndex {
   def searchFromStore(spark: SparkSession, idxTable: String,
       storeTable: String, pattern: String,
       maxCandidates: Int = 100000, maxLiteralIds: Int = 1000): DataFrame = {
+    // The literal-predicate path must not bypass the loud scan-in-
+    // disguise bound (ADVICE r20): a caller passing maxLiteralIds ≥
+    // maxCandidates would fetch an unbounded id list as "literals".
+    require(maxLiteralIds <= maxCandidates,
+      s"maxLiteralIds ($maxLiteralIds) must not exceed maxCandidates " +
+        s"($maxCandidates) — the literal path would bypass the bound")
     val cands = candidatesFromIndex(spark, idxTable, pattern)
     require(cands.isDefined,
       s"regex '$pattern' has no required literal factor >= 3 chars " +

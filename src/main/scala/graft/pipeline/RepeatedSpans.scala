@@ -148,7 +148,13 @@ object RepeatedSpans {
     require(doublings >= 0 && doublings <= 6,
       s"doublings is a contract-bounded loop: $doublings")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = graft.ops.Materialize.register(
+    // BARRIER, not a lazy register (r21): every level feeds THREE
+    // consumers (its repeat gate, its mark semi-join, the next level's
+    // join) and all levels execute inside the ONE final union job — a
+    // lazily-filled cache races its concurrent consumers and the level
+    // subtree re-runs per branch, which is exactly the doublings²
+    // blow-up the cache exists to prevent.
+    val base = graft.ops.Materialize.barrier(
       docs.select(col(idCol).as("doc_id"),
           posexplode(graft.functions.GraftFunctions.wordGramHashes(
             col(textCol), window)).as(Seq("pos", "fp")))
@@ -161,14 +167,16 @@ object RepeatedSpans {
         val half = len
         val b = w.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
           col("fp").as("fp_b"))
-        // Each level is CACHED: it feeds three consumers (its repeat
-        // gate, its mark semi-join, and the next level's join) — an
-        // uncached chain re-runs every earlier join per consumer,
-        // turning `doublings` levels into ~doublings² join executions
-        // (measured 5.4 s → 4.1 s steady at sf0.1; 67–72 s at the 64×
-        // adversarial probe, sublinear — 16× time on 64× data with 63
-        // true near-dups per doc keeping every level corpus-sized).
-        w = graft.ops.Materialize.register(
+        // Each level is EAGERLY cached (barrier, see `base`): it feeds
+        // three consumers (its repeat gate, its mark semi-join, and the
+        // next level's join) — an uncached or RACED chain re-runs every
+        // earlier join per consumer, turning `doublings` levels into
+        // ~doublings² join executions (lazy-register measured 5.4 s →
+        // 4.1 s steady at sf0.1; the eager barrier removes the residual
+        // same-job race on top of that; 67–72 s at the 64× adversarial
+        // probe, sublinear — 16× time on 64× data with 63 true
+        // near-dups per doc keeping every level corpus-sized).
+        w = graft.ops.Materialize.barrier(
           w.join(b, Seq("doc_id", "pos"))
             .select(col("doc_id"), col("pos"),
               ((col("fp") * lit(2L) + col("fp_b")) % lit(FieldP)).as("fp")))

@@ -168,11 +168,21 @@ object SimHash {
   def hammingPairsFromSignatures(sig: DataFrame,
       maxDist: Int = DefaultMaxDist, blocks: Int = DefaultBlocks,
       bits: Int = Bits): DataFrame = {
-    val members = graft.ops.Materialize.register(
+    // BARRIER, not a lazy register (r21): members feeds the sig-group
+    // aggregate AND both sides of the doc expansion join — the join's
+    // exchanges launch concurrently, and racing the unfilled cache
+    // re-ran the whole signature subtree per side (profiled at sf0.1:
+    // two identical 0.86 s stages back to back in q104/q97).
+    val members = graft.ops.Materialize.barrier(
       sig.select(col("doc_id"), col("simhash")))
-    val sigPairs = hammingSigPairs(
+    // sigPairs feeds BOTH union branches below (cross + self) — without
+    // its own barrier the whole combo-cell explode + quadratic cell
+    // scan ran twice, once per branch (profiled at sf0.1: two identical
+    // 0.5–0.7 s stage pairs in q97/q104). The frame is entropy-bounded
+    // (distinct-sig pairs), so the cache is small by contract.
+    val sigPairs = graft.ops.Materialize.barrier(hammingSigPairs(
       members.groupBy("simhash").agg(count(lit(1)).as("n")),
-      maxDist, blocks, bits)
+      maxDist, blocks, bits))
     // Cross-sig expansion: each unordered doc pair meets exactly once
     // (one signature per doc, sig_a < sig_b unique), orientation fixed
     // by id afterwards. AQE sizes both joins — the sig-pair frame is
@@ -227,7 +237,10 @@ object SimHash {
         .map { case (v, sh) => s"shiftleft($v, $sh)" }.mkString(" | ")
       s"struct($ci AS combo, CAST($key AS BIGINT) AS ckey)"
     }.mkString("array(", ", ", ")")
-    val distinctSigs = graft.ops.Materialize.register(
+    // Same barrier rationale: distinctSigs feeds the combo-cell explode
+    // AND the self-pair union, which execute as concurrent branches of
+    // the final job.
+    val distinctSigs = graft.ops.Materialize.barrier(
       sigGroups.select(col("simhash").cast("long").as("simhash"),
         col("n").cast("long").as("n")))
     val cells = distinctSigs.select(col("simhash"), col("n"),

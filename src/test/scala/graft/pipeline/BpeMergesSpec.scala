@@ -103,6 +103,27 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pairStats ≡ bestPair: same argmax under the min_by ordering struct, grand = Σ cnt") {
+    import spark.implicits._
+    // Counts: (a,b)=3, (x,y)=2, (b,c)=1 → best (a,b,3), grand 6. The
+    // (x,y)=2 row would win a WRONG tie-break ordering that compared
+    // pairs before counts, so this pins the struct field order too.
+    val cur = Seq(("ab", 2L, " a  b "), ("xy", 2L, " x  y "),
+        ("abc", 1L, " a  b  c "))
+      .toDF("word", "f", "seq")
+    val bp = BpeMerges.bestPair(cur).collect()(0)
+    val ps = BpeMerges.pairStats(cur).collect()(0)
+    val best = ps.getStruct(0)
+    assert((best.getString(0), best.getString(1), best.getLong(2)) ===
+      ((bp.getString(0), bp.getString(1), bp.getLong(2))))
+    assert(ps.getLong(1) === 6L)
+    // Exhausted vocabulary (every word one symbol): null best, null grand.
+    val done = Seq(("a", 2L, " a "), ("b", 1L, " b ")).toDF("word", "f", "seq")
+    assert(BpeMerges.bestPair(done).collect().isEmpty)
+    val er = BpeMerges.pairStats(done).collect()(0)
+    assert(er.isNullAt(0) && er.isNullAt(1))
+  }
+
   test("encodeWith applies merges greedily in training order") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aa"), (2L, "ab")).toDF("doc_id", "text")

@@ -386,6 +386,48 @@ class RegexIndexSpec extends AnyFunSuite {
     drop(tbl)
   }
 
+  test("stopword-common grams drop from nomination under spark.graft.regexMaxGramDf; superset + exactness hold") {
+    import spark.implicits._
+    // Every doc carries the stopword run "the " (corpus-wide posting
+    // slices for its grams); only doc 1 matches the pattern.
+    val crafted = (1L to 20L).map { i =>
+      (i, if (i == 1L) "the quick fox" else s"the slow cat $i")
+    }.toDF("doc_id", "text")
+    val tbl = "graft_test_regex_stopgram"
+    drop(tbl)
+    RegexIndex.writeRegexIndex(crafted, "doc_id", "text", tbl, buckets = 4)
+    val pattern = "the quick"
+    def cands() = ids(RegexIndex.candidatesFromIndex(spark, tbl, pattern)
+      .get.orderBy("doc_id"))
+    val full = cands()
+    try {
+      spark.conf.set("spark.graft.regexMaxGramDf", "5")
+      val pruned = cands()
+      // Nomination is conjunctive, so dropping grams only GROWS the
+      // candidate superset…
+      assert(full.toSet.subsetOf(pruned.toSet), s"$full vs $pruned")
+      // …and the selective grams ("qui" etc., df = 1) survive, so the
+      // probe never reads the corpus-wide "the"/"he " posting slices
+      // yet still nominates exactly the matching doc.
+      assert(pruned == Seq(1L), pruned.toString)
+      assert(ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+        "doc_id", "text", pattern)) == Seq(1L))
+      // Every gram common (bound 0): the branch is unservable — bail
+      // to the stated scan, never a corpus-sized fetch in disguise.
+      spark.conf.set("spark.graft.regexMaxGramDf", "0")
+      assert(RegexIndex.candidatesFromIndex(spark, tbl, pattern).isEmpty)
+      assert(ids(RegexIndex.searchFromIndex(spark, tbl, crafted,
+        "doc_id", "text", pattern, allowScan = true)) == Seq(1L))
+      intercept[IllegalArgumentException] {
+        RegexIndex.searchManyFromIndex(spark, tbl, crafted,
+          "doc_id", "text", Seq(pattern))
+      }
+    } finally {
+      spark.conf.unset("spark.graft.regexMaxGramDf")
+      drop(tbl)
+    }
+  }
+
   test("short docs index no trigrams and are never nominated") {
     import spark.implicits._
     val crafted = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")

@@ -927,11 +927,14 @@ class PlanAuditSpec extends AnyFunSuite {
           s"rlike evaluated without the candidate barrier beneath it:\n$f")
         barriers.foreach { m =>
           val cp = m.cachedPlan.toString
-          // The barrier holds the broadcast semi-join (the corpus
-          // never shuffles for the confirm) fed by the bucket-pruned
-          // trigram sidecar scan.
-          assert(cp.contains("BroadcastHashJoin") &&
-            cp.contains("LeftSemi"), cp)
+          // The barrier holds the candidate semi-join fed by the
+          // bucket-pruned trigram sidecar scan. The join STRATEGY is
+          // deliberately unpinned (r21, VERDICT r20 #1): the forced
+          // broadcast was removed so a corpus-sized candidate set
+          // can't hit the 8 GB wall — AQE broadcasts small candidate
+          // sets at runtime, and the rlike-above-barrier invariant is
+          // independent of strategy.
+          assert(cp.contains("LeftSemi"), cp)
           assert(!cp.contains("CartesianProduct") &&
             !cp.contains("BroadcastNestedLoopJoin"), cp)
           assert(cp.contains("graft_q194_regex"),
