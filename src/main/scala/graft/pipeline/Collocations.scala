@@ -28,14 +28,18 @@ import graft.ops.Materialize
   * Scale shape: ONE tokenize→distinct pass builds (doc, term)
   * presence, materialized once for the two consumers (the
   * [[Vocabulary]] convention); the top-`v` vocabulary is a
-  * TakeOrderedAndProject (bounded heap, never a full sort) broadcast
-  * back onto presence; each document then contributes its ≤ `v`
-  * in-vocabulary terms as ONE sorted struct array and pairs emit
-  * ARRAY-SIDE from that bounded cell (the q58/q129 emission — a
-  * document with t vocab terms costs C(t,2) ≤ C(v,2) slim output
-  * rows, never a join square, and `v` is an enforced contract). The
-  * pair aggregate is the only corpus-scale exchange; the final top-k
-  * is again a bounded heap. */
+  * TakeOrderedAndProject (bounded heap, never a full sort) collected
+  * under the ≤ [[MaxVocab]] driver contract, re-keyed to dense int
+  * ids in term order, and broadcast back onto presence; each document
+  * then contributes its ≤ `v` in-vocabulary term IDS as ONE sorted
+  * array and pairs emit ARRAY-SIDE from that bounded cell as packed
+  * `id_a·MaxVocab + id_b` longs (the q58/q129 emission with 8-byte
+  * pair rows — a document with t vocab terms costs C(t,2) ≤ C(v,2)
+  * slim output rows, never a join square, and `v` is an enforced
+  * contract). The pair aggregate — the only corpus-scale exchange —
+  * therefore moves one long per pair; names and dfs re-attach after
+  * aggregation via v-row broadcast joins, and the final top-k is
+  * again a bounded heap. */
 object Collocations {
 
   /** Hard bound on the vocabulary parameter: C(v,2) per-doc emission
@@ -53,6 +57,8 @@ object Collocations {
       s"vocabulary size must be in [1, $MaxVocab]: $v")
     require(minCount > 0, s"minCount must be positive: $minCount")
     require(k > 0, s"k must be positive: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val nDocs = docs.count()
     val pres = Materialize.barrier(docs
@@ -60,23 +66,46 @@ object Collocations {
         explode(graft.functions.GraftFunctions
           .wordGrams(col(textCol), 1)).as("term"))
       .distinct())
-    val vocab = pres.groupBy("term").agg(count(lit(1)).as("df"))
+    // Top-v vocabulary COLLECTED (≤ MaxVocab rows — the bounded
+    // driver-artifact convention) and re-keyed to dense int ids in
+    // TERM order, so id order ≡ term order and the packed pair key
+    // below preserves the (term_a < term_b) emission convention
+    // exactly. The r21 profile showed the old string-struct pair
+    // aggregate as the query's dominant stage: every emitted pair
+    // carried two term strings + two dfs through the exchange and the
+    // hash aggregate. Packing (id_a·MaxVocab + id_b) into ONE long
+    // shrinks the pair row to 8 bytes and turns the aggregate's key
+    // comparison into long equality (guide §2.3, narrower types) —
+    // names and dfs re-attach AFTER aggregation via two broadcast
+    // joins against the v-row vocab relation.
+    val vocabRows = pres.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term").asc)
       .limit(v)
-    val cells = pres.join(broadcast(vocab), "term")
+      .collect()
+    val vocabIdx = vocabRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((t, df), i) => (i.toLong, t, df) }.toSeq
+    val vocab = vocabIdx.toDF("tid", "term", "df")
+    val cells = pres
+      .join(broadcast(vocab.select("tid", "term")), "term")
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("term"), col("df"))))
-        .as("ts"))
-    cells
+      .agg(array_sort(collect_list(col("tid"))).as("ts"))
+    val pairCounts = cells
       .select(explode(expr(
         "flatten(transform(ts, (__ca, __ci) -> " +
           "transform(slice(ts, __ci + 2, size(ts)), __cb -> " +
-          "struct(__ca.term AS term_a, __cb.term AS term_b, " +
-          "__ca.df AS df_a, __cb.df AS df_b))))")).as("p"))
-      .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"),
-        col("p.df_a").as("df_a"), col("p.df_b").as("df_b"))
-      .agg(count(lit(1)).as("n_pair"))
+          s"__ca * $MaxVocab + __cb)))")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
+    val aSide = vocab.select(col("tid").as("__ta"),
+      col("term").as("term_a"), col("df").as("df_a"))
+    val bSide = vocab.select(col("tid").as("__tb"),
+      col("term").as("term_b"), col("df").as("df_b"))
+    pairCounts
+      .select((col("pk") / MaxVocab).cast("long").as("__ta"),
+        (col("pk") % MaxVocab).as("__tb"), col("n_pair"))
+      .join(broadcast(aSide), "__ta")
+      .join(broadcast(bSide), "__tb")
       .select(col("term_a"), col("term_b"), col("n_pair"),
         col("df_a"), col("df_b"),
         expr(s"(CAST(1000000 AS BIGINT) * n_pair * ${nDocs}L) " +

@@ -262,40 +262,68 @@ object SimHash {
           s"so combo keys carry more bits')) AS " +
           s"BOOLEAN) ELSE cn >= 2 END"))
       .select("combo", "ckey")
+    // Quadratic cell scan per (combo, ckey) group. Shaped as an
+    // EXPLICIT repartition (spark.sql.shuffle.partitions — the
+    // deployment's width knob) + in-partition sort + a streaming
+    // group-run scan rather than groupByKey.flatMapGroups (r21): the
+    // cell rows are BYTE-tiny (a few KB at fixture scale) while the
+    // per-cell work is quadratic in distinct signatures, so AQE's
+    // byte-based coalescing merged the whole scan into ONE task
+    // (profiled: a 1.0 s single-task stage under 7 KB of shuffle
+    // input). The explicit width pins the compute's parallelism to
+    // the session's shuffle setting; the shuffle + sort cost is the
+    // same one flatMapGroups paid.
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def cellCross(combo: Int,
+        sigs: scala.collection.mutable.ArrayBuffer[Long],
+        ns: scala.collection.mutable.ArrayBuffer[Long])
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val n = sigs.length
+      val order = Array.range(0, n).sortBy(sigs(_))
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+      var oi = 0
+      while (oi < n) {
+        val i = order(oi)
+        var oj = oi + 1
+        while (oj < n) {
+          val j = order(oj)
+          val x = sigs(i) ^ sigs(j)
+          if (java.lang.Long.bitCount(x) <= maxDist) {
+            // first qualifying combo == this cell's combo → emit once
+            var first = -1
+            var c = 0
+            while (first < 0 && c < masks.length) {
+              if ((x & masks(c)) == 0L) first = c else c += 1
+            }
+            if (first == combo)
+              out += ((sigs(i), sigs(j),
+                java.lang.Long.bitCount(x).toLong, ns(i), ns(j)))
+          }
+          oj += 1
+        }
+        oi += 1
+      }
+      out.result().iterator
+    }
     val cross = cells.join(hot, Seq("combo", "ckey"))
       .select(col("combo"), col("ckey"), col("simhash"), col("n"))
       .as[(Int, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
-        val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { r => sigs += r._3; ns += r._4 }
-        val n = sigs.length
-        val order = Array.range(0, n).sortBy(sigs(_))
-        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-        var oi = 0
-        while (oi < n) {
-          val i = order(oi)
-          var oj = oi + 1
-          while (oj < n) {
-            val j = order(oj)
-            val x = sigs(i) ^ sigs(j)
-            if (java.lang.Long.bitCount(x) <= maxDist) {
-              // first qualifying combo == this cell's combo → emit once
-              var first = -1
-              var c = 0
-              while (first < 0 && c < masks.length) {
-                if ((x & masks(c)) == 0L) first = c else c += 1
-              }
-              if (first == key._1)
-                out += ((sigs(i), sigs(j),
-                  java.lang.Long.bitCount(x).toLong, ns(i), ns(j)))
+      .repartition(shuffleN, col("combo"), col("ckey"))
+      .sortWithinPartitions(col("combo"), col("ckey"))
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[Iterator[(Long, Long, Long, Long, Long)]] {
+          def hasNext: Boolean = b.hasNext
+          def next(): Iterator[(Long, Long, Long, Long, Long)] = {
+            val (combo, ckey) = (b.head._1, b.head._2)
+            val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (b.hasNext && b.head._1 == combo && b.head._2 == ckey) {
+              val r = b.next(); sigs += r._3; ns += r._4
             }
-            oj += 1
+            cellCross(combo, sigs, ns)
           }
-          oi += 1
-        }
-        out.result().iterator
+        }.flatten
       }
       .toDF("sig_a", "sig_b", "hamming", "n_a", "n_b")
     val self = distinctSigs.filter(col("n") >= 2)

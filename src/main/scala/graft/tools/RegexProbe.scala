@@ -83,6 +83,31 @@ object RegexProbe {
         println(s"[regexprobe] $kind matches: $viaIndex")
       }
     }
+    // q201's shape: the index-targeted SCRUB vs the full-scan
+    // regexp_replace — every doc flows through both, but the indexed
+    // form evaluates the regex machinery only on nominated docs. One
+    // per-pattern noop-sink pass each (the scrub's cost is
+    // throughput-shaped: its output is corpus-sized by contract).
+    patterns.foreach { case (kind, pattern) =>
+      (1 to reps).foreach { i =>
+        timed(s"$kind indexed scrub pass $i") {
+          val (_, frames) = graft.ops.Materialize.collecting {
+            graft.pipeline.RegexIndex.scrubFromIndex(spark, tbl, docs,
+                "doc_id", "text", pattern, "[SCRUBBED]")
+              .write.format("noop").mode("overwrite").save()
+          }
+          graft.ops.Materialize.release(frames)
+        }
+        timed(s"$kind full-scan scrub pass $i") {
+          // Same trailing sort as scrubFromIndex so the head-to-head
+          // isolates the regex work, not the listing order.
+          docs.select(col("doc_id").cast("long").as("doc_id"),
+              regexp_replace(col("text"), pattern, "[SCRUBBED]").as("text"))
+            .orderBy("doc_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -488,9 +488,11 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the pair scan is the grouped-cell MapGroups, fed by the combo
-    // equi-join of the singleton-pruned hot-cell list
-    assert(p.contains("MapGroups"), p)
+    // the pair scan is the grouped-cell run over an EXPLICITLY
+    // partitioned sorted exchange (r21: the flatMapGroups form's
+    // byte-tiny shuffle let AQE coalesce the quadratic scan into one
+    // task; the repartition pins parallelism to the shuffle width)
+    assert(p.contains("MapPartitions"), p)
     assert(documentScans(df) <= 2, p)
   }
 
@@ -499,7 +501,7 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("MapGroups"), p)
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("q101: wide-fingerprint pairs keep the distinct-sig cell shape — no cartesian") {
@@ -507,7 +509,7 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("MapGroups"), p)
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("q100: MMR picks gather each group once — one grouping exchange, no joins") {
