@@ -229,6 +229,33 @@ class RetirementSpec extends AnyFunSuite {
     drop(t, s"${t}_meta", s"${t}_srcs", tRef, s"${tRef}_meta")
   }
 
+  test("srcApplied crash-window fallback: the src predicate reaches PushedFilters (footer pruning, r19 #6 / VERDICT r20 #4)") {
+    val t = "graft_ret_srcprobe"
+    drop(t, s"${t}_meta", s"${t}_srcs")
+    CorpusWriter.writeGramIndex(docs.filter(col("doc_id") % 2 === 0),
+      "text", n = 4, t, buckets = 8)
+    CorpusWriter.appendToGramIndex(docs.filter(col("doc_id") % 2 === 1),
+      "text", t, src = "probe:odds")
+    // The fallback's exact filter shape must reach the parquet scan as
+    // pushed predicates: each landing's files carry ONE constant src
+    // (min = max = the tag) and initial-write files are all-null, so
+    // footer stats prune every row group except a true replay's own —
+    // the O(files) claim the r20 verdict asked to make testable.
+    val tag = CorpusWriter.landTag("probe:odds")
+    val probe = spark.table(t)
+      .filter(col("src").isNotNull && col("src") === tag)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(src)") &&
+      p.contains(s"EqualTo(src,$tag)"), p)
+    // And the fallback actually answers through it when `_srcs` is gone
+    // (the crash window: landing committed, recordSrc not yet run).
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_srcs")
+    assert(CorpusWriter.srcApplied(spark, t, tag))
+    assert(!CorpusWriter.srcApplied(spark, t,
+      CorpusWriter.landTag("probe:never")))
+    drop(t, s"${t}_meta", s"${t}_srcs")
+  }
+
   test("additive landings are idempotent per src: replayed subtract/append batches are skipped, even across compaction") {
     val t = "graft_ret_lm_replay"
     val tRef = "graft_ret_lm_replay_ref"
