@@ -183,22 +183,23 @@ object SimHash {
     val sigPairs = graft.ops.Materialize.barrier(hammingSigPairs(
       members.groupBy("simhash").agg(count(lit(1)).as("n")),
       maxDist, blocks, bits))
-    // Cross-sig expansion: each unordered doc pair meets exactly once
-    // (one signature per doc, sig_a < sig_b unique), orientation fixed
-    // by id afterwards. AQE sizes both joins — the sig-pair frame is
-    // entropy-bounded and usually broadcasts.
-    val cross = sigPairs.filter(col("sig_a") =!= col("sig_b"))
+    // Doc expansion — ONE two-join pass over the whole sig-pair frame
+    // (r21: the cross/self split ran FOUR member joins and a union;
+    // the unified filter below keeps the identical row set with two).
+    // Each unordered doc pair meets exactly once: cross rows
+    // (sig_a < sig_b, one row per sig pair; one signature per doc)
+    // pair each sig_a member with each sig_b member once, orientation
+    // fixed by least/greatest; the self row (sig_a = sig_b, the m ≥ 2
+    // groups' distance-0 pairs) expands to m×m combos of which
+    // `id_a < id_b` keeps each unordered pair once — and for those
+    // rows least/greatest is the identity. AQE sizes both joins — the
+    // sig-pair frame is entropy-bounded and usually broadcasts.
+    sigPairs
       .join(members.select(col("simhash").as("sig_a"), col("doc_id").as("id_a")), "sig_a")
       .join(members.select(col("simhash").as("sig_b"), col("doc_id").as("id_b")), "sig_b")
+      .filter(col("sig_a") =!= col("sig_b") || col("id_a") < col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
-    // Same-sig expansion: C(m, 2) pairs at distance 0.
-    val self = sigPairs.filter(col("sig_a") === col("sig_b"))
-      .join(members.select(col("simhash").as("sig_a"), col("doc_id").as("id_a")), "sig_a")
-      .join(members.select(col("simhash").as("sig_b"), col("doc_id").as("id_b")), "sig_b")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
-    cross.unionAll(self)
   }
 
   /** The signature-group form — the product that stays small on
