@@ -197,7 +197,23 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] BENCHFULL.json write failed: $e")
     }
-    println(line)
+    // Machine-readable sidecar (VERDICT r21 item 2): every BENCH_r*.json
+    // since r01 has "parsed": null because the stdout line reaches the
+    // driver sbt-prefixed ("[info] {...}") and buried mid-tail among WARN
+    // noise. The identical line is therefore ALSO written verbatim to a
+    // fixed path the driver/judge can read without tail-grepping.
+    // Best-effort for the same read-only-checkout reason as BENCHFULL.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCHLINE.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCHLINE.json write failed: $e")
+    }
+    // The one-line JSON is printed LAST, after spark.stop(), so no Spark
+    // shutdown logging can land on stdout after it — the driver's tail
+    // window then ends with this line (plus sbt's own trailer).
     spark.stop()
+    println(line)
   }
 }

@@ -109,7 +109,11 @@ object BpeMerges {
         lit(" ")).as("seq")))
     // Σ_w f — constant across rounds (merges change symbols, never
     // words); the one corpus-tokenize pass lands in cur's cache here.
-    val totalF = cur.agg(sum("f")).collect()(0).getLong(0)
+    // sum over ZERO rows is SQL NULL (ADVICE r21): an empty word frame
+    // (no docs, or nothing matching ^[a-z]+$) must exhaust on round 1
+    // with an empty merge list, not throw on the null unbox.
+    val totalFRow = cur.agg(sum("f")).collect()(0)
+    val totalF = if (totalFRow.isNullAt(0)) 0L else totalFRow.getLong(0)
 
     // (argmax pair or None, pair-count grand total) of one frame.
     def roundStats(frame: DataFrame): (Option[(String, String, Long)], Long) = {

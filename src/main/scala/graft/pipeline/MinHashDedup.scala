@@ -466,22 +466,41 @@ object MinHashDedup {
       textCol: String, minCont: Double, span: Int): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val meta = spark.table(s"${sidecarTable}_meta").collect()
-    require(meta.length == 1, s"malformed sidecar meta: ${meta.length} rows")
-    val storedSpan = meta(0).getAs[Int]("strata_span")
-    require(storedSpan == span && meta(0).getAs[Int]("shingle_k") == ShingleK &&
-      meta(0).getAs[Int]("sample_target") == SampleTarget &&
-      meta(0).getAs[Int]("max_key_df") == MaxKeyDf,
+    // ONE driver action for the whole admission preamble (r22, VERDICT
+    // r21 #1b): the meta row, the stored corpus strata and the
+    // increment's own strata previously cost three sequential collects
+    // (~3 jobs of fixed latency per probe); the three frames are all
+    // bounded driver metadata (1 row / ≤64 levels), so one row carrying
+    // meta × sorted-distinct active levels reads them together.
+    val metaRows = spark.table(s"${sidecarTable}_meta")
+      .crossJoin(
+        spark.table(s"${sidecarTable}_levels").select(col("t"))
+          .unionAll(increment.filter(length(col(textCol)) >= ShingleK)
+            .select(expr(stratumSqlFor(textCol)).as("t")))
+          .distinct()
+          .agg(sort_array(collect_list(col("t"))).as("lv")))
+      .collect()
+    require(metaRows.length == 1,
+      s"malformed sidecar meta: ${metaRows.length} rows")
+    val meta = metaRows(0)
+    val storedSpan = meta.getAs[Int]("strata_span")
+    require(storedSpan == span && meta.getAs[Int]("shingle_k") == ShingleK &&
+      meta.getAs[Int]("sample_target") == SampleTarget &&
+      meta.getAs[Int]("max_key_df") == MaxKeyDf,
       s"sidecar $sidecarTable was written under different index constants " +
         s"(span=$storedSpan vs $span): rebuild it with writeStratifiedIndex")
-    val corpStrata = spark.table(s"${sidecarTable}_levels").as[Int].collect()
-    val active = (corpStrata ++ activeLevels(increment, textCol)).distinct.sorted
+    val active = meta.getAs[scala.collection.Seq[Int]]("lv").toArray
     if (active.isEmpty) return emptyCross(spark)
     // The superset→filter identity (scaladoc): stored floor-level rows
     // filtered by the text form's exact keep predicate.
     val corpMem = spark.table(s"${sidecarTable}_mem")
       .filter(expr(activeKeepSql("skey", "t", active, span)))
-    val incMem = graft.ops.Materialize.barrier(
+    // Lazy register, not a barrier (r22): the first job to touch the
+    // emission is the `hot` barrier below, which consumes it through
+    // exactly ONE subtree (cellAgg's aggregate) — no concurrent-branch
+    // race to fence — and every later consumer reads the filled cache.
+    // The eager count job this replaces was pure admission latency.
+    val incMem = graft.ops.Materialize.register(
       sampledEmission(increment, idCol, textCol, active, span))
     def cellAgg(mem: DataFrame): DataFrame = mem.groupBy("skey")
       .agg(count(lit(1)).as("df"),

@@ -418,13 +418,28 @@ object RegexIndex {
       branches: Seq[Seq[String]]): Option[Seq[Seq[String]]] = {
     val bound = spark.conf.getOption("spark.graft.regexMaxGramDf")
     if (bound.isEmpty) return Some(branches)
-    val maxDf = bound.get.toLong
-    val all = branches.flatten.distinct
-    val dfs = liveGrams(spark, table, all)
+    dropCommonGrams(branches,
+      gramDfs(spark, table, branches.flatten.distinct), bound.get.toLong)
+  }
+
+  /** One bucket-pruned df aggregate over `grams` — the probe shared by
+    * [[selectiveGrams]] and the BATCHED path (ADVICE r21: per-pattern
+    * probes under `regexMaxGramDf` ran N restricted scans + N collects
+    * before the shared barrier, undercutting the batch's one-scan
+    * contract; the batch now runs this ONCE over the union). */
+  private def gramDfs(spark: SparkSession, table: String,
+      grams: Seq[String]): Map[String, Long] =
+    liveGrams(spark, table, grams)
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // df 0 (gram absent from the index) is maximally selective: the
-    // branch nominates nothing, which is exactly right.
+
+  /** The pure filter half of [[selectiveGrams]]: drop grams with
+    * df > maxDf from each branch; None when a branch loses its last
+    * gram (it can no longer nominate — bail to the scan).
+    * df 0 (gram absent from the index) is maximally selective: the
+    * branch nominates nothing, which is exactly right. */
+  private def dropCommonGrams(branches: Seq[Seq[String]],
+      dfs: Map[String, Long], maxDf: Long): Option[Seq[Seq[String]]] = {
     val kept = branches.map(_.filter(g => dfs.getOrElse(g, 0L) <= maxDf))
     if (kept.exists(_.isEmpty)) None else Some(kept)
   }
@@ -493,10 +508,11 @@ object RegexIndex {
       case None =>
         require(allowScan,
           s"regex '$pattern' has no required literal factor >= 3 chars " +
-            "within ASCII (unanalyzable pattern, or factors outside " +
-            "ASCII where case-fold agreement is unprovable) — the " +
-            "index cannot prune it; pass allowScan = true to pay the " +
-            "full corpus scan explicitly")
+            "within ASCII (unanalyzable pattern, factors outside ASCII " +
+            "where case-fold agreement is unprovable, or no gram " +
+            "selective under the configured spark.graft.regexMaxGramDf) " +
+            "— the index cannot prune it; pass allowScan = true to pay " +
+            "the full corpus scan explicitly")
         base.filter(col("__text").rlike(pattern))
           .select("doc_id").orderBy("doc_id")
     }
@@ -518,10 +534,25 @@ object RegexIndex {
       docs: DataFrame, idCol: String, textCol: String,
       patterns: Seq[String]): DataFrame = {
     require(patterns.nonEmpty, "patterns must be non-empty")
+    // Factor every pattern FIRST, then (only if the df bound is set)
+    // run ONE union df probe and filter each pattern's branches from
+    // the shared map — N per-pattern probes would re-scan the shared
+    // gram slices N times (ADVICE r21).
+    val factored: Seq[(Int, String, Option[Seq[Seq[String]]])] =
+      patterns.zipWithIndex.map { case (p, i) => (i, p, branchGrams(p)) }
+    val dfBound = spark.conf.getOption("spark.graft.regexMaxGramDf")
+      .map(_.toLong)
+    val sharedDfs: Map[String, Long] = dfBound match {
+      case Some(_) => gramDfs(spark, table,
+        factored.flatMap(_._3.toSeq.flatten.flatten).distinct)
+      case None => Map.empty
+    }
     val compiled: Seq[(Int, Seq[Seq[String]])] =
-      patterns.zipWithIndex.map { case (p, i) =>
-        val branches = branchGrams(p)
-          .flatMap(selectiveGrams(spark, table, _))
+      factored.map { case (i, p, br) =>
+        val branches = dfBound match {
+          case Some(b) => br.flatMap(dropCommonGrams(_, sharedDfs, b))
+          case None => br
+        }
         require(branches.isDefined,
           s"batched regex search: pattern $i '$p' has no required " +
             "literal factor >= 3 chars within ASCII (or no selective " +
@@ -659,7 +690,8 @@ object RegexIndex {
       case None =>
         require(allowScan,
           s"regex '$pattern' has no required literal factor >= 3 chars " +
-            "within ASCII — the scrub cannot target; pass " +
+            "within ASCII (or no gram selective under the configured " +
+            "spark.graft.regexMaxGramDf) — the scrub cannot target; pass " +
             "allowScan = true to pay the full-corpus rewrite explicitly")
         base.select(col("doc_id"),
             regexp_replace(col("__text"), pattern, replacement).as("text"))
@@ -783,8 +815,9 @@ object RegexIndex {
     val cands = candidatesFromIndex(spark, idxTable, pattern)
     require(cands.isDefined,
       s"regex '$pattern' has no required literal factor >= 3 chars " +
-        "within ASCII — the store path cannot nominate; scan a corpus " +
-        "frame via searchFromIndex(allowScan = true) instead")
+        "within ASCII (or no gram selective under the configured " +
+        "spark.graft.regexMaxGramDf) — the store path cannot nominate; " +
+        "scan a corpus frame via searchFromIndex(allowScan = true) instead")
     val bounded = graft.ops.Materialize.barrier(cands.get)
     val ids = bounded.limit(maxLiteralIds + 1).collect().map(_.getLong(0))
     val fetched =

@@ -148,46 +148,46 @@ object RepeatedSpans {
     require(doublings >= 0 && doublings <= 6,
       s"doublings is a contract-bounded loop: $doublings")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // BARRIER, not a lazy register (r21): every level feeds THREE
-    // consumers (its repeat gate, its mark semi-join, the next level's
-    // join) and all levels execute inside the ONE final union job — a
-    // lazily-filled cache races its concurrent consumers and the level
-    // subtree re-runs per branch, which is exactly the doublings²
-    // blow-up the cache exists to prevent.
-    val base = graft.ops.Materialize.barrier(
-      docs.select(col(idCol).as("doc_id"),
-          posexplode(graft.functions.GraftFunctions.wordGramHashes(
-            col(textCol), window)).as(Seq("pos", "fp")))
-        .withColumn("fp", col("fp") % lit(FieldP)))
-    var w = base
+    // Doubling as a WINDOW chain, not per-level self-joins (r22):
+    // posexplode emits DENSE positions 0..m−1 per doc and no level ever
+    // drops a row (levels only narrow which positions carry a non-null
+    // fingerprint), so the combine partner fp_{i−1}(pos + half) is
+    // exactly lead(fp_{i−1}, half) over (doc_id, pos) — null past the
+    // end, and null propagates through the modular combine precisely
+    // where the join form dropped the row. Every level shares ONE
+    // partitioning+ordering, so the whole chain runs over a single
+    // exchange + sort (guide §2.4: windows keyed like a preceding
+    // shuffle need no second one) where the join form paid a shuffle
+    // per level; r21's per-level eager-barrier count jobs (the VERDICT
+    // r21 #3/#5 fixture tax, one job per level) collapse to ONE barrier
+    // on the all-levels frame — still eager, because the (doublings+1)
+    // repeat gates and mark semi-joins below all race it inside the one
+    // final union job.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var frame = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftFunctions.wordGramHashes(
+          col(textCol), window)).as(Seq("pos", "fp")))
+      .withColumn("fp0", col("fp") % lit(FieldP))
+      .drop("fp")
     var len = window
-    val marks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (i <- 0 to doublings) {
-      if (i > 0) {
-        val half = len
-        val b = w.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
-          col("fp").as("fp_b"))
-        // Each level is EAGERLY cached (barrier, see `base`): it feeds
-        // three consumers (its repeat gate, its mark semi-join, and the
-        // next level's join) — an uncached or RACED chain re-runs every
-        // earlier join per consumer, turning `doublings` levels into
-        // ~doublings² join executions (lazy-register measured 5.4 s →
-        // 4.1 s steady at sf0.1; the eager barrier removes the residual
-        // same-job race on top of that; 67–72 s at the 64× adversarial
-        // probe, sublinear — 16× time on 64× data with 63 true
-        // near-dups per doc keeping every level corpus-sized).
-        w = graft.ops.Materialize.barrier(
-          w.join(b, Seq("doc_id", "pos"))
-            .select(col("doc_id"), col("pos"),
-              ((col("fp") * lit(2L) + col("fp_b")) % lit(FieldP)).as("fp")))
-        len = len * 2
-      }
+    for (i <- 1 to doublings) {
+      val half = len
+      frame = frame.withColumn(s"fp$i",
+        (col(s"fp${i - 1}") * lit(2L) +
+          lead(col(s"fp${i - 1}"), half).over(byDoc)) % lit(FieldP))
+      len = len * 2
+    }
+    val levels = graft.ops.Materialize.barrier(frame)
+    val marks = (0 to doublings).map { i =>
+      val lvlLen = window * (1 << i)
+      val w = levels.filter(col(s"fp$i").isNotNull)
+        .select(col("doc_id"), col("pos"), col(s"fp$i").as("fp"))
       val rep = w.groupBy("fp")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= minDocs)
         .select("fp")
-      marks += w.join(rep, Seq("fp"), "left_semi")
-        .select(col("doc_id"), col("pos"), lit(len).as("len"))
+      w.join(rep, Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("pos"), lit(lvlLen).as("len"))
     }
     // Measured trade, recorded so nobody "optimizes" this back: the
     // monotone prune (double from the MARKED positions only — correct,

@@ -274,7 +274,11 @@ object SimHash {
     // input). The explicit width pins the compute's parallelism to
     // the session's shuffle setting; the shuffle + sort cost is the
     // same one flatMapGroups paid.
-    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // "auto" is a legal value on some distros (ADVICE r21): fall back
+    // to the cluster default parallelism when the conf is non-numeric.
+    val shuffleN = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     def cellCross(combo: Int,
         sigs: scala.collection.mutable.ArrayBuffer[Long],
         ns: scala.collection.mutable.ArrayBuffer[Long])

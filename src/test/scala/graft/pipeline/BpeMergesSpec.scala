@@ -62,6 +62,13 @@ class BpeMergesSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
   }
 
+  test("empty word frame (nothing matching ^[a-z]+$) returns no merges, no NPE") {
+    // ADVICE r21: sum over zero rows is SQL NULL — the total-F unbox
+    // must not throw; training exhausts on round 1 with an empty list.
+    assert(run(Seq("123 456", "!!! ???"), 3) === Seq.empty)
+    assert(run(Seq.empty, 2) === Seq.empty)
+  }
+
   test("textbook toy corpus matches the local reference trainer") {
     val texts = Seq(
       "low low low low low",

@@ -148,6 +148,21 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(!byDoc.contains(3L))
   }
 
+  test("wholeRepeats caps a 6-token shared run at the 4-bracket (ragged doc lengths)") {
+    // r22 window-chain rewrite edge coverage: the shared run supports
+    // levels 2 and 4 but not 8, and doc 2 (7 tokens) cannot even FORM a
+    // level-2 fingerprint (lead past the partition end must null out
+    // exactly where the old self-join dropped the row).
+    val docs = Seq(
+      (1L, "a b c d e f x1 x2"),
+      (2L, "y a b c d e f"))
+    val byDoc = whole(docs, window = 2, doublings = 2)
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // Shared 4-token wholes: abcd, bcde, cdef — 3 positions in each doc.
+    assert(byDoc(1L) == ((4, 3L)), s"$byDoc")
+    assert(byDoc(2L) == ((4, 3L)), s"$byDoc")
+  }
+
   test("result is invariant to input partitioning") {
     val docs = (0L until 40L).map { i =>
       val tail = s"t${i}a t${i}b t${i}c t${i}d t${i}e"
