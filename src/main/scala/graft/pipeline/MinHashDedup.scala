@@ -193,15 +193,25 @@ object MinHashDedup {
       minJac: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    scoredCellGroups[(Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
-      (band, _, ids, sigs, sets) =>
-        cellPairScan(ids)(
-          (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
-          { (i, j) =>
-            val inter = sortedIntersect(sets(i), sets(j))
-            inter / (sets(i).length + sets(j).length - inter).toDouble
-          }, _ >= minJac)
-    }.toDF("doc_a", "doc_b", "jaccard")
+    // The verify output is REGISTERED (lazy, pair-sized) before the
+    // presentation orderBy: a global sort over an object-boundary
+    // operator runs the upstream TWICE — the range-partitioner sampling
+    // job and the real exchange each re-read the gathered cells and
+    // re-run the quadratic verify (measured at the 64× probe: two
+    // back-to-back 1.29 GB-read stages, ~1.6 s of duplicated scan
+    // work). The cache fills under the sampling job (one consumer
+    // subtree, no concurrent-branch race) and the exchange reads it.
+    // The sibling scorers are protected by their distinct() already.
+    graft.ops.Materialize.register(
+      scoredCellGroups[(Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
+        (band, _, ids, sigs, sets) =>
+          cellPairScan(ids)(
+            (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
+            { (i, j) =>
+              val inter = sortedIntersect(sets(i), sets(j))
+              inter / (sets(i).length + sets(j).length - inter).toDouble
+            }, _ >= minJac)
+      }.toDF("doc_a", "doc_b", "jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -224,20 +234,23 @@ object MinHashDedup {
       minCont: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    scoredCellGroups[(Long, Long, Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
-      (band, _, ids, sigs, sets) =>
-        // Per-cell id → set size, attached after the shared scan (cells
-        // are maxCellMembers-bounded, so the map is task-local small).
-        val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
-        cellPairScan(ids)(
-          (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
-          { (i, j) =>
-            val inter = sortedIntersect(sets(i), sets(j))
-            inter / math.min(sets(i).length, sets(j).length).toDouble
-          }, _ >= minCont).map { case (a, b, c) =>
-          (a, b, size(a).toLong, size(b).toLong, c)
-        }
-    }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment")
+    // Registered before the presentation orderBy for the same
+    // double-verify reason as [[jaccardPairs]].
+    graft.ops.Materialize.register(
+      scoredCellGroups[(Long, Long, Long, Long, Double)](hotShingledCells(docs, idCol, textCol)) {
+        (band, _, ids, sigs, sets) =>
+          // Per-cell id → set size, attached after the shared scan (cells
+          // are maxCellMembers-bounded, so the map is task-local small).
+          val size = ids.iterator.zip(sets.iterator.map(_.length)).toMap
+          cellPairScan(ids)(
+            (i, j) => firstAgreeingBand(sigs(i), sigs(j)) == band,
+            { (i, j) =>
+              val inter = sortedIntersect(sets(i), sets(j))
+              inter / math.min(sets(i).length, sets(j).length).toDouble
+            }, _ >= minCont).map { case (a, b, c) =>
+            (a, b, size(a).toLong, size(b).toLong, c)
+          }
+      }.toDF("doc_a", "doc_b", "n_a", "n_b", "containment"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -386,17 +399,18 @@ object MinHashDedup {
     val spark = corpus.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    // ONE length-only aggregate over the union — not a collect per side.
-    val active = activeLevels(
-      corpus.select(col(idCol), col(textCol))
-        .unionAll(increment.select(col(idCol), col(textCol))), textCol)
-    if (active.isEmpty) return emptyCross(spark)
-    // side rides the emission: 1 = increment, 0 = corpus.
-    val mem = graft.ops.Materialize.barrier(
-      sampledEmission(corpus, idCol, textCol, active.toArray, span)
-        .withColumn("side", lit(0))
-        .unionAll(sampledEmission(increment, idCol, textCol, active.toArray, span)
+    // ONE barrier on the union's text-decode + shingle pass (r22, same
+    // shape as [[stratifiedCells]]); side rides the frame:
+    // 1 = increment, 0 = corpus.
+    val sh = graft.ops.Materialize.barrier(
+      shingledStrata(corpus, idCol, textCol).withColumn("side", lit(0))
+        .unionAll(shingledStrata(increment, idCol, textCol)
           .withColumn("side", lit(1))))
+    // Active levels over the UNION, read off the cache — not a
+    // text-scanning collect per side.
+    val active = sh.select(col("t")).distinct().as[Int].collect().sorted
+    if (active.isEmpty) return emptyCross(spark)
+    val mem = emissionFrom(sh, active, span)
     // Hot cells need a possible cross-side pair: 2..MaxKeyDf members
     // TOTAL (the stop-shingle bound is side-agnostic), at least one
     // member from EACH side, and a possible probe (some member's own
@@ -411,11 +425,9 @@ object MinHashDedup {
       .select("skey")
     val hotMem = mem.join(hot, Seq("skey"))
     val hotIds = hotMem.select(col("doc_id")).distinct()
-    val payload = shingled(
-      corpus.select(col(idCol), col(textCol))
-        .unionAll(increment.select(col(idCol), col(textCol)))
-        .join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-      idCol, textCol).hint("merge")
+    val payload = sh
+      .join(hotIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shingles")).hint("merge")
     val cells = hotMem.join(payload, "doc_id")
       .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
         array(col("t").cast("long"), col("side").cast("long")).as("aux"),
@@ -434,7 +446,7 @@ object MinHashDedup {
     * convention: the stored `_mem` table holds the FLOOR-LEVEL superset
     * — every shingle with trailing zeros ≥ max(t − span, 0), an
     * active-level-independent bound — and this reader filters it with
-    * the SAME exists-an-active-level predicate [[sampledEmission]]
+    * the SAME exists-an-active-level predicate [[emissionFrom]]
     * evaluates inline. Any active level a in [max(t−span,0), t] implies
     * z ≥ a ≥ max(t−span,0), so the filtered scan reproduces the text
     * form's corpus emission row for row (the active set is the union of
@@ -472,11 +484,16 @@ object MinHashDedup {
     // (~3 jobs of fixed latency per probe); the three frames are all
     // bounded driver metadata (1 row / ≤64 levels), so one row carrying
     // meta × sorted-distinct active levels reads them together.
+    // The increment's one text-decode + shingle pass, shared (r22) by
+    // the strata probe below, the index emission, and the payload's
+    // increment arm. Lazy register: the metadata collect is its first
+    // (single-subtree) consumer and fills the cache.
+    val shInc = graft.ops.Materialize.register(
+      shingledStrata(increment, idCol, textCol))
     val metaRows = spark.table(s"${sidecarTable}_meta")
       .crossJoin(
         spark.table(s"${sidecarTable}_levels").select(col("t"))
-          .unionAll(increment.filter(length(col(textCol)) >= ShingleK)
-            .select(expr(stratumSqlFor(textCol)).as("t")))
+          .unionAll(shInc.select(col("t")))
           .distinct()
           .agg(sort_array(collect_list(col("t"))).as("lv")))
       .collect()
@@ -495,13 +512,11 @@ object MinHashDedup {
     // filtered by the text form's exact keep predicate.
     val corpMem = spark.table(s"${sidecarTable}_mem")
       .filter(expr(activeKeepSql("skey", "t", active, span)))
-    // Lazy register, not a barrier (r22): the first job to touch the
-    // emission is the `hot` barrier below, which consumes it through
-    // exactly ONE subtree (cellAgg's aggregate) — no concurrent-branch
-    // race to fence — and every later consumer reads the filled cache.
-    // The eager count job this replaces was pure admission latency.
-    val incMem = graft.ops.Materialize.register(
-      sampledEmission(increment, idCol, textCol, active, span))
+    // Derived from the shInc cache with pure-codegen explode+filter
+    // work — no cache of its own (the eager emission barrier this
+    // replaces was pure admission latency; its two consumers each
+    // re-derive from the filled cache instead).
+    val incMem = emissionFrom(shInc, active, span)
     def cellAgg(mem: DataFrame): DataFrame = mem.groupBy("skey")
       .agg(count(lit(1)).as("df"),
         sum(when(expr("(skey & (shiftleft(CAST(1 AS BIGINT), t) - 1)) = 0"),
@@ -531,9 +546,9 @@ object MinHashDedup {
     val payload = spark.table(s"${sidecarTable}_payload")
       .select(col("doc_id"), array_compact(col("shingles")).as("shingles"))
       .join(hotIds, Seq("doc_id"), "left_semi")
-      .unionAll(shingled(
-        increment.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-        idCol, textCol))
+      .unionAll(shInc
+        .join(hotIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("shingles")))
       .hint("merge")
     val cells = hotMem.join(payload, "doc_id")
       .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
@@ -632,50 +647,90 @@ object MinHashDedup {
     s"CAST(length(bin(greatest((length($textCol) - ${ShingleK - 1}) div " +
       s"$SampleTarget, 1))) - 1 AS INT)"
 
-  /** Active probe levels of a document frame — a length-only aggregate
-    * collapsing to ≤64 rows (strata are log2 buckets of a long),
-    * collected as bounded driver metadata (the ScalableCumSum O(P)
-    * convention). */
-  private def activeLevels(docs: DataFrame, textCol: String): Array[Int] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.filter(length(col(textCol)) >= ShingleK)
-      .select(expr(stratumSqlFor(textCol)).as("t"))
-      .distinct().as[Int].collect().sorted
-  }
-
-  /** The exists-an-active-level keep predicate over (`keyRef`, `tRef`)
-    * columns — ONE rendering shared by the inline emission filter and
-    * the sidecar reader's superset filter, so the two can never
-    * disagree on which shingles qualify. */
+  /** The exists-an-active-level keep predicate, reduced to ONE mask
+    * test (r22, guide §4 "eliminate non-codegen expressions in the hot
+    * path"): `(key & (2^a − 1)) = 0` is monotone in `a` (it says
+    * trailing_zeros(key) ≥ a), so
+    *   ∃ active a ∈ [max(t−span,0), t] with tz(key) ≥ a
+    *   ⇔ tz(key) ≥ min(active ∩ [max(t−span,0), t]),
+    * and the whole disjunction collapses to `(key & minQualMask(t)) = 0`
+    * where the mask depends only on the ROW's stratum. [[minQualMaskSql]]
+    * enumerates every possible stratum 0..63 as a CASE (NULL — i.e.
+    * drop, exactly the old all-disjuncts-false outcome — when no active
+    * level falls in the window). The r21 form evaluated the full
+    * |active|-way disjunction per shingle ELEMENT inside the
+    * (interpreted, non-codegen) higher-order filter — measured at the
+    * 64× probe as a 15.1 s emission barrier that this rewrite takes to
+    * ~1 s. ONE rendering shared by the inline emission filter and the
+    * sidecar reader's superset filter, so the two can never disagree on
+    * which shingles qualify. */
   private def activeKeepSql(keyRef: String, tRef: String,
       active: Array[Int], span: Int): String =
-    active.map(a =>
-      s"($a >= greatest($tRef - $span, 0) AND $a <= $tRef " +
-        s"AND ($keyRef & ${(1L << a) - 1}L) = 0)").mkString(" OR ")
+    s"($keyRef & ${minQualMaskSql(tRef, active, span)}) = 0"
 
-  /** The slim index emission over one document frame — one scan, ONE
-    * filter pass per document (no per-level HOF re-scan: a shingle is
-    * kept iff its trailing zeros reach some active level inside the
-    * document's [t − span, t] window, a handful of bit tests).
-    * Rows are (doc_id, t, skey) with skey the unsigned 32-bit shingle. */
-  private def sampledEmission(docs: DataFrame, idCol: String,
-      textCol: String, active: Array[Int], span: Int): DataFrame = {
+  /** `2^(min active level in [max(t−span,0), t]) − 1` as a CASE over
+    * every possible stratum value, NULL when the window holds no active
+    * level (a null mask nulls the keep comparison, which filters drop —
+    * the old predicate's false). Strata are log2 buckets of a long, so
+    * 0..63 is total. */
+  private def minQualMaskSql(tRef: String,
+      active: Array[Int], span: Int): String = {
+    val whens = (0 to 63).flatMap { tv =>
+      val floor = math.max(tv - span, 0)
+      val qual = active.filter(a => a >= floor && a <= tv)
+      if (qual.isEmpty) None
+      else Some(s"WHEN $tv THEN ${(1L << qual.min) - 1}L")
+    }.mkString(" ")
+    s"(CASE $tRef $whens END)"
+  }
+
+  /** The corpus's (doc_id, shingles, t) frame — the ONE expensive
+    * text-decode + shingle pass of the stratified family, factored out
+    * so callers can cache it once and derive the index emission, the
+    * active-level set AND the verify payload from the same cache (r22:
+    * the emission-row barrier it replaces serialized ~21M slim rows per
+    * 64× run, measured as the family's dominant stage; this frame is
+    * corpus-row-count sized and the downstream derivations are pure
+    * codegen). */
+  private def shingledStrata(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.filter(length(col(textCol)) >= ShingleK)
       .select(col(idCol).as("doc_id"),
         GraftFunctions.shingleSet(col(textCol)).as("shingles"),
         expr(stratumSqlFor(textCol)).as("t"))
-      .select(col("doc_id"), col("t"), explode(expr(
-        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
-          s"u -> ${activeKeepSql("u", "t", active, span)})")).as("skey"))
+  }
+
+  /** The slim index emission derived from a [[shingledStrata]]-shaped
+    * frame (extra columns — e.g. the incremental form's `side` flag —
+    * ride through): the row's minimal qualifying mask is PROJECTED once
+    * per row (inlining the CASE into a per-element position would
+    * re-evaluate it per shingle — the r21 trigram-fold lesson), then
+    * explode FIRST and filter as a plain WHERE so Generate + Filter +
+    * Project all run inside whole-stage codegen — the higher-order
+    * lambda formulations this replaces were interpreted per element
+    * (measured at the 64× probe: 6.6–15.1 s in this pass; this shape
+    * ~1 s). The Int-side mask test is exact: bitwise AND is
+    * sign-agnostic and an unsigned 32-bit shingle has no higher bits,
+    * so (s & mask₃₂) = 0 on the raw Int equals the unsigned test. */
+  private def emissionFrom(sh: DataFrame, active: Array[Int],
+      span: Int): DataFrame = {
+    val extras = sh.columns.filterNot(Set("doc_id", "shingles", "t"))
+      .map(col).toSeq
+    sh.select(Seq(col("doc_id"), col("t"),
+        expr(s"CAST(${minQualMaskSql("t", active, span)} & 4294967295L AS INT)")
+          .as("__mqi"),
+        explode(col("shingles")).as("s")) ++ extras: _*)
+      .filter(expr("(s & __mqi) = 0"))
+      .select(Seq(col("doc_id"), col("t"),
+        expr("CAST(s AS BIGINT) & 4294967295L").as("skey")) ++ extras: _*)
   }
 
   /** The ACTIVE-LEVEL-INDEPENDENT floor emission — every shingle with
     * trailing zeros ≥ max(t − span, 0): the stored-sidecar superset
     * ([[CorpusWriter.writeStratifiedIndex]]). For any active set, the
     * reader's [[activeKeepSql]] filter over these rows equals
-    * [[sampledEmission]] exactly (an active a in [max(t−span,0), t]
+    * [[emissionFrom]] exactly (an active a in [max(t−span,0), t]
     * forces z ≥ a ≥ the floor), which is the q67 bit-equality
     * argument. Same (doc_id, t, skey) shape. */
   private[pipeline] def floorEmission(docs: DataFrame, idCol: String,
@@ -685,10 +740,17 @@ object MinHashDedup {
       .select(col(idCol).as("doc_id"),
         GraftFunctions.shingleSet(col(textCol)).as("shingles"),
         expr(stratumSqlFor(textCol)).as("t"))
-      .select(col("doc_id"), col("t"), explode(expr(
-        s"filter(transform(shingles, s -> CAST(s AS BIGINT) & 4294967295L), " +
-          s"u -> (u & (shiftleft(CAST(1 AS BIGINT), greatest(t - $span, 0)) - 1)) = 0)"))
-        .as("skey"))
+      // Floor mask bound once per row, filter-first on the raw Int
+      // (same bind-once + survivors-only rules as [[emissionFrom]] —
+      // the landing write is a corpus-scale pass).
+      .select(col("doc_id"), col("shingles"), col("t"),
+        expr("CAST((shiftleft(CAST(1 AS BIGINT), greatest(t - " + span +
+          ", 0)) - 1) & 4294967295L AS INT)").as("__mfi"))
+      .select(col("doc_id"), col("t"), col("__mfi"),
+        explode(col("shingles")).as("s"))
+      .filter(expr("(s & __mfi) = 0"))
+      .select(col("doc_id"), col("t"),
+        expr("CAST(s AS BIGINT) & 4294967295L").as("skey"))
   }
 
   /** Corpus strata + doc-level shingle payloads for the sidecar writer:
@@ -713,13 +775,18 @@ object MinHashDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
-    val active = activeLevels(docs, textCol)
+    // ONE barrier on the text-decode + shingle pass (r22): the active
+    // levels, the index emission (twice — hot-cell aggregate and
+    // membership join) and the verify payload all derive from this
+    // cache with pure-codegen work, where the previous shape barriered
+    // the exploded emission (an ~21M-row cache write per 64× run) AND
+    // re-shingled the hot docs for the payload AND text-scanned once
+    // more for the active levels.
+    val sh = graft.ops.Materialize.barrier(
+      shingledStrata(docs, idCol, textCol))
+    val active = sh.select(col("t")).distinct().as[Int].collect().sorted
     if (active.isEmpty) return None
-    // Barriered: the emission feeds the hot-cell aggregate AND the
-    // membership join, and an uncached shared frame would re-shingle
-    // the corpus per branch.
-    val mem = graft.ops.Materialize.barrier(
-      sampledEmission(docs, idCol, textCol, active, span))
+    val mem = emissionFrom(sh, active, span)
     // Hot cells: ≥2 members (a pair exists), ≤ MaxKeyDf (stop-shingle
     // drop), and ≥1 member that can PROBE through this shingle (its own
     // stratum sampled here: skey mod 2^t = 0) — a cell of pure hosts can
@@ -735,9 +802,9 @@ object MinHashDedup {
     // Exact sets ship once per hot membership; merge hint for the same
     // reason as the band path — the semi-joined payload has no honest
     // size estimate and both sides are corpus-sized at scale.
-    val payload = shingled(
-      docs.join(hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-      idCol, textCol).hint("merge")
+    val payload = sh
+      .join(hotIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shingles")).hint("merge")
     Some(hotMem.join(payload, "doc_id")
       .select(lit(0).as("kind"), col("skey").as("cell"), col("doc_id"),
         array(col("t").cast("long")).as("aux"), col("shingles"))

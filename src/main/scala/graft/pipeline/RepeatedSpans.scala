@@ -178,17 +178,27 @@ object RepeatedSpans {
       len = len * 2
     }
     val levels = graft.ops.Materialize.barrier(frame)
-    val marks = (0 to doublings).map { i =>
-      val lvlLen = window * (1 << i)
-      val w = levels.filter(col(s"fp$i").isNotNull)
-        .select(col("doc_id"), col("pos"), col(s"fp$i").as("fp"))
-      val rep = w.groupBy("fp")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= minDocs)
-        .select("fp")
-      w.join(rep, Seq("fp"), "left_semi")
-        .select(col("doc_id"), col("pos"), lit(lvlLen).as("len"))
+    // All levels gate through ONE aggregate and ONE semi-join: the wide
+    // frame explodes to slim (doc_id, pos, len, fp) rows (len encodes
+    // the level bijectively), the repeat gate is a single
+    // (len, fp)-keyed countDistinct, and the mark set is one semi-join —
+    // where the per-level formulation ran (doublings+1) aggregate scans
+    // and (doublings+1) semi-joins over the cache, all racing for the
+    // same task slots in the final job.
+    val lvlStructs = (0 to doublings).map { i =>
+      struct(lit(window * (1 << i)).as("len"), col(s"fp$i").as("fp"))
     }
+    val exploded = levels.select(col("doc_id"), col("pos"),
+        explode(array(lvlStructs: _*)).as("lf"))
+      .filter(col("lf.fp").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        col("lf.len").as("len"), col("lf.fp").as("fp"))
+    val rep = exploded.groupBy("len", "fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("len", "fp")
+    val marks = Seq(exploded.join(rep, Seq("len", "fp"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("len")))
     // Measured trade, recorded so nobody "optimizes" this back: the
     // monotone prune (double from the MARKED positions only — correct,
     // since a repeated 2·len span forces both len halves repeated under
