@@ -58,9 +58,12 @@ object BigramModel {
     *    other document shares. */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // explode_outer + isnotnull (r22): the non-outer generate's inferred
+    // filter re-evaluated word_grams per corpus row (see Winnow.decontam).
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 2))
-        .as("gram"))
+        explode_outer(graft.functions.GraftFunctions.wordGrams(col(textCol), 2))
+          .as("gram"))
+      .filter(col("gram").isNotNull)
     // Materialized: feeds the model rollups AND the scoring join.
     val docGram = Materialize.barrier(
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c_dg")))

@@ -72,7 +72,8 @@ object BloomDecontam {
     // The SET BITS: distinct (slice, pos) over the eval slice's grams.
     // ≤ 3·2^17 rows no matter the eval size — always broadcastable.
     val bits = docs.filter(evalPred)
-      .select(explode(gramHashes).as("fp"))
+      .select(explode_outer(gramHashes).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(explode(positions(col("fp"))).as("sp"))
       .select(col("sp.slice").as("slice"), col("sp.pos").as("pos"))
       .distinct()
@@ -83,7 +84,8 @@ object BloomDecontam {
     // independent scan→tokenize→explode subtrees).
     val grams = graft.ops.Materialize.barrier(
       docs.filter(!evalPred)
-        .select(col(idCol).as("doc_id"), explode(gramHashes).as("fp"))
+        .select(col(idCol).as("doc_id"), explode_outer(gramHashes).as("fp"))
+        .filter(col("fp").isNotNull)
         .distinct())
 
     val accepted = grams
@@ -121,7 +123,8 @@ object BloomDecontam {
     val gramHashes =
       graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val packed = Array.fill(Slices)(new Array[Long](1 << (SliceBits - 6)))
-    evalDocs.select(explode(gramHashes).as("fp"))
+    evalDocs.select(explode_outer(gramHashes).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(explode(positions(col("fp"))).as("sp"))
       .select(col("sp.slice").as("slice"), col("sp.pos").as("pos"))
       .distinct()
@@ -159,7 +162,8 @@ object BloomDecontam {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes =
       graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
-    docs.select(col(idCol).as("doc_id"), explode(gramHashes).as("fp"))
+    docs.select(col(idCol).as("doc_id"), explode_outer(gramHashes).as("fp"))
+      .filter(col("fp").isNotNull)
       .distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

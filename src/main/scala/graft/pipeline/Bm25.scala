@@ -260,7 +260,8 @@ object Bm25 {
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
     val posAgg = Materialize.barrier(docs.select(
         col(idCol).cast("long").as("doc_id"), toks.as("t"))
-      .select(col("doc_id"), explode(col("t")).as("term"))
+      .select(col("doc_id"), explode_outer(col("t")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
     val lenAgg = posAgg.groupBy("doc_id").agg(sum("tf").as("dl"))
     val postings = posAgg

@@ -43,9 +43,10 @@ object Boilerplate {
         s"$chunkTokens, $minDocs, $pct")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val seg = Materialize.barrier(docs.select(
-      col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
-      explode(graft.functions.GraftFunctions.tokenChunks(col(textCol),
-        chunkTokens)).as("chunk"))
+        col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
+        explode_outer(graft.functions.GraftFunctions.tokenChunks(col(textCol),
+          chunkTokens)).as("chunk"))
+      .filter(col("chunk").isNotNull)
       .select(col("doc_id"), col("source"), md5(col("chunk")).as("fp")))
     val srcDocs = docs.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("src_docs"))
@@ -85,9 +86,10 @@ object Boilerplate {
         s"$chunkTokens, $minDocs, $pct")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val seg = Materialize.barrier(docs.select(
-      col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
-      posexplode(graft.functions.GraftFunctions.tokenChunks(col(textCol),
-        chunkTokens)).as(Seq("pos", "chunk")))
+        col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
+        posexplode_outer(graft.functions.GraftFunctions.tokenChunks(col(textCol),
+          chunkTokens)).as(Seq("pos", "chunk")))
+      .filter(col("chunk").isNotNull)
       .select(col("doc_id"), col("source"), col("pos"), col("chunk"),
         md5(col("chunk")).as("fp")))
     val srcDocs = docs.groupBy(col(srcCol).as("source"))

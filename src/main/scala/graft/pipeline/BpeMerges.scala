@@ -99,9 +99,12 @@ object BpeMerges {
       s"rounds must be in [1,64] (1 driver row + 1 cached vocab frame each): $rounds")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
+    // explode_outer + isnotnull (r22): a non-outer generate over the
+    // derived token array makes InferFiltersFromGenerate re-evaluate
+    // word_grams per row in a pushed-down filter (see Winnow.decontam).
     val words = docs
-      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      .select(explode_outer(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
+      .filter(col("word").isNotNull && col("word").rlike("^[a-z]+$"))
     val wf = words.groupBy("word").agg(count(lit(1)).as("f"))
     var cur = Materialize.register(wf.select(col("word"), col("f"),
       concat(lit(" "),
@@ -200,8 +203,8 @@ object BpeMerges {
     GraftFunctions.register(docs.sparkSession)
     val dw = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+        explode_outer(GraftFunctions.wordGrams(col(textCol), 1)).as("word"))
+      .filter(col("word").isNotNull && col("word").rlike("^[a-z]+$"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val seq0 = concat(lit(" "),
       array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),

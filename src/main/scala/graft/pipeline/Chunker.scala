@@ -40,7 +40,7 @@ object Chunker {
       .select(col("doc_id"), expr("size(toks)").as("n_toks"), col("toks"))
       .filter(col("n_toks") > 0)
       .select(col("doc_id"),
-        explode(expr(
+        explode_outer(expr(
           s"""transform(
              |  sequence(0, CAST(ceil(n_toks / CAST($stride AS DOUBLE)) AS INT) - 1),
              |  i -> struct(
@@ -48,6 +48,7 @@ object Chunker {
              |    array_join(slice(toks, i * $stride + 1, $size), ' ') AS chunk_text,
              |    CAST(least($size, n_toks - i * $stride) AS BIGINT) AS n_tokens))"""
             .stripMargin)).as("c"))
+      .filter(col("c").isNotNull)
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
   }

@@ -63,8 +63,9 @@ object Collocations {
     val nDocs = docs.count()
     val pres = Materialize.barrier(docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.functions.GraftFunctions
+        explode_outer(graft.functions.GraftFunctions
           .wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
       .distinct())
     // Top-v vocabulary COLLECTED (≤ MaxVocab rows — the bounded
     // driver-artifact convention) and re-keyed to dense int ids in

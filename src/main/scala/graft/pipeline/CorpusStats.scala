@@ -107,8 +107,9 @@ object CorpusStats {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
       .select(col(srcCol).as("source"),
-        explode(graft.functions.GraftFunctions.wordGramHashes(
+        explode_outer(graft.functions.GraftFunctions.wordGramHashes(
           col(textCol), n)).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct()
     val cells = grams.groupBy("gram_fp")
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
@@ -139,8 +140,9 @@ object CorpusStats {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
       .select(col(srcCol).as("source"),
-        explode(graft.functions.GraftFunctions.wordGramHashes(
+        explode_outer(graft.functions.GraftFunctions.wordGramHashes(
           col(textCol), n)).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct()
     grams.as("a").join(grams.as("b"),
         col("a.gram_fp") === col("b.gram_fp") &&
@@ -201,8 +203,9 @@ object CorpusStats {
     require(k > 0, s"sketch size must be positive: $k")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs.select(col(srcCol).cast("string").as("source"),
-      explode(graft.functions.GraftFunctions.wordGramHashes(
-        col(textCol), n)).as("gram_fp"))
+        explode_outer(graft.functions.GraftFunctions.wordGramHashes(
+          col(textCol), n)).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
     val arrs = graft.ops.Materialize.barrier(
       kminSketch(grams, k)
         .groupBy("source")

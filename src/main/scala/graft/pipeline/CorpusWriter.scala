@@ -103,9 +103,10 @@ object CorpusWriter {
   private def gramCounts(docs: DataFrame, textCol: String, n: Int,
       src: Option[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(explode(array_distinct(
+    docs.select(explode_outer(array_distinct(
         graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)))
         .as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .groupBy("gram_fp").agg(count(lit(1)).as("c"))
       .withColumn("src", src.map(lit(_)).getOrElse(lit(null)).cast("string"))
   }

@@ -54,7 +54,8 @@ object CountMin {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = graft.functions.GraftFunctions.wordGramHashes(col(textCol), 1)
     val sketch = Array.fill(Slices)(new Array[Long](1 << SliceBits))
-    docs.select(explode(fps).as("fp"))
+    docs.select(explode_outer(fps).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(explode(array((0 until Slices).map(i =>
         struct(lit(i).as("slice"),
           shiftright(col("fp"), i * SliceBits).bitwiseAND(lit(mask))

@@ -95,7 +95,8 @@ object Decontam {
     // contract-failure path the cache is released before throwing so a
     // rejected call strands no storage memory.
     val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
-      .select(explode(gramHashes).as("gram_fp"))
+      .select(explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct())
     val nEval = evalGrams.count()
     if (nEval > maxEvalGrams) {
@@ -108,7 +109,8 @@ object Decontam {
           "Decontam.overlapReport's evalPred contract")
     }
     docs.filter(!evalPred)
-      .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
+      .select(col(idCol).as("doc_id"), explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .join(broadcast(evalGrams), "gram_fp")
       .groupBy("doc_id")
       .agg(countDistinct("gram_fp").as("n_overlap"))
@@ -137,7 +139,8 @@ object Decontam {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
-      .select(explode(gramHashes).as("gram_fp"))
+      .select(explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct())
     val nEval = evalGrams.count()
     if (nEval > maxEvalGrams) {
@@ -148,7 +151,8 @@ object Decontam {
           s"$maxEvalGrams — see Decontam.overlapReport's evalPred contract")
     }
     docs.filter(!evalPred)
-      .select(col(idCol).as("doc_id"), explode(gramHashes).as("gram_fp"))
+      .select(col(idCol).as("doc_id"), explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct()
       .join(broadcast(evalGrams.withColumn("__hit", lit(1L))),
         Seq("gram_fp"), "left")
@@ -190,7 +194,8 @@ object Decontam {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val gramHashes = graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val evalGrams = graft.ops.Materialize.register(docs.filter(evalPred)
-      .select(col(idCol).as("eval_id"), explode(gramHashes).as("gram_fp"))
+      .select(col(idCol).as("eval_id"), explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct())
     val nEval = evalGrams.count()
     if (nEval > maxEvalGrams) {
@@ -203,7 +208,8 @@ object Decontam {
     }
     val evalFps = evalGrams.select("gram_fp").distinct()
     val matched = docs.filter(!evalPred)
-      .select(col(idCol).as("corpus_id"), explode(gramHashes).as("gram_fp"))
+      .select(col(idCol).as("corpus_id"), explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .join(broadcast(evalFps), "gram_fp")
       .distinct()
     evalGrams.join(matched, Seq("gram_fp"), "left")

@@ -344,7 +344,8 @@ object DupClusters {
       graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(gramHashes).as("gram_fp"))
+        explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .join(split, "doc_id")
     val trainGrams = grams.filter(col("split") === "train")
       .select("gram_fp").distinct()

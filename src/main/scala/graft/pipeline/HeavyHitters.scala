@@ -56,7 +56,8 @@ object HeavyHitters {
     import spark.implicits._
     GraftFunctions.register(spark)
     val toks = docs.select(
-      explode(GraftFunctions.wordGrams(col(textCol), n)).as("term"))
+        explode_outer(GraftFunctions.wordGrams(col(textCol), n)).as("term"))
+      .filter(col("term").isNotNull)
     // Sketch pass: per-partition Misra–Gries, m = k counters.
     val candidates = partitionSummaries(toks.as[String], k)
       .select("term").distinct()

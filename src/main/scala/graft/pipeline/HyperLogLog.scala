@@ -132,7 +132,8 @@ object HyperLogLog {
     GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(keyCol).as("key"),
-        explode(GraftFunctions.wordGramHashes(col(textCol), n)).as("fp"))
+        explode_outer(GraftFunctions.wordGramHashes(col(textCol), n)).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(col("key"), col("fp"),
         registerCol(col("fp")).as("register"),
         payloadCol(col("fp")).as("__w"))
@@ -212,8 +213,9 @@ object HyperLogLog {
     GraftFunctions.register(docs.sparkSession)
     val out = new Array[Int](M)
     docs
-      .select(explode(
+      .select(explode_outer(
         GraftFunctions.wordGramHashes(col(textCol), n)).as("fp"))
+      .filter(col("fp").isNotNull)
       .select(registerCol(col("fp")).as("register"),
         payloadCol(col("fp")).as("__w"))
       .groupBy("register")

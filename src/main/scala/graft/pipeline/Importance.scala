@@ -88,7 +88,8 @@ object Importance {
     // the result is consumed (VERDICT r8 item 1).
     val docGram = graft.ops.Materialize.barrier(docs
       .select(Seq(col(idCol).cast("long").as("doc_id"),
-        targetPred.as("is_target")) ++ stratum :+ explode(grams).as("g"): _*)
+        targetPred.as("is_target")) ++ stratum :+ explode_outer(grams).as("g"): _*)
+      .filter(col("g").isNotNull)
       .groupBy(groupKeys: _*)
       .agg(count(lit(1)).as("cnt")))
     val gramW = docGram.groupBy("g")

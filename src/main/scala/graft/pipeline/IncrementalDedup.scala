@@ -81,7 +81,7 @@ object IncrementalDedup {
 
     // Near: band the increment (small) against corpus ∪ lower-id
     // siblings; same band slicing as MinHashDedup's self-join mirror.
-    val bandCol = explode(expr(
+    val bandCol = explode_outer(expr(
       s"transform(sequence(0, ${MinHashDedup.Bands - 1}), " +
         s"b -> struct(b AS band, slice(sig, b * ${MinHashDedup.RowsPerBand} + 1, " +
         s"${MinHashDedup.RowsPerBand}) AS bkey))")).as("bd")
@@ -93,12 +93,14 @@ object IncrementalDedup {
     val incBands = inc.filter(col("sig").isNotNull)
       .select(col("doc_id"), array_compact(col("sig")).as("sig"))
       .select(col("doc_id"), col("sig"), bandCol)
+      .filter(col("bd").isNotNull)
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     val partnerBands = idx.select(col("doc_id").as("p_id"), col("sig"), lit(true).as("is_corpus"))
       .unionAll(inc.select(col("doc_id").as("p_id"), col("sig"), lit(false).as("is_corpus")))
       .filter(col("sig").isNotNull)
       .select(col("p_id"), array_compact(col("sig")).as("sig"), col("is_corpus"))
       .select(col("p_id"), col("sig"), col("is_corpus"), bandCol)
+      .filter(col("bd").isNotNull)
       .select(col("p_id"), col("sig").as("p_sig"), col("is_corpus"),
         col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     val nearHit = incBands.join(partnerBands,

@@ -720,7 +720,7 @@ object MinHashDedup {
     sh.select(Seq(col("doc_id"), col("t"),
         expr(s"CAST(${minQualMaskSql("t", active, span)} & 4294967295L AS INT)")
           .as("__mqi"),
-        explode(col("shingles")).as("s")) ++ extras: _*)
+        explode_outer(col("shingles")).as("s")) ++ extras: _*)
       .filter(expr("(s & __mqi) = 0"))
       .select(Seq(col("doc_id"), col("t"),
         expr("CAST(s AS BIGINT) & 4294967295L").as("skey")) ++ extras: _*)
@@ -746,8 +746,11 @@ object MinHashDedup {
       .select(col("doc_id"), col("shingles"), col("t"),
         expr("CAST((shiftleft(CAST(1 AS BIGINT), greatest(t - " + span +
           ", 0)) - 1) & 4294967295L AS INT)").as("__mfi"))
+      // explode_outer: the non-outer generate's inferred filter would
+      // re-run shingle_set per row in the (uncached) landing pass; the
+      // mask filter below already drops the outer form's null rows.
       .select(col("doc_id"), col("t"), col("__mfi"),
-        explode(col("shingles")).as("s"))
+        explode_outer(col("shingles")).as("s"))
       .filter(expr("(s & __mfi) = 0"))
       .select(col("doc_id"), col("t"),
         expr("CAST(s AS BIGINT) & 4294967295L").as("skey"))
@@ -927,8 +930,9 @@ object MinHashDedup {
     val bound = sig.sparkSession.conf
       .get("spark.graft.maxCellMembers", DefaultMaxCellMembers.toString).toLong
     val cells = sig.select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        explode_outer(expr(s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, xxhash64(b, slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS cell))")).as("bd"))
+      .filter(col("bd").isNotNull)
       .select(col("doc_id"), col("sig"), col("bd.band").as("band"), col("bd.cell").as("cell"))
     // The cap rides the singleton-prune filter over the ALREADY-computed
     // count aggregate (a kept filter cannot be pruned away, unlike a

@@ -39,7 +39,9 @@ object Novelty {
     val gramHashes =
       graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     val corpusGrams = docs.filter(!incrementPred)
-      .select(explode(gramHashes).as("gram_fp")).distinct()
+      .select(explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
+      .distinct()
     scoreAgainst(docs.filter(incrementPred), idCol, textCol, n, corpusGrams)
   }
 
@@ -70,7 +72,8 @@ object Novelty {
       graft.functions.GraftFunctions.wordGramHashes(col(textCol), n)
     increment
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(gramHashes).as("gram_fp"))
+        explode_outer(gramHashes).as("gram_fp"))
+      .filter(col("gram_fp").isNotNull)
       .distinct()
       .join(corpusGrams.withColumn("__seen", lit(1L)), Seq("gram_fp"), "left")
       .groupBy("doc_id")

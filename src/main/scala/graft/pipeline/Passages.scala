@@ -51,7 +51,8 @@ object Passages {
       s"need chunkTokens > 0 and maxDocs > 1: $chunkTokens, $maxDocs")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val chunks = docs.select(col(idCol).as("doc_id"),
-      posexplode(chunkArray(col(textCol), chunkTokens)).as(Seq("pos", "chunk")))
+        posexplode_outer(chunkArray(col(textCol), chunkTokens)).as(Seq("pos", "chunk")))
+      .filter(col("chunk").isNotNull)
     val boilerplate = chunks.groupBy("chunk")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= maxDocs)

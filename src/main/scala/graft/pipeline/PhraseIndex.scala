@@ -46,7 +46,8 @@ object PhraseIndex {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = graft.functions.GraftFunctions.wordGrams(col(textCol), 1)
     docs.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+      .select(col("doc_id"), posexplode_outer(col("t")).as(Seq("pos", "term")))
+      .filter(col("term").isNotNull)
       .select(col("term"), col("doc_id"),
         col("pos").cast("long").as("pos"),
         lit(sign.toLong).as("c"), lit(src).cast("string").as("src"))

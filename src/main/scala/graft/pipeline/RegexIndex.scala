@@ -84,7 +84,8 @@ object RegexIndex {
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
       src: String, sign: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(triGrams(col(textCol))).as("gram"))
+        explode_outer(triGrams(col(textCol))).as("gram"))
+      .filter(col("gram").isNotNull)
       .select(col("gram"), col("doc_id"),
         lit(sign.toLong).as("c"), lit(src).cast("string").as("src"))
 

@@ -59,9 +59,17 @@ object RepeatedSpans {
     require(window > 0 && minDocs > 1,
       s"need window > 0 and minDocs > 1: $window, $minDocs")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // posexplode_OUTER + isnotnull (r22, the InferFiltersFromGenerate
+    // duplication — see Winnow.decontam): a non-outer generate over the
+    // derived gram-hash array pushes a size/isnotnull filter below the
+    // projection that re-evaluates word_gram_hashes per row; the outer
+    // form takes no inferred filter and the isnotnull on the GENERATED
+    // column restores the identical row set (gram hashes are non-null
+    // by construction).
     val wins = docs.select(col(idCol).as("doc_id"),
-      posexplode(graft.functions.GraftFunctions.wordGramHashes(
-        col(textCol), window)).as(Seq("pos", "fp")))
+        posexplode_outer(graft.functions.GraftFunctions.wordGramHashes(
+          col(textCol), window)).as(Seq("pos", "fp")))
+      .filter(col("fp").isNotNull)
     val hot = wins.groupBy("fp")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
@@ -165,8 +173,9 @@ object RepeatedSpans {
     // final union job.
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     var frame = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.GraftFunctions.wordGramHashes(
+        posexplode_outer(graft.functions.GraftFunctions.wordGramHashes(
           col(textCol), window)).as(Seq("pos", "fp")))
+      .filter(col("fp").isNotNull)
       .withColumn("fp0", col("fp") % lit(FieldP))
       .drop("fp")
     var len = window

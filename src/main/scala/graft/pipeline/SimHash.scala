@@ -245,7 +245,8 @@ object SimHash {
       sigGroups.select(col("simhash").cast("long").as("simhash"),
         col("n").cast("long").as("n")))
     val cells = distinctSigs.select(col("simhash"), col("n"),
-        explode(expr(emitSql)).as("e"))
+        explode_outer(expr(emitSql)).as("e"))
+      .filter(col("e").isNotNull)
       .select(col("e.combo").as("combo"), col("e.ckey").as("ckey"),
         col("simhash"), col("n"))
     val bound = spark.conf

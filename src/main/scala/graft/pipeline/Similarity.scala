@@ -112,7 +112,8 @@ object Similarity {
     // of the raw pair stream; see MinHashDedup.candidatePairs.
     val banded = e.select(col("vec_id"), expr(bucketArray).as("bks"))
       .select(col("vec_id"), col("bks"),
-        posexplode(col("bks")).as(Seq("band", "bucket")))
+        posexplode_outer(col("bks")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
     val firstBandOnly = expr(
       (1 until bands).foldLeft("CASE l.band WHEN 0 THEN true") { (acc, b) =>
         val diffs = (0 until b)

@@ -47,7 +47,8 @@ object SourceDrift {
     GraftFunctions.register(docs.sparkSession)
     val st = Materialize.barrier(docs
       .select(col(sourceCol).as("source"),
-        explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+        explode_outer(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("source", "term").agg(count(lit(1)).as("c")))
     val vocab = st.groupBy("term").agg(sum("c").as("ct"))
       .orderBy(col("ct").desc, col("term").asc).limit(v)
@@ -77,7 +78,8 @@ object SourceDrift {
     require(v > 0, s"vocabulary size must be positive: $v")
     GraftFunctions.register(docs.sparkSession)
     val tc = docs
-      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .select(explode_outer(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("term").agg(count(lit(1)).as("c"))
     tc.crossJoin(broadcast(tc.agg(sum("c").as("n"))))
       .orderBy(col("c").desc, col("term").asc).limit(v)
@@ -99,7 +101,8 @@ object SourceDrift {
     GraftFunctions.register(spark)
     val refDf = ref.toDF("term", "f_ref")
     val toks = batch
-      .select(explode(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .select(explode_outer(GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
     val tot = batch.agg(count(lit(1)).as("n_docs"))
       .crossJoin(toks.agg(count(lit(1)).as("n_tokens")))
     val l1 = broadcast(refDf)

@@ -39,7 +39,8 @@ object TermCommonness {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+        explode_outer(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
     // Materialized: feeds the vocabulary rollup AND the scoring join
     // (see scaladoc; TfIdf's single-scan convention, PlanAuditSpec class).
     val docTerm = graft.ops.Materialize.barrier(

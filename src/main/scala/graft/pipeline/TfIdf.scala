@@ -45,8 +45,11 @@ object TfIdf {
     require(topN >= 1, s"topN must be positive: $topN")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = docs.count()
+    // explode_outer + isnotnull (r22): the non-outer generate's inferred
+    // filter re-evaluated word_grams per corpus row (see Winnow.decontam).
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+        explode_outer(graft.functions.GraftFunctions.wordGrams(col(textCol), 1)).as("term"))
+      .filter(col("term").isNotNull)
     // Query-lifetime cache + barrier: tf feeds BOTH the df derivation and
     // the scoring join (see the scaladoc's scale-shape paragraph); the
     // barrier stops the join's concurrently-launching stages from racing

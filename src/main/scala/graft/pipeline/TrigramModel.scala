@@ -72,16 +72,21 @@ object TrigramModel {
     val toks = Materialize.barrier(
       train.select(graft.functions.GraftFunctions
         .wordGrams(col(textCol), 1).as("t")))
+    // explode_outer + isnotnull (r22): the non-outer generate's inferred
+    // filter re-built each row's derived gram array a second time (see
+    // Winnow.decontam). Gram strings are non-null by construction.
     def gramsOf(n: Int) =
-      if (n == 1) explode(col("t")).as("gram")
-      else explode(when(size(col("t")) >= n,
+      if (n == 1) explode_outer(col("t")).as("gram")
+      else explode_outer(when(size(col("t")) >= n,
         transform(sequence(lit(0), size(col("t")) - n), i =>
           concat_ws(" ", (0 until n).map(j => col("t")(i + lit(j))): _*)))
         .otherwise(array().cast("array<string>"))).as("gram")
     def level(n: Int) = toks.select(gramsOf(n))
+      .filter(col("gram").isNotNull)
       .groupBy("gram").agg(count(lit(1)).as("c"))
       .select(lit(n).as("level"), col("gram"), col("c"))
-    val total = toks.select(explode(col("t")).as("w"))
+    val total = toks.select(explode_outer(col("t")).as("w"))
+      .filter(col("w").isNotNull)
       .agg(count(lit(1)).as("c"))
       .select(lit(0).as("level"), lit("").as("gram"), col("c"))
     level(3).unionAll(level(2)).unionAll(level(1)).unionAll(total)
@@ -122,8 +127,9 @@ object TrigramModel {
       .select(guarded(col("c")).as("n_train"))
     val docTri = score
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 3))
+        explode_outer(graft.functions.GraftFunctions.wordGrams(col(textCol), 3))
           .as("gram"))
+      .filter(col("gram").isNotNull)
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c_dg"))
       .withColumn("w12", substring_index(col("gram"), " ", 2))
       .withColumn("w23", substring_index(col("gram"), " ", -2))

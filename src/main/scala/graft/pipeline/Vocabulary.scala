@@ -37,8 +37,9 @@ object Vocabulary {
     require(v > 0, s"vocabulary size must be positive: $v")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      explode(graft.functions.GraftFunctions.wordGrams(col(textCol), 1))
-        .as("term"))
+        explode_outer(graft.functions.GraftFunctions.wordGrams(col(textCol), 1))
+          .as("term"))
+      .filter(col("term").isNotNull)
     val docTerm = Materialize.barrier(
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c_dt")))
     val vocab = docTerm.groupBy("term").agg(sum("c_dt").as("c_t"))

@@ -87,7 +87,8 @@ object Winnow {
     require(minShared > 0, s"minShared must be positive: $minShared")
     require(maxDf > 1, s"maxDf must exceed 1: $maxDf")
     val fps = withSelection(docs, idCol, textCol, n, w)
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .select(col("doc_id"), explode_outer(col("sel")).as("fp"))
+      .filter(col("fp").isNotNull)
     val cells = fps.groupBy("fp")
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
@@ -108,7 +109,8 @@ object Winnow {
   private[pipeline] def selectedFps(docs: DataFrame, idCol: String,
       textCol: String, n: Int, w: Int): DataFrame =
     withSelection(docs, idCol, textCol, n, w)
-      .select(explode(col("sel")).as("fp"))
+      .select(explode_outer(col("sel")).as("fp"))
+      .filter(col("fp").isNotNull)
 
   /** Broadcast-contract bound on distinct eval-side SELECTED
     * fingerprints (the [[graft.pipeline.Decontam.DefaultMaxEvalGrams]]
@@ -140,9 +142,21 @@ object Winnow {
   def decontam(docs: DataFrame, idCol: String, textCol: String,
       evalPred: Column, n: Int, w: Int,
       maxEvalFps: Long = DefaultMaxEvalFps): DataFrame = {
+    // explode_OUTER + isnotnull, not plain explode (r22, guide §4.4's
+    // duplicated-evaluation trap in Catalyst form): a non-outer Generate
+    // over a derived array makes InferFiltersFromGenerate push a
+    // `size(sel) > 0 AND isnotnull(sel)` filter below the projection,
+    // INLINING the whole winnow-selection expression (gram hashing
+    // included) into the filter — the selection was measured computing
+    // twice per corpus row (two ~1.05 s single-task stages at sf0.1 for
+    // one pass's worth of work each). The outer generate takes no
+    // inferred filter; empty selections emit one null fp that the
+    // isnotnull (evaluated on the GENERATED column, above the Generate)
+    // removes — the identical row set.
     val evalFps = graft.ops.Materialize.register(
       withSelection(docs.filter(evalPred), idCol, textCol, n, w)
-        .select(explode(col("sel")).as("fp"))
+        .select(explode_outer(col("sel")).as("fp"))
+        .filter(col("fp").isNotNull)
         .distinct())
     val nEval = evalFps.count()
     if (nEval > maxEvalFps) {
@@ -155,7 +169,8 @@ object Winnow {
     }
     withSelection(docs.filter(!evalPred), idCol, textCol, n, w)
       .select(col("doc_id"), size(col("sel")).cast("long").as("n_selected"),
-        explode(col("sel")).as("fp"))
+        explode_outer(col("sel")).as("fp"))
+      .filter(col("fp").isNotNull)
       .join(broadcast(evalFps), "fp")
       .groupBy("doc_id", "n_selected")
       .agg(count(lit(1)).as("n_hit"))
@@ -183,7 +198,8 @@ object Winnow {
           .mkString(",") + s", query posed under (n,w)=($n,$w)")
     withSelection(increment, idCol, textCol, n, w)
       .select(col("doc_id"), size(col("sel")).cast("long").as("n_selected"),
-        explode(col("sel")).as("fp"))
+        explode_outer(col("sel")).as("fp"))
+      .filter(col("fp").isNotNull)
       .join(CorpusWriter.readWinnowIndex(spark, table)
         .withColumn("__seen", lit(1L)), Seq("fp"), "left")
       .groupBy("doc_id", "n_selected")
@@ -201,7 +217,8 @@ object Winnow {
       textCol: String, n: Int, w: Int, minShared: Int,
       maxDf: Int = MaxDf): DataFrame = {
     val fps = withSelection(docs, idCol, textCol, n, w)
-      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .select(col("doc_id"), explode_outer(col("sel")).as("fp"))
+      .filter(col("fp").isNotNull)
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf)).select("fp")
     val live = fps.join(broadcast(keep), "fp")

@@ -84,7 +84,8 @@ object StreamHitters {
         GraftFunctions.register(batch.sparkSession)
         import batch.sparkSession.implicits._
         val toks = batch.select(
-          explode(GraftFunctions.wordGrams(col(textCol), n)).as("term"))
+            explode_outer(GraftFunctions.wordGrams(col(textCol), n)).as("term"))
+          .filter(col("term").isNotNull)
         // one distributed pass; ≤ partitions·m rows reach the driver
         val parts = HeavyHitters.partitionSummaries(toks.as[String], summary.m)
           .groupBy("term").agg(sum("residual").as("residual"))
