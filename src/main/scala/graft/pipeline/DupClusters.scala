@@ -51,13 +51,23 @@ object DupClusters {
     // Registered (graft.ops.Materialize) so a mid-loop failure leaves the
     // edge cache reachable by the session owner's releaseAll; the success
     // path releases it eagerly below.
+    //
+    // Undirected doubling as ONE Generate over the pair stream, not
+    // edges.union(edges.swapped) (r22 second wave): the union's two
+    // branches each re-ran the ENTIRE upstream pair derivation — the 64×
+    // q117 profile showed every pre-CC exchange of the near-dup chain
+    // written twice, byte-identical (the swapped projection defeats
+    // ReusedExchange, the r7 Decontam defect class). The explode emits
+    // both orientations in-stage from one pass over the pairs.
     val undWide = graft.ops.Materialize.register(edges
-      .union(edges.select(col("b").as("a"), col("a").as("b"))),
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")),
       StorageLevel.MEMORY_AND_DISK)
     // Size the edge list's partitioning to the GRAPH, not to the upstream
     // corpus shuffle: pair graphs are orders of magnitude smaller than the
-    // corpus that produced them (the union above even doubles the upstream
-    // partition count), and every round scans the edges twice — inherited
+    // corpus that produced them, and every round scans the edges twice — inherited
     // near-empty partitions multiply per-round task overhead by the width
     // of a shuffle sized for raw text. ~1M edges (≈16 MB) per partition;
     // a billion-edge graph still gets its full upstream width (coalesce

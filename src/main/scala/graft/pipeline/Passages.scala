@@ -53,10 +53,20 @@ object Passages {
     val chunks = docs.select(col(idCol).as("doc_id"),
         posexplode_outer(chunkArray(col(textCol), chunkTokens)).as(Seq("pos", "chunk")))
       .filter(col("chunk").isNotNull)
-    val boilerplate = chunks.groupBy("chunk")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= maxDocs)
-      .select("chunk")
+    // maxDocs == 2 gate collapse (the RepeatedSpans idiom): "≥ 2
+    // distinct docs" ⟺ min(doc_id) ≠ max(doc_id) — one
+    // partial-aggregated exchange instead of countDistinct's two-phase
+    // distinct expansion (guide §2.3).
+    val boilerplate =
+      if (maxDocs == 2)
+        chunks.groupBy("chunk")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("chunk")
+      else chunks.groupBy("chunk")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= maxDocs)
+        .select("chunk")
     chunks.join(boilerplate, Seq("chunk"), "left_anti")
       .groupBy("doc_id")
       .agg(

@@ -70,10 +70,22 @@ object RepeatedSpans {
         posexplode_outer(graft.functions.GraftFunctions.wordGramHashes(
           col(textCol), window)).as(Seq("pos", "fp")))
       .filter(col("fp").isNotNull)
-    val hot = wins.groupBy("fp")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("fp")
+    // minDocs == 2 (the dedup default): "≥ 2 distinct docs" ⟺
+    // min(doc_id) ≠ max(doc_id) — one partial-aggregated exchange where
+    // countDistinct plans a two-phase distinct expansion (guide §2.3:
+    // aggregate before you shuffle). Groups whose doc_ids are all equal
+    // (or all null — min=max=null, filter null → dropped) fail both
+    // forms identically.
+    val hot =
+      if (minDocs == 2)
+        wins.groupBy("fp")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("fp")
+      else wins.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("fp")
     val matched = wins.join(hot, Seq("fp"), "left_semi")
     // Span merge: windows sorted by position within a doc chain into one
     // span while each start is within `window` of the previous (coverage
@@ -190,7 +202,7 @@ object RepeatedSpans {
     // All levels gate through ONE aggregate and ONE semi-join: the wide
     // frame explodes to slim (doc_id, pos, len, fp) rows (len encodes
     // the level bijectively), the repeat gate is a single
-    // (len, fp)-keyed countDistinct, and the mark set is one semi-join —
+    // (len, fp)-keyed aggregate, and the mark set is one semi-join —
     // where the per-level formulation ran (doublings+1) aggregate scans
     // and (doublings+1) semi-joins over the cache, all racing for the
     // same task slots in the final job.
@@ -202,10 +214,18 @@ object RepeatedSpans {
       .filter(col("lf.fp").isNotNull)
       .select(col("doc_id"), col("pos"),
         col("lf.len").as("len"), col("lf.fp").as("fp"))
-    val rep = exploded.groupBy("len", "fp")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("len", "fp")
+    // Same minDocs == 2 gate collapse as [[spansUnordered]]: min ≠ max
+    // replaces the two-phase countDistinct (guide §2.3).
+    val rep =
+      if (minDocs == 2)
+        exploded.groupBy("len", "fp")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select("len", "fp")
+      else exploded.groupBy("len", "fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("len", "fp")
     val marks = Seq(exploded.join(rep, Seq("len", "fp"), "left_semi")
       .select(col("doc_id"), col("pos"), col("len")))
     // Measured trade, recorded so nobody "optimizes" this back: the
@@ -221,8 +241,20 @@ object RepeatedSpans {
     // next level.
     val perPos = marks.reduce(_ unionAll _)
       .groupBy("doc_id", "pos").agg(max("len").as("plen"))
-    val docMax = perPos.groupBy("doc_id").agg(max("plen").as("max_len"))
-    perPos.join(docMax, Seq("doc_id"))
+    // Per-doc max as a whole-partition WINDOW over perPos, not a
+    // docMax-aggregate + self-join (r22 second wave): perPos is not
+    // materialized, so the join form re-executed the ENTIRE
+    // explode → repeat-gate → semi-join chain for its second consumer —
+    // the 64× profile showed the chain's 1.15 GB and 204 MB exchanges
+    // each written TWICE, byte-identical (the two consumers' differing
+    // projections defeat ReusedExchange — the r7 Decontam defect
+    // class). The window runs over the single perPos output (one
+    // doc_id-keyed exchange of the marked-position rows), and the
+    // final count groups on (doc_id, max_len) under the same
+    // clustering — the chain now executes exactly once.
+    perPos
+      .withColumn("max_len",
+        max("plen").over(Window.partitionBy("doc_id")))
       .filter(col("plen") === col("max_len"))
       .groupBy("doc_id", "max_len")
       .agg(count(lit(1)).as("n_pos"))
