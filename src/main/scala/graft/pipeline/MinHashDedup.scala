@@ -423,7 +423,14 @@ object MinHashDedup {
       .filter(col("df") >= 2 && col("df") <= MaxKeyDf &&
         col("incs") >= 1 && col("incs") < col("df") && col("probes") >= 1)
       .select("skey")
-    val hotMem = mem.join(hot, Seq("skey"))
+    // Barriered (r22 second wave): hotMem feeds TWO consumers (hotIds
+    // and the cells join) — unmaterialized, each re-ran the whole
+    // mem → hot-aggregate → join subtree from the shingle cache (the
+    // 64× profile showed the hot aggregate's map pass and its exchange
+    // byte-identical twice). Same rationale as the stored-sidecar
+    // overload's barrier below; hot-cell memberships are bounded
+    // (≤ MaxKeyDf per cell).
+    val hotMem = graft.ops.Materialize.barrier(mem.join(hot, Seq("skey")))
     val hotIds = hotMem.select(col("doc_id")).distinct()
     val payload = sh
       .join(hotIds, Seq("doc_id"), "left_semi")
@@ -800,7 +807,11 @@ object MinHashDedup {
           1L).otherwise(0L)).as("probes"))
       .filter(col("df") >= 2 && col("df") <= MaxKeyDf && col("probes") >= 1)
       .select("skey")
-    val hotMem = mem.join(hot, Seq("skey"))
+    // Barriered (r22 second wave, the incrementalContainmentPairs
+    // rationale): hotMem feeds hotIds AND the cells join —
+    // unmaterialized, the mem → hot → join subtree ran twice from the
+    // shingle cache.
+    val hotMem = graft.ops.Materialize.barrier(mem.join(hot, Seq("skey")))
     val hotIds = hotMem.select(col("doc_id")).distinct()
     // Exact sets ship once per hot membership; merge hint for the same
     // reason as the band path — the semi-joined payload has no honest
