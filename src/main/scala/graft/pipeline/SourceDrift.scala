@@ -54,10 +54,15 @@ object SourceDrift {
       .orderBy(col("ct").desc, col("term").asc).limit(v)
       .select("term")
     val ns = st.groupBy("source").agg(sum("c").as("n"))
-    val grid = ns.crossJoin(broadcast(vocab))
+    // Barriered (r22 second wave): grid feeds BOTH arms of the pairwise
+    // self-join below — unmaterialized, each arm re-ran the ns × vocab
+    // × st grid join over the (corpus-vocab-scale) st cache (the sf0.1
+    // profile showed the join's two exchanges each written twice,
+    // byte-identical). The frame is |sources|·v rows by contract.
+    val grid = Materialize.barrier(ns.crossJoin(broadcast(vocab))
       .join(st, Seq("source", "term"), "left")
       .select(col("source"), col("term"),
-        expr("coalesce(c, 0L) * 1000000L DIV n").as("f"))
+        expr("coalesce(c, 0L) * 1000000L DIV n").as("f")))
     val a = grid.select(col("source").as("src_a"), col("term"),
       col("f").as("f_a"))
     val b = grid.select(col("source").as("src_b"), col("term"),
